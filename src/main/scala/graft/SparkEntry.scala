@@ -1,13 +1,133 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a pure `(SparkSession, sfDir) => DataFrame`
+  * over the driver's parquet testdata; [[oracleSql]] holds the equivalent
+  * DuckDB SQL. Column names are aliased identically on both sides (the
+  * driver sorts columns by name before hashing).
+  *
+  * Determinism note: aggregates over doubles are computed via exact
+  * decimal casts then cast back to double, so Spark's and DuckDB's
+  * summation orders cannot produce differing floats (SURVEY.md §7.4).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Staged "update" rows for the load-mode parity ops: every 7th order,
+    * with a mutated status — the Spark side of the oracle's CTE. */
+  private def stagedOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core semantic: key-based upsert merge (SURVEY.md §2.3
+    * L3) of staged updates into the `orders` table. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    LoadOps.merge(t(spark, dir, "orders"), stagedOrders(spark, dir), "o_orderkey")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- load-mode family (reference L1-L3) ----
+    "load_insert_append" -> ((s, dir) =>
+      LoadOps.append(t(s, dir, "orders"), stagedOrders(s, dir))),
+
+    "load_truncate_insert" -> ((s, dir) =>
+      LoadOps.overwrite(stagedOrders(s, dir))),
+
+    "load_upsert_merge" -> ((s, dir) =>
+      LoadOps.merge(t(s, dir, "orders"), stagedOrders(s, dir), "o_orderkey")),
+
+    // Reference wart preserved: duplicate staged ids all land (L3).
+    "load_upsert_dup_keys" -> { (s, dir) =>
+      val base = t(s, dir, "orders").filter(col("o_orderkey") % 13 === 0)
+      val s1 = base.withColumn("o_orderpriority", lit("X1"))
+      val s2 = base.withColumn("o_orderpriority", lit("X2"))
+      LoadOps.merge(t(s, dir, "orders"), s1.unionByName(s2), "o_orderkey")
+    },
+
+    // ---- row-level transforms (reference T1/T2: NDJSON encode/decode) ----
+    "ndjson_roundtrip" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val line = docs.select(
+        to_json(struct(docs.columns.map(col).toIndexedSeq: _*)).as("line"))
+      line
+        .select(from_json(col("line"), docs.schema).as("r"))
+        .select("r.*")
+    },
+
+    // ---- aggregation (extension; decimal-exact for oracle parity) ----
+    "q1_agg" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val dec = DecimalType(18, 2)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            ).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "load_insert_append" ->
+      s"""SELECT * FROM orders
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+         |       o_orderdate, o_orderpriority
+         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+
+    "load_truncate_insert" ->
+      s"""SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+         |       o_orderdate, o_orderpriority
+         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+
+    "load_upsert_merge" ->
+      s"""WITH staged AS (
+         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 7 = 0)
+         |SELECT * FROM orders
+         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staged)
+         |UNION ALL SELECT * FROM staged""".stripMargin,
+
+    "load_upsert_dup_keys" ->
+      s"""WITH staged AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, 'X1' AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 13 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, 'X2' AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 13 = 0)
+         |SELECT * FROM orders
+         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staged)
+         |UNION ALL SELECT * FROM staged""".stripMargin,
+
+    "ndjson_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+  )
 }

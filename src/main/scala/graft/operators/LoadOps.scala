@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's three load semantics restated as pure
+  * `DataFrame => DataFrame` relational ops (SURVEY.md §2.3 L1-L3).
+  *
+  * Scale notes (100 TB discipline):
+  *   - [[merge]] anti-joins the target against the *distinct staged keys*
+  *     only — at typical load ratios (staged << target) Catalyst broadcasts
+  *     the key set, so the target is scanned once with NO shuffle of the
+  *     100 TB side. If staged keys exceed the broadcast threshold, AQE falls
+  *     back to a shuffled hash join on the key column alone (narrow row).
+  *   - [[append]]/[[overwrite]] are metadata-only at write time
+  *     (`mode("append")`/`mode("overwrite")`) — no data movement beyond the
+  *     staged side itself.
+  */
+object LoadOps {
+
+  /** INSERT: append all staged rows to the target
+    * (reference RedshiftLoader.ts:364-366). */
+  def append(target: DataFrame, staged: DataFrame): DataFrame =
+    target.unionByName(staged)
+
+  /** TRUNCATE_INSERT: result is the staged data only
+    * (reference RedshiftLoader.ts:367-368). Unlike the reference — where a
+    * COPY failure leaves the table already truncated (non-transactional,
+    * SURVEY.md §3.3) — a Spark `mode("overwrite")` write is job-atomic under
+    * the commit protocol; an intentional improvement. */
+  def overwrite(staged: DataFrame): DataFrame = staged
+
+  /** UPSERT: delete target rows whose `idField` appears in the staged data,
+    * then insert ALL staged rows (reference RedshiftLoader.ts:369-385:
+    * `DELETE FROM target WHERE id IN (SELECT id FROM tmp); INSERT INTO
+    * target SELECT * FROM tmp`).
+    *
+    * Faithful to the reference's wart: staged duplicates are NOT
+    * deduplicated — N staged rows per id all land (SURVEY.md §7.4 "L3
+    * duplicate semantics"). Use [[Dedup.exact]] first if last-write-wins is
+    * wanted.
+    */
+  def merge(target: DataFrame, staged: DataFrame, idField: String): DataFrame = {
+    // Distinct key set: tiny relative to the staged rows, maximizing the
+    // chance of a broadcast anti-join against the big target.
+    val keys = staged.select(col(idField)).distinct()
+    target.join(keys, Seq(idField), "left_anti").unionByName(staged)
+  }
+
+  /** MAXERROR-style bounded-error ingest (reference RedshiftLoader.ts:362,
+    * default 0 — utils.ts:107): given a PERMISSIVE-parsed frame with a
+    * corrupt-record column, fail if the corrupt count exceeds `maxError`,
+    * else return the clean rows (SURVEY.md §4 "Error-bounded load"). */
+  def boundErrors(
+      parsed: DataFrame,
+      corruptCol: String,
+      maxError: Long): DataFrame = {
+    val bad = parsed.filter(col(corruptCol).isNotNull).count()
+    if (bad > maxError)
+      throw new graft.core.LoaderError(
+        "RS_COPY_ERROR",
+        s"$bad corrupt records exceed MAXERROR $maxError",
+        details = Some(Map("count" -> bad.toString)))
+    parsed.filter(col(corruptCol).isNull).drop(corruptCol)
+  }
+
+  /** TRUNCATECOLUMNS analogue: clip declared-width string columns instead of
+    * failing (reference types.ts:30, RedshiftLoader.ts:361). */
+  def truncateColumns(df: DataFrame, widths: Map[String, Int]): DataFrame =
+    widths.foldLeft(df) { case (d, (c, w)) =>
+      d.withColumn(c, substring(col(c), 1, w))
+    }
+}
