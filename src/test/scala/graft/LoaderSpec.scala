@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.exec._
+import graft.io.{Ingest, Manifest, ParquetWarehouse}
+
+/** Loader lifecycle parity tests — mirrors RedshiftLoader.spec.ts
+  * (SURVEY.md §5): the 6-row fixture delivered as two NDJSON bodies, upload
+  * counts, manifest content, cleanup policies, single-shot latch, and the
+  * native execution of all three load modes against a parquet warehouse.
+  */
+class LoaderSpec extends AnyFunSuite with SparkSuite {
+
+  /** The reference's TEST_ROWS (RedshiftLoader.spec.ts:46-58): ids 1-6,
+    * mixed int/float `number`, epoch-millis `created_at` stepping daily from
+    * 2017-01-01 UTC; rows 3-6 carry text 'UPSERT' and arrive as the second
+    * body (spec:95-105). */
+  private val day0 = 1483228800000L
+  private def row(id: Int, n: Double, text: String) =
+    s"""{"id":$id,"number":$n,"text":"$text","created_at":${day0 + id * 86400000L}}"""
+  private val body1 = (1 to 2).map(i => row(i, 56.8, "sample")).mkString("\n")
+  private val body2 = (3 to 6).map(i => row(i, 45, "UPSERT")).mkString("\n")
+
+  private def tmp() = Files.createTempDirectory("graft-test").toString
+
+  private class Recorder extends LoadListener {
+    var progress = Vector.empty[String]
+    var errors = 0
+    var done = 0
+    override def onProgress(task: String, info: Map[String, String]): Unit =
+      progress :+= task
+    override def onError(e: Throwable): Unit = errors += 1
+    override def onDone(): Unit = done += 1
+  }
+
+  private def mkLoader(
+      cfg: LoaderConfig,
+      wh: ParquetWarehouse,
+      staging: String,
+      listener: LoadListener = LoadListener.Silent,
+      executor: Option[SqlExecutor] = None) =
+    new Loader(spark, cfg, wh, staging, executor = executor, listener = listener,
+      txnRunner = new RetryingTxnRunner(sleeper = _ => ()))
+
+  test("insert: 2 bodies staged + 1 manifest; events fired (spec:108-115)") {
+    val (whDir, stg) = (tmp(), tmp())
+    val wh = new ParquetWarehouse(spark, whDir)
+    val rec = new Recorder
+    val cfg = LoaderConfig(table = TableRef("", "target"),
+      cleanup = CleanupPolicy.Never)
+    val loader = mkLoader(cfg, wh, stg, rec)
+    val ups = loader.addBodies(Seq(
+      Ingest.ndjsonString(spark, body1), Ingest.ndjsonString(spark, body2)))
+    assert(ups.size == 2 && ups.forall(_.files.nonEmpty))
+    assert(loader.insert() == "SUCCESS")
+    assert(rec.progress.count(_ == "uploadedFile") == 2)
+    assert(rec.progress.count(_ == "uploadedManifest") == 1)
+    assert(rec.done == 1 && rec.errors == 0)
+    assert(wh.table(TableRef("", "target")).count() == 6)
+    // manifest lists every staged file, mandatory:true (L5)
+    val mf = Files.readString(java.nio.file.Paths.get(
+      ups.head.dir).getParent.resolve(s"manifest_${loader.uuid}.json"))
+    assert(Manifest.parseUrls(mf).size == ups.flatMap(_.files).size)
+    assert(mf.contains("\"mandatory\":true"))
+  }
+
+  test("upsert merges on id; duplicate staged ids all land (L3 wart)") {
+    val (whDir, stg) = (tmp(), tmp())
+    val wh = new ParquetWarehouse(spark, whDir)
+    val t = TableRef("", "target")
+    wh.create(t, Ingest.ndjsonString(spark, body1 + "\n" + body2)) // 6 rows
+    val cfg = LoaderConfig(table = t)
+    val loader = mkLoader(cfg, wh, stg)
+    // staged: two rows for id 3 (dup), one for id 99 (new)
+    val staged = Ingest.ndjsonString(spark,
+      Seq(row(3, 1.0, "A"), row(3, 2.0, "B"), row(99, 3.0, "C")).mkString("\n"))
+    loader.addBody(staged)
+    assert(loader.upsert() == "SUCCESS")
+    val out = wh.table(t)
+    assert(out.count() == 8) // 6 - 1 deleted + 3 staged
+    assert(out.filter("id = 3").count() == 2) // both dups land
+    assert(out.filter("id = 99").count() == 1)
+  }
+
+  test("truncInsert replaces the table (L2)") {
+    val (whDir, stg) = (tmp(), tmp())
+    val wh = new ParquetWarehouse(spark, whDir)
+    val t = TableRef("", "target")
+    wh.create(t, Ingest.ndjsonString(spark, body1 + "\n" + body2))
+    val loader = mkLoader(LoaderConfig(table = t), wh, stg)
+    loader.addBody(Ingest.ndjsonString(spark, row(7, 1.5, "only")))
+    loader.truncInsert()
+    val out = wh.table(t)
+    assert(out.count() == 1 && out.filter("id = 7").count() == 1)
+  }
+
+  test("cleanup policy: staging deleted on SUCCESS, kept on NEVER (spec:131-142)") {
+    def run(policy: CleanupPolicy): (Boolean, Recorder) = {
+      val (whDir, stg) = (tmp(), tmp())
+      val wh = new ParquetWarehouse(spark, whDir)
+      val rec = new Recorder
+      val loader = mkLoader(
+        LoaderConfig(table = TableRef("", "t"), cleanup = policy), wh, stg, rec)
+      loader.addBody(Ingest.ndjsonString(spark, body1))
+      loader.insert()
+      val anyLeft = Files.walk(java.nio.file.Paths.get(stg))
+        .filter(p => Files.isRegularFile(p)).count() > 0
+      (anyLeft, rec)
+    }
+    val (leftSuccess, recS) = run(CleanupPolicy.OnSuccess)
+    assert(!leftSuccess)
+    assert(recS.progress.count(_ == "deleteObjects") == 1)
+    val (leftNever, recN) = run(CleanupPolicy.Never)
+    assert(leftNever)
+    assert(recN.progress.count(_ == "deleteObjects") == 0)
+  }
+
+  test("single-shot latch: addBody after start is dropped (X5, spec:143-150)") {
+    val (whDir, stg) = (tmp(), tmp())
+    val wh = new ParquetWarehouse(spark, whDir)
+    val loader = mkLoader(
+      LoaderConfig(table = TableRef("", "t"), cleanup = CleanupPolicy.Never), wh, stg)
+    loader.addBody(Ingest.ndjsonString(spark, body1))
+    loader.insert()
+    assert(loader.addBody(Ingest.ndjsonString(spark, body2)).isEmpty)
+    assert(wh.table(TableRef("", "t")).count() == 2) // second body never landed
+  }
+
+  test("external executor runs the upsert transaction SQL (X6 + L3)") {
+    val (whDir, stg) = (tmp(), tmp())
+    val wh = new ParquetWarehouse(spark, whDir)
+    val t = TableRef("pub", "tgt")
+    val ex = new InMemorySqlExecutor()
+    val loader = mkLoader(LoaderConfig(table = t, idField = "id"), wh, stg,
+      executor = Some(ex))
+    loader.addBody(Ingest.ndjsonString(spark, body1))
+    loader.upsert()
+    val sql = ex.executed.toSeq
+    assert(sql.head == "BEGIN;" && sql.last == "COMMIT;")
+    assert(sql.exists(_.startsWith("COPY pub.tgt_temp_")))
+    assert(sql.exists(q => q.startsWith("DELETE FROM pub.tgt WHERE id IN")))
+    assert(sql.size == 8)
+  }
+
+  test("failure wraps up with error event; ALWAYS policy still cleans (C4/C1)") {
+    val (whDir, stg) = (tmp(), tmp())
+    val wh = new ParquetWarehouse(spark, whDir)
+    val rec = new Recorder
+    val ex = new InMemorySqlExecutor({
+      case q if q.startsWith("COPY") => Left(new RuntimeException("copy exploded"))
+    })
+    val loader = mkLoader(
+      LoaderConfig(table = TableRef("", "t"), cleanup = CleanupPolicy.Always),
+      wh, stg, rec, executor = Some(ex))
+    loader.addBody(Ingest.ndjsonString(spark, body1))
+    intercept[RuntimeException](loader.insert())
+    assert(rec.errors == 1 && rec.done == 0)
+    assert(rec.progress.count(_ == "deleteObjects") == 1) // ALWAYS cleans on failure
+  }
+
+  test("requires at least one staged body (X6 assert, :277)") {
+    val (whDir, stg) = (tmp(), tmp())
+    val loader = mkLoader(LoaderConfig(table = TableRef("", "t")),
+      new ParquetWarehouse(spark, whDir), stg)
+    intercept[IllegalArgumentException](loader.insert())
+  }
+}
