@@ -1,0 +1,227 @@
+package graft
+
+import graft.operators.DedupOps
+
+/** DuckDB oracle SQL for the extension operators. Each string is the
+  * dialect translation of the EXACT op semantics in graft.operators — same
+  * md5-derived hashes, same explicitly-parenthesized double arithmetic,
+  * same tie-breaks — so the driver's hash compare matches bit-for-bit.
+  * MinHash coefficients are inlined from [[DedupOps.HashCoeffs]] (single
+  * source of truth).
+  *
+  * Dialect notes: DuckDB `regexp_replace` needs the 'g' flag (Spark
+  * replaces all by default); `('0x'||hex)::BIGINT` ≡ Spark
+  * `conv(hex,16,10)`; `list_reduce(list_transform(...))` folds left like
+  * Spark `aggregate(transform(...))`.
+  */
+object Oracles {
+
+  // Normalized text + whitespace tokens (TextFunctions.normalized/tokens).
+  private val norm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+  private def toks(c: String) = raw"regexp_split_to_array(trim($c), '\s+')"
+
+  private def inList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hits(tk: String, words: Seq[String]) =
+    s"len(list_filter($tk, t -> list_contains(${inList(words)}, t)))"
+
+  import graft.functions.TextFunctions.{StopEn, StopDe, StopEs, StopFr}
+
+  val textStats: String =
+    s"""WITH t AS (SELECT doc_id, text, ${toks("text")} AS tk FROM documents)
+       |SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len(tk) AS n_tokens,
+       |  len(list_distinct(tk)) AS n_distinct_tokens,
+       |  ((0.4 * (CAST(${hits("tk", StopEn)} AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
+       |    + (0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 200.0)))
+       |    + (0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))) AS quality
+       |FROM t""".stripMargin
+
+  val langId: String =
+    s"""WITH t AS (SELECT doc_id, text, ${toks("text")} AS tk FROM documents),
+       |h AS (SELECT doc_id, text,
+       |  ${hits("tk", StopEn)} AS en, ${hits("tk", StopDe)} AS de,
+       |  ${hits("tk", StopEs)} AS es, ${hits("tk", StopFr)} AS fr
+       |FROM t)
+       |SELECT doc_id, CASE
+       |  WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+       |  WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+       |  WHEN de >= es AND de >= fr THEN 'de'
+       |  WHEN es >= fr THEN 'es'
+       |  ELSE 'fr' END AS lang_pred
+       |FROM h""".stripMargin
+
+  private def hash60(s: String) = s"('0x' || substr(md5($s), 1, 15))::BIGINT"
+  private def hash48(s: String) = s"('0x' || substr(md5($s), 1, 12))::BIGINT"
+
+  /** Word-bigram shingle list of the normalized text (TextFunctions
+    * .wordBigrams): single-token docs degrade to the token itself. */
+  private val bigramsCte =
+    s"""t AS (SELECT doc_id, $norm AS nrm FROM documents),
+       |s AS (SELECT doc_id, nrm, string_split(nrm, ' ') AS tk FROM t),
+       |bg AS (SELECT doc_id, nrm, CASE WHEN len(tk) <= 1 THEN tk
+       |  ELSE list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1]) END AS sh
+       |FROM s)""".stripMargin
+
+  val fingerprints: String =
+    s"""WITH $bigramsCte
+       |SELECT doc_id, md5(nrm) AS fp_md5,
+       |  list_min(list_transform(sh, x -> ${hash60("x")})) AS fp_minshingle
+       |FROM bg""".stripMargin
+
+  val dedupExactDocs: String =
+    s"""SELECT doc_id, text, lang, source, n_chars FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY md5($norm) ORDER BY doc_id) AS rn
+       |  FROM documents) WHERE rn = 1""".stripMargin
+
+  /** Distinct-shingle hash rows (doc_id, h) — shared by minhash. */
+  private val shingleHashCte =
+    s"""sh AS (SELECT DISTINCT doc_id, (${hash60("x")} % ${DedupOps.P}) AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(sh)) AS x FROM bg))""".stripMargin
+
+  private val coeffValues = DedupOps.HashCoeffs.zipWithIndex
+    .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+    .mkString(", ")
+
+  /** Planted near-duplicate corpus for the dedup demonstrations: every
+    * 10th document plus an 80%-prefix truncated copy at doc_id+10000000
+    * (bigram Jaccard orig↔copy ≈ 0.8; unrelated pairs ≤ ~0.15). Identical
+    * construction on the Spark side (SparkEntry.plantedDocs). */
+  val plantedDocs: String =
+    """SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, substr(text, 1, (length(text) * 4) // 5)
+      |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  def minhashPairs(t0Sql: String, minEst: Double): String =
+    s"""WITH t0 AS ($t0Sql),
+       |${bigramsCte.replace("FROM documents", "FROM t0")},
+       |$shingleHashCte,
+       |c(i, a, b) AS (SELECT * FROM (VALUES $coeffValues)),
+       |sig AS (SELECT doc_id, i, min((a * h + b) % ${DedupOps.P}) AS mh
+       |  FROM sh, c GROUP BY doc_id, i),
+       |bk AS (SELECT doc_id, (i // ${DedupOps.R}) AS band,
+       |    string_agg(mh::VARCHAR, '_' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY doc_id, band),
+       |pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |SELECT p.id_a, p.id_b,
+       |  CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / ${DedupOps.K}.0 AS est_jaccard
+       |FROM pairs p
+       |JOIN sig sa ON sa.doc_id = p.id_a
+       |JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+       |GROUP BY p.id_a, p.id_b
+       |HAVING est_jaccard >= $minEst""".stripMargin
+
+  def ngramJaccard(t0Sql: String, minJaccard: Double): String =
+    s"""WITH t0 AS ($t0Sql),
+       |${bigramsCte.replace("FROM documents", "FROM t0")},
+       |shd AS (SELECT DISTINCT doc_id, x AS s
+       |  FROM (SELECT doc_id, unnest(list_distinct(sh)) AS x FROM bg)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(c AS DOUBLE) / CAST((na.n + nb.n) - c AS DOUBLE) AS jaccard
+       |FROM common
+       |JOIN sizes na ON na.doc_id = id_a
+       |JOIN sizes nb ON nb.doc_id = id_b
+       |WHERE CAST(c AS DOUBLE) / CAST((na.n + nb.n) - c AS DOUBLE) >= $minJaccard""".stripMargin
+
+  /** Per-token 48-bit hashes (doc_id, h), tokens WITH multiplicity. */
+  private val simhashSigCte =
+    s"""tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tkn
+       |  FROM (SELECT doc_id, $norm AS nrm FROM documents)),
+       |hh AS (SELECT doc_id, ${hash48("tkn")} AS h FROM tok),
+       |bits AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS v
+       |  FROM hh, (SELECT unnest(generate_series(0, ${DedupOps.SimBits - 1})) AS j)
+       |  GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  val simhash: String =
+    s"""WITH $simhashSigCte
+       |SELECT doc_id, simhash FROM sig""".stripMargin
+
+  def simhashNearDup(maxHamming: Int): String =
+    s"""WITH $simhashSigCte,
+       |chunks AS (SELECT doc_id, simhash, c, (simhash >> (c * 12)) & 4095 AS chunk
+       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c)),
+       |pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    x.simhash AS sa, y.simhash AS sb
+       |  FROM chunks x JOIN chunks y
+       |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+       |FROM pairs WHERE bit_count(xor(sa, sb)) <= $maxHamming""".stripMargin
+
+  /** Sequential-fold cosine knn (SimilarityOps.bruteForceKnn). */
+  def knnBruteForce(probeEvery: Int, k: Int): String = {
+    val dotPN = "list_reduce(list_transform(generate_series(1, 64), i -> p.pvec[i] * n.vec[i]), (a, b) -> a + b)"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |n AS (SELECT vec_id, vec,
+       |  sqrt(list_reduce(list_transform(generate_series(1, 64), i -> vec[i] * vec[i]), (a, b) -> a + b)) AS nrm
+       |  FROM v),
+       |p AS (SELECT vec_id AS probe_id, vec AS pvec, nrm AS pnrm
+       |  FROM n WHERE vec_id % $probeEvery = 0),
+       |s AS (SELECT p.probe_id, n.vec_id,
+       |    $dotPN / (p.pnrm * n.nrm) AS sim
+       |  FROM p, n WHERE n.vec_id <> p.probe_id)
+       |SELECT probe_id, vec_id, round(sim, 9) AS sim, rank FROM (
+       |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM s) WHERE rank <= $k""".stripMargin
+  }
+
+  val tumbling1h: String =
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |  count(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  def sessionize(gapMinutes: Int): String =
+    s"""WITH g AS (SELECT user_id, ts, event_id,
+       |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events),
+       |f AS (SELECT user_id, ts, event_id,
+       |  CASE WHEN prev_ts IS NULL
+       |    OR date_diff('second', prev_ts, ts) > ${gapMinutes * 60} THEN 1 ELSE 0 END AS new_sess
+       |  FROM g),
+       |s AS (SELECT user_id, ts,
+       |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM f)
+       |SELECT user_id, session_seq, count(*) AS n_events,
+       |  min(ts) AS session_start, max(ts) AS session_end
+       |FROM s GROUP BY user_id, session_seq""".stripMargin
+
+  /** Union + last_value as-of join (AnalyticOps.asofJoin): purchases pick
+    * the most recent click at ts ≤ theirs, clicks sorting first on ties. */
+  val asofClickPurchase: String =
+    s"""WITH u AS (
+       |  SELECT user_id, ts, 1 AS side, event_id AS lid, NULL::BIGINT AS rid
+       |    FROM events WHERE event_type = 'purchase'
+       |  UNION ALL
+       |  SELECT user_id, ts, 0 AS side, NULL::BIGINT AS lid, event_id AS rid
+       |    FROM events WHERE event_type = 'click'),
+       |w AS (SELECT user_id, ts, side, lid,
+       |  last_value(rid IGNORE NULLS) OVER (PARTITION BY user_id
+       |    ORDER BY ts, side, rid ROWS UNBOUNDED PRECEDING) AS asof_rid
+       |  FROM u)
+       |SELECT lid AS event_id, user_id, ts, asof_rid AS asof_event_id
+       |FROM w WHERE side = 1""".stripMargin
+
+  def topKOrders(k: Int): String =
+    s"""SELECT * FROM (
+       |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+       |    rank() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+       |  FROM orders) WHERE rank <= $k""".stripMargin
+
+  val rollupLineitem: String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+}

@@ -22,6 +22,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Planted near-duplicate corpus for the dedup demonstrations: every
+    * 10th document plus an 80%-prefix truncated copy at doc_id+10000000 —
+    * the Spark side of [[Oracles.plantedDocs]]. */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    base.unionByName(base.select(
+      (col("doc_id") + 10000000L).as("doc_id"),
+      expr("substring(text, 1, (length(text) * 4) div 5)").as("text")))
+  }
+
   /** Staged "update" rows for the load-mode parity ops: every 7th order,
     * with a mutated status — the Spark side of the oracle's CTE. */
   private def stagedOrders(s: SparkSession, dir: String): DataFrame =
@@ -79,7 +90,83 @@ object SparkEntry {
             ).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     },
+
+    // ---- text analysis (north-star extensions; pure projections) ----
+    "text_stats" -> ((s, dir) =>
+      TextOps.textStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    "lang_id" -> ((s, dir) =>
+      TextOps.langIdTable(t(s, dir, "documents"), "doc_id", "text")),
+
+    "fingerprints" -> ((s, dir) =>
+      TextOps.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- dedup family ----
+    "dedup_exact_docs" -> ((s, dir) =>
+      DedupOps.exact(t(s, dir, "documents"),
+        Seq(graft.functions.TextFunctions.fingerprint(col("text"))),
+        Seq(col("doc_id")))),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      DedupOps.minhashCandidates(plantedDocs(s, dir), "doc_id", "text")
+        .filter(col("est_jaccard") >= MinhashMinEst)),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccard(plantedDocs(s, dir), "doc_id", "text", NgramMinJaccard)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")),
+
+    "simhash_near_dup" -> ((s, dir) =>
+      DedupOps.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+        SimhashMaxHamming)),
+
+    // ---- similarity search ----
+    "knn_bruteforce" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      SimilarityOps.bruteForceKnn(probes, corpus, KnnK)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("sim"), 9).as("sim"), col("rank"))
+    },
+
+    // ---- event analytics ----
+    "events_tumbling_1h" -> ((s, dir) =>
+      AnalyticOps.tumblingAgg(t(s, dir, "events"), "ts", "1 hour")),
+
+    "sessionize_30m" -> ((s, dir) =>
+      AnalyticOps.sessionize(t(s, dir, "events"), 30)),
+
+    "asof_click_purchase" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      AnalyticOps.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "ts", "event_id", "event_id")
+    },
+
+    "topk_orders_by_priority" -> ((s, dir) =>
+      AnalyticOps.topKPerGroup(
+        t(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)),
+
+    "rollup_lineitem" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      AnalyticOps.rollupAgg(t(s, dir, "lineitem"), "l_returnflag", "l_linestatus",
+        Seq(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty")))
+    },
   )
+
+  // Tunable thresholds shared by the Spark ops and their oracles.
+  val MinhashMinEst = 0.35
+  val NgramMinJaccard = 0.4
+  val SimhashMaxHamming = 8
+  val KnnProbeEvery = 100
+  val KnnK = 5
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -129,5 +216,20 @@ object SparkEntry {
          |  COUNT(*) AS count_order
          |FROM lineitem
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "text_stats" -> Oracles.textStats,
+    "lang_id" -> Oracles.langId,
+    "fingerprints" -> Oracles.fingerprints,
+    "dedup_exact_docs" -> Oracles.dedupExactDocs,
+    "dedup_minhash_lsh" -> Oracles.minhashPairs(Oracles.plantedDocs, MinhashMinEst),
+    "dedup_ngram_jaccard" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
+    "dedup_simhash" -> Oracles.simhash,
+    "simhash_near_dup" -> Oracles.simhashNearDup(SimhashMaxHamming),
+    "knn_bruteforce" -> Oracles.knnBruteForce(KnnProbeEvery, KnnK),
+    "events_tumbling_1h" -> Oracles.tumbling1h,
+    "sessionize_30m" -> Oracles.sessionize(30),
+    "asof_click_purchase" -> Oracles.asofClickPurchase,
+    "topk_orders_by_priority" -> Oracles.topKOrders(3),
+    "rollup_lineitem" -> Oracles.rollupLineitem,
   )
 }

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis primitives for large-scale training-data
+  * pipelines (north-star extensions; the reference itself has no scalar
+  * function library — SURVEY.md §2.7).
+  *
+  * Every function here is a pure projection built from codegen'd Spark SQL
+  * functions — no UDFs, no shuffles — so they stay inside whole-stage
+  * codegen and scale linearly with the scan. Each has an exactly-equivalent
+  * DuckDB formulation (used by the oracle SQL in [[graft.SparkEntry]]):
+  * hashes derive from `md5` hex (identical in both engines) and all float
+  * arithmetic is written as explicitly-parenthesized double ops so both
+  * engines execute the same IEEE sequence.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens that appear in `words` (a small reference list). */
+  def hitCount(toks: Column, words: Seq[String]): Column = {
+    val dict = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(dict, t)))
+  }
+
+  /** Small per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Deliberately tiny: language ID at 100 TB must
+    * stay a pure projection. */
+  val StopEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "it", "for", "on")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "ich", "nicht", "mit", "ein", "zu", "den", "von")
+  val StopFr = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour", "pas", "des")
+  val StopEs = Seq("el", "la", "los", "las", "y", "es", "un", "una", "en", "que", "por", "con")
+
+  /** Count of CJK codepoints (zh detector). */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+
+  /** Heuristic language ID: CJK presence → zh, else argmax of stopword
+    * hits with a fixed tie-break chain (en ≥ de ≥ es ≥ fr). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = hitCount(toks, StopEn)
+    val de = hitCount(toks, StopDe)
+    val es = hitCount(toks, StopEs)
+    val fr = hitCount(toks, StopFr)
+    when(cjkCount(text) > 0, "zh")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Quality score in [0,1]: weighted mix of stopword ratio, length
+    * saturation, and lexical diversity. Parenthesization is part of the
+    * contract (oracle executes the identical double-op sequence). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val stopRatio = hitCount(toks, StopEn).cast("double") / n
+    val lenSat = least(lit(1.0), n / lit(200.0))
+    val diversity = size(array_distinct(toks)).cast("double") / n
+    (lit(0.4) * stopRatio + lit(0.3) * lenSat) + lit(0.3) * diversity
+  }
+
+  /** Canonical form for fingerprinting: lower-cased, whitespace collapsed. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact-duplicate fingerprint: md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** 60-bit integer hash of a string via md5 (first 15 hex digits).
+    * DuckDB equivalent: `('0x' || substr(md5(s), 1, 15))::BIGINT`. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** 48-bit variant (12 hex digits) — used by SimHash so per-bit shifts
+    * stay clear of the sign bit. */
+  def hash48(s: Column): Column =
+    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+
+  /** Adjacent word-bigram shingles ("w1 w2") of the normalized text —
+    * the shingling unit for MinHash/Jaccard dedup. Single-token docs
+    * yield one degenerate shingle (the token itself) so no doc drops out. */
+  def wordBigrams(text: Column): Column = {
+    val toks = tokens(normalized(text))
+    when(size(toks) <= 1, toks).otherwise(
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+  }
+
+  /** Winnowing-style content fingerprint: minimum hash60 over the doc's
+    * bigram shingles — one 60-bit "representative shingle" per document
+    * (rolling-hash fingerprint family; pure projection + array fold). */
+  def minShingleHash(text: Column): Column =
+    array_min(transform(wordBigrams(text), s => hash60(s)))
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational/analytic operators beyond the reference's surface (which has
+  * no joins, aggregations, or window functions of its own — SURVEY.md §2.7):
+  * event-time windowing, sessionization, as-of joins, per-group top-k.
+  *
+  * Scale design: every op here is a single hash-shuffle on its natural key
+  * (user/group), with `rank ≤ k` forms planned as WindowGroupLimit
+  * (partial top-k before the shuffle). The as-of join is the union+window
+  * formulation — one shuffle on the join key, NO range join: at 100 TB a
+  * range join's O(|L|·|R|) bucket pairs is the bottleneck, the union form
+  * is linear. */
+object AnalyticOps {
+
+  /** Tumbling event-time window aggregation (streaming-compatible:
+    * the same expression runs under Structured Streaming with a
+    * watermark). Sums over doubles go through DECIMAL(18,6) so the
+    * result is summation-order independent (oracle-exact). */
+  def tumblingAgg(events: DataFrame, ts: String, width: String): DataFrame =
+    events
+      .groupBy(window(col(ts), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization: a new session starts when the gap since the
+    * user's previous event exceeds `gapMinutes`. Returns one row per
+    * session with bounds and counts. Single shuffle on user_id. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapped = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L, 1)
+        .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    gapped.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  /** As-of join: for each left-side event, the id of the most recent
+    * right-side event with `rts ≤ lts` for the same key. Implemented as
+    * union + last_value(ignoreNulls) over one key-partitioned window —
+    * linear, one shuffle, no range join. Right-side rows sort BEFORE
+    * same-timestamp left rows (inclusive-≤ semantics), ties within a side
+    * break on event id. */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, lts: String, rts: String,
+      leftId: String, rightId: String): DataFrame = {
+    val l = left.select(col(key), col(lts).as("__ts"), lit(1).as("__side"),
+      col(leftId).as("__lid"), lit(null).cast("long").as("__rid"))
+    val r = right.select(col(key), col(rts).as("__ts"), lit(0).as("__side"),
+      lit(null).cast("long").as("__lid"), col(rightId).as("__rid"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__rid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__rid"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__lid").as(leftId), col(key), col("__ts").as(lts),
+        col("__asof").as(s"asof_$rightId"))
+  }
+
+  /** Top-k rows per group by `order` (rank ≤ k → WindowGroupLimit:
+    * per-partition partial top-k before the single shuffle). */
+  def topKPerGroup(df: DataFrame, group: Seq[Column], order: Seq[Column],
+      k: Int): DataFrame =
+    df.withColumn("rank", rank().over(Window.partitionBy(group: _*).orderBy(order: _*)))
+      .filter(col("rank") <= k)
+
+  /** ROLLUP aggregation (partial-aggregate friendly: map-side combine on
+    * every grouping set). */
+  def rollupAgg(df: DataFrame, g1: String, g2: String, measures: Seq[Column]): DataFrame =
+    df.rollup(col(g1), col(g2)).agg(measures.head, measures.tail: _*)
+}

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extensions; the reference's only merge semantic keeps duplicates —
+  * SURVEY.md §2.3 L3 — so these are the operators that fix that at corpus
+  * scale).
+  *
+  * Scale design (100 TB discipline):
+  *   - Exact dedup is one hash-shuffle on the dedup key (window or
+  *     groupBy); no driver collects.
+  *   - MinHash/LSH: signatures are a pure projection per document (k min
+  *     aggregations over a shingle explode), the only shuffles are the
+  *     per-(doc,band) signature grouping and the band-bucket self-join.
+  *     Bucket sizes are bounded by banding; the candidate set — not the
+  *     full O(n²) pair space — is what gets verified.
+  *   - SimHash: per-doc 48-bit signature via explode + bit-count
+  *     aggregation; candidate pairs via 12-bit chunk banding (pigeonhole:
+  *     hamming ≤ 3 ⇒ at least one of 4 chunks equal).
+  *   - All hashes derive from md5 so the DuckDB oracle can reproduce them
+  *     bit-for-bit ([[graft.functions.TextFunctions.hash60]]).
+  */
+object DedupOps {
+
+  /** Exact dedup, last-write-wins per key: keep one row per `key` ordered
+    * by `order` columns. `row_number` over a hash-partitioned window —
+    * one shuffle, no driver involvement. */
+  def exact(df: DataFrame, key: Seq[Column], order: Seq[Column]): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(key: _*).orderBy(order: _*)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  // ---- MinHash/LSH ---------------------------------------------------
+
+  /** Number of hash functions (k), bands (b) and rows-per-band (r = k/b).
+    * est-Jaccard resolution is 1/k; a pair collides in a band with
+    * probability sim^r. */
+  val K = 32
+  val Bands = 4 // r=8: collision prob sim^8 — keeps buckets bounded even on
+                // self-similar corpora (this synthetic vocab is ~40 words)
+  val R = K / Bands
+  val P = 1000000007L
+
+  /** Deterministic (a, b) coefficients for the k universal hash functions
+    * h_i(x) = (a_i·x + b_i) mod P. Knuth-style multiplicative constants,
+    * odd, reduced mod P — fixed so the oracle can inline the same values. */
+  val HashCoeffs: Seq[(Long, Long)] =
+    (0 until K).map { i =>
+      val a = ((i.toLong * 2654435761L + 1013904223L) % P) | 1L
+      val b = (i.toLong * 97531L + 12345L) % P
+      (a, b)
+    }
+
+  /** Per-document MinHash signature rows `(id, i, mh)` from word-bigram
+    * shingles: explode distinct shingles, hash once, then k cheap affine
+    * min-aggregations. The explode is a projection; the only shuffle is
+    * the groupBy(id, i). */
+  def minhashSignatures(df: DataFrame, id: String, text: String): DataFrame = {
+    val sh = df.select(col(id),
+        explode(array_distinct(wordBigrams(col(text)))).as("sh"))
+      .select(col(id), (hash60(col("sh")) % P).as("h"))
+    val idx = HashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("i"), lit(a).as("a"), lit(b).as("b"))
+    }
+    sh.select(col(id), col("h"), explode(array(idx: _*)).as("c"))
+      .groupBy(col(id), col("c.i").as("i"))
+      .agg(min((col("c.a") * col("h") + col("c.b")) % P).as("mh"))
+  }
+
+  /** LSH banding: bucket key = the band's r minhashes joined in i-order. */
+  def lshBuckets(sig: DataFrame, id: String): DataFrame =
+    sig.withColumn("band", (col("i") / R).cast("int"))
+      .groupBy(col(id), col("band"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh").cast("string")), "_").as("bkey"))
+
+  /** Candidate near-duplicate pairs (id_a < id_b) that share ≥1 LSH bucket,
+    * with the estimated Jaccard = fraction of equal signature components.
+    * Self-join is on (band, bkey) — co-partitioned, no cross product. */
+  def minhashCandidates(df: DataFrame, id: String, text: String): DataFrame = {
+    val sig = minhashSignatures(df, id, text)
+    val bk = lshBuckets(sig, id)
+    val pairs = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"))
+      .distinct()
+    val sa = sig.select(col(id).as("id_a"), col("i"), col("mh").as("mh_a"))
+    val sb = sig.select(col(id).as("id_b"), col("i"), col("mh").as("mh_b"))
+    pairs.join(sa, "id_a").join(sb, Seq("id_b", "i"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)).cast("double")
+        / lit(K.toDouble)).as("est_jaccard"))
+  }
+
+  // ---- exact n-gram Jaccard (the oracle-grade ground truth) ----------
+
+  /** Exact pairwise Jaccard over distinct word-bigram shingles via an
+    * inverted-index join (shingle → docs): pairs sharing ≥1 shingle get
+    * |A∩B| by counting, |A∪B| = |A|+|B|−|A∩B|. Never materializes O(n²) —
+    * only pairs with actual overlap. `minJaccard` prunes the output. */
+  def ngramJaccard(df: DataFrame, id: String, text: String,
+      minJaccard: Double): DataFrame = {
+    val sh = df.select(col(id),
+      explode(array_distinct(wordBigrams(col(text)))).as("sh"))
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(id).as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- SimHash -------------------------------------------------------
+
+  val SimBits = 48
+
+  /** shiftright/shiftleft with a column shift amount (the Scala DSL only
+    * takes literal Ints; the SQL functions take expressions). */
+  private def shr(x: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+    call_function("shiftright", x, n)
+  private def shl(x: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+    call_function("shiftleft", x, n)
+
+  /** 48-bit SimHash per document over word unigrams (with multiplicity):
+    * bit j of the signature is the sign of Σ_tokens (2·bit_j(hash48) − 1).
+    * Explode (doc × token × bit) then two integer aggregations — exact,
+    * order-independent, oracle-reproducible. */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id), explode(tokens(normalized(col(text)))).as("t"))
+      .select(col(id), hash48(col("t")).as("h"))
+    tok.select(col(id), col("h"), explode(sequence(lit(0), lit(SimBits - 1))).as("j"))
+      .groupBy(col(id), col("j"))
+      .agg(sum(shr(col("h"), col("j").cast("int")).bitwiseAND(1L) * 2 - 1).as("v"))
+      .groupBy(col(id))
+      .agg(sum(when(col("v") > 0, shl(lit(1L), col("j").cast("int"))).otherwise(0L)).as("simhash"))
+  }
+
+  /** Near-duplicate candidates by SimHash: band the 48 bits into 4
+    * 12-bit chunks; pairs sharing any chunk are candidates (pigeonhole
+    * covers hamming ≤ 3); emit those within `maxHamming`. */
+  def simhashCandidates(df: DataFrame, id: String, text: String,
+      maxHamming: Int): DataFrame = {
+    val sig = simhash(df, id, text)
+    val chunks = sig.select(col(id), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", shr(col("simhash"), col("c").cast("int") * 12).bitwiseAND(4095L))
+    val pairs = chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

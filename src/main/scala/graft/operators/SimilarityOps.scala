@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star extension): brute-force cosine
+  * top-k as the exact baseline, and an IVF-style bucketed variant as the
+  * scale path.
+  *
+  * Scale design (100 TB discipline):
+  *   - The probe set is small and broadcast; the corpus is scanned ONCE.
+  *     Scores are projected to (probe_id, vec_id, sim) before any shuffle —
+  *     the 64-float vectors never travel.
+  *   - Top-k uses `rank() ≤ k`, which Spark 3.5+/4.x plans as
+  *     WindowGroupLimit: per-partition partial top-k BEFORE the shuffle,
+  *     so the shuffled volume is O(probes·k·partitions), not O(probes·N).
+  *   - IVF: coarse quantization against C centroids (a projection against
+  *     a broadcast centroid array), then search only the nprobe nearest
+  *     buckets — corpus fraction scanned ≈ nprobe/C.
+  *
+  * Determinism contract: the dot product is a sequential left fold over
+  * explicitly double-cast elements (`aggregate(transform(...))`), the same
+  * IEEE op sequence DuckDB's `list_reduce(list_transform(...))` executes —
+  * so the oracle matches bit-for-bit, no tolerance needed.
+  */
+object SimilarityOps {
+
+  /** Sequential-fold dot product of two float-array columns (cast to
+    * double element-wise, fold left). Codegen'd higher-order functions —
+    * no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors by cosine for each probe row.
+    * `probes`/`corpus`: (id, vec). Ties break on neighbor id ascending. */
+  def bruteForceKnn(
+      probes: DataFrame, corpus: DataFrame, k: Int,
+      probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(probes))
+      .filter(col(probeId) =!= col(corpusId))
+      .select(col(probeId), col(corpusId),
+        cosine(col("probe_vec"), col("vec")).as("sim"))
+    scored
+      .withColumn("rank", rank().over(
+        Window.partitionBy(col(probeId)).orderBy(col("sim").desc, col(corpusId))))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN: data-derived coarse centroids (every `centroidEvery`-th
+    * vector — deterministic, no iterative training), assign corpus rows to
+    * their nearest centroid bucket, then search only the `nprobe` buckets
+    * nearest each probe. Returns the same shape as [[bruteForceKnn]];
+    * recall < 1 by construction (spec checks recall vs brute force). */
+  def ivfKnn(
+      probes: DataFrame, corpus: DataFrame, k: Int,
+      centroidEvery: Int = 97, nprobe: Int = 3,
+      probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
+    val centroids = corpus.filter(col(corpusId) % centroidEvery === 0)
+      .select(col(corpusId).as("cent_id"), col("vec").as("cent_vec"))
+
+    def nearestBuckets(df: DataFrame, idc: String, vecc: String, n: Int): DataFrame =
+      df.crossJoin(broadcast(centroids))
+        .select(df.columns.map(col) :+ col("cent_id") :+
+          cosine(col(vecc), col("cent_vec")).as("csim"): _*)
+        .withColumn("crank", rank().over(
+          Window.partitionBy(col(idc)).orderBy(col("csim").desc, col("cent_id"))))
+        .filter(col("crank") <= n)
+        .drop("csim", "crank")
+
+    val bucketed = nearestBuckets(corpus, corpusId, "vec", 1)
+    val probeBuckets = nearestBuckets(probes, probeId, "probe_vec", nprobe)
+
+    val scored = bucketed.join(broadcast(probeBuckets), Seq("cent_id"))
+      .filter(col(probeId) =!= col(corpusId))
+      .select(col(probeId), col(corpusId),
+        cosine(col("probe_vec"), col("vec")).as("sim"))
+      .distinct()
+    scored
+      .withColumn("rank", rank().over(
+        Window.partitionBy(col(probeId)).orderBy(col("sim").desc, col(corpusId))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold over candidate
+    * pairs from coarse-bucket cohabitation (same IVF assignment) —
+    * the embedding analogue of MinHash candidate generation. */
+  def embeddingNearDup(
+      corpus: DataFrame, threshold: Double, centroidEvery: Int = 97,
+      corpusId: String = "vec_id"): DataFrame = {
+    val centroids = corpus.filter(col(corpusId) % centroidEvery === 0)
+      .select(col(corpusId).as("cent_id"), col("vec").as("cent_vec"))
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .select(col(corpusId), col("vec"), col("cent_id"),
+        cosine(col("vec"), col("cent_vec")).as("csim"))
+      .withColumn("crank", rank().over(
+        Window.partitionBy(col(corpusId)).orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("crank") === 1)
+      .select(col(corpusId), col("vec"), col("cent_id"))
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cent_id") === col("y.cent_id") &&
+          col(s"x.$corpusId") < col(s"y.$corpusId"))
+      .select(col(s"x.$corpusId").as("id_a"), col(s"y.$corpusId").as("id_b"),
+        cosine(col("x.vec"), col("y.vec")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}
