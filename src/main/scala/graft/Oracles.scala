@@ -220,6 +220,15 @@ object Oracles {
        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
        |  FROM orders) WHERE rank <= $k""".stripMargin
 
+  /** Binary payload metadata (MultimodalOps.withBinaryColumn): utf-8
+    * byte length drives the deterministic fake dimensions. */
+  val multimodalMeta: String =
+    """SELECT doc_id, 'fake/rgb8' AS format,
+      |  CAST((octet_length(encode(text)) % 640) + 16 AS INTEGER) AS width,
+      |  CAST(((octet_length(encode(text)) * 7) % 480) + 16 AS INTEGER) AS height,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |FROM documents""".stripMargin
+
   val rollupLineitem: String =
     s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -159,6 +159,29 @@ object SparkEntry {
         Seq(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty")))
     },
+
+    // ---- multimodal columns ----
+    "multimodal_meta" -> ((s, dir) =>
+      MultimodalOps.withBinaryColumn(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"))),
+
+    // Rows-only checks (no SQL-expressible oracle): batch decode stub and
+    // the approximate ANN path (spec-tested for recall vs brute force).
+    "multimodal_features" -> ((s, dir) =>
+      MultimodalOps.decodeFeatures(
+        MultimodalOps.withBinaryColumn(t(s, dir, "documents"), "text"), "doc_id")),
+
+    "knn_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      SimilarityOps.ivfKnn(probes, corpus, KnnK, centroidEvery = 97, nprobe = 3)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("sim"), 9).as("sim"), col("rank"))
+    },
   )
 
   // Tunable thresholds shared by the Spark ops and their oracles.
@@ -231,5 +254,6 @@ object SparkEntry {
     "asof_click_purchase" -> Oracles.asofClickPurchase,
     "topk_orders_by_priority" -> Oracles.topKOrders(3),
     "rollup_lineitem" -> Oracles.rollupLineitem,
+    "multimodal_meta" -> Oracles.multimodalMeta,
   )
 }

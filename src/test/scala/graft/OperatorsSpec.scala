@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Behavior specs for the extension operator families (the end-to-end
+  * value checks run via the DuckDB oracle; these cover semantics the
+  * oracle can't express: recall bounds, tie-breaks, stub determinism). */
+class OperatorsSpec extends AnyFunSuite with SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("DedupOps.exact is last-write-wins per key") {
+    import spark.implicits._
+    val df = Seq((1, "a", 10), (1, "b", 20), (2, "c", 5)).toDF("id", "v", "ts")
+    val out = DedupOps.exact(df, Seq(col("id")), Seq(col("ts").desc))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((1, "b"), (2, "c")))
+  }
+
+  test("planted near-duplicate is found by minhash, exact jaccard, and simhash") {
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(docs.select(
+      (col("doc_id") + 1000).as("doc_id"),
+      expr("substring(text, 1, (length(text) * 4) div 5)").as("text")))
+
+    // The testdata itself contains genuine near-duplicates (e.g. docs 8/12
+    // at sf0.001), so assert the planted pairs are ALL found rather than
+    // that nothing else is.
+    val exact = DedupOps.ngramJaccard(planted, "doc_id", "text", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedPairs = docs.select("doc_id").collect()
+      .map(r => { val i = r.getLong(0); (i, i + 1000) }).toSet
+    assert(plantedPairs.subsetOf(exact),
+      s"missing planted pairs: ${plantedPairs -- exact}")
+
+    val mh = DedupOps.minhashCandidates(planted, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.nonEmpty, "minhash should surface some planted candidates")
+    assert(mh.forall { case (a, b) => exact.contains((a, b)) || b - a == 1000 },
+      s"minhash candidates should be real near-dups: ${mh -- exact}")
+
+    val sh = DedupOps.simhashCandidates(planted, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // Every planted pair that banding surfaces must have small hamming.
+    assert(sh.forall(_._3 <= 8))
+  }
+
+  test("simhash is deterministic across partitionings") {
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 30)
+    val a = DedupOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = DedupOps.simhash(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("ivfKnn recall@5 vs brute force is usable (> 0.5)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilarityOps.bruteForceKnn(probes, corpus, 5))
+    val approx = pairs(SimilarityOps.ivfKnn(probes, corpus, 5, centroidEvery = 97, nprobe = 3))
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.5, s"recall $recall")
+  }
+
+  test("embeddingNearDup finds a planted duplicate vector") {
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+    val planted = corpus.unionByName(
+      corpus.filter(col("vec_id") === 100)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("vec")))
+    val dups = SimilarityOps.embeddingNearDup(planted, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((100L, 1000100L)), s"got $dups")
+  }
+
+  test("asofJoin: right row at identical ts is visible (inclusive <=)") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+    val left = Seq((1L, ts0, 101L), (1L, ts1, 102L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts0, 201L)).toDF("user_id", "ts", "event_id")
+    val out = AnalyticOps.asofJoin(left, right, "user_id", "ts", "ts", "event_id", "event_id")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Any]("asof_event_id"))).toSeq
+    assert(out == Seq((101L, 201L), (102L, 201L)))
+  }
+
+  test("asofJoin: no prior right row yields null") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+    val left = Seq((1L, ts0, 101L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts1, 201L)).toDF("user_id", "ts", "event_id")
+    val out = AnalyticOps.asofJoin(left, right, "user_id", "ts", "ts", "event_id", "event_id")
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("asof_event_id")))
+  }
+
+  test("multimodal: decodeFeatures batch stub is deterministic and normalized") {
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 20)
+    val withBin = MultimodalOps.withBinaryColumn(docs, "text")
+    val f1 = MultimodalOps.decodeFeatures(withBin, "doc_id", batchSize = 7)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val f2 = MultimodalOps.decodeFeatures(withBin.repartition(5), "doc_id", batchSize = 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(f1 == f2, "features must not depend on partitioning/batching")
+    assert(f1.values.forall(v => math.abs(v.sum - 1.0) < 1e-9))
+    assert(f1.values.forall(_.length == MultimodalOps.FeatureDim))
+  }
+
+  test("multimodal: frameSample slices payload without shuffling it") {
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 5)
+    val frames = MultimodalOps.frameSample(
+      MultimodalOps.withBinaryColumn(docs, "text"), "doc_id", frameBytes = 16, every = 2)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Array[Byte]]("frame_bytes").length <= 16))
+    assert(rows.forall(_.getAs[Int]("frame_no") % 2 == 0))
+  }
+
+  test("multimodal: resizeMeta caps the longest side") {
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 20)
+    val resized = MultimodalOps.resizeMeta(
+      MultimodalOps.withBinaryColumn(docs, "text"), maxSide = 64)
+    val metas = resized.select("meta.width", "meta.height").collect()
+    assert(metas.forall(r => r.getInt(0) <= 64 && r.getInt(1) <= 64))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{LoadMode, TableRef}
+import graft.io.ParquetWarehouse
+import graft.streaming.StreamingLoad
+
+/** Structured Streaming parity specs (SURVEY.md §7.2 M5): incremental file
+  * arrival → AvailableNow → per-batch upsert, and the trigger-boundary
+  * restatement of the reference's late-file semantics. */
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  private def writeFile(dir: String, name: String, lines: String): Unit =
+    Files.write(Paths.get(dir, name), lines.getBytes("UTF-8"))
+
+  test("fileStreamUpsert: AvailableNow drains all present files, upserting per batch") {
+    val root = Files.createTempDirectory("graft_stream").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val tbl = TableRef("", "people")
+
+    writeFile(src, "a.json", "{\"id\":1,\"name\":\"a\"}\n{\"id\":2,\"name\":\"b\"}")
+    val q1 = StreamingLoad.fileStreamUpsert(
+      spark, src, schema, wh, tbl, "id", s"$root/ckpt")
+    q1.awaitTermination()
+    assert(wh.table(tbl).count() == 2)
+
+    // Late file: arrives after the trigger drained — reference semantics
+    // would warn-and-drop (X5); here the NEXT AvailableNow run picks it up.
+    writeFile(src, "b.json", "{\"id\":2,\"name\":\"B2\"}\n{\"id\":3,\"name\":\"c\"}")
+    val q2 = StreamingLoad.fileStreamUpsert(
+      spark, src, schema, wh, tbl, "id", s"$root/ckpt")
+    q2.awaitTermination()
+
+    val out = wh.table(tbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
+  test("windowedCounts matches the batch tumblingAgg on the same data") {
+    val sf = "/root/testdata/sf0.001"
+    val events = Tables(spark, sf, "events")
+
+    // Batch form.
+    val batch = graft.operators.AnalyticOps.tumblingAgg(events, "ts", "1 hour")
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    // Streaming form over the same rows via an in-memory-backed file replay.
+    val root = Files.createTempDirectory("graft_stream2").toString
+    events.select(col("event_id"), col("ts"), col("event_type"))
+      .coalesce(1).write.json(s"$root/src")
+    val eschema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    val stream = spark.readStream.schema(eschema).json(s"$root/src")
+    val agg = StreamingLoad.windowedCounts(stream, "ts", "1 hour", "1 minute")
+    val q = agg.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("complete")
+      .format("memory").queryName("wincounts")
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("wincounts")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+}
