@@ -57,46 +57,55 @@ object DedupOps {
       (a, b)
     }
 
-  /** Per-document MinHash signature rows `(id, i, mh)` from word-bigram
-    * shingles: explode distinct shingles, hash once, then k cheap affine
-    * min-aggregations. The explode is a projection; the only shuffle is
-    * the groupBy(id, i). */
-  def minhashSignatures(df: DataFrame, id: String, text: String): DataFrame = {
+  /** Per-document MinHash signature as ONE array column `(id, sig[K])`:
+    * explode distinct shingles, hash once, then K affine min-aggregations
+    * in a single groupBy — exactly one shuffle for the whole signature
+    * computation, one row per document thereafter. */
+  def minhashSignatureArr(df: DataFrame, id: String, text: String): DataFrame = {
     val sh = df.select(col(id),
         explode(array_distinct(wordBigrams(col(text)))).as("sh"))
       .select(col(id), (hash60(col("sh")) % P).as("h"))
-    val idx = HashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("i"), lit(a).as("a"), lit(b).as("b"))
+    val mins = HashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i")
     }
-    sh.select(col(id), col("h"), explode(array(idx: _*)).as("c"))
-      .groupBy(col(id), col("c.i").as("i"))
-      .agg(min((col("c.a") * col("h") + col("c.b")) % P).as("mh"))
+    sh.groupBy(col(id))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(id), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** LSH banding: bucket key = the band's r minhashes joined in i-order. */
-  def lshBuckets(sig: DataFrame, id: String): DataFrame =
-    sig.withColumn("band", (col("i") / R).cast("int"))
-      .groupBy(col(id), col("band"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        x => x.getField("mh").cast("string")), "_").as("bkey"))
+  /** Signature rows `(id, i, mh)` — row view of [[minhashSignatureArr]]. */
+  def minhashSignatures(df: DataFrame, id: String, text: String): DataFrame =
+    minhashSignatureArr(df, id, text)
+      .select(col(id), posexplode(col("sig")).as(Seq("i", "mh")))
+
+  /** LSH banding over the signature array: bucket key = the band's r
+    * minhashes joined in order (pure projection + 4-way explode). */
+  def lshBuckets(sigArr: DataFrame, id: String): DataFrame =
+    sigArr.select(col(id), explode(array((0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        array_join(transform(slice(col("sig"), b * R + 1, R),
+          x => x.cast("string")), "_").as("bkey"))
+    }: _*)).as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
   /** Candidate near-duplicate pairs (id_a < id_b) that share ≥1 LSH bucket,
-    * with the estimated Jaccard = fraction of equal signature components.
+    * with the estimated Jaccard = fraction of equal signature components
+    * (computed by zipping the two signature arrays — no re-aggregation).
     * Self-join is on (band, bkey) — co-partitioned, no cross product. */
   def minhashCandidates(df: DataFrame, id: String, text: String): DataFrame = {
-    val sig = minhashSignatures(df, id, text)
-    val bk = lshBuckets(sig, id)
+    val sigArr = minhashSignatureArr(df, id, text)
+    val bk = lshBuckets(sigArr, id)
     val pairs = bk.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"))
       .distinct()
-    val sa = sig.select(col(id).as("id_a"), col("i"), col("mh").as("mh_a"))
-    val sb = sig.select(col(id).as("id_b"), col("i"), col("mh").as("mh_b"))
-    pairs.join(sa, "id_a").join(sb, Seq("id_b", "i"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)).cast("double")
-        / lit(K.toDouble)).as("est_jaccard"))
+    pairs
+      .join(sigArr.select(col(id).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigArr.select(col(id).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / lit(K.toDouble)).as("est_jaccard"))
   }
 
   // ---- exact n-gram Jaccard (the oracle-grade ground truth) ----------
@@ -136,16 +145,22 @@ object DedupOps {
 
   /** 48-bit SimHash per document over word unigrams (with multiplicity):
     * bit j of the signature is the sign of Σ_tokens (2·bit_j(hash48) − 1).
-    * Explode (doc × token × bit) then two integer aggregations — exact,
-    * order-independent, oracle-reproducible. */
+    * One token explode, then ONE groupBy with 48 per-bit sum columns
+    * (no doc×token×bit explode — 48× less shuffled data), then a pure
+    * projection packs the sign bits. Exact, order-independent,
+    * oracle-reproducible. */
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
     val tok = df.select(col(id), explode(tokens(normalized(col(text)))).as("t"))
       .select(col(id), hash48(col("t")).as("h"))
-    tok.select(col(id), col("h"), explode(sequence(lit(0), lit(SimBits - 1))).as("j"))
-      .groupBy(col(id), col("j"))
-      .agg(sum(shr(col("h"), col("j").cast("int")).bitwiseAND(1L) * 2 - 1).as("v"))
-      .groupBy(col(id))
-      .agg(sum(when(col("v") > 0, shl(lit(1L), col("j").cast("int"))).otherwise(0L)).as("simhash"))
+    val bitSums = (0 until SimBits).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1L) * 2 - 1).as(s"v$j")
+    }
+    tok.groupBy(col(id))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(id),
+        (0 until SimBits).map { j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
   }
 
   /** Near-duplicate candidates by SimHash: band the 48 bits into 4

@@ -78,11 +78,12 @@ object SimilarityOps {
     val bucketed = nearestBuckets(corpus, corpusId, "vec", 1)
     val probeBuckets = nearestBuckets(probes, probeId, "probe_vec", nprobe)
 
+    // No distinct needed: each corpus row lives in exactly one bucket
+    // (crank=1), so (probe, vec) pairs are already unique.
     val scored = bucketed.join(broadcast(probeBuckets), Seq("cent_id"))
       .filter(col(probeId) =!= col(corpusId))
       .select(col(probeId), col(corpusId),
         cosine(col("probe_vec"), col("vec")).as("sim"))
-      .distinct()
     scored
       .withColumn("rank", rank().over(
         Window.partitionBy(col(probeId)).orderBy(col("sim").desc, col(corpusId))))
