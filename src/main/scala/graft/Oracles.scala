@@ -233,4 +233,45 @@ object Oracles {
     s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  val joinCustomerOrders: String =
+    """SELECT c_nationkey, count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey""".stripMargin
+
+  val setOpsCustomers: String =
+    """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |high AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+      |SELECT o_custkey AS custkey FROM (
+      |  SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM high)
+      |UNION ALL
+      |SELECT o_custkey AS custkey FROM (
+      |  SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM high)""".stripMargin
+
+  val countDistinctExact: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  val scalarFunctions: String =
+    """SELECT event_id,
+      |  upper(event_type) AS type_upper,
+      |  substr(event_type, 1, 3) AS type_prefix,
+      |  event_type || ':' || CAST(user_id AS VARCHAR) AS type_user,
+      |  year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+      |  CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+      |  abs(value - 50.0) AS dist50,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+      |  [user_id, event_id] AS id_pair,
+      |  length(props) AS props_len
+      |FROM events""".stripMargin
+
+  val top1LatestError: String =
+    """SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'
+      |ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin
+
+  val cubeEvents: String =
+    """SELECT event_type, hour(ts) AS h, count(*) AS n
+      |FROM events GROUP BY CUBE (event_type, hour(ts))""".stripMargin
 }

@@ -173,6 +173,64 @@ object SparkEntry {
       MultimodalOps.decodeFeatures(
         MultimodalOps.withBinaryColumn(t(s, dir, "documents"), "text"), "doc_id")),
 
+    // ---- relational coverage: joins, set ops, distinct, scalar fns ----
+    "join_customer_orders" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      // Dim side (customer) is small → Catalyst broadcasts it; the fact
+      // scan never shuffles.
+      t(s, dir, "orders").join(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+    },
+
+    "set_ops_customers" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val high = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_custkey"))
+      urgent.intersect(high)
+        .unionByName(urgent.except(high))
+        .withColumnRenamed("o_custkey", "custkey")
+    },
+
+    "count_distinct_exact" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    "scalar_functions" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        upper(col("event_type")).as("type_upper"),
+        substring(col("event_type"), 1, 3).as("type_prefix"),
+        concat(col("event_type"), lit(":"), col("user_id").cast("string")).as("type_user"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"),
+        abs(col("value") - 50.0).as("dist50"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+        array(col("user_id"), col("event_id")).as("id_pair"),
+        length(col("props")).as("props_len"))),
+
+    "top1_latest_error" -> ((s, dir) =>
+      // The reference's diagnostics top-1 (SELECT * FROM stl_load_errors
+      // ORDER BY starttime DESC LIMIT 1 - core.ts:42) restated.
+      t(s, dir, "events").filter(col("event_type") === "error")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(1)
+        .select(col("event_id"), col("ts"), col("user_id"))),
+
+    "cube_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .cube(col("event_type"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))),
+
     "knn_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
@@ -255,5 +313,11 @@ object SparkEntry {
     "topk_orders_by_priority" -> Oracles.topKOrders(3),
     "rollup_lineitem" -> Oracles.rollupLineitem,
     "multimodal_meta" -> Oracles.multimodalMeta,
+    "join_customer_orders" -> Oracles.joinCustomerOrders,
+    "set_ops_customers" -> Oracles.setOpsCustomers,
+    "count_distinct_exact" -> Oracles.countDistinctExact,
+    "scalar_functions" -> Oracles.scalarFunctions,
+    "top1_latest_error" -> Oracles.top1LatestError,
+    "cube_events" -> Oracles.cubeEvents,
   )
 }
