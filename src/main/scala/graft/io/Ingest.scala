@@ -40,11 +40,14 @@ object Ingest {
     spark.createDataset(it.toSeq).toDF()
   }
 
-  /** File-based sources for every COPY format the reference declares
-    * (S5, types.ts:47-49): JSON/CSV/PARQUET/ORC/AVRO; gzip is transparent. */
+  /** File-based sources for the COPY formats the reference declares
+    * (S5, types.ts:47-49): JSON/CSV/PARQUET/ORC; gzip is transparent.
+    * AVRO is emitted as a COPY tag by CopySqlBuilder but scanning it needs
+    * the external spark-avro package (not in this zero-egress jar set). */
   def files(spark: SparkSession, format: String, path: String,
-      schema: Option[StructType] = None): DataFrame = {
-    val r = spark.read.format(format.toLowerCase)
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format(format.toLowerCase).options(options)
     schema.fold(r)(r.schema).load(path)
   }
 
