@@ -1,0 +1,40 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.GraftColumns
+
+/** Session extension registering graft's custom expressions for SQL use:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.expressions.GraftExtensions
+  *   SELECT graft_dot(a, b) FROM ...
+  * }}}
+  *
+  * DataFrame-API callers don't need the extension — [[GraftFunctions]]
+  * builds Columns directly. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductFloat(children(0), children(1))))
+  }
+}
+
+/** Column-API entry points for the custom expressions. */
+object GraftFunctions {
+  /** Codegen'd float-array dot product (see [[DotProductFloat]]). */
+  def dotF(a: Column, b: Column): Column =
+    GraftColumns.column(DotProductFloat(
+      GraftColumns.expression(a), GraftColumns.expression(b)))
+
+  /** Register graft's SQL functions on a live session (the
+    * `spark.sql.extensions` path only applies at session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftColumns.functionRegistry(spark).createOrReplaceTempFunction(
+      "graft_dot",
+      (children: Seq[Expression]) => DotProductFloat(children(0), children(1)),
+      "scala_udf")
+}

@@ -26,10 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Sequential-fold dot product of two float-array columns (cast to
-    * double element-wise, fold left). Codegen'd higher-order functions —
-    * no UDF. */
+  /** Dot product of two float-array columns: the custom codegen'd
+    * expression ([[graft.expressions.DotProductFloat]] — tight primitive
+    * loop, no per-pair array allocation). Bit-identical to [[dotFold]]. */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.GraftFunctions.dotF(a, b)
+
+  /** Composed-builtin form of [[dot]] (sequential left fold over
+    * double-cast elements): the reference semantics the custom expression
+    * must match bit-for-bit, and the fallback if one prefers zero custom
+    * Catalyst code. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
