@@ -274,4 +274,32 @@ object Oracles {
   val cubeEvents: String =
     """SELECT event_type, hour(ts) AS h, count(*) AS n
       |FROM events GROUP BY CUBE (event_type, hour(ts))""".stripMargin
+
+  val q3ShippingPriority: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |    rank() OVER (ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) DESC,
+      |      o_orderkey) AS rank
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN (SELECT c_custkey FROM customer WHERE c_nationkey < 5) c
+      |    ON o_custkey = c_custkey
+      |  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |) WHERE rank <= 10""".stripMargin
+
+  val q5NationRevenue: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name <> 'ASIA'
+      |GROUP BY n_name""".stripMargin
 }

@@ -160,6 +160,50 @@ object SparkEntry {
           sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty")))
     },
 
+    // ---- TPC-H-style multi-join analytics ----
+    "q3_shipping_priority" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val cust = t(s, dir, "customer").filter(col("c_nationkey") < 5)
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      // Dim chain broadcasts (customer filter, then orders×lineitem shuffles
+      // on the join key once).
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))))
+          .cast("double").as("revenue"))
+        .withColumn("rank", rank().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("revenue").desc, col("o_orderkey"))))
+        .filter(col("rank") <= 10)
+    },
+
+    "q5_nation_revenue" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") =!= "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // Sketch: HyperLogLog approximate distinct (rows-only: approximation
+    // has no cross-engine-exact oracle; spec checks tolerance vs exact).
+    "approx_distinct_users" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+
     // ---- multimodal columns ----
     "multimodal_meta" -> ((s, dir) =>
       MultimodalOps.withBinaryColumn(t(s, dir, "documents"), "text")
@@ -319,5 +363,7 @@ object SparkEntry {
     "scalar_functions" -> Oracles.scalarFunctions,
     "top1_latest_error" -> Oracles.top1LatestError,
     "cube_events" -> Oracles.cubeEvents,
+    "q3_shipping_priority" -> Oracles.q3ShippingPriority,
+    "q5_nation_revenue" -> Oracles.q5NationRevenue,
   )
 }

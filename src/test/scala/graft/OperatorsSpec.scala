@@ -130,6 +130,35 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(_.getAs[Int]("frame_no") % 2 == 0))
   }
 
+  test("approx_count_distinct lands within HLL tolerance of exact") {
+    val ev = Tables(spark, sf, "events")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("approx_distinct_users")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("staged body keeps its partitioning: repartition(n) -> n staged files (M3)") {
+    import graft.core._
+    import graft.io.{ParquetWarehouse, StagingWriter}
+    val root = java.nio.file.Files.createTempDirectory("graft_split").toString
+    val cfg = LoaderConfig(table = TableRef("", "t"))
+    val sw = new StagingWriter(root, cfg, "20260101_000000", "deadbeef")
+    val up = sw.writeBody(
+      Tables(spark, sf, "orders").limit(400).repartition(4), 0, "json", gzip = false)
+    assert(up.files.size == 4, s"expected 4 part files, got ${up.files}")
+    val manifestPath = sw.writeManifest(Tables(spark, sf, "orders"), Seq(up))
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(manifestPath)), "UTF-8")
+    assert(up.files.forall(f => manifest.contains(f.split('/').last)))
+  }
+
   test("multimodal: resizeMeta caps the longest side") {
     val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 20)
     val resized = MultimodalOps.resizeMeta(
