@@ -213,6 +213,44 @@ object Oracles {
        |SELECT lid AS event_id, user_id, ts, asof_rid AS asof_event_id
        |FROM w WHERE side = 1""".stripMargin
 
+  /** Sliding 1h windows every 30min: each event is in exactly 2 buckets.
+    * Integer µs arithmetic (make_timestamp keeps it a naive TIMESTAMP,
+    * matching Spark's epoch-aligned window origin). */
+  val sliding1h30m: String =
+    """SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000) AS window_start,
+      |  event_type, count(*) AS n_events
+      |FROM events, (SELECT unnest([0, 1]) AS k)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Gap-merge session windows, end = last event + gap. The new-session
+    * test is µs-exact (epoch_us difference — date_diff('second') would
+    * count boundary crossings, not the true gap). */
+  val sessionWindow30m: String =
+    """WITH g AS (SELECT user_id, ts, event_id,
+      |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |f AS (SELECT user_id, ts, event_id,
+      |  CASE WHEN prev_ts IS NULL
+      |    OR (epoch_us(ts) - epoch_us(prev_ts)) >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |s AS (SELECT user_id, ts,
+      |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS seq
+      |  FROM f)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+      |FROM s GROUP BY user_id, seq""".stripMargin
+
+  /** Bounded interval join: purchase within [click_ts, click_ts + 10min].
+    * The 600s bound compares floored epoch seconds on both sides (Spark
+    * unix_timestamp ≡ DuckDB date_diff('second')). */
+  val intervalJoinClickPurchase: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      |WHERE p.ts >= c.ts AND date_diff('second', c.ts, p.ts) <= 600""".stripMargin
+
   def topKOrders(k: Int): String =
     s"""SELECT * FROM (
        |  SELECT o_orderpriority, o_orderkey, o_totalprice,

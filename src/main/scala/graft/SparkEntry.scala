@@ -139,6 +139,36 @@ object SparkEntry {
     "sessionize_30m" -> ((s, dir) =>
       AnalyticOps.sessionize(t(s, dir, "events"), 30)),
 
+    "events_sliding_1h_30m" -> ((s, dir) =>
+      // Sliding windows: each event lands in 2 overlapping 1h buckets.
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))),
+
+    "session_window_30m" -> ((s, dir) =>
+      // Spark's native session windows (streaming-compatible gap merge);
+      // same semantics as AnalyticOps.sessionize with end = max(ts)+gap.
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))),
+
+    "interval_join_click_purchase" -> { (s, dir) =>
+      // Bounded interval join: purchases within 10 minutes AFTER a click by
+      // the same user. Equi-key on user (one shuffle), range as filter.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      clicks.join(purchases, "user_id")
+        .filter(col("purchase_ts") >= col("click_ts") &&
+          unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")) <= 600L)
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+
     "asof_click_purchase" -> { (s, dir) =>
       val ev = t(s, dir, "events")
       AnalyticOps.asofJoin(
@@ -354,6 +384,9 @@ object SparkEntry {
     "events_tumbling_1h" -> Oracles.tumbling1h,
     "sessionize_30m" -> Oracles.sessionize(30),
     "asof_click_purchase" -> Oracles.asofClickPurchase,
+    "events_sliding_1h_30m" -> Oracles.sliding1h30m,
+    "session_window_30m" -> Oracles.sessionWindow30m,
+    "interval_join_click_purchase" -> Oracles.intervalJoinClickPurchase,
     "topk_orders_by_priority" -> Oracles.topKOrders(3),
     "rollup_lineitem" -> Oracles.rollupLineitem,
     "multimodal_meta" -> Oracles.multimodalMeta,
