@@ -267,6 +267,28 @@ object Oracles {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       |FROM documents""".stripMargin
 
+  /** Quality-bar filter: recomputes the identical parenthesized double
+    * expression as TextFunctions.qualityScore. */
+  val qualityFilter: String =
+    s"""WITH t AS (SELECT doc_id, lang, source, ${toks("text")} AS tk FROM documents)
+       |SELECT doc_id, lang, source FROM t
+       |WHERE ((0.4 * (CAST(${hits("tk", StopEn)} AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
+       |    + (0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 200.0)))
+       |    + (0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))) >= 0.45""".stripMargin
+
+  /** PII scrub over deterministically planted email/phone. DuckDB
+    * regexp_replace needs the 'g' flag; RE2 and Java agree on these
+    * patterns. */
+  val scrubPii: String =
+    raw"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+         |        '@example.com tel +1-555-000' || CAST(doc_id % 10000 AS VARCHAR),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\+?\d[\d-]{7,}', '<PHONE>', 'g') AS text_scrubbed
+         |FROM documents""".stripMargin
+
   val rollupLineitem: String =
     s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

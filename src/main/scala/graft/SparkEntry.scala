@@ -234,6 +234,28 @@ object SparkEntry {
       t(s, dir, "events").groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
 
+    // ---- corpus filtering / scrubbing ----
+    "quality_filter" -> ((s, dir) =>
+      // Keep only documents above the quality bar — the filter predicate
+      // is the same pure projection the oracle recomputes.
+      t(s, dir, "documents")
+        .filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.45)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    "scrub_pii" -> { (s, dir) =>
+      // Deterministically plant an email + phone per doc, then scrub both
+      // (the real-corpus op; planted so the testdata exercises the regexes).
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact: user"), col("doc_id"), lit("@example.com tel +1-555-000"),
+          col("doc_id") % 10000).as("text"))
+      planted.select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\+?\\d[\\d-]{7,}", "<PHONE>").as("text_scrubbed"))
+    },
+
     // ---- multimodal columns ----
     "multimodal_meta" -> ((s, dir) =>
       MultimodalOps.withBinaryColumn(t(s, dir, "documents"), "text")
@@ -390,6 +412,8 @@ object SparkEntry {
     "topk_orders_by_priority" -> Oracles.topKOrders(3),
     "rollup_lineitem" -> Oracles.rollupLineitem,
     "multimodal_meta" -> Oracles.multimodalMeta,
+    "quality_filter" -> Oracles.qualityFilter,
+    "scrub_pii" -> Oracles.scrubPii,
     "join_customer_orders" -> Oracles.joinCustomerOrders,
     "set_ops_customers" -> Oracles.setOpsCustomers,
     "count_distinct_exact" -> Oracles.countDistinctExact,

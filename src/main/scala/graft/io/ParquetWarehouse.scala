@@ -85,5 +85,24 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
         else commitNewVersion(t, LoadOps.merge(table(t), staged, idField))
     }
 
+  /** Small-file compaction: rewrite the current version into `nFiles`
+    * part files and swap the pointer. Incremental appends (L1) accumulate
+    * one file set per load job; at warehouse scale the read cost of many
+    * small parquet files dominates — periodic compaction is the standard
+    * remedy. Atomic like every other version swap: readers see the old
+    * file set until the pointer moves. */
+  def compact(t: TableRef, nFiles: Int): Unit =
+    commitNewVersion(t, table(t).repartition(nFiles))
+
+  /** Data files of the live version (for file-count/size accounting). */
+  def dataFiles(t: TableRef): Seq[String] = {
+    val v = currentVersion(t).getOrElse(
+      throw new IllegalArgumentException(s"no such table: ${t.qualified}"))
+    fs.listStatus(new Path(s"${tableDir(t)}/$v"))
+      .filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .toSeq
+  }
+
   def drop(t: TableRef): Unit = { fs.delete(new Path(tableDir(t)), true); () }
 }

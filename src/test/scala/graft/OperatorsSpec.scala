@@ -159,6 +159,53 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(up.files.forall(f => manifest.contains(f.split('/').last)))
   }
 
+  test("warehouse compaction: many small appended files -> nFiles, data intact") {
+    import graft.core._
+    import graft.io.ParquetWarehouse
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val wh = new ParquetWarehouse(spark, root)
+    val tbl = TableRef("", "orders_c")
+    val orders = Tables(spark, sf, "orders").limit(300)
+    wh.create(tbl, orders.repartition(6))
+    // Simulate incremental loads: several small appends.
+    (1 to 4).foreach(_ => wh.load(LoadMode.Insert, tbl,
+      orders.limit(50).repartition(3), "o_orderkey"))
+    val before = wh.dataFiles(tbl).size
+    val total = wh.table(tbl).count()
+    assert(before >= 12, s"expected many small files, got $before")
+    wh.compact(tbl, 2)
+    assert(wh.dataFiles(tbl).size == 2)
+    assert(wh.table(tbl).count() == total)
+  }
+
+  test("boundErrors: PERMISSIVE corrupt-count enforces MAXERROR") {
+    import graft.operators.LoadOps
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType),
+      StructField("_corrupt", StringType)))
+    val lines = Seq("{\"id\":1,\"v\":10}", "{\"id\":2,\"v\":\"bad\"}", "not json at all")
+    import spark.implicits._
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .json(spark.createDataset(lines))
+    // maxError 2 admits both corrupt rows; result is the clean row only.
+    val ok = LoadOps.boundErrors(parsed, "_corrupt", maxError = 2)
+    assert(ok.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // maxError 1 trips (2 corrupt rows).
+    val e = intercept[graft.core.LoaderError](
+      LoadOps.boundErrors(parsed, "_corrupt", maxError = 1))
+    assert(e.getMessage.contains("MAXERROR"))
+  }
+
+  test("truncateColumns clips declared widths (TRUNCATECOLUMNS)") {
+    import spark.implicits._
+    val df = Seq((1, "abcdefghij"), (2, "xy")).toDF("id", "s")
+    val out = graft.operators.LoadOps.truncateColumns(df, Map("s" -> 4))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("abcd", "xy"))
+  }
+
   test("multimodal: resizeMeta caps the longest side") {
     val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 20)
     val resized = MultimodalOps.resizeMeta(
