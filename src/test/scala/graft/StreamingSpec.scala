@@ -45,6 +45,31 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
   }
 
+  test("continuous file ingest: files arriving across triggers are all upserted") {
+    val root = Files.createTempDirectory("graft_stream3").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val tbl = TableRef("", "cont")
+
+    writeFile(src, "a.json", "{\"id\":1,\"name\":\"a\"}")
+    val q = StreamingLoad.fileStreamUpsertContinuous(
+      spark, src, schema, wh, tbl, "id", s"$root/ckpt", intervalMs = 200)
+    try {
+      // Wait for the first batch, then land a second file mid-stream.
+      var waited = 0
+      while ((!wh.exists(tbl) || wh.table(tbl).count() < 1) && waited < 30000) {
+        Thread.sleep(200); waited += 200
+      }
+      writeFile(src, "b.json", "{\"id\":1,\"name\":\"A2\"}\n{\"id\":2,\"name\":\"b\"}")
+      while ((!wh.exists(tbl) || wh.table(tbl).count() < 2) && waited < 60000) {
+        Thread.sleep(200); waited += 200
+      }
+    } finally q.stop()
+    val out = wh.table(tbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "A2"), (2L, "b")))
+  }
+
   test("windowedCounts matches the batch tumblingAgg on the same data") {
     val sf = "/root/testdata/sf0.001"
     val events = Tables(spark, sf, "events")
