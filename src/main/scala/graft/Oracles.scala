@@ -267,6 +267,19 @@ object Oracles {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       |FROM documents""".stripMargin
 
+  val vocabDocFreq: String =
+    s"""SELECT tk AS term, count(DISTINCT doc_id) AS df, count(*) AS tf_total
+       |FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS tk FROM documents)
+       |GROUP BY tk""".stripMargin
+
+  /** L2 normalization: same fold for the norm, same per-element divide. */
+  val embeddingsL2Normalized: String =
+    """SELECT vec_id,
+      |  list_transform(embedding::DOUBLE[], x -> x /
+      |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], y -> y * y), (a, b) -> a + b)))
+      |    AS unit_vec
+      |FROM embeddings""".stripMargin
+
   /** Quality-bar filter: recomputes the identical parenthesized double
     * expression as TextFunctions.qualityScore. */
   val qualityFilter: String =

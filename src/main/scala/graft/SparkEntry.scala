@@ -234,6 +234,28 @@ object SparkEntry {
       t(s, dir, "events").groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
 
+    // ---- corpus statistics ----
+    "vocab_doc_freq" -> ((s, dir) =>
+      // Vocabulary table: document frequency + total term frequency per
+      // token (integer-exact; the tf-idf building block). One explode +
+      // one shuffle.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(
+            graft.functions.TextFunctions.normalized(col("text")))).as("term"))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf_total"))),
+
+    "embeddings_l2_normalized" -> ((s, dir) =>
+      // L2 normalization as a pure projection (broadcast-free); the
+      // custom dot expression computes the norm in one pass.
+      t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") /
+            sqrt(SimilarityOps.dot(col("embedding"), col("embedding"))))
+          .as("unit_vec"))),
+
     // ---- corpus filtering / scrubbing ----
     "quality_filter" -> ((s, dir) =>
       // Keep only documents above the quality bar — the filter predicate
@@ -413,6 +435,8 @@ object SparkEntry {
     "rollup_lineitem" -> Oracles.rollupLineitem,
     "multimodal_meta" -> Oracles.multimodalMeta,
     "quality_filter" -> Oracles.qualityFilter,
+    "vocab_doc_freq" -> Oracles.vocabDocFreq,
+    "embeddings_l2_normalized" -> Oracles.embeddingsL2Normalized,
     "scrub_pii" -> Oracles.scrubPii,
     "join_customer_orders" -> Oracles.joinCustomerOrders,
     "set_ops_customers" -> Oracles.setOpsCustomers,
