@@ -27,6 +27,7 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     if (t.schema.isEmpty) s"$root/${t.table}" else s"$root/${t.schema}/${t.table}"
 
   private def versionFile(t: TableRef) = new Path(s"${tableDir(t)}/_VERSION")
+  private def partitionFile(t: TableRef) = new Path(s"${tableDir(t)}/_PARTITIONING")
 
   private def currentVersion(t: TableRef): Option[String] = {
     val vf = versionFile(t)
@@ -49,21 +50,45 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
 
   def exists(t: TableRef): Boolean = currentVersion(t).isDefined
 
+  /** Partition columns declared at table creation (Hive-style layout —
+    * the 100 TB data-skipping lever: a filter on a partition column prunes
+    * whole directories before any IO). Persisted next to the version
+    * pointer so every later load/compact keeps the layout. */
+  def partitioning(t: TableRef): Seq[String] = {
+    val pf = partitionFile(t)
+    if (!fs.exists(pf)) Seq.empty
+    else {
+      val in = fs.open(pf)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .trim.split(',').toSeq.filter(_.nonEmpty)
+      finally in.close()
+    }
+  }
+
   def table(t: TableRef): DataFrame =
     spark.read.parquet(s"${tableDir(t)}/${currentVersion(t).getOrElse(
       throw new IllegalArgumentException(s"no such table: ${t.qualified}"))}")
 
-  /** Write a brand-new version dir and swap the pointer to it. */
+  /** Write a brand-new version dir (honoring the table's partition
+    * layout) and swap the pointer to it. */
   private def commitNewVersion(t: TableRef, df: DataFrame): Unit = {
     val v = s"v_${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("errorifexists").parquet(s"${tableDir(t)}/$v")
+    val w = df.write.mode("errorifexists")
+    val parts = partitioning(t)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+      .parquet(s"${tableDir(t)}/$v")
     val old = currentVersion(t)
     setVersion(t, v)
     old.foreach(o => fs.delete(new Path(s"${tableDir(t)}/$o"), true))
   }
 
-  def create(t: TableRef, df: DataFrame): Unit = {
+  def create(t: TableRef, df: DataFrame, partitionBy: Seq[String] = Seq.empty): Unit = {
     require(!exists(t), s"table exists: ${t.qualified}")
+    if (partitionBy.nonEmpty) {
+      val out = fs.create(partitionFile(t), true)
+      try out.write(partitionBy.mkString(",").getBytes("UTF-8"))
+      finally out.close()
+    }
     commitNewVersion(t, df)
   }
 
@@ -75,8 +100,12 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
         // Append is file-granular: new parquet parts land inside the CURRENT
         // version dir — no rewrite of existing data (100 TB discipline).
         currentVersion(t) match {
-          case Some(v) => staged.write.mode("append").parquet(s"${tableDir(t)}/$v")
-          case None    => commitNewVersion(t, staged)
+          case Some(v) =>
+            val w = staged.write.mode("append")
+            val parts = partitioning(t)
+            (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+              .parquet(s"${tableDir(t)}/$v")
+          case None => commitNewVersion(t, staged)
         }
       case LoadMode.TruncateInsert =>
         commitNewVersion(t, LoadOps.overwrite(staged))

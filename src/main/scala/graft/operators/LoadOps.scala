@@ -40,11 +40,16 @@ object LoadOps {
     * duplicate semantics"). Use [[Dedup.exact]] first if last-write-wins is
     * wanted.
     */
-  def merge(target: DataFrame, staged: DataFrame, idField: String): DataFrame = {
+  def merge(target: DataFrame, staged: DataFrame, idField: String): DataFrame =
+    mergeKeys(target, staged, Seq(idField))
+
+  /** Composite-key variant of [[merge]] (the reference only supports a
+    * single `idField`; real warehouses routinely merge on compound keys). */
+  def mergeKeys(target: DataFrame, staged: DataFrame, keyFields: Seq[String]): DataFrame = {
     // Distinct key set: tiny relative to the staged rows, maximizing the
     // chance of a broadcast anti-join against the big target.
-    val keys = staged.select(col(idField)).distinct()
-    target.join(keys, Seq(idField), "left_anti").unionByName(staged)
+    val keys = staged.select(keyFields.map(col): _*).distinct()
+    target.join(keys, keyFields, "left_anti").unionByName(staged)
   }
 
   /** MAXERROR-style bounded-error ingest (reference RedshiftLoader.ts:362,

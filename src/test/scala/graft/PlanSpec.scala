@@ -68,6 +68,47 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("*(1) Project"), p.take(400))
   }
 
+  test("partitioned warehouse table: filter prunes partitions at the scan") {
+    import graft.core._
+    import graft.io.ParquetWarehouse
+    val root = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val wh = new ParquetWarehouse(spark, root)
+    val tbl = TableRef("", "events_p")
+    wh.create(tbl, Tables(spark, sfDir, "events"), partitionBy = Seq("event_type"))
+
+    val df = wh.table(tbl).filter(col("event_type") === "click")
+    val scan = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("event_type"),
+      scan.metadata.toString)
+    // The executed scan reads only the click partition (inputRDD is built
+    // from the pruned partition list).
+    assert(df.count() > 0)
+    val readFiles = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(readFiles.nonEmpty && readFiles.forall(_.contains("event_type=click")),
+      readFiles.mkString("\n"))
+
+    // Appends keep the layout (partition spec is persisted).
+    val n0 = df.count()
+    wh.load(LoadMode.Insert, tbl,
+      Tables(spark, sfDir, "events").filter(col("event_type") === "click").limit(5),
+      "event_id")
+    assert(wh.table(tbl).filter(col("event_type") === "click").count() == n0 + 5)
+  }
+
+  test("mergeKeys: composite-key upsert replaces exactly the staged keys") {
+    import spark.implicits._
+    val target = Seq((1, "a", "x"), (1, "b", "y"), (2, "a", "z"))
+      .toDF("k1", "k2", "v")
+    val staged = Seq((1, "a", "X2")).toDF("k1", "k2", "v")
+    val out = graft.operators.LoadOps.mergeKeys(target, staged, Seq("k1", "k2"))
+      .orderBy("k1", "k2").collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(out == Seq((1, "a", "X2"), (1, "b", "y"), (2, "a", "z")))
+  }
+
   test("bucketed warehouse tables join without an exchange (co-located merge)") {
     val wdir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
     // Bucketing needs the session catalog; explicit per-table paths keep it
