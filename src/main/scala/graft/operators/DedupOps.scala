@@ -108,6 +108,30 @@ object DedupOps {
           b => b)).cast("double") / lit(K.toDouble)).as("est_jaccard"))
   }
 
+  /** Incremental near-dup detection: candidates between a NEW batch and an
+    * EXISTING corpus whose signatures were computed earlier (e.g. persisted
+    * as a signature table in the warehouse). The corpus is never re-read —
+    * the continuous-ingest dedup pattern: at 100 TB you keep (id, sig)
+    * (~256 bytes/doc) hot and only shingle the new arrivals.
+    * Returns (corpus_id, new_id, est_jaccard) for bucket-sharing pairs. */
+  def minhashCandidatesAgainst(
+      corpusSigArr: DataFrame, newDocs: DataFrame,
+      id: String, text: String): DataFrame = {
+    val newSig = minhashSignatureArr(newDocs, id, text)
+    val bkC = lshBuckets(corpusSigArr, id)
+      .select(col(id).as("corpus_id"), col("band"), col("bkey"))
+    val bkN = lshBuckets(newSig, id)
+      .select(col(id).as("new_id"), col("band"), col("bkey"))
+    val pairs = bkC.join(bkN, Seq("band", "bkey"))
+      .select(col("corpus_id"), col("new_id")).distinct()
+    pairs
+      .join(corpusSigArr.select(col(id).as("corpus_id"), col("sig").as("sig_a")), "corpus_id")
+      .join(newSig.select(col(id).as("new_id"), col("sig").as("sig_b")), "new_id")
+      .select(col("corpus_id"), col("new_id"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / lit(K.toDouble)).as("est_jaccard"))
+  }
+
   // ---- exact n-gram Jaccard (the oracle-grade ground truth) ----------
 
   /** Exact pairwise Jaccard over distinct word-bigram shingles via an

@@ -50,6 +50,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(sh.forall(_._3 <= 8))
   }
 
+  test("incremental minhash: new near-dup batch found against persisted signatures") {
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    // "Persisted" corpus signatures computed once.
+    val corpusSig = DedupOps.minhashSignatureArr(docs, "doc_id", "text")
+    // New arrivals: truncated copies of 10 corpus docs + genuinely new ids.
+    val arrivals = docs.filter(col("doc_id") < 10).select(
+      (col("doc_id") + 5000).as("doc_id"),
+      expr("substring(text, 1, (length(text) * 4) div 5)").as("text"))
+    val hits = DedupOps.minhashCandidatesAgainst(corpusSig, arrivals, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.nonEmpty)
+    // Every flagged pair links an arrival to its source (or a genuine
+    // near-dup of it, e.g. docs 8/12 in this slice).
+    assert(hits.forall { case (c, n) => n >= 5000 && c < 40 }, hits.toString)
+    assert(hits.exists { case (c, n) => n - c == 5000 }, hits.toString)
+  }
+
   test("simhash is deterministic across partitionings") {
     val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 30)
     val a = DedupOps.simhash(docs, "doc_id", "text")
