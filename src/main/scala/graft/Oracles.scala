@@ -336,9 +336,26 @@ object Oracles {
       |  CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
       |  abs(value - 50.0) AS dist50,
       |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+      |  levenshtein(event_type, 'click') AS lev_click,
       |  [user_id, event_id] AS id_pair,
       |  length(props) AS props_len
       |FROM events""".stripMargin
+
+  /** Pivot as conditional aggregation (identical result to Spark's pivot
+    * with fixed values; count() over no rows → 0 via the fill). */
+  val pivotUserEvents: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY user_id""".stripMargin
+
+  val ntileQuartiles: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      |FROM orders""".stripMargin
 
   val top1LatestError: String =
     """SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'

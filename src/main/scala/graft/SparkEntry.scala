@@ -333,8 +333,24 @@ object SparkEntry {
         round(col("value") * 100, 0).cast("long").as("value_cents"),
         abs(col("value") - 50.0).as("dist50"),
         get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+        levenshtein(col("event_type"), lit("click")).as("lev_click"),
         array(col("user_id"), col("event_id")).as("id_pair"),
         length(col("props")).as("props_len"))),
+
+    "pivot_user_events" -> ((s, dir) =>
+      // Crosstab: per-user event-type counts. Fixed pivot values so the
+      // output schema is static (and the 100 TB plan is one hash-agg —
+      // conditional aggregation, no per-value shuffle).
+      t(s, dir, "events").groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)),
+
+    "ntile_quartiles" -> ((s, dir) =>
+      // Quartile assignment (integer-exact, fully tie-broken).
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))),
 
     "top1_latest_error" -> ((s, dir) =>
       // The reference's diagnostics top-1 (SELECT * FROM stl_load_errors
@@ -443,6 +459,8 @@ object SparkEntry {
     "count_distinct_exact" -> Oracles.countDistinctExact,
     "scalar_functions" -> Oracles.scalarFunctions,
     "top1_latest_error" -> Oracles.top1LatestError,
+    "pivot_user_events" -> Oracles.pivotUserEvents,
+    "ntile_quartiles" -> Oracles.ntileQuartiles,
     "cube_events" -> Oracles.cubeEvents,
     "q3_shipping_priority" -> Oracles.q3ShippingPriority,
     "q5_nation_revenue" -> Oracles.q5NationRevenue,
