@@ -140,7 +140,7 @@ object Oracles {
        |bits AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS v
        |  FROM hh, (SELECT unnest(generate_series(0, ${DedupOps.SimBits - 1})) AS j)
        |  GROUP BY doc_id, j),
-       |sig AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
+       |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id)""".stripMargin
 
   val simhash: String =
@@ -193,7 +193,8 @@ object Oracles {
        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |    ROWS UNBOUNDED PRECEDING) AS session_seq
        |  FROM f)
-       |SELECT user_id, session_seq, count(*) AS n_events,
+       |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       |  count(*) AS n_events,
        |  min(ts) AS session_start, max(ts) AS session_end
        |FROM s GROUP BY user_id, session_seq""".stripMargin
 
@@ -272,22 +273,29 @@ object Oracles {
        |FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS tk FROM documents)
        |GROUP BY tk""".stripMargin
 
-  /** L2 normalization: same fold for the norm, same per-element divide. */
+  /** L2 normalization: same fold for the norm, same per-element divide.
+    * Output is scalar-only (array columns break the driver's pandas
+    * sort-before-hash): the norm plus the first/last unit components
+    * pin down the whole normalized vector. */
   val embeddingsL2Normalized: String =
-    """SELECT vec_id,
-      |  list_transform(embedding::DOUBLE[], x -> x /
-      |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], y -> y * y), (a, b) -> a + b)))
-      |    AS unit_vec
-      |FROM embeddings""".stripMargin
+    """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |m AS (SELECT vec_id, vec,
+      |  sqrt(list_reduce(list_transform(generate_series(1, 64), i -> vec[i] * vec[i]), (a, b) -> a + b)) AS nrm
+      |  FROM n)
+      |SELECT vec_id, nrm AS norm,
+      |  vec[1] / nrm AS unit_first,
+      |  vec[64] / nrm AS unit_last
+      |FROM m""".stripMargin
 
   /** Quality-bar filter: recomputes the identical parenthesized double
-    * expression as TextFunctions.qualityScore. */
-  val qualityFilter: String =
+    * expression as TextFunctions.qualityScore. Threshold is passed in
+    * from the single source of truth (SparkEntry.QualityMin). */
+  def qualityFilter(minQuality: Double): String =
     s"""WITH t AS (SELECT doc_id, lang, source, ${toks("text")} AS tk FROM documents)
        |SELECT doc_id, lang, source FROM t
        |WHERE ((0.4 * (CAST(${hits("tk", StopEn)} AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
        |    + (0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 200.0)))
-       |    + (0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))) >= 0.45""".stripMargin
+       |    + (0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))) >= $minQuality""".stripMargin
 
   /** PII scrub over deterministically planted email/phone. DuckDB
     * regexp_replace needs the 'g' flag; RE2 and Java agree on these
@@ -337,7 +345,8 @@ object Oracles {
       |  abs(value - 50.0) AS dist50,
       |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
       |  levenshtein(event_type, 'click') AS lev_click,
-      |  [user_id, event_id] AS id_pair,
+      |  CAST(user_id AS VARCHAR) || '-' || CAST(event_id AS VARCHAR) AS id_pair_str,
+      |  greatest(user_id, event_id) AS id_max,
       |  length(props) AS props_len
       |FROM events""".stripMargin
 

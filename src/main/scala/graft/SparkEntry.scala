@@ -247,21 +247,24 @@ object SparkEntry {
         .agg(countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("tf_total"))),
 
-    "embeddings_l2_normalized" -> ((s, dir) =>
+    "embeddings_l2_normalized" -> { (s, dir) =>
       // L2 normalization as a pure projection (broadcast-free); the
-      // custom dot expression computes the norm in one pass.
+      // custom dot expression computes the norm in one pass. Scalar
+      // outputs only — the driver's compare can't sort array columns —
+      // so the norm plus first/last unit components pin the vector down.
+      val nrm = sqrt(SimilarityOps.dot(col("embedding"), col("embedding")))
       t(s, dir, "embeddings").select(col("vec_id"),
-        transform(col("embedding"),
-          x => x.cast("double") /
-            sqrt(SimilarityOps.dot(col("embedding"), col("embedding"))))
-          .as("unit_vec"))),
+        nrm.as("norm"),
+        (element_at(col("embedding"), 1).cast("double") / nrm).as("unit_first"),
+        (element_at(col("embedding"), 64).cast("double") / nrm).as("unit_last"))
+    },
 
     // ---- corpus filtering / scrubbing ----
     "quality_filter" -> ((s, dir) =>
       // Keep only documents above the quality bar — the filter predicate
       // is the same pure projection the oracle recomputes.
       t(s, dir, "documents")
-        .filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.45)
+        .filter(graft.functions.TextFunctions.qualityScore(col("text")) >= QualityMin)
         .select(col("doc_id"), col("lang"), col("source"))),
 
     "scrub_pii" -> { (s, dir) =>
@@ -287,9 +290,14 @@ object SparkEntry {
 
     // Rows-only checks (no SQL-expressible oracle): batch decode stub and
     // the approximate ANN path (spec-tested for recall vs brute force).
+    // Scalar summary columns only — the driver sorts even rows-only
+    // outputs, and pandas can't sort array cells.
     "multimodal_features" -> ((s, dir) =>
       MultimodalOps.decodeFeatures(
-        MultimodalOps.withBinaryColumn(t(s, dir, "documents"), "text"), "doc_id")),
+        MultimodalOps.withBinaryColumn(t(s, dir, "documents"), "text"), "doc_id")
+        .select(col("doc_id"), size(col("features")).as("dim"),
+          round(element_at(col("features"), 1), 9).as("f_first"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6).as("f_l1"))),
 
     // ---- relational coverage: joins, set ops, distinct, scalar fns ----
     "join_customer_orders" -> { (s, dir) =>
@@ -334,7 +342,9 @@ object SparkEntry {
         abs(col("value") - 50.0).as("dist50"),
         get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
         levenshtein(col("event_type"), lit("click")).as("lev_click"),
-        array(col("user_id"), col("event_id")).as("id_pair"),
+        array_join(array(col("user_id").cast("string"),
+          col("event_id").cast("string")), "-").as("id_pair_str"),
+        array_max(array(col("user_id"), col("event_id"))).as("id_max"),
         length(col("props")).as("props_len"))),
 
     "pivot_user_events" -> ((s, dir) =>
@@ -382,6 +392,10 @@ object SparkEntry {
   val SimhashMaxHamming = 8
   val KnnProbeEvery = 100
   val KnnK = 5
+  // Quality scores on the synthetic corpus span ~0.195-0.385 (median
+  // ~0.253): 0.26 keeps a nonempty ~30% subset, so the filter predicate
+  // is genuinely exercised by the oracle gate (round-1 ADVICE).
+  val QualityMin = 0.26
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -450,7 +464,7 @@ object SparkEntry {
     "topk_orders_by_priority" -> Oracles.topKOrders(3),
     "rollup_lineitem" -> Oracles.rollupLineitem,
     "multimodal_meta" -> Oracles.multimodalMeta,
-    "quality_filter" -> Oracles.qualityFilter,
+    "quality_filter" -> Oracles.qualityFilter(QualityMin),
     "vocab_doc_freq" -> Oracles.vocabDocFreq,
     "embeddings_l2_normalized" -> Oracles.embeddingsL2Normalized,
     "scrub_pii" -> Oracles.scrubPii,

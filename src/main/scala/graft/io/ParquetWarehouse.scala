@@ -123,14 +123,19 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
   def compact(t: TableRef, nFiles: Int): Unit =
     commitNewVersion(t, table(t).repartition(nFiles))
 
-  /** Data files of the live version (for file-count/size accounting). */
+  /** Data files of the live version (for file-count/size accounting).
+    * Recursive: partitioned tables keep their parquet parts inside
+    * partition subdirectories. */
   def dataFiles(t: TableRef): Seq[String] = {
     val v = currentVersion(t).getOrElse(
       throw new IllegalArgumentException(s"no such table: ${t.qualified}"))
-    fs.listStatus(new Path(s"${tableDir(t)}/$v"))
-      .filter(_.isFile).map(_.getPath.getName)
-      .filterNot(n => n.startsWith("_") || n.startsWith("."))
-      .toSeq
+    val it = fs.listFiles(new Path(s"${tableDir(t)}/$v"), true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) out += n
+    }
+    out.result()
   }
 
   def drop(t: TableRef): Unit = { fs.delete(new Path(tableDir(t)), true); () }

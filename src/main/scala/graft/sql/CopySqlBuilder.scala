@@ -80,8 +80,10 @@ object CopySqlBuilder {
     * (reference RedshiftLoader.ts:343-350). `jobTime`/`uuid` are passed in so
     * builds are deterministic and testable. */
   def tempTable(cfg: LoaderConfig, jobTime: String, uuid: String): TableRef = {
+    // Base name comes from the loading table (falling back to the target
+    // only through resolvedLoadingTable) — reference RedshiftLoader.ts:347.
     val lt = cfg.resolvedLoadingTable
-    TableRef(lt.schema, s"${cfg.table.table}_temp_${jobTime}_$uuid")
+    TableRef(lt.schema, s"${lt.table}_temp_${jobTime}_$uuid")
   }
 
   /** Build the statement list for a load mode
@@ -116,7 +118,11 @@ object CopySqlBuilder {
           s"INSERT INTO ${target.qualified} SELECT * FROM ${tmp.qualified};") ++
           (if (cfg.removeTempTable) Seq(drop) else Nil) ++
           Seq("COMMIT;")
-        LoadQueries(q, Some(drop))
+        // cleanUp only when removeTempTable — with it off, the staging
+        // table intentionally survives a failed load for debugging
+        // (reference RedshiftLoader.ts:370, empty cleanUp skipped by
+        // core.ts:35).
+        LoadQueries(q, if (cfg.removeTempTable) Some(drop) else scala.None)
     }
   }
 }

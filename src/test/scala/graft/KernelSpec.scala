@@ -110,10 +110,21 @@ class KernelSpec extends AnyFunSuite {
 
   test("upsert keeps temp table when removeTempTable=false (L3)") {
     val cfg = LoaderConfig(table = TableRef("", "t"), removeTempTable = false)
-    val LoadQueries(q, _) = CopySqlBuilder.makeQueries(
+    val LoadQueries(q, cleanUp) = CopySqlBuilder.makeQueries(
       cfg, LoadMode.Upsert, "s3://b/m", CopyCredentials.None, "jt", "u")
     assert(q.size == 7)
     assert(q.count(_.startsWith("DROP TABLE IF EXISTS")) == 1) // only the pre-drop
+    // Failed-load staging table survives for debugging: no cleanUp either
+    // (reference RedshiftLoader.ts:370 + core.ts:35 empty-string skip).
+    assert(cleanUp.isEmpty)
+  }
+
+  test("temp table name derives from the loading table's name (L4)") {
+    val cfg = LoaderConfig(
+      table = TableRef("pub", "tgt"),
+      loadingTable = Some(TableRef("stg", "ld")))
+    val tmp = CopySqlBuilder.tempTable(cfg, "jt", "u1")
+    assert(tmp.qualified == "stg.ld_temp_jt_u1") // reference RedshiftLoader.ts:347
   }
 
   test("insert / truncate-insert query lists (L1/L2)") {

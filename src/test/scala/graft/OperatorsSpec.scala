@@ -197,6 +197,19 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(wh.table(tbl).count() == total)
   }
 
+  test("warehouse dataFiles recurses into partition subdirectories") {
+    import graft.core._
+    import graft.io.ParquetWarehouse
+    val root = java.nio.file.Files.createTempDirectory("graft_partfiles").toString
+    val wh = new ParquetWarehouse(spark, root)
+    val tbl = TableRef("", "orders_p")
+    wh.create(tbl, Tables(spark, sf, "orders").limit(200),
+      partitionBy = Seq("o_orderpriority"))
+    val files = wh.dataFiles(tbl)
+    assert(files.nonEmpty, "partitioned table must report its parquet parts")
+    assert(files.forall(_.endsWith(".parquet")), files.toString)
+  }
+
   test("boundErrors: PERMISSIVE corrupt-count enforces MAXERROR") {
     import graft.operators.LoadOps
     import org.apache.spark.sql.types._
