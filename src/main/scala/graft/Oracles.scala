@@ -389,6 +389,112 @@ object Oracles {
       |  GROUP BY o_orderkey, o_orderdate, o_orderpriority
       |) WHERE rank <= 10""".stripMargin
 
+  val semiAntiOrders: String =
+    """SELECT c_custkey, 'has_urgent' AS tag FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |UNION ALL
+      |SELECT c_custkey, 'no_orders' AS tag FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** lag/lead + running/moving aggregates. Moving average is written as
+    * decimal-sum / count (one double division) on both sides so the
+    * summation order can't produce differing floats. */
+  val windowRunningUser: String =
+    """SELECT user_id, event_id,
+      |  lag(event_id) OVER w AS prev_event_id,
+      |  lead(event_id) OVER w AS next_event_id,
+      |  row_number() OVER w AS seq,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wc AS DOUBLE) AS cum_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE)
+      |    / CAST(COUNT(*) OVER w3 AS DOUBLE) AS avg3
+      |FROM events
+      |WINDOW
+      |  w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |  wc AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
+      |  w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  val groupingSetsEvents: String =
+    """SELECT event_type, hour(ts) AS h, count(*) AS n
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type, hour(ts)), (event_type), ())""".stripMargin
+
+  val percentilesByType: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.25) AS p25,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.75) AS p75
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Mean/variance/stddev from exact decimal sums, derived in the same
+    * fixed IEEE op order as the Spark query. The scale-12 sum exceeds
+    * 2^53 in scaled units, and DuckDB's decimal→double double-rounds
+    * (hugeint→double, then /10^scale); casting through VARCHAR forces
+    * the single correct rounding Spark's cast performs. */
+  val statsMomentsByType: String =
+    """WITH a AS (SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_v2
+      |FROM events GROUP BY event_type)
+      |SELECT event_type, n, sum_v / CAST(n AS DOUBLE) AS mean,
+      |  (sum_v2 - ((sum_v * sum_v) / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0) AS var_v,
+      |  sqrt((sum_v2 - ((sum_v * sum_v) / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)) AS std_v
+      |FROM a""".stripMargin
+
+  val minmaxByEvents: String =
+    """SELECT event_type,
+      |  arg_max(user_id, event_id) AS last_user,
+      |  arg_min(user_id, event_id) AS first_user,
+      |  max(event_id) AS max_event_id
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Date/time scalar family. DuckDB dayofweek is 0-based (Sunday=0);
+    * Spark's is 1-based — hence the +1. Date results are cast to
+    * TIMESTAMP on both sides for a uniform compare dtype. */
+  val dateFunctionsOrders: String =
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS omonth,
+      |  quarter(o_orderdate) AS q,
+      |  dayofweek(o_orderdate) + 1 AS dow,
+      |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS d30,
+      |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS dlast,
+      |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+      |FROM orders""".stripMargin
+
+  val regexpExtractProps: String =
+    """SELECT event_id,
+      |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
+      |FROM events WHERE regexp_matches(props, '"k": [0-9]+')""".stripMargin
+
+  val havingBigCustomers: String =
+    """SELECT o_custkey, count(*) AS n_orders, max(o_orderdate) AS last_order
+      |FROM orders GROUP BY o_custkey HAVING count(*) >= 12""".stripMargin
+
+  def tokenCounts(bpeRe: String): String =
+    s"""SELECT doc_id,
+       |  len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+       |  len(regexp_extract_all(text, '$bpeRe')) AS bpe_tokens
+       |FROM documents""".stripMargin
+
+  /** Exact all-pairs cosine over the planted embedding corpus (every
+    * 20th vector ∪ a copy with the last component zeroed). Same
+    * sequential fold as the Spark side. */
+  def embeddingNearDup(minSim: Double): String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |pl AS (SELECT vec_id, vec FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 10000000, list_concat(list_slice(vec, 1, 63), [0.0]) FROM base),
+       |n AS (SELECT vec_id, vec,
+       |  sqrt(list_reduce(list_transform(generate_series(1, 64), i -> vec[i] * vec[i]), (a, b) -> a + b)) AS nrm
+       |  FROM pl),
+       |s AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |  list_reduce(list_transform(generate_series(1, 64), i -> x.vec[i] * y.vec[i]), (a, b) -> a + b)
+       |    / (x.nrm * y.nrm) AS sim
+       |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
+       |SELECT id_a, id_b, sim FROM s WHERE sim >= $minSim""".stripMargin
+
   val q5NationRevenue: String =
     """SELECT n_name,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -384,6 +384,124 @@ object SparkEntry {
         .select(col("probe_id"), col("vec_id"),
           round(col("sim"), 9).as("sim"), col("rank"))
     },
+
+    // ---- joins: explicit semi / anti forms (the upsert's building
+    // blocks as first-class relational operators) ----
+    "semi_anti_orders" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").select(col("c_custkey"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val any = t(s, dir, "orders").select(col("o_custkey"))
+      cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_urgent").as("tag"))
+        .unionByName(
+          cust.join(any, col("c_custkey") === col("o_custkey"), "left_anti")
+            .select(col("c_custkey"), lit("no_orders").as("tag")))
+    },
+
+    // ---- window-function family: lag/lead, running and moving aggs ----
+    "window_running_user" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wCum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val w3 = w.rowsBetween(-2, 0)
+      val dec = DecimalType(18, 6)
+      t(s, dir, "events").select(col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"),
+        row_number().over(w).as("seq"),
+        sum(col("value").cast(dec)).over(wCum).cast("double").as("cum_value"),
+        (sum(col("value").cast(dec)).over(w3).cast("double") /
+          count(lit(1)).over(w3).cast("double")).as("avg3"))
+    },
+
+    "grouping_sets_events" -> ((s, dir) =>
+      // Explicit GROUPING SETS (finer-grained than cube/rollup; one
+      // shuffle, Expand feeds all three sets through one hash-agg).
+      t(s, dir, "events").withColumn("h", hour(col("ts")))
+        .groupingSets(
+          Seq(Seq(col("event_type"), col("h")), Seq(col("event_type")), Seq()),
+          col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Exact interpolated percentiles (sort-based partial aggregation;
+    // for sketch-grade scale use percentile_approx — spec-checked).
+    "percentiles_by_type" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.25D)").as("p25"),
+          expr("percentile(value, 0.5D)").as("p50"),
+          expr("percentile(value, 0.75D)").as("p75"))),
+
+    // Second-moment statistics from exact decimal sums: one partial-agg
+    // pass, derived in a fixed IEEE op order (oracle-exact, unlike
+    // stddev/var built-ins whose accumulation order is partition-timing
+    // dependent).
+    "stats_moments_by_type" -> { (s, dir) =>
+      val dec = DecimalType(18, 6)
+      val nD = col("n").cast("double")
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("sum_v"),
+          sum(col("value").cast(dec) * col("value").cast(dec))
+            .cast("double").as("sum_v2"))
+        .select(col("event_type"), col("n"),
+          (col("sum_v") / nD).as("mean"),
+          ((col("sum_v2") - ((col("sum_v") * col("sum_v")) / nD)) /
+            (nD - lit(1.0))).as("var_v"),
+          sqrt((col("sum_v2") - ((col("sum_v") * col("sum_v")) / nD)) /
+            (nD - lit(1.0))).as("std_v"))
+    },
+
+    "minmax_by_events" -> ((s, dir) =>
+      // Ordered-argument aggregates; the ordering key (event_id) is
+      // unique, so results are deterministic across partitionings.
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(max_by(col("user_id"), col("event_id")).as("last_user"),
+          min_by(col("user_id"), col("event_id")).as("first_user"),
+          max(col("event_id")).as("max_event_id"))),
+
+    "date_functions_orders" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("omonth"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_add(col("o_orderdate"), 30).cast("timestamp").as("d30"),
+        last_day(col("o_orderdate")).cast("timestamp").as("dlast"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"))),
+
+    "regexp_extract_props" -> ((s, dir) =>
+      // Regex field extraction + rlike filtering over the JSON props
+      // payload (pattern valid in both Java regex and RE2).
+      t(s, dir, "events")
+        .filter(col("props").rlike("\"k\": [0-9]+"))
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+            .cast("long").as("k_val"))),
+
+    "having_big_customers" -> ((s, dir) =>
+      // GROUP BY + HAVING: repeat customers, with their latest order ts.
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), max(col("o_orderdate")).as("last_order"))
+        .filter(col("n_orders") >= 12)),
+
+    "token_counts" -> ((s, dir) =>
+      // Whitespace vs BPE-ish subword token budgets per document.
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("ws_tokens"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))),
+
+    // Embedding-cosine near-dup on the planted corpus (every 20th vector
+    // ∪ a copy with the last component zeroed — cosine ≈ 0.992): exact
+    // all-pairs baseline on the bounded subset; SimilarityOps
+    // .embeddingNearDup is the bucketed scale path (spec-checked).
+    "embedding_near_dup" -> { (s, dir) =>
+      val base = t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), col("embedding").as("vec"))
+      val planted = base.unionByName(base.select(
+        (col("vec_id") + 10000000L).as("vec_id"),
+        concat(slice(col("vec"), 1, 63), array(lit(0.0f))).as("vec")))
+      SimilarityOps.exactNearDup(planted, EmbNearDupMin)
+    },
   )
 
   // Tunable thresholds shared by the Spark ops and their oracles.
@@ -396,6 +514,9 @@ object SparkEntry {
   // ~0.253): 0.26 keeps a nonempty ~30% subset, so the filter predicate
   // is genuinely exercised by the oracle gate (round-1 ADVICE).
   val QualityMin = 0.26
+  // Planted embedding copies (last component zeroed) score ~0.992;
+  // unrelated pairs in this corpus top out ~0.51.
+  val EmbNearDupMin = 0.9
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -478,5 +599,16 @@ object SparkEntry {
     "cube_events" -> Oracles.cubeEvents,
     "q3_shipping_priority" -> Oracles.q3ShippingPriority,
     "q5_nation_revenue" -> Oracles.q5NationRevenue,
+    "semi_anti_orders" -> Oracles.semiAntiOrders,
+    "window_running_user" -> Oracles.windowRunningUser,
+    "grouping_sets_events" -> Oracles.groupingSetsEvents,
+    "percentiles_by_type" -> Oracles.percentilesByType,
+    "stats_moments_by_type" -> Oracles.statsMomentsByType,
+    "minmax_by_events" -> Oracles.minmaxByEvents,
+    "date_functions_orders" -> Oracles.dateFunctionsOrders,
+    "regexp_extract_props" -> Oracles.regexpExtractProps,
+    "having_big_customers" -> Oracles.havingBigCustomers,
+    "token_counts" -> Oracles.tokenCounts(graft.functions.TextFunctions.BpeTokenRe),
+    "embedding_near_dup" -> Oracles.embeddingNearDup(EmbNearDupMin),
   )
 }

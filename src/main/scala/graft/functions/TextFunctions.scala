@@ -22,6 +22,16 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword pre-tokenization regex: letter runs, digit runs,
+    * and single punctuation marks — the coarse split BPE tokenizers apply
+    * before merges. Valid in both Java regex and RE2 (DuckDB oracle). */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token count under the BPE-ish pre-tokenizer (LLM-budget estimator:
+    * counts subword units rather than whitespace words). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenRe), lit(0)))
+
   /** Count of tokens that appear in `words` (a small reference list). */
   def hitCount(toks: Column, words: Seq[String]): Column = {
     val dict = array(words.map(lit): _*)

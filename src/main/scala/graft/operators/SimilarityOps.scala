@@ -97,6 +97,23 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Exact all-pairs cosine near-duplicates over a (bounded) corpus:
+    * the O(n²) ground-truth baseline that [[embeddingNearDup]]'s bucketed
+    * candidates are measured against. Broadcast one side; only
+    * (id_a, id_b, sim) leaves the join — vectors never shuffle. Use on
+    * filtered/sampled subsets at scale, [[embeddingNearDup]] for the
+    * full corpus. */
+  def exactNearDup(
+      corpus: DataFrame, threshold: Double,
+      corpusId: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(corpusId), col("vec"))
+    c.as("x").join(broadcast(c.as("y")),
+        col(s"x.$corpusId") < col(s"y.$corpusId"))
+      .select(col(s"x.$corpusId").as("id_a"), col(s"y.$corpusId").as("id_b"),
+        cosine(col("x.vec"), col("y.vec")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold over candidate
     * pairs from coarse-bucket cohabitation (same IVF assignment) —
     * the embedding analogue of MinHash candidate generation. */
