@@ -103,16 +103,24 @@ object SparkEntry {
 
     // ---- dedup family ----
     "dedup_exact_docs" -> ((s, dir) =>
-      DedupOps.exact(t(s, dir, "documents"),
+      // arg-min aggregation form: partial (map-side) combine, unlike the
+      // window row_number form which must shuffle every row.
+      DedupOps.exactAgg(t(s, dir, "documents"),
         Seq(graft.functions.TextFunctions.fingerprint(col("text"))),
-        Seq(col("doc_id")))),
+        col("doc_id"))),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
       DedupOps.minhashCandidates(plantedDocs(s, dir), "doc_id", "text")
         .filter(col("est_jaccard") >= MinhashMinEst)),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      DedupOps.ngramJaccard(plantedDocs(s, dir), "doc_id", "text", NgramMinJaccard)),
+      // Inverted-index exact Jaccard (long-hashed keys, sizes carried
+      // through the join). This synthetic corpus has a ~40-word vocab, so
+      // document frequencies are huge and the AllPairs prefix filter
+      // (DedupOps.ngramJaccardPrefix, spec-proven equivalent) can't
+      // prune; on realistic large-vocab corpora prefix wins instead.
+      DedupOps.ngramJaccard(plantedDocs(s, dir), "doc_id", "text",
+        NgramMinJaccard)),
 
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")),
@@ -201,16 +209,15 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       // Dim chain broadcasts (customer filter, then orders×lineitem shuffles
       // on the join key once).
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val agg = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum((col("l_extendedprice").cast(dec) *
           (lit(1).cast(dec) - col("l_discount").cast(dec))))
           .cast("double").as("revenue"))
-        .withColumn("rank", rank().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("revenue").desc, col("o_orderkey"))))
-        .filter(col("rank") <= 10)
+      // Global top-10: TakeOrderedAndProject (partial top-k per
+      // partition), NOT a single-partition global window over all groups.
+      AnalyticOps.globalTopK(agg, Seq(col("revenue").desc, col("o_orderkey")), 10)
     },
 
     "q5_nation_revenue" -> { (s, dir) =>
@@ -357,10 +364,12 @@ object SparkEntry {
         .na.fill(0L)),
 
     "ntile_quartiles" -> ((s, dir) =>
-      // Quartile assignment (integer-exact, fully tie-broken).
-      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"),
-        ntile(4).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))),
+      // Quartile assignment (integer-exact, fully tie-broken) — computed
+      // distributed (range-partition + zipWithIndex + bucket formula),
+      // not via the single-partition global-window ntile.
+      AnalyticOps.globalNtile(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        4, Seq(col("o_totalprice"), col("o_orderkey")), "quartile")),
 
     "top1_latest_error" -> ((s, dir) =>
       // The reference's diagnostics top-1 (SELECT * FROM stl_load_errors

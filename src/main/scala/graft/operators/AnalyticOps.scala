@@ -83,4 +83,51 @@ object AnalyticOps {
     * every grouping set). */
   def rollupAgg(df: DataFrame, g1: String, g2: String, measures: Seq[Column]): DataFrame =
     df.rollup(col(g1), col(g2)).agg(measures.head, measures.tail: _*)
+
+  /** Global row numbering WITHOUT a single-partition window (the
+    * `Window.orderBy(...)` trap: Spark moves every row to one partition —
+    * unusable at 100 TB). Range-repartition on the sort key, sort within
+    * partitions, then `zipWithIndex` (which only ships per-partition
+    * counts to the driver). Deterministic when `order` is a total order.
+    * Equals `row_number() OVER (ORDER BY order)` exactly. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+      rnCol: String = "rn"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = sorted.schema.add(rnCol, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Distributed `ntile(n) OVER (ORDER BY order)`: global row numbers via
+    * [[globalRowNumber]] plus one count, then the standard SQL ntile
+    * bucket formula (first `N % n` buckets get the extra row) as a pure
+    * projection. Two jobs, zero single-partition stages. */
+  def globalNtile(df: DataFrame, n: Int, order: Seq[Column],
+      bucketCol: String = "bucket"): DataFrame = {
+    val total = df.count()
+    val base = total / n
+    val rem = total % n
+    val cut = (base + 1) * rem // rows 1..cut live in the size-(base+1) buckets
+    val withRn = globalRowNumber(df, order, "__rn")
+    val rn = col("__rn")
+    val bucket =
+      if (base == 0L) rn // degenerate: fewer rows than buckets
+      else when(rn <= cut, (rn - 1) / (base + 1) + 1)
+        .otherwise(lit(rem) + (rn - 1 - cut) / base + 1)
+    withRn.withColumn(bucketCol, bucket.cast("int")).drop("__rn")
+  }
+
+  /** Global top-k with ranks, scalably: `orderBy(order).limit(k)` plans
+    * as TakeOrderedAndProject (per-partition partial top-k, tiny driver
+    * merge) instead of a single-partition global window; ranks are then
+    * attached on the k surviving rows. Assumes `order` is a total order
+    * (unique tie-break), where rank() ≡ row_number(). */
+  def globalTopK(df: DataFrame, order: Seq[Column], k: Int,
+      rankCol: String = "rank"): DataFrame =
+    globalRowNumber(df.orderBy(order: _*).limit(k), order, "__rn")
+      .withColumn(rankCol, col("__rn").cast("int")).drop("__rn")
 }

@@ -36,6 +36,19 @@ object DedupOps {
       .filter(col("__rn") === 1)
       .drop("__rn")
 
+  /** Exact dedup as an arg-min AGGREGATION: keep the row with minimal
+    * `order` per key via `min_by(struct(*), order)`. Identical result to
+    * [[exact]] when `order` is unique within each key, but plans as
+    * partial+final hash aggregation — map-side combine shrinks the
+    * shuffle to one row per (partition, key), where the window form must
+    * shuffle EVERY row. The right default at corpus scale. */
+  def exactAgg(df: DataFrame, key: Seq[Column], order: Column): DataFrame = {
+    val cols = df.columns
+    df.groupBy(key: _*)
+      .agg(min_by(struct(cols.map(col): _*), order).as("__r"))
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   // ---- MinHash/LSH ---------------------------------------------------
 
   /** Number of hash functions (k), bands (b) and rows-per-band (r = k/b).
@@ -137,19 +150,71 @@ object DedupOps {
   /** Exact pairwise Jaccard over distinct word-bigram shingles via an
     * inverted-index join (shingle → docs): pairs sharing ≥1 shingle get
     * |A∩B| by counting, |A∪B| = |A|+|B|−|A∩B|. Never materializes O(n²) —
-    * only pairs with actual overlap. `minJaccard` prunes the output. */
+    * only pairs with actual overlap. `minJaccard` prunes the output.
+    *
+    * The index keys are `xxhash64` of the shingles, so the wide self-join
+    * shuffles and compares 8-byte longs, not shingle strings (collision
+    * odds over a corpus vocabulary are ~|V|²/2⁶⁵ — negligible), and each
+    * index row carries its doc's set size so the pair-count aggregation
+    * needs no extra size joins. Best when shingle document-frequencies
+    * are high (small vocabularies); see [[ngramJaccardPrefix]] for the
+    * large-vocab regime. */
   def ngramJaccard(df: DataFrame, id: String, text: String,
+      minJaccard: Double): DataFrame = {
+    val sh = df
+      .select(col(id), array_distinct(wordBigrams(col(text))).as("arr"))
+      .select(col(id), size(col("arr")).cast("long").as("n"),
+        explode(col("arr")).as("shs"))
+      .select(col(id), col("n"), xxhash64(col("shs")).as("sh"))
+    // Force a shuffle join: the pre-explode size estimate tempts Catalyst
+    // into broadcasting the index, which both caps parallelism at the
+    // input partition count (the pair generation is the expensive part)
+    // and would be impossible at corpus scale.
+    sh.hint("merge").as("a").join(sh.hint("merge").as("b"),
+        col("a.sh") === col("b.sh") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Prefix-filtered exact Jaccard (AllPairs/PPJoin family): identical
+    * output to [[ngramJaccard]], far smaller candidate set.
+    *
+    * Each document indexes only its ⌊(1−t)·n⌋+1 globally-rarest shingles
+    * (rarest-first total order = (document frequency, shingle)); any pair
+    * with Jaccard ≥ t must share a prefix shingle (|A∩B| ≥ t·|A∪B| ≥
+    * t·|A| ⇒ the first |A|−⌈t·|A|⌉+1 of A's shingles hit B). Candidates
+    * are then verified EXACTLY via sorted-array intersection — the full
+    * shingle sets travel only for surviving candidates, and the inverted
+    * index that drives the self-join is (1−t)× smaller and skewed toward
+    * rare (low-fanout) shingles. */
+  def ngramJaccardPrefix(df: DataFrame, id: String, text: String,
       minJaccard: Double): DataFrame = {
     val sh = df.select(col(id),
       explode(array_distinct(wordBigrams(col(text)))).as("sh"))
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val pref = sh.join(freq, "sh")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col(id)).orderBy(col("df"), col("sh"))))
+      .join(sizes, id)
+      .filter(col("pos") <=
+        (floor((lit(1.0) - lit(minJaccard)) * col("n")) + 1).cast("int"))
+      .select(col(id), col("sh"))
+    val cand = pref.hint("merge").as("a").join(pref.hint("merge").as("b"),
         col("a.sh") === col("b.sh") && col(s"a.$id") < col(s"b.$id"))
-      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col(id).as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col(id).as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+    val sets = sh.groupBy(col(id))
+      .agg(sort_array(collect_list(col("sh"))).as("set"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col(id).as("id_a"), col("set").as("set_a"), col("n").as("n_a")), "id_a")
+      .join(sets.select(col(id).as("id_b"), col("set").as("set_b"), col("n").as("n_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)

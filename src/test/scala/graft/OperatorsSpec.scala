@@ -50,6 +50,46 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(sh.forall(_._3 <= 8))
   }
 
+  test("scalable forms match their window/naive twins exactly") {
+    // exactAgg (partial-agg arg-min) ≡ exact (window row_number).
+    val docs = Tables(spark, sf, "documents")
+    val fp = Seq(graft.functions.TextFunctions.fingerprint(col("text")))
+    val a = DedupOps.exactAgg(docs, fp, col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val w = DedupOps.exact(docs, fp, Seq(col("doc_id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(a == w)
+
+    // prefix-filtered Jaccard ≡ naive inverted-index Jaccard.
+    val base = docs.filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
+    val planted = base.unionByName(base.select(
+      (col("doc_id") + 1000).as("doc_id"),
+      expr("substring(text, 1, (length(text) * 4) div 5)").as("text")))
+    val naive = DedupOps.ngramJaccard(planted, "doc_id", "text", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefixed = DedupOps.ngramJaccardPrefix(planted, "doc_id", "text", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefixed == naive,
+      s"prefix filter changed results: only-naive=${naive -- prefixed} only-prefix=${prefixed -- naive}")
+
+    // globalNtile / globalRowNumber ≡ single-partition window forms.
+    val orders = Tables(spark, sf, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val ord = Seq(col("o_totalprice"), col("o_orderkey"))
+    val nt = AnalyticOps.globalNtile(orders, 4, ord, "q")
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val ntw = orders.select(col("o_orderkey"),
+        ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(ord: _*)).as("q"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(nt == ntw)
+    val rn = AnalyticOps.globalRowNumber(orders, ord)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val rnw = orders.select(col("o_orderkey"),
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(ord: _*))
+          .cast("long").as("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rn == rnw)
+  }
+
   test("incremental minhash: new near-dup batch found against persisted signatures") {
     val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 40)
       .select(col("doc_id"), col("text"))

@@ -28,9 +28,14 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("WindowGroupLimit"), p.take(600))
   }
 
-  test("dedup_exact plans a partial WindowGroupLimit (rn=1 pushdown)") {
+  test("dedup_exact plans a partial (map-side) min_by aggregation") {
+    // The arg-min agg form: partial_min_by BEFORE the exchange, so the
+    // shuffle carries one row per (partition, key) — not every row, as
+    // the window row_number form would.
     val p = plan("dedup_exact_docs")
-    assert(p.contains("WindowGroupLimit"), p.take(600))
+    assert(p.contains("partial_min_by"), p.take(600))
+    assert(p.indexOf("partial_min_by") > p.indexOf("Exchange"), // printed top-down
+      "partial agg must sit below the exchange:\n" + p.take(600))
   }
 
   test("kNN broadcasts the probe side (corpus scanned once, no corpus shuffle)") {
