@@ -108,7 +108,9 @@ object DedupOps {
   def minhashCandidates(df: DataFrame, id: String, text: String): DataFrame = {
     val sigArr = minhashSignatureArr(df, id, text)
     val bk = lshBuckets(sigArr, id)
-    val pairs = bk.as("x").join(bk.as("y"),
+    // Explode-derived size estimates tempt Catalyst into broadcasting the
+    // bucket index — wrong at corpus scale and parallelism-capping here.
+    val pairs = bk.hint("merge").as("x").join(bk.hint("merge").as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"))
@@ -135,7 +137,7 @@ object DedupOps {
       .select(col(id).as("corpus_id"), col("band"), col("bkey"))
     val bkN = lshBuckets(newSig, id)
       .select(col(id).as("new_id"), col("band"), col("bkey"))
-    val pairs = bkC.join(bkN, Seq("band", "bkey"))
+    val pairs = bkC.hint("merge").join(bkN.hint("merge"), Seq("band", "bkey"))
       .select(col("corpus_id"), col("new_id")).distinct()
     pairs
       .join(corpusSigArr.select(col(id).as("corpus_id"), col("sig").as("sig_a")), "corpus_id")
@@ -261,7 +263,7 @@ object DedupOps {
     val chunks = sig.select(col(id), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", shr(col("simhash"), col("c").cast("int") * 12).bitwiseAND(4095L))
-    val pairs = chunks.as("x").join(chunks.as("y"),
+    val pairs = chunks.hint("merge").as("x").join(chunks.hint("merge").as("y"),
         col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"),

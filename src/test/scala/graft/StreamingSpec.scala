@@ -56,14 +56,17 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       spark, src, schema, wh, tbl, "id", s"$root/ckpt", intervalMs = 200)
     try {
       // Wait for the first batch, then land a second file mid-stream.
-      var waited = 0
-      while ((!wh.exists(tbl) || wh.table(tbl).count() < 1) && waited < 30000) {
-        Thread.sleep(200); waited += 200
+      // Budgets are per-phase and generous: under a fully parallel suite
+      // run the 200ms trigger can fall far behind wall-clock.
+      def waitFor(n: Long): Unit = {
+        var waited = 0
+        while ((!wh.exists(tbl) || wh.table(tbl).count() < n) && waited < 90000) {
+          Thread.sleep(200); waited += 200
+        }
       }
+      waitFor(1)
       writeFile(src, "b.json", "{\"id\":1,\"name\":\"A2\"}\n{\"id\":2,\"name\":\"b\"}")
-      while ((!wh.exists(tbl) || wh.table(tbl).count() < 2) && waited < 60000) {
-        Thread.sleep(200); waited += 200
-      }
+      waitFor(2)
     } finally q.stop()
     val out = wh.table(tbl).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
