@@ -495,6 +495,45 @@ object Oracles {
        |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
        |SELECT id_a, id_b, sim FROM s WHERE sim >= $minSim""".stripMargin
 
+  /** Salted aggregation result ≡ plain aggregation (decimal addition is
+    * associative, so re-merging per-salt partials is exact). */
+  val saltedAggEvents: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** q17 shape: per-part average as the filter threshold. Same decimal
+    * sums, same double op order (sum/n, 0.2*avg, sum/7.0). */
+  val q17SmallQuantity: String =
+    """WITH avgq AS (SELECT l_partkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem
+      |JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23') p
+      |  ON l_partkey = p_partkey
+      |JOIN avgq ON lineitem.l_partkey = avgq.l_partkey
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  val supplierNationAcctbal: String =
+    """SELECT n_name, count(*) AS n_suppliers,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** Frame sampling lengths: every 2nd 256-byte chunk of the utf-8
+    * payload; Spark `sequence` includes its stop, DuckDB `range`
+    * excludes it — hence the +1. */
+  val multimodalFrames: String =
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+      |f AS (SELECT doc_id, len,
+      |  unnest(range(0, greatest(CAST(len // 256 AS BIGINT) - 1, 0) + 1, 2)) AS frame_no
+      |  FROM d)
+      |SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+      |  CAST(least(256, len - frame_no * 256) AS INTEGER) AS frame_len
+      |FROM f""".stripMargin
+
   val q5NationRevenue: String =
     """SELECT n_name,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

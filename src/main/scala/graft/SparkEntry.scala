@@ -499,6 +499,71 @@ object SparkEntry {
         graft.functions.TextFunctions.tokenCount(col("text")).as("ws_tokens"),
         graft.functions.TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))),
 
+    // ---- skew handling (salted forms; results identical to the
+    // unsalted plans, which the oracles verify) ----
+    "salted_agg_events" -> ((s, dir) =>
+      SkewOps.saltedSumCount(t(s, dir, "events"),
+        col("event_type"), "event_type",
+        pmod(col("event_id"), lit(16)), col("value"))),
+
+    "salted_join_customer_orders" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val fact = t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"), col("o_orderkey"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      SkewOps.saltedJoin(fact, dim, "custkey", 8, col("o_orderkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+    },
+
+    // ---- TPC-H q17 shape: aggregate-derived per-group threshold
+    // (scalar subquery as a join against the per-part averages) ----
+    "q17_small_quantity" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val brandParts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
+        .agg((sum(col("l_quantity").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"))
+      li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .join(avgQ, col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast(dec)).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+    },
+
+    "supplier_nation_acctbal" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast(dec)).cast("double").as("total_acctbal"))
+    },
+
+    // ---- CSV encode/decode round-trip (T1/T2 family, CSV flavor) ----
+    "csv_roundtrip" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      docs.select(to_csv(struct(docs.columns.map(col).toIndexedSeq: _*)).as("line"))
+        .select(from_csv(col("line"), docs.schema,
+          Map.empty[String, String]).as("r"))
+        .select("r.*")
+    },
+
+    // ---- multimodal frame sampling (oracle-checked via frame lengths:
+    // the sliced payload bytes themselves are summarized as octet counts
+    // so the output stays scalar) ----
+    "multimodal_frames" -> ((s, dir) =>
+      MultimodalOps.frameSample(
+        MultimodalOps.withBinaryColumn(t(s, dir, "documents"), "text"),
+        "doc_id", frameBytes = 256, every = 2)
+        .select(col("doc_id"), col("frame_no"),
+          octet_length(col("frame_bytes")).as("frame_len"))),
+
     // Embedding-cosine near-dup on the planted corpus (every 20th vector
     // ∪ a copy with the last component zeroed — cosine ≈ 0.992): exact
     // all-pairs baseline on the bounded subset; SimilarityOps
@@ -619,5 +684,12 @@ object SparkEntry {
     "having_big_customers" -> Oracles.havingBigCustomers,
     "token_counts" -> Oracles.tokenCounts(graft.functions.TextFunctions.BpeTokenRe),
     "embedding_near_dup" -> Oracles.embeddingNearDup(EmbNearDupMin),
+    "salted_agg_events" -> Oracles.saltedAggEvents,
+    "salted_join_customer_orders" -> Oracles.joinCustomerOrders,
+    "q17_small_quantity" -> Oracles.q17SmallQuantity,
+    "supplier_nation_acctbal" -> Oracles.supplierNationAcctbal,
+    "csv_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "multimodal_frames" -> Oracles.multimodalFrames,
   )
 }

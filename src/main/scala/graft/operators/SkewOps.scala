@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling operators (100 TB discipline): when one key holds a
+  * disproportionate share of the rows, a plain hash shuffle sends that
+  * whole share to one reducer. Salting splits each hot key across
+  * `salts` sub-keys, re-merging afterwards — bounded per-task input at
+  * the cost of one extra (tiny) aggregation or a `salts`× dim-side
+  * replication.
+  *
+  * AQE's skew-join handling covers sort-merge joins at runtime; these
+  * operators cover the cases it does not: skewed AGGREGATION keys, and
+  * plans where the skewed side must stay hash-partitioned.
+  */
+object SkewOps {
+
+  /** Two-phase salted sum/count aggregation: phase 1 aggregates
+    * (key, salt) — at most `salts` cells per hot key per reducer —
+    * phase 2 merges the per-salt partials. Sums stay DECIMAL through
+    * both phases (decimal addition is associative, so the result is
+    * bit-identical to the unsalted aggregation), cast to double once at
+    * the end. `salt` must be a deterministic column, e.g.
+    * `pmod(col("some_id"), lit(salts))`. */
+  def saltedSumCount(df: DataFrame, key: Column, keyName: String,
+      salt: Column, value: Column): DataFrame =
+    df.groupBy(key.as(keyName), salt.as("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(value.cast("decimal(18,6)")).as("__s"))
+      .groupBy(col(keyName))
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).cast("double").as("sum_value"))
+
+  /** Salted equi-join for a skewed fact side against a small dim side:
+    * the dim is replicated `salts`× (explode over the salt range), the
+    * fact gets a deterministic salt in [0, salts), and the join runs on
+    * (key, salt) — so a hot key's rows spread over `salts` reducers
+    * instead of one. Result is row-identical to `fact.join(dim, key)`.
+    * `factSalt` must be deterministic per row (e.g. pmod of a row id). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int, factSalt: Column): DataFrame =
+    fact.withColumn("__salt", pmod(factSalt, lit(salts)).cast("int"))
+      .join(dim.withColumn("__salt",
+        explode(sequence(lit(0), lit(salts - 1)))), Seq(key, "__salt"))
+      .drop("__salt")
+}

@@ -1,12 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.core.{LoadMode, TableRef}
 import graft.io.ParquetWarehouse
+
+/** Row/state/result types for [[StreamingLoad.sessionizeStream]]. */
+case class SessEvent(user_id: Long, ts: Timestamp, event_id: Long)
+case class SessAccum(startTs: Timestamp, endTs: Timestamp, n: Long)
+case class SessionOut(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long)
 
 /** Structured Streaming restatement of the reference's incremental-arrival
   * model (SURVEY.md §2.1 S4, §7.2 M5): the reference starts an S3 upload
@@ -58,6 +66,68 @@ object StreamingLoad {
       .groupBy(window(col(ts), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Stateful gap-based sessionization over a stream — the custom-state
+    * form of the reference-free sessionize family, via
+    * `flatMapGroupsWithState` with an EVENT-TIME timeout:
+    *
+    *   - per user, events extend the open session while the
+    *     second-floored gap stays ≤ `gapMinutes` (the same
+    *     `unix_timestamp` gap test as the batch
+    *     [[graft.operators.AnalyticOps.sessionize]]);
+    *   - a larger gap closes the session and emits it inline;
+    *   - the final open session emits when the watermark passes
+    *     session_end + gap (the timeout path — requires a running
+    *     stream; under `Trigger.AvailableNow` each user's last session
+    *     stays open, exactly like a real endless stream).
+    *
+    * Events must arrive time-ordered per user across micro-batches
+    * (within a batch they are sorted here); watermark-late stragglers
+    * fold into the open session without extending it. For fully
+    * unordered data use the native `session_window` aggregation instead
+    * (`session_window_30m` in SparkEntry) — this operator is the
+    * arbitrary-custom-state template (counters, cart state, fraud
+    * windows, ...), sessionization being the demonstrator. */
+  def sessionizeStream(events: Dataset[SessEvent], gapMinutes: Int,
+      watermark: String): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapSec = gapMinutes * 60L
+    def sec(t: Timestamp): Long = t.getTime / 1000L // floor ≡ unix_timestamp
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessAccum, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessEvent], state: GroupState[SessAccum]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.startTs, s.endTs, s.n))
+          } else {
+            val evs = it.toIndexedSeq.sortBy(e => (sec(e.ts), e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur = cur match {
+                case Some(s) if sec(e.ts) <= sec(s.endTs) => // late straggler
+                  Some(s.copy(n = s.n + 1))
+                case Some(s) if sec(e.ts) - sec(s.endTs) <= gapSec =>
+                  Some(s.copy(endTs = e.ts, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.startTs, s.endTs, s.n)
+                  Some(SessAccum(e.ts, e.ts, 1L))
+                case None =>
+                  Some(SessAccum(e.ts, e.ts, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((sec(s.endTs) + gapSec + 1) * 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   /** Continuous (non-AvailableNow) variant for long-running ingest: same
     * upsert semantics on a processing-time cadence. */

@@ -73,6 +73,68 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(out == Seq((1L, "A2"), (2L, "b")))
   }
 
+  test("stateful sessionizeStream matches batch sessionize on closed sessions") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val events = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+
+    // Batch ground truth, keyed by (user, start, end, n). Each user's
+    // LAST session stays open in the stream (no timeout fires once the
+    // replay drains under AvailableNow), so drop it from the expectation.
+    val batch = graft.operators.AnalyticOps.sessionize(
+        Tables(spark, sf, "events"), 30)
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(3).getTime, r.getTimestamp(4).getTime, r.getLong(2)))
+    val expected = batch.groupBy(_._1).toSeq.flatMap { case (_, ss) =>
+      ss.sortBy(_._2).dropRight(1).toSeq }.toSet
+
+    // Replay in event-time order as 3 chronological files, one per
+    // trigger, so cross-batch per-user order holds.
+    val root = Files.createTempDirectory("graft_sess_stream").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val rows = events.orderBy("ts", "event_id").collect()
+    val cut = rows.length / 3
+    Seq(rows.take(cut), rows.slice(cut, 2 * cut), rows.drop(2 * cut))
+      .zipWithIndex.foreach { case (chunk, i) =>
+        val lines = chunk.map { r =>
+          s"""{"user_id":${r.getLong(0)},"ts_ms":${r.getTimestamp(1).getTime},"event_id":${r.getLong(2)}}"""
+        }.mkString("\n")
+        writeFile(src, f"part-$i%03d.json", lines)
+        // File-source ordering is by modification time: space them out.
+        Paths.get(src, f"part-$i%03d.json").toFile.setLastModified(1000000000000L + i * 60000L)
+      }
+
+    val eschema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts_ms", LongType),
+      StructField("event_id", LongType)))
+    val stream = spark.readStream.schema(eschema)
+      .option("maxFilesPerTrigger", 1).json(src)
+      .select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts"), col("event_id"))
+      .as[graft.streaming.SessEvent]
+    val out = StreamingLoad.sessionizeStream(stream, 30, "0 seconds")
+    val q = out.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .format("memory").queryName("sessions")
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("sessions")
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    // Sessions closed by an in-stream gap MUST all be emitted; each
+    // user's final session may or may not time out before the replay
+    // drains, but anything emitted must match a batch session exactly.
+    val batchAll = batch.toSet
+    assert(expected.subsetOf(streamed),
+      s"missing closed sessions: ${expected -- streamed}")
+    assert(streamed.subsetOf(batchAll),
+      s"streamed sessions not in batch ground truth: ${streamed -- batchAll}")
+  }
+
   test("windowedCounts matches the batch tumblingAgg on the same data") {
     val sf = "/root/testdata/sf0.001"
     val events = Tables(spark, sf, "events")
