@@ -495,6 +495,45 @@ object Oracles {
        |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
        |SELECT id_a, id_b, sim FROM s WHERE sim >= $minSim""".stripMargin
 
+  /** Integer-exact tf-idf ranking: score = (tf·N)/df — one double
+    * division over exact integers. */
+  val tfidfTopTerms: String =
+    s"""WITH terms AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (SELECT doc_id, tf.term AS term,
+       |  CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+       |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+       |SELECT doc_id, term, score, rnk FROM (
+       |  SELECT *, rank() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+       |  FROM scored) WHERE rnk <= 3""".stripMargin
+
+  val profileOrders: String =
+    """SELECT count(*) AS n_rows,
+      |  count(DISTINCT o_orderstatus) AS d_status,
+      |  count(DISTINCT o_orderpriority) AS d_priority,
+      |  count(DISTINCT o_custkey) AS d_custkey,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+      |FROM orders""".stripMargin
+
+  val deterministicSample: String =
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE ${hash60("CAST(doc_id AS VARCHAR)")} % 10 = 0""".stripMargin
+
+  /** Trailing 7-day revenue per active day via a bounded range join —
+    * the oracle twin of the explode + re-aggregate Spark plan. Decimal
+    * all the way; one cast to double at the end. */
+  val trailing7dRevenue: String =
+    """WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT d2.day AS day, CAST(SUM(d1.rev) AS DOUBLE) AS rev_7d
+      |FROM daily d1 JOIN daily d2
+      |  ON d2.day >= d1.day AND d2.day <= d1.day + INTERVAL 6 DAY
+      |GROUP BY d2.day""".stripMargin
+
   /** Salted aggregation result ≡ plain aggregation (decimal addition is
     * associative, so re-merging per-salt partials is exact). */
   val saltedAggEvents: String =

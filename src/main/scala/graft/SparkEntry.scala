@@ -499,6 +499,70 @@ object SparkEntry {
         graft.functions.TextFunctions.tokenCount(col("text")).as("ws_tokens"),
         graft.functions.TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))),
 
+    // ---- corpus scoring / profiling / sampling ----
+    "tfidf_top_terms" -> { (s, dir) =>
+      // Top-3 tf-idf terms per document. Score = (tf · N) / df — exact
+      // integer product, one double division (ln-free so both engines
+      // produce identical bits; the ranking is the same as classic
+      // tf·idf at fixed N). N rides along as a broadcast scalar.
+      import graft.functions.TextFunctions.{normalized, tokens}
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(tokens(normalized(col("text")))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+        .withColumn("rnk", rank().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("term"))))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+    },
+
+    "profile_orders" -> ((s, dir) =>
+      // One-pass table profiling (row count, per-column cardinalities,
+      // value ranges) — the data-quality summary a pipeline runs before
+      // training ingestion.
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderstatus")).as("d_status"),
+        countDistinct(col("o_orderpriority")).as("d_priority"),
+        countDistinct(col("o_custkey")).as("d_custkey"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"))),
+
+    "deterministic_sample" -> ((s, dir) =>
+      // Hash-bucket sampling: reproducible across runs, engines, and
+      // partitionings (unlike df.sample) — the train/eval-split
+      // primitive. md5-derived bucket so the oracle reproduces it.
+      t(s, dir, "documents")
+        .filter(pmod(graft.functions.TextFunctions.hash60(
+          col("doc_id").cast("string")), lit(10)) === 0)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    "trailing_7d_revenue" -> { (s, dir) =>
+      // Trailing 7-day revenue per active day, WITHOUT a global range
+      // window (single-partition at scale): each day's decimal revenue
+      // is exploded to the 7 days it contributes to and re-aggregated —
+      // decimal addition is associative, so re-merging is exact.
+      val dec = DecimalType(18, 2)
+      val daily = t(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("rev"))
+      val contrib = daily
+        .select(col("rev"), col("day"), explode(sequence(lit(0), lit(6))).as("k"))
+        .select(expr("timestampadd(DAY, k, day)").as("day"), col("rev"))
+        .groupBy(col("day")).agg(sum(col("rev")).cast("double").as("rev_7d"))
+      contrib.join(daily.select(col("day")), "day")
+        .select(col("day"), col("rev_7d"))
+    },
+
     // ---- skew handling (salted forms; results identical to the
     // unsalted plans, which the oracles verify) ----
     "salted_agg_events" -> ((s, dir) =>
@@ -691,5 +755,9 @@ object SparkEntry {
     "csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "multimodal_frames" -> Oracles.multimodalFrames,
+    "tfidf_top_terms" -> Oracles.tfidfTopTerms,
+    "profile_orders" -> Oracles.profileOrders,
+    "deterministic_sample" -> Oracles.deterministicSample,
+    "trailing_7d_revenue" -> Oracles.trailing7dRevenue,
   )
 }

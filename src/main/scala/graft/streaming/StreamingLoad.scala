@@ -129,6 +129,24 @@ object StreamingLoad {
       }
   }
 
+  /** Watermarked stream-stream interval join: right-side rows within
+    * `[lts, lts + maxDelaySec]` of a left row with the same key — the
+    * streaming twin of the batch interval join
+    * (`interval_join_click_purchase`). The watermarks + time-range
+    * constraint bound the join state Spark must retain (without them a
+    * stream-stream inner join would buffer both streams forever). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      lts: String, rts: String, maxDelaySec: Long,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(lts, watermark)
+    val r = right.withWatermark(rts, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rts) >= l(lts) &&
+        r(rts) <= l(lts) + expr(s"INTERVAL $maxDelaySec SECONDS"))
+      .drop(r(key))
+  }
+
   /** Continuous (non-AvailableNow) variant for long-running ingest: same
     * upsert semantics on a processing-time cadence. */
   def fileStreamUpsertContinuous(

@@ -135,6 +135,67 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       s"streamed sessions not in batch ground truth: ${streamed -- batchAll}")
   }
 
+  test("stream-stream interval join matches the batch join on replay") {
+    val sf = "/root/testdata/sf0.001"
+    val events = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts")),
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts")))
+
+    // Batch ground truth with the identical raw-timestamp condition.
+    val (bc, bp) = sides(events)
+    val batch = bc.join(bp,
+        bc("user_id") === bp("user_id") &&
+          bp("purchase_ts") >= bc("click_ts") &&
+          bp("purchase_ts") <= bc("click_ts") + expr("INTERVAL 600 SECONDS"))
+      .select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // Streaming replay from one json dump, two filtered stream sides.
+    val root = Files.createTempDirectory("graft_ssj").toString
+    events.select(col("event_id"), col("ts").cast("long").as("ts_s"),
+        col("user_id"), col("event_type"))
+      .coalesce(1).write.json(s"$root/src")
+    val eschema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_s", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val stream = spark.readStream.schema(eschema).json(s"$root/src")
+      .select(col("event_id"), timestamp_seconds(col("ts_s")).as("ts"),
+        col("user_id"), col("event_type"))
+    val (sc, sp) = sides(stream)
+    val joined = StreamingLoad.intervalJoinStream(
+      sc, sp, "user_id", "click_ts", "purchase_ts", 600L, "1 hour")
+    val q = joined.select(col("click_id"), col("purchase_id")).writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .format("memory").queryName("ssjoin")
+      .start()
+    q.awaitTermination()
+
+    // Second-floored replay timestamps: recompute the batch truth on the
+    // same floored data for an exact set compare.
+    val flooredEvents = events.select(col("event_id"),
+      timestamp_seconds(col("ts").cast("long")).as("ts"), col("user_id"), col("event_type"))
+    val (fc, fp) = sides(flooredEvents)
+    val batchFloored = fc.join(fp,
+        fc("user_id") === fp("user_id") &&
+          fp("purchase_ts") >= fc("click_ts") &&
+          fp("purchase_ts") <= fc("click_ts") + expr("INTERVAL 600 SECONDS"))
+      .select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val streamed = spark.table("ssjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchFloored,
+      s"only-streamed=${streamed -- batchFloored} only-batch=${batchFloored -- streamed}")
+    assert(batch.nonEmpty && streamed.nonEmpty)
+  }
+
   test("windowedCounts matches the batch tumblingAgg on the same data") {
     val sf = "/root/testdata/sf0.001"
     val events = Tables(spark, sf, "events")
