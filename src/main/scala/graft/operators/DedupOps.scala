@@ -70,20 +70,21 @@ object DedupOps {
       (a, b)
     }
 
-  /** Per-document MinHash signature as ONE array column `(id, sig[K])`:
-    * explode distinct shingles, hash once, then K affine min-aggregations
-    * in a single groupBy — exactly one shuffle for the whole signature
-    * computation, one row per document thereafter. */
+  /** Per-document MinHash signature as ONE array column `(id, sig[K])` —
+    * a PURE PROJECTION: each distinct shingle is hashed once
+    * (`hash60 % P`), then each of the K affine permutations is an
+    * `array_min(transform(...))` over that hash array. ZERO shuffles for
+    * the whole signature computation (the earlier form exploded shingles
+    * into a 32-aggregation groupBy — a full shuffle of every shingle
+    * row); the LSH bucket join becomes the pipeline's only exchange. */
   def minhashSignatureArr(df: DataFrame, id: String, text: String): DataFrame = {
-    val sh = df.select(col(id),
-        explode(array_distinct(wordBigrams(col(text)))).as("sh"))
-      .select(col(id), (hash60(col("sh")) % P).as("h"))
-    val mins = HashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i")
+    val withH = df.select(col(id),
+      transform(array_distinct(wordBigrams(col(text))),
+        s => hash60(s) % P).as("harr"))
+    val mins = HashCoeffs.map { case (a, b) =>
+      array_min(transform(col("harr"), h => (lit(a) * h + lit(b)) % P))
     }
-    sh.groupBy(col(id))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(id), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
+    withH.select(col(id), array(mins: _*).as("sig"))
   }
 
   /** Signature rows `(id, i, mh)` — row view of [[minhashSignatureArr]]. */
@@ -106,7 +107,12 @@ object DedupOps {
     * (computed by zipping the two signature arrays — no re-aggregation).
     * Self-join is on (band, bkey) — co-partitioned, no cross product. */
   def minhashCandidates(df: DataFrame, id: String, text: String): DataFrame = {
-    val sigArr = minhashSignatureArr(df, id, text)
+    // The signature projection feeds FOUR plan branches (two bucket-join
+    // sides, two est-jaccard joins). One repartition of the compact
+    // (id, sig) rows materializes it as a reusable exchange
+    // (ReusedExchange) instead of recomputing the shingling 4x, and
+    // co-partitions the id joins.
+    val sigArr = minhashSignatureArr(df, id, text).repartition(col(id))
     val bk = lshBuckets(sigArr, id)
     // Explode-derived size estimates tempt Catalyst into broadcasting the
     // bucket index — wrong at corpus scale and parallelism-capping here.
@@ -132,7 +138,7 @@ object DedupOps {
   def minhashCandidatesAgainst(
       corpusSigArr: DataFrame, newDocs: DataFrame,
       id: String, text: String): DataFrame = {
-    val newSig = minhashSignatureArr(newDocs, id, text)
+    val newSig = minhashSignatureArr(newDocs, id, text).repartition(col(id))
     val bkC = lshBuckets(corpusSigArr, id)
       .select(col(id).as("corpus_id"), col("band"), col("bkey"))
     val bkN = lshBuckets(newSig, id)

@@ -51,10 +51,16 @@ object SimilarityOps {
   def bruteForceKnn(
       probes: DataFrame, corpus: DataFrame, k: Int,
       probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(probes))
+    // Norms are per-ROW quantities: compute them once per vector before
+    // the pair join instead of twice per pair (bitwise-identical result,
+    // the factoring doesn't change any IEEE op).
+    val c = corpus.select(col(corpusId), col("vec"), norm(col("vec")).as("__nrm"))
+    val p = probes.select(col(probeId), col("probe_vec"),
+      norm(col("probe_vec")).as("__pnrm"))
+    val scored = c.crossJoin(broadcast(p))
       .filter(col(probeId) =!= col(corpusId))
       .select(col(probeId), col(corpusId),
-        cosine(col("probe_vec"), col("vec")).as("sim"))
+        (dot(col("probe_vec"), col("vec")) / (col("__pnrm") * col("__nrm"))).as("sim"))
     scored
       .withColumn("rank", rank().over(
         Window.partitionBy(col(probeId)).orderBy(col("sim").desc, col(corpusId))))
@@ -82,15 +88,18 @@ object SimilarityOps {
         .filter(col("crank") <= n)
         .drop("csim", "crank")
 
-    val bucketed = nearestBuckets(corpus, corpusId, "vec", 1)
-    val probeBuckets = nearestBuckets(probes, probeId, "probe_vec", nprobe)
+    val bucketed = nearestBuckets(
+      corpus.withColumn("__nrm", norm(col("vec"))), corpusId, "vec", 1)
+    val probeBuckets = nearestBuckets(
+      probes.withColumn("__pnrm", norm(col("probe_vec"))), probeId, "probe_vec", nprobe)
 
     // No distinct needed: each corpus row lives in exactly one bucket
     // (crank=1), so (probe, vec) pairs are already unique.
     val scored = bucketed.join(broadcast(probeBuckets), Seq("cent_id"))
       .filter(col(probeId) =!= col(corpusId))
       .select(col(probeId), col(corpusId),
-        cosine(col("probe_vec"), col("vec")).as("sim"))
+        (dot(col("probe_vec"), col("vec")) /
+          (col("__pnrm") * col("__nrm"))).as("sim"))
     scored
       .withColumn("rank", rank().over(
         Window.partitionBy(col(probeId)).orderBy(col("sim").desc, col(corpusId))))
@@ -106,11 +115,12 @@ object SimilarityOps {
   def exactNearDup(
       corpus: DataFrame, threshold: Double,
       corpusId: String = "vec_id"): DataFrame = {
-    val c = corpus.select(col(corpusId), col("vec"))
+    val c = corpus.select(col(corpusId), col("vec"), norm(col("vec")).as("__nrm"))
     c.as("x").join(broadcast(c.as("y")),
         col(s"x.$corpusId") < col(s"y.$corpusId"))
       .select(col(s"x.$corpusId").as("id_a"), col(s"y.$corpusId").as("id_b"),
-        cosine(col("x.vec"), col("y.vec")).as("sim"))
+        (dot(col("x.vec"), col("y.vec")) /
+          (col("x.__nrm") * col("y.__nrm"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
