@@ -495,6 +495,25 @@ object Oracles {
        |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
        |SELECT id_a, id_b, sim FROM s WHERE sim >= $minSim""".stripMargin
 
+  /** SCD2 merge over a freshly-versioned orders target: replaced
+    * current rows close at the effective timestamp; staged rows open
+    * there. */
+  val loadScd2Merge: String =
+    """WITH staged AS (
+      |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |  o_orderpriority, TIMESTAMP '1990-01-01' AS valid_from,
+      |  CASE WHEN o_orderkey IN (SELECT o_orderkey FROM staged)
+      |    THEN TIMESTAMP '2000-01-01' ELSE NULL END AS valid_to
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |  o_orderpriority, TIMESTAMP '2000-01-01' AS valid_from,
+      |  NULL AS valid_to
+      |FROM staged""".stripMargin
+
   /** Integer-exact tf-idf ranking: score = (tf·N)/df — one double
     * division over exact integers. */
   val tfidfTopTerms: String =

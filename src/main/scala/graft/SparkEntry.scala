@@ -499,6 +499,17 @@ object SparkEntry {
         graft.functions.TextFunctions.tokenCount(col("text")).as("ws_tokens"),
         graft.functions.TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))),
 
+    // SCD2 history-keeping upsert: replaced current rows get their
+    // validity interval closed instead of being deleted (the
+    // history-auditable variant of the reference's L3 merge).
+    "load_scd2_merge" -> { (s, dir) =>
+      val target = t(s, dir, "orders")
+        .withColumn("valid_from", lit("1990-01-01").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      LoadOps.scd2Merge(target, stagedOrders(s, dir), "o_orderkey",
+        lit("2000-01-01"))
+    },
+
     // ---- corpus scoring / profiling / sampling ----
     "tfidf_top_terms" -> { (s, dir) =>
       // Top-3 tf-idf terms per document. Score = (tf · N) / df — exact
@@ -755,6 +766,7 @@ object SparkEntry {
     "csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "multimodal_frames" -> Oracles.multimodalFrames,
+    "load_scd2_merge" -> Oracles.loadScd2Merge,
     "tfidf_top_terms" -> Oracles.tfidfTopTerms,
     "profile_orders" -> Oracles.profileOrders,
     "deterministic_sample" -> Oracles.deterministicSample,

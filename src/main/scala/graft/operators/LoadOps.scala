@@ -52,6 +52,36 @@ object LoadOps {
     target.join(keys, keyFields, "left_anti").unionByName(staged)
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) merge: the history-keeping
+    * upsert. Where [[merge]] deletes replaced rows (the reference's L3
+    * semantics), this closes their validity interval instead:
+    *
+    *   - target rows are versioned by `valid_from` / `valid_to`
+    *     (null `valid_to` = current);
+    *   - current rows whose key appears in the staged batch get
+    *     `valid_to = effective`;
+    *   - every staged row lands as the new current version
+    *     (`valid_from = effective`, `valid_to = null`);
+    *   - history rows and untouched current rows pass through.
+    *
+    * `effective` is an explicit parameter (not wall-clock) so loads are
+    * deterministic and replayable. Same scale shape as [[merge]]: the
+    * big target is only semi/anti-joined against the distinct staged
+    * key set (broadcast at typical load ratios). */
+  def scd2Merge(target: DataFrame, staged: DataFrame, idField: String,
+      effective: Column): DataFrame = {
+    val keys = staged.select(col(idField)).distinct()
+    val current = target.filter(col("valid_to").isNull)
+    val history = target.filter(col("valid_to").isNotNull)
+    val closed = current.join(keys, Seq(idField), "left_semi")
+      .withColumn("valid_to", effective.cast("timestamp"))
+    val untouched = current.join(keys, Seq(idField), "left_anti")
+    val incoming = staged
+      .withColumn("valid_from", effective.cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    history.unionByName(untouched).unionByName(closed).unionByName(incoming)
+  }
+
   /** MAXERROR-style bounded-error ingest (reference RedshiftLoader.ts:362,
     * default 0 — utils.ts:107): given a PERMISSIVE-parsed frame with a
     * corrupt-record column, fail if the corrupt count exceeds `maxError`,

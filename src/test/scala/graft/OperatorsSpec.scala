@@ -90,6 +90,54 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(rn == rnw)
   }
 
+  test("sketches: bloom filter and count-min over event users") {
+    val events = Tables(spark, sf, "events")
+    // Bloom: every present key must hit; absent keys mostly miss.
+    val bloom = events.stat.bloomFilter("user_id", 1000, 0.03)
+    val present = events.select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    assert(present.forall(bloom.mightContain))
+    val absentHits = (100000L to 101000L).count(bloom.mightContain)
+    assert(absentHits < 100, s"bloom fp rate way off: $absentHits/1000")
+
+    // Count-min: point estimates are always >= the true counts, and
+    // close for hot keys.
+    val cms = events.stat.countMinSketch("event_type",
+      eps = 0.001, confidence = 0.99, seed = 42)
+    val truth = events.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) =>
+      val est = cms.estimateCount(k)
+      assert(est >= n && est <= n + (events.count() * 0.01).toLong,
+        s"count-min estimate for $k: $est vs true $n")
+    }
+  }
+
+  test("scd2Merge keeps full history across generations") {
+    import spark.implicits._
+    import graft.operators.LoadOps
+    val t0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .withColumn("valid_from", lit("2020-01-01").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    // Gen 1: id=1 updated.
+    val g1 = LoadOps.scd2Merge(t0, Seq((1L, "a2")).toDF("id", "v"), "id",
+      lit("2021-01-01"))
+    // Gen 2: id=1 updated again, id=3 appears.
+    val g2 = LoadOps.scd2Merge(g1, Seq((1L, "a3"), (3L, "c")).toDF("id", "v"),
+      "id", lit("2022-01-01"))
+    val rows = g2.orderBy("id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getTimestamp(3)).map(_.toString.take(4)).orNull)).toSeq
+    assert(rows == Seq(
+      (1L, "a", "2021"), (1L, "a2", "2022"), (1L, "a3", null),
+      (2L, "b", null),
+      (3L, "c", null)))
+    // Exactly one current version per key.
+    val current = g2.filter(col("valid_to").isNull).groupBy(col("id"))
+      .count().collect().map(_.getLong(1))
+    assert(current.forall(_ == 1L))
+  }
+
   test("incremental minhash: new near-dup batch found against persisted signatures") {
     val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 40)
       .select(col("doc_id"), col("text"))
