@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Streaming specs use wall-clock triggers; suites sharing the forked
+// JVM's SparkContext in parallel starve them intermittently. Serial
+// suite execution trades ~1 min of wall time for determinism.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
