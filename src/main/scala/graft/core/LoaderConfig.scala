@@ -73,6 +73,11 @@ final case class LoaderConfig(
     removeTempTable: Boolean = true,       // utils.ts:102
     awaitCleanup: Boolean = true,          // utils.ts:103 awaitS3Cleanup
     filePrefix: String = "graft/unnamed",  // utils.ts:104 (ours, same role)
+    // The reference also accepts filePrefix as a FUNCTION of the loader
+    // (types.ts:55, resolved at RedshiftLoader.ts:128-134); here it is a
+    // function of the config, resolved once per job via
+    // [[resolvedFilePrefix]].
+    filePrefixFn: Option[LoaderConfig => String] = None,
     cleanup: CleanupPolicy = CleanupPolicy.OnSuccess, // utils.ts:105
     copySettings: CopySettings = CopySettings(),      // utils.ts:106-115
     debug: Boolean = false) {
@@ -81,6 +86,10 @@ final case class LoaderConfig(
     * in the target's schema (reference RedshiftLoader.ts:68-74). */
   def resolvedLoadingTable: TableRef = loadingTable.getOrElse(table)
 
+  /** Effective file prefix: the function form wins when present
+    * (reference RedshiftLoader.ts:128-134). */
+  def resolvedFilePrefix: String = filePrefixFn.map(_(this)).getOrElse(filePrefix)
+
   def patched(p: LoaderConfig.Patch): LoaderConfig = LoaderConfig(
     table = p.table.getOrElse(table),
     loadingTable = p.loadingTable.orElse(loadingTable),
@@ -88,6 +97,7 @@ final case class LoaderConfig(
     removeTempTable = p.removeTempTable.getOrElse(removeTempTable),
     awaitCleanup = p.awaitCleanup.getOrElse(awaitCleanup),
     filePrefix = p.filePrefix.getOrElse(filePrefix),
+    filePrefixFn = p.filePrefixFn.orElse(filePrefixFn),
     cleanup = p.cleanup.getOrElse(cleanup),
     copySettings = p.copy.applyTo(copySettings), // one-level-deep merge
     debug = p.debug.getOrElse(debug))
@@ -102,6 +112,7 @@ object LoaderConfig {
       removeTempTable: Option[Boolean] = None,
       awaitCleanup: Option[Boolean] = None,
       filePrefix: Option[String] = None,
+      filePrefixFn: Option[LoaderConfig => String] = None,
       cleanup: Option[CleanupPolicy] = None,
       copy: CopyPatch = CopyPatch(),
       debug: Option[Boolean] = None)

@@ -28,7 +28,7 @@ final case class StagedUpload(index: Int, dir: String, files: Seq[String])
   */
 final class StagingWriter(root: String, cfg: LoaderConfig, jobTime: String, uuid: String) {
 
-  val jobDir = s"$root/${cfg.filePrefix}/${jobTime}_$uuid"
+  val jobDir = s"$root/${cfg.resolvedFilePrefix}/${jobTime}_$uuid"
   def manifestPath = s"$jobDir/manifest_$uuid.json"
 
   private def fs(df: DataFrame): FileSystem =

@@ -119,6 +119,18 @@ class KernelSpec extends AnyFunSuite {
     assert(cleanUp.isEmpty)
   }
 
+  test("filePrefix as a function of the config (reference types.ts:55)") {
+    val cfg = LoaderConfig(table = TableRef("pub", "tgt"),
+      filePrefixFn = Some(c => s"loads/${c.table.table}"))
+    assert(cfg.resolvedFilePrefix == "loads/tgt")
+    // String form still wins when no function is set; patch layering
+    // carries the function through.
+    val patched = LoaderConfig().patched(LoaderConfig.Patch(
+      filePrefixFn = Some(c => s"fn/${c.idField}")))
+    assert(patched.resolvedFilePrefix == "fn/id")
+    assert(LoaderConfig().resolvedFilePrefix == "graft/unnamed")
+  }
+
   test("temp table name derives from the loading table's name (L4)") {
     val cfg = LoaderConfig(
       table = TableRef("pub", "tgt"),
