@@ -116,6 +116,28 @@ object Oracles {
        |GROUP BY p.id_a, p.id_b
        |HAVING est_jaccard >= $minEst""".stripMargin
 
+  /** Keep list after near-dedup: corpus minus every id_b of a
+    * thresholded candidate pair (lowest-id representative survives). */
+  def dedupNearKeep(t0Sql: String, minEst: Double): String =
+    s"""SELECT doc_id FROM ($t0Sql) d
+       |WHERE doc_id NOT IN (SELECT id_b FROM (
+       |${minhashPairs(t0Sql, minEst)}
+       |) p)""".stripMargin
+
+  val docsWithEmbeddings: String =
+    """SELECT doc_id, lang, n_chars, label,
+      |  sqrt(list_reduce(list_transform(generate_series(1, 64), i -> vec[i] * vec[i]), (a, b) -> a + b)) AS emb_norm
+      |FROM documents
+      |JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings)
+      |  ON doc_id = vec_id""".stripMargin
+
+  val stratifiedSplitCounts: String =
+    s"""SELECT lang,
+       |  CASE WHEN ${hash60("CAST(doc_id AS VARCHAR)")} % 10 < 8
+       |    THEN 'train' ELSE 'eval' END AS split,
+       |  count(*) AS n
+       |FROM documents GROUP BY lang, split""".stripMargin
+
   def ngramJaccard(t0Sql: String, minJaccard: Double): String =
     s"""WITH t0 AS ($t0Sql),
        |${bigramsCte.replace("FROM documents", "FROM t0")},

@@ -574,6 +574,41 @@ object SparkEntry {
         .select(col("day"), col("rev_7d"))
     },
 
+    // End-to-end near-dedup: candidates → keep list (lowest-id
+    // representative survives; the corpus a training run would ingest).
+    "dedup_near_keep" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val pairs = DedupOps.minhashCandidates(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= MinhashMinEst)
+      DedupOps.keepAfterNearDedup(docs, pairs, "doc_id")
+        .select(col("doc_id"))
+    },
+
+    // Cross-table feature assembly: documents joined to their embedding
+    // row (text features + vector stats in one projection).
+    "docs_with_embeddings" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          SimilarityOps.norm(col("embedding")).as("emb_norm"))
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("label"), col("emb_norm"))
+    },
+
+    // Stratified deterministic split: hash-bucket train/eval assignment,
+    // counted per (language, split) — reproducible across engines and
+    // partitionings.
+    "stratified_split_counts" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(pmod(graft.functions.TextFunctions.hash60(
+            col("doc_id").cast("string")), lit(10)) < 8, "train")
+          .otherwise("eval"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))),
+
     // ---- skew handling (salted forms; results identical to the
     // unsalted plans, which the oracles verify) ----
     "salted_agg_events" -> ((s, dir) =>
@@ -767,6 +802,9 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "multimodal_frames" -> Oracles.multimodalFrames,
     "load_scd2_merge" -> Oracles.loadScd2Merge,
+    "dedup_near_keep" -> Oracles.dedupNearKeep(Oracles.plantedDocs, MinhashMinEst),
+    "docs_with_embeddings" -> Oracles.docsWithEmbeddings,
+    "stratified_split_counts" -> Oracles.stratifiedSplitCounts,
     "tfidf_top_terms" -> Oracles.tfidfTopTerms,
     "profile_orders" -> Oracles.profileOrders,
     "deterministic_sample" -> Oracles.deterministicSample,

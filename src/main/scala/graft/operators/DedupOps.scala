@@ -153,6 +153,20 @@ object DedupOps {
           b => b)).cast("double") / lit(K.toDouble)).as("est_jaccard"))
   }
 
+  /** The dedup output a pipeline actually consumes: the KEEP LIST.
+    * From the candidate pairs (id_a < id_b, already thresholded), drop
+    * every document that appears as the LATER member of a pair —
+    * i.e. keep the lowest-id representative of each duplicate cluster
+    * (ids being ingest order, this is keep-first). One distinct + one
+    * anti-join against the corpus; no connected-components iteration
+    * (transitive chains collapse to their minimum via the a<b ordering:
+    * any non-minimal member pairs with something smaller). */
+  def keepAfterNearDedup(docs: DataFrame, pairs: DataFrame,
+      id: String): DataFrame = {
+    val drop = pairs.select(col("id_b").as(id)).distinct()
+    docs.join(drop, Seq(id), "left_anti")
+  }
+
   // ---- exact n-gram Jaccard (the oracle-grade ground truth) ----------
 
   /** Exact pairwise Jaccard over distinct word-bigram shingles via an

@@ -90,6 +90,16 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(rn == rnw)
   }
 
+  test("merge is idempotent for key-unique staged batches") {
+    val target = Tables(spark, sf, "orders")
+    val staged = target.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderstatus", lit("Z"))
+    val once = LoadOps.merge(target, staged, "o_orderkey")
+    val twice = LoadOps.merge(once, staged, "o_orderkey")
+    assert(once.count() == twice.count())
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
   test("sketches: bloom filter and count-min over event users") {
     val events = Tables(spark, sf, "events")
     // Bloom: every present key must hit; absent keys mostly miss.
