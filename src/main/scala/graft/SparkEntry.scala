@@ -114,12 +114,13 @@ object SparkEntry {
         .filter(col("est_jaccard") >= MinhashMinEst)),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      // Inverted-index exact Jaccard (long-hashed keys, sizes carried
-      // through the join). This synthetic corpus has a ~40-word vocab, so
-      // document frequencies are huge and the AllPairs prefix filter
-      // (DedupOps.ngramJaccardPrefix, spec-proven equivalent) can't
-      // prune; on realistic large-vocab corpora prefix wins instead.
-      DedupOps.ngramJaccard(plantedDocs(s, dir), "doc_id", "text",
+      // Dense-vocab all-pairs form (codegen'd sorted-array merge walk):
+      // this synthetic corpus has a ~40-word vocab, so the inverted
+      // index degenerates (every shingle hits most docs) and one
+      // set-intersection per pair is 5x faster. DedupOps.ngramJaccard /
+      // ngramJaccardPrefix (spec-proven equivalent) are the sparse-vocab
+      // scale paths.
+      DedupOps.ngramJaccardDense(plantedDocs(s, dir), "doc_id", "text",
         NgramMinJaccard)),
 
     "dedup_simhash" -> ((s, dir) =>

@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductFloat(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
   }
 }
 
@@ -29,6 +34,17 @@ object GraftFunctions {
   def dotF(a: Column, b: Column): Column =
     GraftColumns.column(DotProductFloat(
       GraftColumns.expression(a), GraftColumns.expression(b)))
+
+  /** Codegen'd sorted-long-array intersection count
+    * (see [[SortedIntersectCount]]). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumns.column(SortedIntersectCount(
+      GraftColumns.expression(a), GraftColumns.expression(b)))
+
+  /** Optimizer barrier: identity on `c`, but filters over it won't be
+    * pushed below the projection (see [[Opaque]]). */
+  def opaque(c: Column): Column =
+    GraftColumns.column(Opaque(GraftColumns.expression(c)))
 
   /** Register graft's SQL functions on a live session (the
     * `spark.sql.extensions` path only applies at session construction). */

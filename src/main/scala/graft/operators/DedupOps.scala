@@ -203,6 +203,43 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Dense-vocab exact Jaccard: all-pairs sorted-array intersection.
+    * When shingle document-frequencies are huge (tiny vocabulary), the
+    * inverted index degenerates — Σ df² pair-rows ≈ |pairs|·|doc| — and
+    * enumerating every pair once with ONE set-intersection per pair is
+    * an order of magnitude cheaper. Each doc is one (id, sorted-hash
+    * array, n) row; one side broadcasts. Identical output to
+    * [[ngramJaccard]] (pairs with zero overlap score 0 and fall below
+    * any positive threshold). Use for bounded corpora/planted subsets
+    * or dense vocabs; the inverted/prefix forms are the sparse-vocab
+    * scale paths. */
+  def ngramJaccardDense(df: DataFrame, id: String, text: String,
+      minJaccard: Double): DataFrame = {
+    // The repartition materializes the shingle arrays as one compact
+    // exchange BOTH join inputs read (ReusedExchange) — without it the
+    // optimizer pushes the jaccard filter into the join condition and
+    // re-derives the whole shingling expression around it.
+    val sets = df.select(col(id),
+        sort_array(transform(array_distinct(wordBigrams(col(text))),
+          s => xxhash64(s))).as("set"))
+      .withColumn("n", size(col("set")).cast("long"))
+      .repartition(col(id))
+    // Opaque pins the jaccard filter ABOVE this projection: pushed into
+    // the join condition it would run the intersection twice per
+    // CANDIDATE pair (all n²/2) instead of once per joined row.
+    sets.as("a").join(broadcast(sets.as("b")),
+        col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        graft.expressions.GraftFunctions.opaque(
+          graft.expressions.GraftFunctions.sortedIntersectCount(
+            col("a.set"), col("b.set"))).as("common"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Prefix-filtered exact Jaccard (AllPairs/PPJoin family): identical
     * output to [[ngramJaccard]], far smaller candidate set.
     *

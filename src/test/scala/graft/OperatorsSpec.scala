@@ -71,6 +71,10 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(prefixed == naive,
       s"prefix filter changed results: only-naive=${naive -- prefixed} only-prefix=${prefixed -- naive}")
+    val dense = DedupOps.ngramJaccardDense(planted, "doc_id", "text", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(dense == naive,
+      s"dense form changed results: only-naive=${naive -- dense} only-dense=${dense -- naive}")
 
     // globalNtile / globalRowNumber ≡ single-partition window forms.
     val orders = Tables(spark, sf, "orders").select(col("o_orderkey"), col("o_totalprice"))
