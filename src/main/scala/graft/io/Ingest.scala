@@ -51,6 +51,19 @@ object Ingest {
     schema.fold(r)(r.schema).load(path)
   }
 
+  /** Opaque byte payloads (the reference's `Buffer` body type; SURVEY.md
+    * §1.1 "stream of bytes"): each file becomes one row of
+    * (path, modificationTime, length, content) via Spark's binaryFile
+    * source — the ingestion path for multimodal media, which then rides
+    * as a `binary` column ([[graft.operators.MultimodalOps]]).
+    * `pathGlobFilter` bounds the listing; files larger than
+    * `spark.sql.sources.binaryFile.maxLength` fail fast rather than OOM. */
+  def binaryFiles(spark: SparkSession, path: String,
+      glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   /** Rows → NDJSON lines (T1/T2: `toJSONLine` / `toNewLineJSON`,
     * utils.ts:27-39). */
   def toNdjson(df: DataFrame): Dataset[String] = {

@@ -92,13 +92,17 @@ object DedupOps {
     minhashSignatureArr(df, id, text)
       .select(col(id), posexplode(col("sig")).as(Seq("i", "mh")))
 
-  /** LSH banding over the signature array: bucket key = the band's r
-    * minhashes joined in order (pure projection + 4-way explode). */
+  /** LSH banding over the signature array: bucket key = xxhash64 of the
+    * band's r minhashes joined in order (pure projection + 4-way
+    * explode). The 64-bit key keeps the bucket self-join shuffling and
+    * comparing longs, not ~90-char strings; a cross-bucket hash
+    * collision (≈ rows²/2⁶⁵) only adds a candidate pair, which the
+    * est-jaccard filter then judges on the real signatures. */
   def lshBuckets(sigArr: DataFrame, id: String): DataFrame =
     sigArr.select(col(id), explode(array((0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        array_join(transform(slice(col("sig"), b * R + 1, R),
-          x => x.cast("string")), "_").as("bkey"))
+        xxhash64(array_join(transform(slice(col("sig"), b * R + 1, R),
+          x => x.cast("string")), "_")).as("bkey"))
     }: _*)).as("bb"))
       .select(col(id), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 

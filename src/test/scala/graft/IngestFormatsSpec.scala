@@ -47,6 +47,19 @@ class IngestFormatsSpec extends AnyFunSuite with SparkSuite {
     assert(back == Seq(1L, 2L, 3L))
   }
 
+  test("binaryFiles ingests opaque payloads with metadata") {
+    val dir = Files.createTempDirectory("graft_bin").toString
+    val payload = Array[Byte](1, 2, 3, 4, 5)
+    Files.write(java.nio.file.Paths.get(dir, "img.bin"), payload)
+    Files.write(java.nio.file.Paths.get(dir, "skip.txt"), "nope".getBytes)
+    val rows = Ingest.binaryFiles(spark, dir, Some("*.bin")).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("length") == 5L)
+    assert(r.getAs[Array[Byte]]("content").toSeq == payload.toSeq)
+    assert(r.getAs[String]("path").endsWith("img.bin"))
+  }
+
   test("Ingest.files façade reads every jarred format") {
     for (fmt <- Seq("json", "csv", "parquet", "orc")) {
       val dir = Files.createTempDirectory(s"graft_facade_$fmt").toString + "/data"
