@@ -489,6 +489,17 @@ object Oracles {
       |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
       |FROM events WHERE regexp_matches(props, '"k": [0-9]+')""".stripMargin
 
+  val nullHandling: String =
+    """SELECT o_orderkey,
+      |  nullif(o_orderstatus, 'O') AS maybe_status,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or,
+      |  CASE WHEN o_totalprice > 300000.0 THEN o_totalprice END AS big_or_null,
+      |  CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+      |    THEN 1 ELSE 0 END AS has_status,
+      |  greatest(o_custkey, o_orderkey % 1000) AS g,
+      |  least(o_custkey, o_orderkey % 1000) AS l
+      |FROM orders""".stripMargin
+
   val havingBigCustomers: String =
     """SELECT o_custkey, count(*) AS n_orders, max(o_orderdate) AS last_order
       |FROM orders GROUP BY o_custkey HAVING count(*) >= 12""".stripMargin

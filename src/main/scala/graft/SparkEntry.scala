@@ -488,6 +488,17 @@ object SparkEntry {
           regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
             .cast("long").as("k_val"))),
 
+    "null_handling" -> ((s, dir) =>
+      // Conditional/null scalar family over planted nulls (the testdata
+      // itself is null-free): nullif plants them, the rest handle them.
+      t(s, dir, "orders").select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("maybe_status"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or"),
+        when(col("o_totalprice") > 300000.0, col("o_totalprice")).as("big_or_null"),
+        nvl2(nullif(col("o_orderstatus"), lit("O")), lit(1L), lit(0L)).as("has_status"),
+        greatest(col("o_custkey"), col("o_orderkey") % 1000).as("g"),
+        least(col("o_custkey"), col("o_orderkey") % 1000).as("l"))),
+
     "having_big_customers" -> ((s, dir) =>
       // GROUP BY + HAVING: repeat customers, with their latest order ts.
       t(s, dir, "orders").groupBy(col("o_custkey"))
@@ -793,6 +804,7 @@ object SparkEntry {
     "date_functions_orders" -> Oracles.dateFunctionsOrders,
     "regexp_extract_props" -> Oracles.regexpExtractProps,
     "having_big_customers" -> Oracles.havingBigCustomers,
+    "null_handling" -> Oracles.nullHandling,
     "token_counts" -> Oracles.tokenCounts(graft.functions.TextFunctions.BpeTokenRe),
     "embedding_near_dup" -> Oracles.embeddingNearDup(EmbNearDupMin),
     "salted_agg_events" -> Oracles.saltedAggEvents,

@@ -129,6 +129,26 @@ object StreamingLoad {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose dedup key was already seen,
+    * ACROSS micro-batches — Spark keeps the seen-key set as streaming
+    * state, and the watermark bounds it (keys older than the watermark
+    * are evicted, so state size tracks the dedup horizon, not the full
+    * history — the streaming twin of [[graft.operators.DedupOps.exact]]
+    * for continuous ingest). `keyCols` is typically a content
+    * fingerprint (e.g. `TextFunctions.fingerprint`). */
+  def dedupStream(stream: DataFrame, ts: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(ts, watermark)
+      .dropDuplicates(keyCols :+ ts)
+
+  /** Variant dropping duplicates regardless of event time within the
+    * watermark horizon (`dropDuplicatesWithinWatermark`): same key seen
+    * at a different timestamp still counts as a duplicate. */
+  def dedupStreamWithinWatermark(stream: DataFrame, ts: String,
+      watermark: String, keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(ts, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Watermarked stream-stream interval join: right-side rows within
     * `[lts, lts + maxDelaySec]` of a left row with the same key — the
     * streaming twin of the batch interval join

@@ -43,6 +43,45 @@ class ExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(withNull(0).isNullAt(0))
   }
 
+  test("sorted_intersect_count matches array_intersect on random sorted sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map { _ =>
+      val a = rnd.shuffle((1L to 200L).toList).take(rnd.nextInt(100) + 1).distinct.sorted
+      val b = rnd.shuffle((1L to 200L).toList).take(rnd.nextInt(100) + 1).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+        graft.expressions.GraftFunctions.sortedIntersectCount(col("a"), col("b")).as("c1"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("c2"))
+      .filter(col("c1") =!= col("c2")).count()
+    assert(diff == 0)
+  }
+
+  test("Opaque blocks predicate pushdown into a join condition") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    val r = Seq((1L, 1L), (2L, 2L)).toDF("rid", "w")
+    def planOf(c: org.apache.spark.sql.Column): String =
+      l.join(r, col("id") === col("rid"))
+        .select(col("id"), c.as("x"))
+        .filter(col("x") > 5)
+        .queryExecution.optimizedPlan.toString
+    // Without the barrier the filter folds into the join.
+    val bare = planOf(col("v") * col("w"))
+    assert(!bare.contains("Filter ("), bare)
+    // With Opaque, a Filter node survives above the projection.
+    val walled = planOf(graft.expressions.GraftFunctions.opaque(col("v") * col("w")))
+    assert(walled.contains("Filter"), walled)
+    // And the result is unchanged.
+    val out = l.join(r, col("id") === col("rid"))
+      .select(col("id"),
+        graft.expressions.GraftFunctions.opaque(col("v") * col("w")).as("x"))
+      .filter(col("x") > 5).collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (2L, 40L)))
+  }
+
   test("graft_dot is usable from SQL after registration") {
     graft.expressions.GraftFunctions.register(spark)
     val out = spark.sql(

@@ -135,6 +135,35 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       s"streamed sessions not in batch ground truth: ${streamed -- batchAll}")
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    val root = Files.createTempDirectory("graft_sdedup").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    // Batch 1: keys a,b. Batch 2 (later file): b again (same ts), c.
+    writeFile(src, "p0.json",
+      """{"k":"a","ts_ms":1000000}
+        |{"k":"b","ts_ms":2000000}""".stripMargin)
+    writeFile(src, "p1.json",
+      """{"k":"b","ts_ms":2000000}
+        |{"k":"c","ts_ms":3000000}""".stripMargin)
+    Paths.get(src, "p0.json").toFile.setLastModified(1000000000000L)
+    Paths.get(src, "p1.json").toFile.setLastModified(1000000060000L)
+    val eschema = StructType(Seq(
+      StructField("k", StringType), StructField("ts_ms", LongType)))
+    val stream = spark.readStream.schema(eschema)
+      .option("maxFilesPerTrigger", 1).json(src)
+      .select(col("k"), timestamp_millis(col("ts_ms")).as("ts"))
+    val out = StreamingLoad.dedupStream(stream, "ts", "1 hour", Seq("k"))
+    val q = out.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .format("memory").queryName("sdedup")
+      .start()
+    q.awaitTermination()
+    val keys = spark.table("sdedup").collect().map(_.getString(0)).sorted.toSeq
+    assert(keys == Seq("a", "b", "c"), s"got $keys")
+  }
+
   test("stream-stream interval join matches the batch join on replay") {
     val sf = "/root/testdata/sf0.001"
     val events = Tables(spark, sf, "events")
