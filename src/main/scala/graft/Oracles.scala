@@ -464,6 +464,13 @@ object Oracles {
       |  sqrt((sum_v2 - ((sum_v * sum_v) / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)) AS std_v
       |FROM a""".stripMargin
 
+  /** SQL twin of the typed mapGroups digest. */
+  val userDigestTyped: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  min(ts) AS first_ts, max(ts) AS last_ts,
+      |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen
+      |FROM events GROUP BY user_id""".stripMargin
+
   val minmaxByEvents: String =
     """SELECT event_type,
       |  arg_max(user_id, event_id) AS last_user,

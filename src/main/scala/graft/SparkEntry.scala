@@ -462,6 +462,9 @@ object SparkEntry {
             (nD - lit(1.0))).as("std_v"))
     },
 
+    "user_digest_typed" -> ((s, dir) =>
+      AnalyticOps.userDigestTyped(t(s, dir, "events"))),
+
     "minmax_by_events" -> ((s, dir) =>
       // Ordered-argument aggregates; the ordering key (event_id) is
       // unique, so results are deterministic across partitionings.
@@ -801,6 +804,7 @@ object SparkEntry {
     "percentiles_by_type" -> Oracles.percentilesByType,
     "stats_moments_by_type" -> Oracles.statsMomentsByType,
     "minmax_by_events" -> Oracles.minmaxByEvents,
+    "user_digest_typed" -> Oracles.userDigestTyped,
     "date_functions_orders" -> Oracles.dateFunctionsOrders,
     "regexp_extract_props" -> Oracles.regexpExtractProps,
     "having_big_customers" -> Oracles.havingBigCustomers,

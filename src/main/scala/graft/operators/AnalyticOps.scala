@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   * formulation — one shuffle on the join key, NO range join: at 100 TB a
   * range join's O(|L|·|R|) bucket pairs is the bottleneck, the union form
   * is linear. */
+/** Typed row for [[AnalyticOps.userDigestTyped]] (top-level so the
+  * case-class Encoder derives). */
+case class UserEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+
 object AnalyticOps {
 
   /** Tumbling event-time window aggregation (streaming-compatible:
@@ -83,6 +87,34 @@ object AnalyticOps {
     * every grouping set). */
   def rollupAgg(df: DataFrame, g1: String, g2: String, measures: Seq[Column]): DataFrame =
     df.rollup(col(g1), col(g2)).agg(measures.head, measures.tail: _*)
+
+  /** Per-user digest via the TYPED API (`Dataset[Event]` +
+    * `groupByKey.mapGroups`) — the template for per-entity logic that
+    * doesn't decompose into SQL aggregates (custom session scoring,
+    * sequence features). Note the scale trade: `mapGroups` has no
+    * partial aggregation — every row shuffles to its key's reducer —
+    * so prefer SQL aggregates when they can express the logic; this
+    * digest is deliberately also SQL-expressible so the oracle can
+    * verify the typed path end-to-end. */
+  def userDigestTyped(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("event_type"), col("ts")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroups { (user, it) =>
+        var n = 0L
+        var minTs: java.sql.Timestamp = null
+        var maxTs: java.sql.Timestamp = null
+        val types = scala.collection.mutable.SortedSet.empty[String]
+        it.foreach { e =>
+          n += 1
+          if (minTs == null || e.ts.before(minTs)) minTs = e.ts
+          if (maxTs == null || e.ts.after(maxTs)) maxTs = e.ts
+          types += e.event_type
+        }
+        (user, n, minTs, maxTs, types.mkString(","))
+      }
+      .toDF("user_id", "n_events", "first_ts", "last_ts", "types_seen")
+  }
 
   /** Global row numbering WITHOUT a single-partition window (the
     * `Window.orderBy(...)` trap: Spark moves every row to one partition —
