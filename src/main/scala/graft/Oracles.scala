@@ -496,6 +496,43 @@ object Oracles {
       |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
       |FROM events WHERE regexp_matches(props, '"k": [0-9]+')""".stripMargin
 
+  val stringFunctions: String =
+    """SELECT event_id,
+      |  lpad(event_type, 10, '.') AS padded_l,
+      |  rpad(event_type, 10, '.') AS padded_r,
+      |  replace(event_type, 'e', '3') AS leeted,
+      |  reverse(event_type) AS rev,
+      |  substr(event_type, 2, 3) AS mid,
+      |  repeat(event_type, 2) AS doubled,
+      |  instr(event_type, 'c') AS c_pos,
+      |  concat_ws('|', event_type, CAST(user_id AS VARCHAR)) AS joined,
+      |  ltrim(rtrim(event_type)) AS trimmed,
+      |  split_part(props, '{', -1) AS after_brace
+      |FROM events""".stripMargin
+
+  /** Array family over whitespace tokens; DuckDB list_position returns
+    * NULL where Spark array_position returns 0 — coalesced. */
+  val arrayFunctions: String =
+    s"""WITH t AS (SELECT doc_id, ${toks("text")} AS tk FROM documents)
+       |SELECT doc_id,
+       |  len(tk) AS n,
+       |  array_to_string(tk[1:3], ' ') AS first3,
+       |  list_contains(tk, 'the') AS has_the,
+       |  coalesce(list_position(tk, 'the'), 0) AS pos_the,
+       |  len(list_distinct(tk)) AS n_distinct,
+       |  tk[-1] AS last_tok
+       |FROM t""".stripMargin
+
+  val bitwiseFunctions: String =
+    """SELECT event_id,
+      |  event_id & 255 AS lo_byte,
+      |  event_id | 4096 AS with_flag,
+      |  xor(event_id, user_id) AS xored,
+      |  event_id << 3 AS shl3,
+      |  event_id >> 2 AS shr2,
+      |  bit_count(event_id) AS popcount
+      |FROM events""".stripMargin
+
   val nullHandling: String =
     """SELECT o_orderkey,
       |  nullif(o_orderstatus, 'O') AS maybe_status,

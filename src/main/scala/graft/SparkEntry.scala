@@ -491,6 +491,41 @@ object SparkEntry {
           regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
             .cast("long").as("k_val"))),
 
+    "string_functions" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        lpad(col("event_type"), 10, ".").as("padded_l"),
+        rpad(col("event_type"), 10, ".").as("padded_r"),
+        regexp_replace(col("event_type"), "e", "3").as("leeted"),
+        reverse(col("event_type")).as("rev"),
+        substring(col("event_type"), 2, 3).as("mid"),
+        repeat(col("event_type"), 2).as("doubled"),
+        instr(col("event_type"), "c").as("c_pos"),
+        concat_ws("|", col("event_type"), col("user_id").cast("string")).as("joined"),
+        ltrim(rtrim(col("event_type"))).as("trimmed"),
+        element_at(split(col("props"), "\\{"), -1).as("after_brace"))),
+
+    "array_functions" -> { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).as("n"),
+          array_join(slice(col("tk"), 1, 3), " ").as("first3"),
+          array_contains(col("tk"), "the").as("has_the"),
+          array_position(col("tk"), "the").as("pos_the"),
+          size(array_distinct(col("tk"))).as("n_distinct"),
+          element_at(col("tk"), -1).as("last_tok"))
+    },
+
+    "bitwise_functions" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        col("event_id").bitwiseAND(255L).as("lo_byte"),
+        col("event_id").bitwiseOR(lit(4096L)).as("with_flag"),
+        col("event_id").bitwiseXOR(col("user_id")).as("xored"),
+        shiftleft(col("event_id"), 3).as("shl3"),
+        shiftright(col("event_id"), 2).as("shr2"),
+        bit_count(col("event_id")).as("popcount"))),
+
     "null_handling" -> ((s, dir) =>
       // Conditional/null scalar family over planted nulls (the testdata
       // itself is null-free): nullif plants them, the rest handle them.
@@ -809,6 +844,9 @@ object SparkEntry {
     "regexp_extract_props" -> Oracles.regexpExtractProps,
     "having_big_customers" -> Oracles.havingBigCustomers,
     "null_handling" -> Oracles.nullHandling,
+    "string_functions" -> Oracles.stringFunctions,
+    "array_functions" -> Oracles.arrayFunctions,
+    "bitwise_functions" -> Oracles.bitwiseFunctions,
     "token_counts" -> Oracles.tokenCounts(graft.functions.TextFunctions.BpeTokenRe),
     "embedding_near_dup" -> Oracles.embeddingNearDup(EmbNearDupMin),
     "salted_agg_events" -> Oracles.saltedAggEvents,

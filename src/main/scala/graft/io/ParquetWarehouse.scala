@@ -70,7 +70,13 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
       throw new IllegalArgumentException(s"no such table: ${t.qualified}"))}")
 
   /** Write a brand-new version dir (honoring the table's partition
-    * layout) and swap the pointer to it. */
+    * layout) and swap the pointer to it.
+    *
+    * Retention: the immediately-replaced version is KEPT (deleted only
+    * by the commit after next) so readers that resolved the pointer just
+    * before the swap can still finish against the old file set — the
+    * same reader-grace idea snapshot formats use. Disk cost is bounded
+    * at one extra generation per table. */
   private def commitNewVersion(t: TableRef, df: DataFrame): Unit = {
     val v = s"v_${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
     val w = df.write.mode("errorifexists")
@@ -79,7 +85,12 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
       .parquet(s"${tableDir(t)}/$v")
     val old = currentVersion(t)
     setVersion(t, v)
-    old.foreach(o => fs.delete(new Path(s"${tableDir(t)}/$o"), true))
+    // Delete the grandparent generation and older: every version dir
+    // that is neither the new current nor the one just replaced.
+    fs.listStatus(new Path(tableDir(t)))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith("v_") && n != v && !old.contains(n))
+      .foreach(o => fs.delete(new Path(s"${tableDir(t)}/$o"), true))
   }
 
   def create(t: TableRef, df: DataFrame, partitionBy: Seq[String] = Seq.empty): Unit = {

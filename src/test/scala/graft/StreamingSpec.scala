@@ -58,9 +58,14 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       // Wait for the first batch, then land a second file mid-stream.
       // Budgets are per-phase and generous: under a fully parallel suite
       // run the 200ms trigger can fall far behind wall-clock.
+      // A poll can still straddle two commits (reader grace covers one
+      // generation), so tolerate transient read failures while polling.
+      def countNow(): Long =
+        try { if (wh.exists(tbl)) wh.table(tbl).count() else 0L }
+        catch { case _: Exception => -1L }
       def waitFor(n: Long): Unit = {
         var waited = 0
-        while ((!wh.exists(tbl) || wh.table(tbl).count() < n) && waited < 90000) {
+        while (countNow() < n && waited < 90000) {
           Thread.sleep(200); waited += 200
         }
       }
