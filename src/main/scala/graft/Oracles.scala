@@ -411,6 +411,21 @@ object Oracles {
       |  GROUP BY o_orderkey, o_orderdate, o_orderpriority
       |) WHERE rank <= 10""".stripMargin
 
+  val leftJoinCounts: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey""".stripMargin
+
+  val fullOuterFlags: String =
+    """WITH u AS (SELECT DISTINCT o_custkey AS uk FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |h AS (SELECT DISTINCT o_custkey AS hk FROM orders
+      |  WHERE o_orderpriority = '2-HIGH')
+      |SELECT coalesce(uk, hk) AS custkey,
+      |  uk IS NOT NULL AS has_urgent,
+      |  hk IS NOT NULL AS has_high
+      |FROM u FULL OUTER JOIN h ON uk = hk""".stripMargin
+
   val semiAntiOrders: String =
     """SELECT c_custkey, 'has_urgent' AS tag FROM customer
       |WHERE EXISTS (SELECT 1 FROM orders

@@ -397,6 +397,28 @@ object SparkEntry {
 
     // ---- joins: explicit semi / anti forms (the upsert's building
     // blocks as first-class relational operators) ----
+    "left_join_counts" -> ((s, dir) =>
+      // LEFT OUTER join preserved-side semantics: customers with zero
+      // orders keep their row (count of the null-extended side = 0).
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))),
+
+    "full_outer_flags" -> { (s, dir) =>
+      // FULL OUTER join: presence flags on both sides survive.
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("uk")).distinct()
+      val high = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_custkey").as("hk")).distinct()
+      urgent.join(high, col("uk") === col("hk"), "full_outer")
+        .select(coalesce(col("uk"), col("hk")).as("custkey"),
+          col("uk").isNotNull.as("has_urgent"),
+          col("hk").isNotNull.as("has_high"))
+    },
+
     "semi_anti_orders" -> { (s, dir) =>
       val cust = t(s, dir, "customer").select(col("c_custkey"))
       val urgent = t(s, dir, "orders")
@@ -834,6 +856,8 @@ object SparkEntry {
     "q3_shipping_priority" -> Oracles.q3ShippingPriority,
     "q5_nation_revenue" -> Oracles.q5NationRevenue,
     "semi_anti_orders" -> Oracles.semiAntiOrders,
+    "left_join_counts" -> Oracles.leftJoinCounts,
+    "full_outer_flags" -> Oracles.fullOuterFlags,
     "window_running_user" -> Oracles.windowRunningUser,
     "grouping_sets_events" -> Oracles.groupingSetsEvents,
     "percentiles_by_type" -> Oracles.percentilesByType,

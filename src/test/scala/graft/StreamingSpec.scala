@@ -230,6 +230,30 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.nonEmpty && streamed.nonEmpty)
   }
 
+  test("rate source ingests with bounded per-second row production (S3 backpressure parity)") {
+    // The reference pauses its generator when the downstream buffer is
+    // full (utils.ts:53-55); Spark's pull model bounds production at the
+    // source — rowsPerSecond here, maxFilesPerTrigger/maxOffsetsPerTrigger
+    // for file/offset sources.
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", 50).load()
+    val q = stream.writeStream
+      .format("memory").queryName("ratesrc")
+      .outputMode("append")
+      .start()
+    try {
+      var waited = 0
+      while (spark.table("ratesrc").isEmpty && waited < 30000) {
+        Thread.sleep(200); waited += 200
+      }
+    } finally q.stop()
+    val rows = spark.table("ratesrc")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // values are the dense sequence 0..n-1 (no loss, no duplication).
+    assert(rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq)
+  }
+
   test("windowedCounts matches the batch tumblingAgg on the same data") {
     val sf = "/root/testdata/sf0.001"
     val events = Tables(spark, sf, "events")
