@@ -89,6 +89,8 @@ object SparkEntry {
           sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
             ).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order").cast("double"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order").cast("double"))
     },
 
     // ---- text analysis (north-star extensions; pure projections) ----
@@ -815,13 +817,18 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "q1_agg" ->
-      s"""SELECT l_returnflag, l_linestatus,
+      s"""WITH a AS (SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
          |  COUNT(*) AS count_order
          |FROM lineitem
-         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+         |GROUP BY l_returnflag, l_linestatus)
+         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+         |  sum_disc_price, count_order,
+         |  sum_qty / CAST(count_order AS DOUBLE) AS avg_qty,
+         |  sum_base_price / CAST(count_order AS DOUBLE) AS avg_price
+         |FROM a""".stripMargin,
 
     "text_stats" -> Oracles.textStats,
     "lang_id" -> Oracles.langId,
