@@ -258,7 +258,8 @@ object DedupOps {
   def ngramJaccardPrefix(df: DataFrame, id: String, text: String,
       minJaccard: Double): DataFrame = {
     val sh = df.select(col(id),
-      explode(array_distinct(wordBigrams(col(text)))).as("sh"))
+        explode(array_distinct(wordBigrams(col(text)))).as("shs"))
+      .select(col(id), xxhash64(col("shs")).as("sh"))
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val pref = sh.join(freq, "sh")
@@ -272,12 +273,17 @@ object DedupOps {
         col("a.sh") === col("b.sh") && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .distinct()
+    // Verify stage: same codegen'd sorted merge walk + pushdown barrier
+    // as [[ngramJaccardDense]] — one intersection per CANDIDATE, not per
+    // index row.
     val sets = sh.groupBy(col(id))
       .agg(sort_array(collect_list(col("sh"))).as("set"), count(lit(1)).as("n"))
     cand
       .join(sets.select(col(id).as("id_a"), col("set").as("set_a"), col("n").as("n_a")), "id_a")
       .join(sets.select(col(id).as("id_b"), col("set").as("set_b"), col("n").as("n_b")), "id_b")
-      .withColumn("common", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("common", graft.expressions.GraftFunctions.opaque(
+        graft.expressions.GraftFunctions.sortedIntersectCount(
+          col("set_a"), col("set_b"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
