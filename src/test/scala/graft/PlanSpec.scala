@@ -28,6 +28,27 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("WindowGroupLimit"), p.take(600))
   }
 
+  test("dense jaccard: intersection stays out of the join condition") {
+    // The Opaque barrier must keep graft_sorted_intersect_count in the
+    // post-join projection — pushed into the BNLJ condition it runs
+    // (twice) per CANDIDATE pair instead of once per joined row.
+    val p = plan("dedup_ngram_jaccard")
+    val joinLine = p.linesIterator.find(_.contains("BroadcastNestedLoopJoin"))
+    assert(joinLine.isDefined, p.take(600))
+    assert(!joinLine.get.contains("graft_sorted_intersect_count"),
+      s"intersection pushed into the join condition: ${joinLine.get.take(300)}")
+    assert(p.contains("graft_sorted_intersect_count"), p.take(600))
+  }
+
+  test("LSH bucket self-join shuffles (no index broadcast)") {
+    val p = plan("dedup_minhash_lsh")
+    val bucketJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("bkey")).toSeq
+    assert(bucketJoins.nonEmpty, p.take(600))
+    assert(bucketJoins.forall(_.contains("SortMergeJoin")),
+      s"bucket join must not broadcast the index:\n${bucketJoins.mkString("\n")}")
+  }
+
   test("dedup_exact plans a partial (map-side) min_by aggregation") {
     // The arg-min agg form: partial_min_by BEFORE the exchange, so the
     // shuffle carries one row per (partition, key) — not every row, as
