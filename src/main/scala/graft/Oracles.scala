@@ -479,6 +479,20 @@ object Oracles {
       |  sqrt((sum_v2 - ((sum_v * sum_v) / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)) AS std_v
       |FROM a""".stripMargin
 
+  val userEventSequences: String =
+    """SELECT user_id,
+      |  string_agg(event_type, '->' ORDER BY ts, event_id) AS sequence,
+      |  count(*) AS n_events
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Word-bigram counts over the NON-normalized text (wordBigrams
+    * normalizes internally — lower + whitespace collapse). */
+  val bigramCounts: String =
+    s"""WITH $bigramsCte,
+       |b AS (SELECT doc_id, unnest(sh) AS bigram FROM bg)
+       |SELECT bigram, count(DISTINCT doc_id) AS df, count(*) AS tf
+       |FROM b GROUP BY bigram HAVING count(DISTINCT doc_id) >= 5""".stripMargin
+
   /** SQL twin of the typed mapGroups digest. */
   val userDigestTyped: String =
     """SELECT user_id, count(*) AS n_events,

@@ -489,6 +489,28 @@ object SparkEntry {
     "user_digest_typed" -> ((s, dir) =>
       AnalyticOps.userDigestTyped(t(s, dir, "events"))),
 
+    "user_event_sequences" -> ((s, dir) =>
+      // Ordered per-user behavior sequence (sequence-mining primitive):
+      // collect_list is partition-order dependent, so order inside the
+      // aggregate via array_sort over (ts, event_id, type) structs.
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), "->").as("sequence"),
+          count(lit(1)).as("n_events"))),
+
+    "bigram_counts" -> ((s, dir) =>
+      // Corpus n-gram table (language-model counts): word bigrams with
+      // document and total frequencies, pruned to df >= 5.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.wordBigrams(col("text"))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .filter(col("df") >= 5)),
+
     "minmax_by_events" -> ((s, dir) =>
       // Ordered-argument aggregates; the ordering key (event_id) is
       // unique, so results are deterministic across partitionings.
@@ -871,6 +893,8 @@ object SparkEntry {
     "stats_moments_by_type" -> Oracles.statsMomentsByType,
     "minmax_by_events" -> Oracles.minmaxByEvents,
     "user_digest_typed" -> Oracles.userDigestTyped,
+    "user_event_sequences" -> Oracles.userEventSequences,
+    "bigram_counts" -> Oracles.bigramCounts,
     "date_functions_orders" -> Oracles.dateFunctionsOrders,
     "regexp_extract_props" -> Oracles.regexpExtractProps,
     "having_big_customers" -> Oracles.havingBigCustomers,

@@ -94,6 +94,49 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(rn == rnw)
   }
 
+  test("globalNtile partitions exactly with bucket sizes differing by at most one") {
+    val orders = Tables(spark, sf, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val total = orders.count()
+    for (n <- Seq(3, 5, 8)) {
+      val counts = AnalyticOps.globalNtile(orders, n,
+          Seq(col("o_totalprice"), col("o_orderkey")), "b")
+        .groupBy("b").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(counts.keySet == (1 to n).toSet, s"n=$n got ${counts.keySet}")
+      assert(counts.values.sum == total)
+      assert(counts.values.max - counts.values.min <= 1, s"n=$n sizes=$counts")
+      // Buckets respect the sort order: max(value) of bucket i <= min of i+1.
+      val bounds = AnalyticOps.globalNtile(orders, n,
+          Seq(col("o_totalprice"), col("o_orderkey")), "b")
+        .groupBy("b").agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      bounds.sliding(2).foreach {
+        case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+        case _ =>
+      }
+    }
+  }
+
+  test("wordBigrams: n-1 shingles, degenerate singleton, adjacency (generated cases)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val cases = (1 to 60).map { i =>
+      val n = rnd.nextInt(8) + 1
+      (i.toLong, (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val out = cases.toDF("id", "text")
+      .select(col("id"), graft.functions.TextFunctions.wordBigrams(col("text")).as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    cases.foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val expected =
+        if (toks.size <= 1) toks
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      assert(out(id) == expected, s"id=$id text='$text'")
+    }
+  }
+
   test("merge is idempotent for key-unique staged batches") {
     val target = Tables(spark, sf, "orders")
     val staged = target.filter(col("o_orderkey") % 11 === 0)
