@@ -236,6 +236,59 @@ object Oracles {
        |SELECT lid AS event_id, user_id, ts, asof_rid AS asof_event_id
        |FROM w WHERE side = 1""".stripMargin
 
+  /** Forward as-of: first click at ts ≥ the purchase's, per user
+    * (AnalyticOps.asofJoinForward — left rows sort first on ties). */
+  val asofForwardNextClick: String =
+    """WITH u AS (
+      |  SELECT user_id, ts, 0 AS side, event_id AS lid, NULL::BIGINT AS rid
+      |    FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS lid, event_id AS rid
+      |    FROM events WHERE event_type = 'click'),
+      |w AS (SELECT user_id, ts, side, lid,
+      |  first_value(rid IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, side, rid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS asof_rid
+      |  FROM u)
+      |SELECT lid AS event_id, user_id, ts, asof_rid AS asof_event_id
+      |FROM w WHERE side = 0""".stripMargin
+
+  /** Tolerance-bounded backward as-of: the matched click must be within
+    * 3600 floored seconds before the purchase, else NULL. */
+  val asofToleranceClick: String =
+    """WITH u AS (
+      |  SELECT user_id, ts, 1 AS side, event_id AS lid, NULL::BIGINT AS rid
+      |    FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0 AS side, NULL::BIGINT AS lid, event_id AS rid
+      |    FROM events WHERE event_type = 'click'),
+      |w AS (SELECT user_id, ts, side, lid,
+      |  last_value(rid IGNORE NULLS) OVER wp AS asof_rid,
+      |  last_value(CASE WHEN rid IS NOT NULL THEN ts END IGNORE NULLS) OVER wp AS asof_ts
+      |  FROM u
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, side, rid
+      |    ROWS UNBOUNDED PRECEDING))
+      |SELECT lid AS event_id, user_id, ts,
+      |  CASE WHEN date_diff('second', asof_ts, ts) <= 3600 THEN asof_rid END AS asof_event_id
+      |FROM w WHERE side = 1""".stripMargin
+
+  /** Point-in-time SCD2 lookup at 1995-06-01 over the merged target. */
+  val scd2AsofLookup: String =
+    """WITH staged AS (
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0),
+      |merged AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    TIMESTAMP '1990-01-01' AS valid_from,
+      |    CASE WHEN o_orderkey IN (SELECT o_orderkey FROM staged)
+      |      THEN TIMESTAMP '2000-01-01' ELSE NULL END AS valid_to
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U' AS o_orderstatus,
+      |    TIMESTAMP '2000-01-01' AS valid_from, NULL AS valid_to
+      |  FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT o_orderkey, o_orderstatus, valid_from FROM merged
+      |WHERE valid_from <= TIMESTAMP '1995-06-01'
+      |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1995-06-01')""".stripMargin
+
   /** Sliding 1h windows every 30min: each event is in exactly 2 buckets.
     * Integer µs arithmetic (make_timestamp keeps it a naive TIMESTAMP,
     * matching Spark's epoch-aligned window origin). */

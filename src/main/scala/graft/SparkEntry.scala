@@ -188,6 +188,35 @@ object SparkEntry {
         "user_id", "ts", "ts", "event_id", "event_id")
     },
 
+    "asof_forward_next_click" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      AnalyticOps.asofJoinForward(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "ts", "event_id", "event_id")
+    },
+
+    "asof_tolerance_click" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      AnalyticOps.asofJoinTolerance(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "ts", "event_id", "event_id", toleranceSec = 3600L)
+    },
+
+    // Point-in-time lookup over the SCD2 table: the version of each key
+    // valid at the probe timestamp.
+    "scd2_asof_lookup" -> { (s, dir) =>
+      val target = t(s, dir, "orders")
+        .withColumn("valid_from", lit("1990-01-01").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      val probe = lit("1995-06-01").cast("timestamp")
+      LoadOps.scd2Merge(target, stagedOrders(s, dir), "o_orderkey", lit("2000-01-01"))
+        .filter(col("valid_from") <= probe &&
+          (col("valid_to").isNull || col("valid_to") > probe))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("valid_from"))
+    },
+
     "topk_orders_by_priority" -> ((s, dir) =>
       AnalyticOps.topKPerGroup(
         t(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
@@ -864,6 +893,9 @@ object SparkEntry {
     "events_tumbling_1h" -> Oracles.tumbling1h,
     "sessionize_30m" -> Oracles.sessionize(30),
     "asof_click_purchase" -> Oracles.asofClickPurchase,
+    "asof_forward_next_click" -> Oracles.asofForwardNextClick,
+    "asof_tolerance_click" -> Oracles.asofToleranceClick,
+    "scd2_asof_lookup" -> Oracles.scd2AsofLookup,
     "events_sliding_1h_30m" -> Oracles.sliding1h30m,
     "session_window_30m" -> Oracles.sessionWindow30m,
     "interval_join_click_purchase" -> Oracles.intervalJoinClickPurchase,

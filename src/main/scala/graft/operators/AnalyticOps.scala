@@ -76,6 +76,55 @@ object AnalyticOps {
         col("__asof").as(s"asof_$rightId"))
   }
 
+  /** Forward as-of join: for each left event, the id of the NEXT
+    * right-side event with `rts ≥ lts` for the same key (the "what
+    * happened after" direction; pandas merge_asof direction='forward').
+    * Same union + window formulation as [[asofJoin]], mirrored: first
+    * non-null FOLLOWING right id, left rows sorting before
+    * same-timestamp right rows (inclusive-≥). */
+  def asofJoinForward(
+      left: DataFrame, right: DataFrame,
+      key: String, lts: String, rts: String,
+      leftId: String, rightId: String): DataFrame = {
+    val l = left.select(col(key), col(lts).as("__ts"), lit(0).as("__side"),
+      col(leftId).as("__lid"), lit(null).cast("long").as("__rid"))
+    val r = right.select(col(key), col(rts).as("__ts"), lit(1).as("__side"),
+      lit(null).cast("long").as("__lid"), col(rightId).as("__rid"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__rid"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("__asof", first(col("__rid"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(col("__lid").as(leftId), col(key), col("__ts").as(lts),
+        col("__asof").as(s"asof_$rightId"))
+  }
+
+  /** Tolerance-bounded variant of [[asofJoin]]: the matched right event
+    * must also lie within `toleranceSec` seconds BEFORE the left event,
+    * else null (pandas merge_asof `tolerance`). Match timestamps ride
+    * along so the bound is applied post-window as a pure projection. */
+  def asofJoinTolerance(
+      left: DataFrame, right: DataFrame,
+      key: String, lts: String, rts: String,
+      leftId: String, rightId: String, toleranceSec: Long): DataFrame = {
+    val l = left.select(col(key), col(lts).as("__ts"), lit(1).as("__side"),
+      col(leftId).as("__lid"), lit(null).cast("long").as("__rid"))
+    val r = right.select(col(key), col(rts).as("__ts"), lit(0).as("__side"),
+      lit(null).cast("long").as("__lid"), col(rightId).as("__rid"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__rid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val paired = l.unionByName(r)
+      .withColumn("__asof", last(col("__rid"), ignoreNulls = true).over(w))
+      .withColumn("__asof_ts",
+        last(when(col("__rid").isNotNull, col("__ts")), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    paired.select(col("__lid").as(leftId), col(key), col("__ts").as(lts),
+      when(unix_timestamp(col("__ts")) - unix_timestamp(col("__asof_ts")) <= toleranceSec,
+        col("__asof")).as(s"asof_$rightId"))
+  }
+
   /** Top-k rows per group by `order` (rank ≤ k → WindowGroupLimit:
     * per-partition partial top-k before the single shuffle). */
   def topKPerGroup(df: DataFrame, group: Seq[Column], order: Seq[Column],
