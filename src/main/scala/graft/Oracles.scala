@@ -236,6 +236,28 @@ object Oracles {
        |SELECT lid AS event_id, user_id, ts, asof_rid AS asof_event_id
        |FROM w WHERE side = 1""".stripMargin
 
+  /** Session-overlap pairs (range × range) — the oracle verifies the
+    * raw overlap predicate the bucketed join candidates are checked
+    * against. */
+  def sessionOverlapPairs(gapMinutes: Int): String =
+    s"""WITH g AS (SELECT user_id, ts, event_id,
+       |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events),
+       |f AS (SELECT user_id, ts, event_id,
+       |  CASE WHEN prev_ts IS NULL
+       |    OR date_diff('second', prev_ts, ts) > ${gapMinutes * 60} THEN 1 ELSE 0 END AS new_sess
+       |  FROM g),
+       |s AS (SELECT user_id, ts,
+       |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS seq
+       |  FROM f),
+       |sess AS (SELECT user_id, min(ts) AS st, max(ts) AS en
+       |  FROM s GROUP BY user_id, seq)
+       |SELECT a.user_id AS user_a, a.st AS start_a,
+       |  b.user_id AS user_b, b.st AS start_b
+       |FROM sess a JOIN sess b
+       |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en""".stripMargin
+
   /** Forward as-of: first click at ts ≥ the purchase's, per user
     * (AnalyticOps.asofJoinForward — left rows sort first on ties). */
   val asofForwardNextClick: String =

@@ -217,6 +217,20 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"), col("valid_from"))
     },
 
+    // Concurrent sessions across users: interval × interval overlap via
+    // bucketed candidates + exact verify (never O(n²)).
+    "session_overlap_pairs" -> { (s, dir) =>
+      val sess = AnalyticOps.sessionize(t(s, dir, "events"), 30)
+      val a = sess.select(col("user_id").as("user_a"),
+        col("session_start").as("start_a"), col("session_end").as("end_a"))
+      val b = sess.select(col("user_id").as("user_b"),
+        col("session_start").as("start_b"), col("session_end").as("end_b"))
+      AnalyticOps.intervalOverlapJoin(a, b,
+          "start_a", "end_a", "start_b", "end_b",
+          bucketSec = 1800L, extraCond = col("user_a") < col("user_b"))
+        .select(col("user_a"), col("start_a"), col("user_b"), col("start_b"))
+    },
+
     "topk_orders_by_priority" -> ((s, dir) =>
       AnalyticOps.topKPerGroup(
         t(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
@@ -896,6 +910,7 @@ object SparkEntry {
     "asof_forward_next_click" -> Oracles.asofForwardNextClick,
     "asof_tolerance_click" -> Oracles.asofToleranceClick,
     "scd2_asof_lookup" -> Oracles.scd2AsofLookup,
+    "session_overlap_pairs" -> Oracles.sessionOverlapPairs(30),
     "events_sliding_1h_30m" -> Oracles.sliding1h30m,
     "session_window_30m" -> Oracles.sessionWindow30m,
     "interval_join_click_purchase" -> Oracles.intervalJoinClickPurchase,

@@ -132,6 +132,30 @@ object AnalyticOps {
     df.withColumn("rank", rank().over(Window.partitionBy(group: _*).orderBy(order: _*)))
       .filter(col("rank") <= k)
 
+  /** Range-OVERLAP join (intervals × intervals): candidates from a
+    * time-bucket equi-join — each interval explodes to the `bucketSec`
+    * buckets it covers, overlapping intervals necessarily share one —
+    * then EXACT verification of the overlap predicate on the candidate
+    * pairs. One shuffle on bucket keys; fan-out per interval is
+    * length/bucketSec + 1 (pick bucketSec near the typical interval
+    * length). Column names must be disjoint between the two sides;
+    * `extraCond` prunes candidates inside the join (e.g. key equality
+    * or an ordering to dedup a self-join). */
+  def intervalOverlapJoin(
+      left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketSec: Long, extraCond: Column): DataFrame = {
+    def bucketed(df: DataFrame, s: String, e: String, b: String) =
+      df.withColumn(b, explode(sequence(
+        floor(unix_timestamp(col(s)) / bucketSec).cast("long"),
+        floor(unix_timestamp(col(e)) / bucketSec).cast("long"))))
+    bucketed(left, lStart, lEnd, "__bl")
+      .join(bucketed(right, rStart, rEnd, "__br"),
+        col("__bl") === col("__br") && extraCond)
+      .drop("__bl", "__br").distinct()
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+  }
+
   /** ROLLUP aggregation (partial-aggregate friendly: map-side combine on
     * every grouping set). */
   def rollupAgg(df: DataFrame, g1: String, g2: String, measures: Seq[Column]): DataFrame =
