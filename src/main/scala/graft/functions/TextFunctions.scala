@@ -96,12 +96,18 @@ object TextFunctions {
 
   /** Adjacent word-bigram shingles ("w1 w2") of the normalized text —
     * the shingling unit for MinHash/Jaccard dedup. Single-token docs
-    * yield one degenerate shingle (the token itself) so no doc drops out. */
+    * yield one degenerate shingle (the token itself) so no doc drops out.
+    *
+    * Built as `zip_with` over two slices of the token array, which binds
+    * the tokenization ONCE per row — the earlier
+    * `transform(sequence, i -> element_at(toks, i))` form re-evaluated
+    * the whole normalize+split per element (2n regex splits per doc). */
   def wordBigrams(text: Column): Column = {
     val toks = tokens(normalized(text))
-    when(size(toks) <= 1, toks).otherwise(
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    val n = size(toks)
+    when(n <= 1, toks).otherwise(
+      zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
   }
 
   /** Winnowing-style content fingerprint: minimum hash60 over the doc's
