@@ -554,6 +554,27 @@ object Oracles {
       |  sqrt((sum_v2 - ((sum_v * sum_v) / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)) AS std_v
       |FROM a""".stripMargin
 
+  val funnelViewClickPurchase: String =
+    """SELECT user_id,
+      |  min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |  min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+      |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+      |  (min(CASE WHEN event_type = 'view' THEN ts END)
+      |     < min(CASE WHEN event_type = 'click' THEN ts END))
+      |  AND (min(CASE WHEN event_type = 'click' THEN ts END)
+      |     < min(CASE WHEN event_type = 'purchase' THEN ts END)) AS converted
+      |FROM events GROUP BY user_id""".stripMargin
+
+  val retentionCohorts: String =
+    """WITH cohort AS (SELECT user_id,
+      |  CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |active AS (SELECT DISTINCT user_id,
+      |  CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week FROM events)
+      |SELECT cohort_week, active_week, count(DISTINCT active.user_id) AS n_users
+      |FROM active JOIN cohort ON active.user_id = cohort.user_id
+      |GROUP BY cohort_week, active_week""".stripMargin
+
   val userEventSequences: String =
     """SELECT user_id,
       |  string_agg(event_type, '->' ORDER BY ts, event_id) AS sequence,

@@ -554,6 +554,33 @@ object SparkEntry {
         .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
         .filter(col("df") >= 5)),
 
+    "funnel_view_click_purchase" -> ((s, dir) =>
+      // Ordered conversion funnel: users whose first view precedes their
+      // first click precedes their first purchase. One conditional-agg
+      // pass (min ts per stage), then a pure ordering predicate.
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .withColumn("converted",
+          col("first_view") < col("first_click") &&
+            col("first_click") < col("first_purchase"))),
+
+    "retention_cohorts" -> ((s, dir) =>
+      // Cohort retention: users grouped by first-activity week, counted
+      // per subsequent activity week. Two aggregations, both key-local.
+      {
+        val ev = t(s, dir, "events")
+        val cohort = ev.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+        ev.select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
+          .distinct()
+          .join(cohort, "user_id")
+          .groupBy(col("cohort_week"), col("active_week"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      }),
+
     "minmax_by_events" -> ((s, dir) =>
       // Ordered-argument aggregates; the ordering key (event_id) is
       // unique, so results are deterministic across partitionings.
@@ -941,6 +968,8 @@ object SparkEntry {
     "minmax_by_events" -> Oracles.minmaxByEvents,
     "user_digest_typed" -> Oracles.userDigestTyped,
     "user_event_sequences" -> Oracles.userEventSequences,
+    "funnel_view_click_purchase" -> Oracles.funnelViewClickPurchase,
+    "retention_cohorts" -> Oracles.retentionCohorts,
     "bigram_counts" -> Oracles.bigramCounts,
     "date_functions_orders" -> Oracles.dateFunctionsOrders,
     "regexp_extract_props" -> Oracles.regexpExtractProps,
