@@ -14,11 +14,11 @@ import graft.functions.TextFunctions._
   * Scale design (100 TB discipline):
   *   - Exact dedup is one hash-shuffle on the dedup key (window or
   *     groupBy); no driver collects.
-  *   - MinHash/LSH: signatures are a pure projection per document (k min
-  *     aggregations over a shingle explode), the only shuffles are the
-  *     per-(doc,band) signature grouping and the band-bucket self-join.
-  *     Bucket sizes are bounded by banding; the candidate set — not the
-  *     full O(n²) pair space — is what gets verified.
+  *   - MinHash/LSH: signatures are a PURE PROJECTION per document
+  *     (hash each distinct shingle once, K array_min passes); the
+  *     band-bucket self-join is the pipeline's only shuffle. Bucket
+  *     sizes are bounded by banding; the candidate set — not the full
+  *     O(n²) pair space — is what gets verified.
   *   - SimHash: per-doc 48-bit signature via explode + bit-count
   *     aggregation; candidate pairs via 12-bit chunk banding (pigeonhole:
   *     hamming ≤ 3 ⇒ at least one of 4 chunks equal).
