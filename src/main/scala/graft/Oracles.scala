@@ -679,6 +679,25 @@ object Oracles {
        |  len(regexp_extract_all(text, '$bpeRe')) AS bpe_tokens
        |FROM documents""".stripMargin
 
+  /** Per-label centroid norms: 2^-24 fixed-point element sums (decimal
+    * casts of floats are NOT cross-engine stable; floor(x*2^24) is),
+    * then one pos-ordered double fold (DuckDB `list(x ORDER BY pos)` ≡
+    * Spark `array_sort(collect_list(struct(pos, x)))`). */
+  val labelCentroidNorms: String =
+    """WITH e AS (SELECT label, i - 1 AS pos, embedding[i] AS x
+      |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+      |s AS (SELECT label, pos,
+      |  SUM(CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS s,
+      |  count(*) AS n
+      |  FROM e GROUP BY label, pos)
+      |SELECT label, min(n) AS n_vectors,
+      |  sqrt(list_reduce(
+      |    list_transform(
+      |      list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216.0) ORDER BY pos),
+      |      m -> m * m),
+      |    (a, b) -> a + b)) AS centroid_norm
+      |FROM s GROUP BY label""".stripMargin
+
   /** Exact all-pairs cosine over the planted embedding corpus (every
     * 20th vector ∪ a copy with the last component zeroed). Same
     * sequential fold as the Spark side. */

@@ -430,6 +430,30 @@ object SparkEntry {
         .cube(col("event_type"), hour(col("ts")).as("h"))
         .agg(count(lit(1)).as("n"))),
 
+    // Per-label centroid norms — the vector-aggregate primitive behind
+    // IVF training. Element sums use explicit 2^-24 fixed-point
+    // quantization (float precision): decimal casts of FLOATS diverge
+    // across engines (shortest-repr vs exact-binary rounding), while
+    // floor(x * 2^24) is identical integer arithmetic everywhere —
+    // exact, order-free, partial-agg friendly. The norm is then one
+    // pos-ordered double fold per label.
+    "label_centroid_norms" -> { (s, dir) =>
+      val q = lit(16777216.0) // 2^24
+      val e = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      e.groupBy(col("label"), col("pos"))
+        .agg(sum(floor(col("x").cast("double") * q).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(min(col("n")).as("n_vectors"),
+          sqrt(aggregate(
+            array_sort(collect_list(struct(col("pos"),
+              (col("s").cast("double") / (col("n").cast("double") * q)).as("m")))),
+            lit(0.0),
+            (acc, v) => acc + v.getField("m") * v.getField("m")))
+            .as("centroid_norm"))
+    },
+
     "knn_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
@@ -980,6 +1004,7 @@ object SparkEntry {
     "bitwise_functions" -> Oracles.bitwiseFunctions,
     "token_counts" -> Oracles.tokenCounts(graft.functions.TextFunctions.BpeTokenRe),
     "embedding_near_dup" -> Oracles.embeddingNearDup(EmbNearDupMin),
+    "label_centroid_norms" -> Oracles.labelCentroidNorms,
     "salted_agg_events" -> Oracles.saltedAggEvents,
     "salted_join_customer_orders" -> Oracles.joinCustomerOrders,
     "q17_small_quantity" -> Oracles.q17SmallQuantity,
