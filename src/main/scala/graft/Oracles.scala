@@ -154,6 +154,38 @@ object Oracles {
        |JOIN sizes nb ON nb.doc_id = id_b
        |WHERE CAST(c AS DOUBLE) / CAST((na.n + nb.n) - c AS DOUBLE) >= $minJaccard""".stripMargin
 
+  /** 5-gram decontamination over the planted corpus (every 97th doc
+    * carries 120 chars of an eval doc). */
+  val decontamination: String =
+    raw"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 200 = 0),
+         |corpus AS (SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % 97 = 0 THEN d.text || ' ' || substr(e.text, 1, 120)
+         |       ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN ev e ON e.doc_id = (d.doc_id % 3) * 200
+         |  WHERE d.doc_id % 200 <> 0),
+         |gev AS (SELECT DISTINCT gram FROM (
+         |  SELECT unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS gram
+         |  FROM (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+         |        FROM ev))),
+         |gc AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS gram
+         |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+         |        FROM corpus))
+         |SELECT DISTINCT doc_id FROM gc JOIN gev USING (gram)""".stripMargin
+
+  /** Max-bigram repetition share per document (Gopher-style quality
+    * signal). */
+  val repetitionScores: String =
+    s"""WITH $bigramsCte,
+       |b AS (SELECT doc_id, unnest(sh) AS bg FROM bg),
+       |tf AS (SELECT doc_id, b.bg AS g, count(*) AS tf FROM b GROUP BY doc_id, b.bg)
+       |SELECT doc_id, CAST(max(tf) AS BIGINT) AS max_tf,
+       |  CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       |  CAST(max(tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS rep_ratio
+       |FROM tf GROUP BY doc_id""".stripMargin
+
   /** Per-token 48-bit hashes (doc_id, h), tokens WITH multiplicity. */
   private val simhashSigCte =
     s"""tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tkn

@@ -103,6 +103,35 @@ object SparkEntry {
     "fingerprints" -> ((s, dir) =>
       TextOps.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Benchmark decontamination on a planted corpus: every 97th doc has
+    // 120 chars of an eval doc appended (no natural 5-gram overlap in
+    // the synthetic corpus), and the scan must flag exactly those.
+    "decontamination" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 200 === 0)
+      val corpus = docs.filter(col("doc_id") % 200 =!= 0)
+        .withColumn("__ek", (col("doc_id") % 3) * 200)
+        .join(evalSet.select(col("doc_id").as("__eid"), col("text").as("__etext")),
+          col("__ek") === col("__eid"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 97 === 0,
+            concat(col("text"), lit(" "), substring(col("__etext"), 1, 120)))
+            .otherwise(col("text")).as("text"))
+      TextOps.contaminatedDocs(corpus, evalSet, "doc_id", "text", n = 5)
+    },
+
+    // Gopher-style repetition quality signal: the most frequent bigram's
+    // share of each document's bigrams.
+    "repetition_scores" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.wordBigrams(col("text"))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("tf")).as("max_tf"), sum(col("tf")).as("n_bigrams"))
+        .withColumn("rep_ratio",
+          col("max_tf").cast("double") / col("n_bigrams").cast("double"))),
+
     // ---- dedup family ----
     "dedup_exact_docs" -> ((s, dir) =>
       // arg-min aggregation form: partial (map-side) combine, unlike the
@@ -953,6 +982,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Oracles.minhashPairs(Oracles.plantedDocs, MinhashMinEst),
     "dedup_ngram_jaccard" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_simhash" -> Oracles.simhash,
+    "decontamination" -> Oracles.decontamination,
+    "repetition_scores" -> Oracles.repetitionScores,
     "simhash_near_dup" -> Oracles.simhashNearDup(SimhashMaxHamming),
     "knn_bruteforce" -> Oracles.knnBruteForce(KnnProbeEvery, KnnK),
     "events_tumbling_1h" -> Oracles.tumbling1h,

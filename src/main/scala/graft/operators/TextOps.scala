@@ -30,4 +30,37 @@ object TextOps {
     docs.select(col(id),
       fingerprint(col(text)).as("fp_md5"),
       minShingleHash(col(text)).as("fp_minshingle"))
+
+  /** Word n-gram shingles of the normalized text as `(id, ngrams)` —
+    * the benchmark-decontamination unit (n≈5-13 in practice). Built by
+    * chaining `zip_with` over n offset slices of the ONE bound token
+    * array (per-element lambdas never re-evaluate the tokenization);
+    * docs shorter than n tokens yield an empty array. */
+  def wordNgrams(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    require(n >= 2, s"n-grams need n >= 2, got $n")
+    val bound = docs.select(col(id), tokens(normalized(col(text))).as("__toks"))
+    val toks = col("__toks")
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    val ngrams = (2 to n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), m), (a, b) => concat(a, lit(" "), b))
+    }
+    bound.select(col(id), ngrams.as("ngrams"))
+  }
+
+  /** Benchmark decontamination: corpus documents sharing at least one
+    * word n-gram with the held-out evaluation set are flagged (the
+    * train/test-leak scan every LLM data pipeline runs). Inverted-index
+    * join on hashed n-grams — eval grams are tiny and broadcast; the
+    * corpus side is one explode + one semi-join, never O(n²). */
+  def contaminatedDocs(corpus: DataFrame, evalSet: DataFrame,
+      id: String, text: String, n: Int): DataFrame = {
+    val evalGrams = wordNgrams(evalSet, id, text, n)
+      .select(explode(col("ngrams")).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    wordNgrams(corpus, id, text, n)
+      .select(col(id), explode(col("ngrams")).as("g"))
+      .select(col(id), xxhash64(col("g")).as("gh"))
+      .join(evalGrams, Seq("gh"), "left_semi")
+      .select(col(id)).distinct()
+  }
 }
