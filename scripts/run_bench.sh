@@ -1,0 +1,17 @@
+#!/bin/bash
+# Dev helper: run graft.Bench outside sbt (fast iteration).
+# Usage: scripts/run_bench.sh [sfDir] [cpus]
+set -e
+cd "$(dirname "$0")/.."
+export SPARK_GRAFT_SF_DIR=${1:-/root/testdata/sf0.1}
+export SPARK_GRAFT_CPUS=${2:-32}
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS -Xmx16g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Bench
