@@ -154,6 +154,24 @@ object Oracles {
        |JOIN sizes nb ON nb.doc_id = id_b
        |WHERE CAST(c AS DOUBLE) / CAST((na.n + nb.n) - c AS DOUBLE) >= $minJaccard""".stripMargin
 
+  /** The multimodal decode STUB is a deterministic byte histogram, so
+    * even the mapPartitions path gets a real oracle: byte buckets are
+    * the high hex nibble of each payload byte; the L1 fold adds the 16
+    * features in index order (absent buckets contribute exact 0.0). */
+  val multimodalFeatures: String =
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
+      |  octet_length(encode(text)) AS n FROM documents),
+      |byt AS (SELECT doc_id, n, ('0x' || substr(h, 2 * i - 1, 1))::INTEGER AS bucket
+      |  FROM (SELECT doc_id, n, h, unnest(generate_series(1, n)) AS i FROM d)),
+      |counts AS (SELECT doc_id, bucket, count(*) AS c, max(n) AS n
+      |  FROM byt GROUP BY doc_id, bucket)
+      |SELECT doc_id, 16 AS dim,
+      |  round(CAST(coalesce(max(CASE WHEN bucket = 0 THEN c END), 0) AS DOUBLE)
+      |    / CAST(greatest(max(n), 1) AS DOUBLE), 9) AS f_first,
+      |  round(list_reduce(list(CAST(c AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE) ORDER BY bucket),
+      |    (a, b) -> a + b), 6) AS f_l1
+      |FROM counts GROUP BY doc_id""".stripMargin
+
   /** 5-gram decontamination over the planted corpus (every 97th doc
     * carries 120 chars of an eval doc). */
   val decontamination: String =

@@ -999,6 +999,7 @@ object SparkEntry {
     "topk_orders_by_priority" -> Oracles.topKOrders(3),
     "rollup_lineitem" -> Oracles.rollupLineitem,
     "multimodal_meta" -> Oracles.multimodalMeta,
+    "multimodal_features" -> Oracles.multimodalFeatures,
     "quality_filter" -> Oracles.qualityFilter(QualityMin),
     "vocab_doc_freq" -> Oracles.vocabDocFreq,
     "embeddings_l2_normalized" -> Oracles.embeddingsL2Normalized,
