@@ -577,6 +577,13 @@ object Oracles {
       |  w3 AS (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  val percentRankValues: String =
+    """SELECT event_id, event_type,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM events WHERE event_id % 20 = 0
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin
+
   val groupingSetsEvents: String =
     """SELECT event_type, hour(ts) AS h, count(*) AS n
       |FROM events

@@ -545,6 +545,17 @@ object SparkEntry {
           count(lit(1)).over(w3).cast("double")).as("avg3"))
     },
 
+    "percent_rank_values" -> { (s, dir) =>
+      // percent_rank/cume_dist per event type (integer-ratio exact);
+      // keyed window — partitions stay distributed.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      t(s, dir, "events").filter(col("event_id") % 20 === 0)
+        .select(col("event_id"), col("event_type"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+    },
+
     "grouping_sets_events" -> ((s, dir) =>
       // Explicit GROUPING SETS (finer-grained than cube/rollup; one
       // shuffle, Expand feeds all three sets through one hash-agg).
@@ -1019,6 +1030,7 @@ object SparkEntry {
     "full_outer_flags" -> Oracles.fullOuterFlags,
     "window_running_user" -> Oracles.windowRunningUser,
     "grouping_sets_events" -> Oracles.groupingSetsEvents,
+    "percent_rank_values" -> Oracles.percentRankValues,
     "percentiles_by_type" -> Oracles.percentilesByType,
     "stats_moments_by_type" -> Oracles.statsMomentsByType,
     "minmax_by_events" -> Oracles.minmaxByEvents,
