@@ -270,6 +270,27 @@ object Oracles {
        |  min(ts) AS session_start, max(ts) AS session_end
        |FROM s GROUP BY user_id, session_seq""".stripMargin
 
+  /** Session-scoped conversion over per-event session labels. */
+  def sessionConversion(gapMinutes: Int): String =
+    s"""WITH g AS (SELECT user_id, ts, event_id, event_type,
+       |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events),
+       |f AS (SELECT user_id, ts, event_id, event_type,
+       |  CASE WHEN prev_ts IS NULL
+       |    OR date_diff('second', prev_ts, ts) > ${gapMinutes * 60} THEN 1 ELSE 0 END AS new_sess
+       |  FROM g),
+       |s AS (SELECT user_id, ts, event_type,
+       |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM f)
+       |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       |  count(*) AS n_events,
+       |  min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+       |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+       |  (min(CASE WHEN event_type = 'click' THEN ts END)
+       |     < min(CASE WHEN event_type = 'purchase' THEN ts END)) AS converted
+       |FROM s GROUP BY user_id, session_seq""".stripMargin
+
   /** Union + last_value as-of join (AnalyticOps.asofJoin): purchases pick
     * the most recent click at ts ≤ theirs, clicks sorting first on ties. */
   val asofClickPurchase: String =

@@ -195,6 +195,17 @@ object SparkEntry {
         .select(col("user_id"), col("w.start").as("session_start"),
           col("w.end").as("session_end"), col("n_events"))),
 
+    // Session-scoped conversion: within each gap session, did a click
+    // precede a purchase? Built on the per-event session labels.
+    "session_conversion" -> ((s, dir) =>
+      AnalyticOps.sessionizeEvents(t(s, dir, "events"), 30)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .withColumn("converted",
+          col("first_click") < col("first_purchase"))),
+
     "interval_join_click_purchase" -> { (s, dir) =>
       // Bounded interval join: purchases within 10 minutes AFTER a click by
       // the same user. Equi-key on user (one shuffle), range as filter.
@@ -999,6 +1010,7 @@ object SparkEntry {
     "knn_bruteforce" -> Oracles.knnBruteForce(KnnProbeEvery, KnnK),
     "events_tumbling_1h" -> Oracles.tumbling1h,
     "sessionize_30m" -> Oracles.sessionize(30),
+    "session_conversion" -> Oracles.sessionConversion(30),
     "asof_click_purchase" -> Oracles.asofClickPurchase,
     "asof_forward_next_click" -> Oracles.asofForwardNextClick,
     "asof_tolerance_click" -> Oracles.asofToleranceClick,

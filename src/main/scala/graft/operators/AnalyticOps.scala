@@ -32,13 +32,15 @@ object AnalyticOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Gap-based sessionization: a new session starts when the gap since the
-    * user's previous event exceeds `gapMinutes`. Returns one row per
-    * session with bounds and counts. Single shuffle on user_id. */
-  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+  /** Per-EVENT session assignment: every input row plus its
+    * `session_seq` (1-based per user) — the building block downstream
+    * session-scoped logic joins on. A new session starts when the gap
+    * since the user's previous event exceeds `gapMinutes`. Single
+    * shuffle on user_id. */
+  def sessionizeEvents(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val gapped = events
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
@@ -46,11 +48,17 @@ object AnalyticOps {
         .otherwise(0))
       .withColumn("session_seq",
         sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-    gapped.groupBy(col("user_id"), col("session_seq"))
+      .drop("prev_ts", "new_sess")
+  }
+
+  /** Gap-based sessionization: one row per session with bounds and
+    * counts (aggregation of [[sessionizeEvents]]). */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame =
+    sessionizeEvents(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
-  }
 
   /** As-of join: for each left-side event, the id of the most recent
     * right-side event with `rts ≤ lts` for the same key. Implemented as
