@@ -557,6 +557,19 @@ object Oracles {
       |  GROUP BY o_orderkey, o_orderdate, o_orderpriority
       |) WHERE rank <= 10""".stripMargin
 
+  val q6RevenueBand: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin
+
+  val ordersByMonth: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |  count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1""".stripMargin
+
   val leftJoinCounts: String =
     """SELECT c_custkey, count(o_orderkey) AS n_orders
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey

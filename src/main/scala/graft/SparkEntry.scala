@@ -93,6 +93,26 @@ object SparkEntry {
         .withColumn("avg_price", col("sum_base_price") / col("count_order").cast("double"))
     },
 
+    // TPC-H q6 shape: tight filtered aggregation — the predicate set
+    // must reach the parquet scan as pushed filters.
+    "q6_revenue_band" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      t(s, dir, "lineitem")
+        .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(sum((col("l_extendedprice").cast(dec) *
+          col("l_discount").cast(dec))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    "orders_by_month" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+    },
+
     // ---- text analysis (north-star extensions; pure projections) ----
     "text_stats" -> ((s, dir) =>
       TextOps.textStats(t(s, dir, "documents"), "doc_id", "text")),
@@ -1039,6 +1059,8 @@ object SparkEntry {
     "q5_nation_revenue" -> Oracles.q5NationRevenue,
     "semi_anti_orders" -> Oracles.semiAntiOrders,
     "left_join_counts" -> Oracles.leftJoinCounts,
+    "q6_revenue_band" -> Oracles.q6RevenueBand,
+    "orders_by_month" -> Oracles.ordersByMonth,
     "full_outer_flags" -> Oracles.fullOuterFlags,
     "window_running_user" -> Oracles.windowRunningUser,
     "grouping_sets_events" -> Oracles.groupingSetsEvents,
