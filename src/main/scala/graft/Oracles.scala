@@ -749,6 +749,33 @@ object Oracles {
       |  bit_count(event_id) AS popcount
       |FROM events""".stripMargin
 
+  /** Quality deciles via ntile over the identical double score. */
+  val qualityDeciles: String =
+    s"""WITH t AS (SELECT doc_id, ${toks("text")} AS tk FROM documents),
+       |q AS (SELECT doc_id,
+       |  ((0.4 * (CAST(${hits("tk", StopEn)} AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
+       |    + (0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 200.0)))
+       |    + (0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))) AS quality
+       |FROM t)
+       |SELECT doc_id, ntile(10) OVER (ORDER BY quality, doc_id) AS decile FROM q""".stripMargin
+
+  /** Per-type z-scores from the exact-decimal moments (same derivation
+    * as statsMomentsByType; VARCHAR-routed double cast for the scale-12
+    * sum). */
+  val standardizedValues: String =
+    """WITH a AS (SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_v2
+      |FROM events GROUP BY event_type),
+      |m AS (SELECT event_type, sum_v / CAST(n AS DOUBLE) AS mean,
+      |  sqrt((sum_v2 - ((sum_v * sum_v) / CAST(n AS DOUBLE)))
+      |    / (CAST(n AS DOUBLE) - 1.0)) AS std
+      |FROM a)
+      |SELECT event_id, events.event_type AS event_type,
+      |  (value - mean) / std AS z
+      |FROM events JOIN m ON events.event_type = m.event_type
+      |WHERE event_id % 50 = 0""".stripMargin
+
   val nullHandling: String =
     """SELECT o_orderkey,
       |  nullif(o_orderstatus, 'O') AS maybe_status,

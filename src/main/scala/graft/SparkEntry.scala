@@ -380,6 +380,37 @@ object SparkEntry {
         .filter(graft.functions.TextFunctions.qualityScore(col("text")) >= QualityMin)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // Corpus quality deciles — the "train on the top-N quality buckets"
+    // primitive, via the distributed global ntile (no single-partition
+    // window).
+    "quality_deciles" -> { (s, dir) =>
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      AnalyticOps.globalNtile(scored, 10,
+        Seq(col("quality"), col("doc_id")), "decile")
+        .select(col("doc_id"), col("decile"))
+    },
+
+    // Feature standardization: per-type z-scores from the exact-decimal
+    // moment sums (the same fixed IEEE derivation as
+    // stats_moments_by_type), joined back broadcast.
+    "standardized_values" -> { (s, dir) =>
+      val dec = DecimalType(18, 6)
+      val nD = col("n").cast("double")
+      val moments = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("sum_v"),
+          sum(col("value").cast(dec) * col("value").cast(dec))
+            .cast("double").as("sum_v2"))
+        .select(col("event_type"), (col("sum_v") / nD).as("mean"),
+          sqrt((col("sum_v2") - ((col("sum_v") * col("sum_v")) / nD)) /
+            (nD - lit(1.0))).as("std"))
+      t(s, dir, "events").filter(col("event_id") % 50 === 0)
+        .join(broadcast(moments), "event_type")
+        .select(col("event_id"), col("event_type"),
+          ((col("value") - col("mean")) / col("std")).as("z"))
+    },
+
     "scrub_pii" -> { (s, dir) =>
       // Deterministically plant an email + phone per doc, then scrub both
       // (the real-corpus op; planted so the testdata exercises the regexes).
@@ -1044,6 +1075,8 @@ object SparkEntry {
     "multimodal_meta" -> Oracles.multimodalMeta,
     "multimodal_features" -> Oracles.multimodalFeatures,
     "quality_filter" -> Oracles.qualityFilter(QualityMin),
+    "quality_deciles" -> Oracles.qualityDeciles,
+    "standardized_values" -> Oracles.standardizedValues,
     "vocab_doc_freq" -> Oracles.vocabDocFreq,
     "embeddings_l2_normalized" -> Oracles.embeddingsL2Normalized,
     "scrub_pii" -> Oracles.scrubPii,
