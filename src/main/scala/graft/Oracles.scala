@@ -687,6 +687,36 @@ object Oracles {
       |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen
       |FROM events GROUP BY user_id""".stripMargin
 
+  val typeUserJaccard: String =
+    """WITH s AS (SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY 1),
+      |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.n AS n_a, b.n AS n_b
+      |  FROM s a JOIN s b ON a.event_type < b.event_type),
+      |common AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    count(*) AS common
+      |  FROM (SELECT DISTINCT event_type, user_id FROM events) x
+      |  JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b,
+      |  CAST(coalesce(c.common, 0) AS BIGINT) AS common,
+      |  CAST(coalesce(c.common, 0) AS DOUBLE)
+      |    / CAST((p.n_a + p.n_b) - coalesce(c.common, 0) AS DOUBLE) AS jaccard
+      |FROM pairs p LEFT JOIN common c
+      |  ON p.type_a = c.type_a AND p.type_b = c.type_b""".stripMargin
+
+  /** DAU + trailing-7d WAU per active day (join form of the same
+    * distinct counts). */
+  val dauWau: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+      |wau AS (SELECT d2.day, count(DISTINCT d1.user_id) AS wau
+      |  FROM ud d1 JOIN (SELECT DISTINCT day FROM ud) d2
+      |    ON d2.day >= d1.day AND d2.day <= d1.day + INTERVAL 6 DAY
+      |  GROUP BY d2.day)
+      |SELECT dau.day AS day, dau, wau FROM dau JOIN wau ON dau.day = wau.day""".stripMargin
+
   val minmaxByEvents: String =
     """SELECT event_type,
       |  arg_max(user_id, event_id) AS last_user,

@@ -707,6 +707,41 @@ object SparkEntry {
           .agg(countDistinct(col("user_id")).as("n_users"))
       }),
 
+    // Audience overlap between event types: exact Jaccard over sorted
+    // distinct-user arrays (the codegen'd merge walk again — collected
+    // sets are bounded by the user population).
+    "type_user_jaccard" -> { (s, dir) =>
+      val sets = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_set(col("user_id"))).as("users"))
+        .select(col("event_type"), col("users"),
+          size(col("users")).cast("long").as("n"))
+      sets.as("a").join(broadcast(sets.as("b")),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          graft.expressions.GraftFunctions.sortedIntersectCount(
+            col("a.users"), col("b.users")).as("common"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"))
+        .withColumn("jaccard", col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+        .select(col("type_a"), col("type_b"), col("common"), col("jaccard"))
+    },
+
+    // DAU / trailing-7-day WAU per active day: user-day pairs exploded
+    // to the 7 days they contribute to, then exact distinct counts —
+    // distinct is non-additive, so the explode happens BEFORE the count.
+    "dau_wau" -> { (s, dir) =>
+      val userDays = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+      val dau = userDays.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = userDays
+        .select(col("user_id"), col("day"), explode(sequence(lit(0), lit(6))).as("k"))
+        .select(col("user_id"), expr("timestampadd(DAY, k, day)").as("day"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "day").select(col("day"), col("dau"), col("wau"))
+    },
+
     "minmax_by_events" -> ((s, dir) =>
       // Ordered-argument aggregates; the ordering key (event_id) is
       // unique, so results are deterministic across partitionings.
@@ -1101,6 +1136,8 @@ object SparkEntry {
     "percentiles_by_type" -> Oracles.percentilesByType,
     "stats_moments_by_type" -> Oracles.statsMomentsByType,
     "minmax_by_events" -> Oracles.minmaxByEvents,
+    "type_user_jaccard" -> Oracles.typeUserJaccard,
+    "dau_wau" -> Oracles.dauWau,
     "user_digest_typed" -> Oracles.userDigestTyped,
     "user_event_sequences" -> Oracles.userEventSequences,
     "funnel_view_click_purchase" -> Oracles.funnelViewClickPurchase,
