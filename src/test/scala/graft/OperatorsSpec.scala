@@ -272,6 +272,38 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("asof_event_id")))
   }
 
+  test("asofJoinForward: inclusive >=, next-not-previous, null when none follow") {
+    import spark.implicits._
+    val t9 = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+    val t10 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t11 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+    val left = Seq((1L, t10, 101L), (1L, t11, 102L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, t9, 201L), (1L, t10, 202L)).toDF("user_id", "ts", "event_id")
+    val out = AnalyticOps.asofJoinForward(left, right, "user_id", "ts", "ts",
+        "event_id", "event_id")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Any]("asof_event_id"))).toSeq
+    // 101 at t10 sees the same-ts 202 (inclusive >=, never the earlier 201);
+    // 102 at t11 has nothing following -> null.
+    assert(out == Seq((101L, 202L), (102L, null)))
+  }
+
+  test("asofJoinTolerance: stale matches fall to null, fresh ones survive") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:30:00") // 1800s after t0
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00") // 5400s after t1
+    val left = Seq((1L, t1, 101L), (1L, t2, 102L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, t0, 201L), (1L, t1, 202L)).toDF("user_id", "ts", "event_id")
+    val out = AnalyticOps.asofJoinTolerance(left, right, "user_id", "ts", "ts",
+        "event_id", "event_id", toleranceSec = 3600L)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Any]("asof_event_id"))).toSeq
+    // 101 matches same-ts 202 (age 0 <= 3600); 102's most recent right is
+    // 202 at age 5400s > 3600 -> null (stale, not "fall back to older").
+    assert(out == Seq((101L, 202L), (102L, null)))
+  }
+
   test("multimodal: decodeFeatures batch stub is deterministic and normalized") {
     val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 20)
     val withBin = MultimodalOps.withBinaryColumn(docs, "text")
