@@ -611,6 +611,32 @@ object Oracles {
       |  w3 AS (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  val errorRateByHour: String =
+    """SELECT hour(ts) AS h, count(*) AS n,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+      |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS error_rate
+      |FROM events GROUP BY hour(ts)""".stripMargin
+
+  /** Pearson r from exact sums, fixed op order (sx2 VARCHAR-routed: the
+    * scale-12 sum exceeds 2^53 scaled units). Spark sum(value*k) where
+    * k is BIGINT widens the decimal the same way DuckDB's does. */
+  val corrValueK: String =
+    """WITH e AS (SELECT value,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+      |a AS (SELECT count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |  CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6)) * k) AS DOUBLE) AS sxy,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx2,
+      |  CAST(CAST(SUM(k * k) AS BIGINT) AS DOUBLE) AS sy2
+      |FROM e)
+      |SELECT n,
+      |  (sxy - ((sx * sy) / CAST(n AS DOUBLE)))
+      |    / (sqrt(sx2 - ((sx * sx) / CAST(n AS DOUBLE)))
+      |       * sqrt(sy2 - ((sy * sy) / CAST(n AS DOUBLE)))) AS corr_vk
+      |FROM a""".stripMargin
+
   val percentRankValues: String =
     """SELECT event_id, event_type,
       |  percent_rank() OVER w AS pr,

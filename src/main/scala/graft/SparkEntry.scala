@@ -607,6 +607,36 @@ object SparkEntry {
           count(lit(1)).over(w3).cast("double")).as("avg3"))
     },
 
+    "error_rate_by_hour" -> ((s, dir) =>
+      // Operational monitoring: error share per hour-of-day (one count
+      // pass, single double division).
+      t(s, dir, "events").groupBy(hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("event_type") === "error", 1)).as("errors"))
+        .withColumn("error_rate",
+          col("errors").cast("double") / col("n").cast("double"))),
+
+    // Pearson correlation between value and the props.k field, derived
+    // from exact sums in a fixed IEEE op order (the built-in corr()
+    // accumulates in partition order — not oracle-stable).
+    "corr_value_k" -> { (s, dir) =>
+      val dec = DecimalType(18, 6)
+      val ev = t(s, dir, "events").select(col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val nD = col("n").cast("double")
+      ev.agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("sx"),
+          sum(col("k")).cast("double").as("sy"),
+          sum(col("value").cast(dec) * col("k")).cast("double").as("sxy"),
+          sum(col("value").cast(dec) * col("value").cast(dec)).cast("string")
+            .cast("double").as("sx2"),
+          sum(col("k") * col("k")).cast("double").as("sy2"))
+        .select(col("n"),
+          ((col("sxy") - ((col("sx") * col("sy")) / nD)) /
+            (sqrt(col("sx2") - ((col("sx") * col("sx")) / nD)) *
+              sqrt(col("sy2") - ((col("sy") * col("sy")) / nD)))).as("corr_vk"))
+    },
+
     "percent_rank_values" -> { (s, dir) =>
       // percent_rank/cume_dist per event type (integer-ratio exact);
       // keyed window — partitions stay distributed.
@@ -1133,6 +1163,8 @@ object SparkEntry {
     "window_running_user" -> Oracles.windowRunningUser,
     "grouping_sets_events" -> Oracles.groupingSetsEvents,
     "percent_rank_values" -> Oracles.percentRankValues,
+    "error_rate_by_hour" -> Oracles.errorRateByHour,
+    "corr_value_k" -> Oracles.corrValueK,
     "percentiles_by_type" -> Oracles.percentilesByType,
     "stats_moments_by_type" -> Oracles.statsMomentsByType,
     "minmax_by_events" -> Oracles.minmaxByEvents,
