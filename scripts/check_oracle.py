@@ -3,13 +3,14 @@
 graft.Verify parquet dump against its DuckDB oracle SQL over the same
 testdata parquet. Sorts columns by name, sorts rows, compares values.
 
-Usage: scripts/check_oracle.py [sfDir] [verifyOut]
+Usage: scripts/check_oracle.py [sfDir] [verifyOut] [queryName...]
 """
 import sys, json, math, glob, os
 import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+ONLY = set(sys.argv[3:])
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -41,6 +42,8 @@ def canon(rows, cols):
 
 fail = 0
 for name in sorted(oracle):
+    if ONLY and name not in ONLY:
+        continue
     pq = f"{OUT}/{name}"
     if not glob.glob(f"{pq}/*.parquet"):
         print(f"FAIL {name}: no verify output at {pq}")

@@ -124,6 +124,30 @@ object Oracles {
        |${minhashPairs(t0Sql, minEst)}
        |) p)""".stripMargin
 
+  /** Connected components of the exact-Jaccard candidate graph as a
+    * recursive transitive closure: walk(v, lab) enumerates every vertex
+    * reachable from v, and the component label is the minimum (planted
+    * clusters are tiny, so the closure is bounded). Mirrors
+    * DedupOps.connectedComponents' min-label fixpoint. */
+  def ccComponents(t0Sql: String, minJaccard: Double): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${ngramJaccard(t0Sql, minJaccard)}
+       |),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |verts AS (SELECT doc_id AS v FROM ($t0Sql)),
+       |walk(v, lab) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT w.v, e.dst FROM walk w JOIN edges e ON w.lab = e.src
+       |)
+       |SELECT v AS doc_id, MIN(lab) AS component FROM walk GROUP BY v""".stripMargin
+
+  def ccKeep(t0Sql: String, minJaccard: Double): String =
+    s"""SELECT doc_id FROM (
+       |${ccComponents(t0Sql, minJaccard)}
+       |) c WHERE component = doc_id""".stripMargin
+
   val docsWithEmbeddings: String =
     """SELECT doc_id, lang, n_chars, label,
       |  sqrt(list_reduce(list_transform(generate_series(1, 64), i -> vec[i] * vec[i]), (a, b) -> a + b)) AS emb_norm

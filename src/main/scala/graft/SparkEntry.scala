@@ -181,6 +181,22 @@ object SparkEntry {
       DedupOps.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
         SimhashMaxHamming)),
 
+    // Transitive duplicate clusters: connected components of the exact-
+    // Jaccard candidate graph by distributed min-label propagation
+    // (every doc labeled with the smallest id reachable through pairs).
+    "dedup_cc_components" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val pairs = DedupOps.ngramJaccardDense(docs, "doc_id", "text", NgramMinJaccard)
+      DedupOps.connectedComponents(docs.select(col("doc_id")), pairs, "doc_id")
+    },
+
+    // Cluster-minimum keep list: exactly one survivor per component.
+    "dedup_cc_keep" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val pairs = DedupOps.ngramJaccardDense(docs, "doc_id", "text", NgramMinJaccard)
+      DedupOps.keepClusterMin(docs, pairs, "doc_id").select(col("doc_id"))
+    },
+
     // ---- similarity search ----
     "knn_bruteforce" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -1119,6 +1135,8 @@ object SparkEntry {
     "dedup_exact_docs" -> Oracles.dedupExactDocs,
     "dedup_minhash_lsh" -> Oracles.minhashPairs(Oracles.plantedDocs, MinhashMinEst),
     "dedup_ngram_jaccard" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
+    "dedup_cc_components" -> Oracles.ccComponents(Oracles.plantedDocs, NgramMinJaccard),
+    "dedup_cc_keep" -> Oracles.ccKeep(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_simhash" -> Oracles.simhash,
     "decontamination" -> Oracles.decontamination,
     "repetition_scores" -> Oracles.repetitionScores,

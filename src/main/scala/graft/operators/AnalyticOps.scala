@@ -148,7 +148,11 @@ object AnalyticOps {
     * length/bucketSec + 1 (pick bucketSec near the typical interval
     * length). Column names must be disjoint between the two sides;
     * `extraCond` prunes candidates inside the join (e.g. key equality
-    * or an ordering to dedup a self-join). */
+    * or an ordering to dedup a self-join). The bucket fan-out is
+    * collapsed with a whole-row distinct(), so input rows must be
+    * unique on each side: two byte-identical interval rows collapse to
+    * one output pair. Feed each side a unique id column (as the
+    * session-pair query does) when exact duplicates are possible. */
   def intervalOverlapJoin(
       left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,

@@ -159,16 +159,68 @@ object DedupOps {
 
   /** The dedup output a pipeline actually consumes: the KEEP LIST.
     * From the candidate pairs (id_a < id_b, already thresholded), drop
-    * every document that appears as the LATER member of a pair —
-    * i.e. keep the lowest-id representative of each duplicate cluster
-    * (ids being ingest order, this is keep-first). One distinct + one
-    * anti-join against the corpus; no connected-components iteration
-    * (transitive chains collapse to their minimum via the a<b ordering:
-    * any non-minimal member pairs with something smaller). */
+    * every document that appears as the LATER member of a pair. The
+    * policy is exactly "a document is kept iff it has no candidate pair
+    * with a smaller id" — NOT connected-component collapse: with edges
+    * (2,3) and (1,3) only, both 1 and 2 survive (2's only pair is with
+    * the larger 3). One distinct + one anti-join against the corpus,
+    * no iteration. For cluster-minimum semantics (exactly one survivor
+    * per transitive duplicate cluster) use [[keepClusterMin]]. */
   def keepAfterNearDedup(docs: DataFrame, pairs: DataFrame,
       id: String): DataFrame = {
     val drop = pairs.select(col("id_b").as(id)).distinct()
     docs.join(drop, Seq(id), "left_anti")
+  }
+
+  /** Connected components over an undirected candidate-pair graph by
+    * min-label propagation: every vertex starts labeled with itself and
+    * repeatedly takes the minimum label in its closed neighborhood,
+    * converging in O(component diameter) rounds. Near-dup clusters are
+    * shallow (a handful of variants of one source document), so 3-4
+    * rounds typically suffice; `maxIter` bounds adversarial chains and
+    * the loop exits early once no label changes. Each round is one
+    * shuffle join on vertex id plus a groupBy — at 100 TB this is the
+    * MapReduce CC formulation (cf. Kiveris et al. large-star/small-star,
+    * which trades the same join for fewer rounds on high-diameter
+    * graphs). `localCheckpoint` truncates the growing lineage so round
+    * k doesn't replay rounds 1..k-1.
+    *
+    * `pairs` needs columns `id_a`, `id_b`; vertices absent from any
+    * pair keep their own id as component. Returns (`id`, component). */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      id: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = vertices.select(col(id).as("v"))
+      .withColumn("component", col("v"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaEdge = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("component"))
+      val next = viaEdge.union(labels)
+        .groupBy(col("v")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.select(col("v"), col("component").as("__old")), "v")
+        .filter(col("component") =!= col("__old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("v").as(id), col("component"))
+  }
+
+  /** Cluster-minimum keep list: collapse every transitive duplicate
+    * cluster (connected component of the candidate-pair graph) to its
+    * single lowest-id member. Unlike [[keepAfterNearDedup]], exactly one
+    * document per cluster survives regardless of which pairs the
+    * candidate generator emitted. */
+  def keepClusterMin(docs: DataFrame, pairs: DataFrame, id: String): DataFrame = {
+    val comp = connectedComponents(docs.select(col(id)), pairs, id)
+    docs.join(comp.filter(col(id) === col("component")).select(col(id)), Seq(id))
   }
 
   // ---- exact n-gram Jaccard (the oracle-grade ground truth) ----------
@@ -266,8 +318,13 @@ object DedupOps {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col(id)).orderBy(col("df"), col("sh"))))
       .join(sizes, id)
+      // The epsilon keeps exact-integer products from rounding just
+      // below their value in double arithmetic (t=0.4, n=5 gives
+      // (1-t)*n = 2.999…96): without it the prefix would be one element
+      // too short and a pair at exactly the threshold could share no
+      // prefix shingle.
       .filter(col("pos") <=
-        (floor((lit(1.0) - lit(minJaccard)) * col("n")) + 1).cast("int"))
+        (floor((lit(1.0) - lit(minJaccard)) * col("n") + lit(1e-9)) + 1).cast("int"))
       .select(col(id), col("sh"))
     val cand = pref.hint("merge").as("a").join(pref.hint("merge").as("b"),
         col("a.sh") === col("b.sh") && col(s"a.$id") < col(s"b.$id"))

@@ -75,6 +75,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(dense == naive,
       s"dense form changed results: only-naive=${naive -- dense} only-dense=${dense -- naive}")
+  }
+
+  test("connectedComponents collapses transitive chains; keepClusterMin keeps one per cluster") {
+    import spark.implicits._
+    // The ADVICE counter-example: edges (2,3) and (1,3) only. Pairwise
+    // keep (no smaller partner) keeps {1, 2}; cluster-minimum keeps {1}.
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val comp = DedupOps.connectedComponents(docs, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+    val keptCc = DedupOps.keepClusterMin(docs, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptCc == Set(1L, 4L))
+    val keptPairwise = DedupOps.keepAfterNearDedup(docs, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptPairwise == Set(1L, 2L, 4L))
+
+    // A long chain exercises multiple propagation rounds (diameter 5).
+    val chainDocs = (10L to 15L).toDF("doc_id")
+    val chain = (10L to 14L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainComp = DedupOps.connectedComponents(chainDocs, chain, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(chainComp == (10L to 15L).map(_ -> 10L).toMap)
 
     // globalNtile / globalRowNumber ≡ single-partition window forms.
     val orders = Tables(spark, sf, "orders").select(col("o_orderkey"), col("o_totalprice"))
