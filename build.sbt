@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: the bench JVM runs ~95 queries back-to-back in one session; at
+  // 8g the tail queries occasionally eat multi-second GC pauses (round-2
+  // bench showed a 13s outlier that is 0.8s in isolation).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-Xms2g",
 )

@@ -46,6 +46,10 @@ object GraftFunctions {
   def opaque(c: Column): Column =
     GraftColumns.column(Opaque(GraftColumns.expression(c)))
 
+  /** Codegen'd token-array → n-gram-hash-array (see [[NgramHashes]]). */
+  def ngramHashes(tokens: Column, n: Int): Column =
+    GraftColumns.column(NgramHashes(GraftColumns.expression(tokens), n))
+
   /** Register graft's SQL functions on a live session (the
     * `spark.sql.extensions` path only applies at session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -82,6 +82,38 @@ class ExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(out == Set((1L, 10L), (2L, 40L)))
   }
 
+  test("NgramHashes matches the declarative xxhash64 + rotl7-xor form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f")),
+      (2L, Seq("a", "b", "c")),        // exactly n tokens -> 1 gram
+      (3L, Seq("x", "y")),             // fewer than n -> empty
+      (4L, Seq.empty[String])).toDF("id", "toks")
+    val n = 3
+    def rotl7(c: org.apache.spark.sql.Column) =
+      shiftleft(c, 7).bitwiseOR(shiftrightunsigned(c, 57))
+    val th = transform(col("toks"), t => xxhash64(t))
+    val m = greatest(size(col("toks")) - (n - 1), lit(0))
+    val reference = (2 to n).foldLeft(slice(th, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(th, lit(k), m), (a, b) => rotl7(a).bitwiseXOR(b))
+    }
+    val rows = docs.select(col("id"),
+        graft.expressions.GraftFunctions.ngramHashes(col("toks"), n).as("fast"),
+        reference.as("ref"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    rows.foreach { case (id, fast, ref) =>
+      assert(fast == ref, s"doc $id: $fast != $ref")
+    }
+    assert(rows.find(_._1 == 1L).get._2.length == 4)
+    assert(rows.find(_._1 == 3L).get._2.isEmpty)
+    assert(rows.find(_._1 == 4L).get._2.isEmpty)
+    // Order sensitivity: reversed window hashes differently.
+    val rev = docs.filter(col("id") === 2L)
+      .select(graft.expressions.GraftFunctions.ngramHashes(reverse(col("toks")), n))
+      .collect()(0).getSeq[Long](0)
+    assert(rev != rows.find(_._1 == 2L).get._2)
+  }
+
   test("graft_dot is usable from SQL after registration") {
     graft.expressions.GraftFunctions.register(spark)
     val out = spark.sql(
