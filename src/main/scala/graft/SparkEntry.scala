@@ -1028,6 +1028,143 @@ object SparkEntry {
           sum(col("s_acctbal").cast(dec)).cast("double").as("total_acctbal"))
     },
 
+    // TPC-H q4 shape: EXISTS decorrelated to a left-semi join — orders
+    // with at least one lineitem shipped >60 days after order date.
+    // The semi join shuffles on the order key once; no row duplication.
+    "q4_priority_exists" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > expr("timestampadd(DAY, 60, o_orderdate)"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // TPC-H q10 shape: returned-item revenue per customer, global top-20
+    // via TakeOrderedAndProject (partial per-partition top-k, no global
+    // sort). Nation broadcasts; the fact-side join shuffles once.
+    "q10_returned_revenue" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val returned = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      returned.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
+    // TPC-H q12 shape: late-shipment share per priority (conditional
+    // aggregation over the orders×lineitem join).
+    "q12_late_shipments" -> { (s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(when(col("l_shipdate") > expr("timestampadd(DAY, 90, o_orderdate)"), 1L)
+          .otherwise(0L)).as("late_count"),
+          count(lit(1)).as("total_count"))
+    },
+
+    // TPC-H q13: customer order-count distribution — left join preserving
+    // order-less customers, then a histogram of the per-customer counts.
+    "q13_customer_distribution" -> { (s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // TPC-H q14 shape: promo revenue share — two decimal sums in one
+    // pass over the part-joined lineitems, ratio taken in double.
+    "q14_promo_revenue" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val discPrice = col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", discPrice).otherwise(lit(0).cast(dec)))
+          .cast("double").as("promo_revenue"),
+          sum(discPrice).cast("double").as("total_revenue"))
+        .select((lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_pct"),
+          col("promo_revenue"), col("total_revenue"))
+    },
+
+    // TPC-H q18 shape: large-volume orders (HAVING over the lineitem
+    // rollup, then joined back to order/customer detail).
+    "q18_large_orders" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+        .filter(col("sum_qty") > 150.0)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+    },
+
+    // TPC-H q19 shape: disjunctive brand/size/quantity bands — the whole
+    // OR-of-ANDs predicate evaluates inside one codegen'd filter after a
+    // broadcast join with part.
+    "q19_band_revenue" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_type") === "PROMO" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 40)))
+        .agg(sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // TPC-H q22 shape: above-average-balance customers with no URGENT
+    // orders (every customer has SOME order in this data, so the classic
+    // no-orders predicate would be vacuous). The average is an exact
+    // decimal-sum scalar (broadcast cross join), so the threshold
+    // comparison is bit-identical to the oracle; the NOT EXISTS is a
+    // left-anti join.
+    "q22_idle_customers" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("__avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg_bal"))
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(dec)).cast("double").as("totacctbal"))
+    },
+
     // ---- CSV encode/decode round-trip (T1/T2 family, CSV flavor) ----
     "csv_roundtrip" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
@@ -1207,6 +1344,91 @@ object SparkEntry {
     "salted_join_customer_orders" -> Oracles.joinCustomerOrders,
     "q17_small_quantity" -> Oracles.q17SmallQuantity,
     "supplier_nation_acctbal" -> Oracles.supplierNationAcctbal,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_late_shipments" ->
+      """SELECT o_orderpriority,
+        |  SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |      THEN 1 ELSE 0 END) AS late_count,
+        |  count(*) AS total_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c_orders GROUP BY c_count""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """WITH a AS (SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
+        |  promo_revenue, total_revenue FROM a""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q19_band_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS a
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > a
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey""".stripMargin,
     "csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "multimodal_frames" -> Oracles.multimodalFrames,
