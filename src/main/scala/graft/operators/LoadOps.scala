@@ -52,6 +52,38 @@ object LoadOps {
     target.join(keys, keyFields, "left_anti").unionByName(staged)
   }
 
+  /** Snapshot diff (CDC derivation): classify every key across two
+    * versions of a table as insert / delete / update / same via one full
+    * outer join on the key. `cmpCols` define row equality for the
+    * update-vs-same split (null-safe compare). The shape a
+    * change-capture export or incremental-sync audit runs; one shuffle
+    * on the key on each side. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idField: String,
+      cmpCols: Seq[String]): DataFrame = {
+    val o = oldDf.select(col(idField).as("__ok"),
+      struct(cmpCols.map(col): _*).as("__ov"))
+    val n = newDf.select(col(idField).as("__nk"),
+      struct(cmpCols.map(col): _*).as("__nv"))
+    o.join(n, col("__ok") === col("__nk"), "full_outer")
+      .select(coalesce(col("__ok"), col("__nk")).as(idField),
+        when(col("__ok").isNull, "insert")
+          .when(col("__nk").isNull, "delete")
+          .when(col("__ov") <=> col("__nv"), "same")
+          .otherwise("update").as("change_type"))
+  }
+
+  /** Apply a CDC batch with tombstones: rows whose `opCol` is "D" delete
+    * their key from the target; every other row upserts (last staged
+    * version wins is the CALLER's concern, as in [[merge]]). One anti-
+    * join against the distinct changed-key set + one union — the merge
+    * plan plus delete semantics the reference never had. */
+  def applyCdc(target: DataFrame, changes: DataFrame, idField: String,
+      opCol: String): DataFrame = {
+    val changedKeys = changes.select(col(idField)).distinct()
+    target.join(changedKeys, Seq(idField), "left_anti")
+      .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) merge: the history-keeping
     * upsert. Where [[merge]] deletes replaced rows (the reference's L3
     * semantics), this closes their validity interval instead:

@@ -88,6 +88,28 @@ object MultimodalOps {
         expr(s"substring(payload, frame_no * $frameBytes + 1, $frameBytes)").as("frame_bytes"))
   }
 
+  /** Sliding-window chunking for "audio" payloads: windows of
+    * `windowBytes` advancing by `strideBytes` (overlapping when stride <
+    * window — the ASR-style segmentation shape). Emits (id, chunk_idx,
+    * chunk_off, chunk_len); the last chunk is short. Integer arithmetic
+    * only, so it oracles exactly; the payload itself is sliced lazily by
+    * downstream consumers (same pattern as [[frameSample]]) and never
+    * shuffled whole. */
+  def audioChunks(df: DataFrame, idCol: String,
+      windowBytes: Int, strideBytes: Int): DataFrame = {
+    require(strideBytes > 0 && windowBytes >= strideBytes,
+      s"need windowBytes >= strideBytes > 0, got $windowBytes/$strideBytes")
+    val len = octet_length(col("payload")).cast("long")
+    // ceil(len / stride) chunks: every offset k*stride < len.
+    val nChunks = ((len + strideBytes - 1) / strideBytes).cast("long")
+    df.select(col(idCol), len.as("__len"),
+        explode(sequence(lit(0L), greatest(nChunks - 1, lit(0L)))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * strideBytes).as("chunk_off"),
+        least(lit(windowBytes.toLong),
+          col("__len") - col("chunk_idx") * strideBytes).as("chunk_len"))
+  }
+
   /** Metadata-level "resize": recompute the declared dimensions; the
     * payload is untouched (a real resize happens inside decodeFeatures'
     * batch loop). */
