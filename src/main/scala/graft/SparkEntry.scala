@@ -68,6 +68,31 @@ object SparkEntry {
       LoadOps.merge(t(s, dir, "orders"), s1.unionByName(s2), "o_orderkey")
     },
 
+    // CDC derivation: classify keys across two snapshot versions (new
+    // version = deletes every 10th key, restatuses every 7th, inserts
+    // shifted copies of every 13th).
+    "snapshot_diff" -> { (s, dir) =>
+      val old = t(s, dir, "orders")
+      val next = old.filter(col("o_orderkey") % 10 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("U")).otherwise(col("o_orderstatus")))
+        .unionByName(old.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      LoadOps.snapshotDiff(old, next, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice"))
+    },
+
+    // CDC application: tombstones ('D', every 10th key) delete; the rest
+    // of the changed keys (every 5th) upsert with a mutated status.
+    "apply_cdc" -> { (s, dir) =>
+      val target = t(s, dir, "orders")
+      val changes = target.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("C"))
+        .withColumn("op",
+          when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("I")))
+      LoadOps.applyCdc(target, changes, "o_orderkey", "op")
+    },
+
     // ---- row-level transforms (reference T1/T2: NDJSON encode/decode) ----
     "ndjson_roundtrip" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
@@ -1249,6 +1274,39 @@ object SparkEntry {
          |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staged)
          |UNION ALL SELECT * FROM staged""".stripMargin,
 
+    "snapshot_diff" ->
+      s"""WITH newt AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END
+         |      AS o_orderstatus,
+         |    o_totalprice
+         |  FROM orders WHERE o_orderkey % 10 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 100000000 AS o_orderkey, o_orderstatus,
+         |    o_totalprice
+         |  FROM orders WHERE o_orderkey % 13 = 0),
+         |oldt AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+         |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+         |       WHEN n.o_orderkey IS NULL THEN 'delete'
+         |       WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+         |        AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+         |       THEN 'same' ELSE 'update' END AS change_type
+         |FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey""".stripMargin,
+
+    "apply_cdc" ->
+      s"""WITH changes AS (
+         |  SELECT o_orderkey, o_custkey, 'C' AS o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority,
+         |         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'I' END AS op
+         |  FROM orders WHERE o_orderkey % 5 = 0)
+         |SELECT * FROM orders
+         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |       o_orderdate, o_orderpriority
+         |FROM changes WHERE op <> 'D'""".stripMargin,
+
     "ndjson_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
@@ -1367,8 +1425,8 @@ object SparkEntry {
 
     "q12_late_shipments" ->
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
-        |      THEN 1 ELSE 0 END) AS late_count,
+        |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
         |  count(*) AS total_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,

@@ -210,6 +210,13 @@ object DedupOps {
       labels = next
       iter += 1
     }
+    // Unconverged labels are WRONG (some vertex would still shrink):
+    // fail loudly rather than hand back a plausible-looking keep list.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "maxIter; raise maxIter (rounds needed = O(max component diameter))")
     labels.select(col("v").as(id), col("component"))
   }
 

@@ -108,6 +108,9 @@ object MultimodalOps {
         (col("chunk_idx") * strideBytes).as("chunk_off"),
         least(lit(windowBytes.toLong),
           col("__len") - col("chunk_idx") * strideBytes).as("chunk_len"))
+      // len=0 payloads still explode one row (sequence(0,0)) with
+      // chunk_len=0 — drop it so chunk count is exactly ceil(len/stride).
+      .filter(col("chunk_len") > 0)
   }
 
   /** Metadata-level "resize": recompute the declared dimensions; the

@@ -446,4 +446,67 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     val metas = resized.select("meta.width", "meta.height").collect()
     assert(metas.forall(r => r.getInt(0) <= 64 && r.getInt(1) <= 64))
   }
+
+  test("multimodal: audioChunks emits ceil(len/stride) windows, none empty") {
+    import spark.implicits._
+    // len 10 / window 4 / stride 3 → offsets 0,3,6,9 with lens 4,4,4,1;
+    // len 3 (< window) → one short chunk; len 0 → NO chunks.
+    val df = Seq((1L, "0123456789"), (2L, "abc"), (3L, ""))
+      .toDF("id", "s").select(col("id"), col("s").cast("binary").as("payload"))
+    val out = MultimodalOps.audioChunks(df, "id", windowBytes = 4, strideBytes = 3)
+      .orderBy("id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L), (1L, 3L, 9L, 1L),
+      (2L, 0L, 0L, 3L)))
+  }
+
+  test("connectedComponents refuses to return unconverged labels") {
+    import spark.implicits._
+    val docs = (10L to 15L).toDF("doc_id")
+    val chain = (10L to 14L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](
+      DedupOps.connectedComponents(docs, chain, "doc_id", maxIter = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("snapshotDiff classifies insert/delete/update/same incl. null columns") {
+    import spark.implicits._
+    val oldDf = Seq(
+      (1L, Some("a"), 10), (2L, Some("b"), 20), (3L, None: Option[String], 30),
+      (4L, Some("d"), 40)).toDF("id", "v", "n")
+    val newDf = Seq(
+      (1L, Some("a"), 10),                       // same
+      (2L, Some("B"), 20),                       // update (value change)
+      (3L, None: Option[String], 30),            // same (null <=> null)
+      (5L, Some("e"), 50),                       // insert
+      (4L, None: Option[String], 40)             // update (d -> null)
+    ).toDF("id", "v", "n")
+    val out = LoadOps.snapshotDiff(oldDf, newDf, "id", Seq("v", "n"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "same"), (2L, "update"), (3L, "same"),
+      (4L, "update"), (5L, "insert")))
+    // old-only key classified delete.
+    val del = LoadOps.snapshotDiff(oldDf, newDf.filter(col("id") =!= 4), "id",
+      Seq("v", "n")).filter(col("change_type") === "delete")
+      .collect().map(_.getLong(0)).toSeq
+    assert(del == Seq(4L))
+  }
+
+  test("applyCdc deletes tombstoned keys and upserts the rest") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq((2L, "b2", "U"), (3L, "c", "D"), (4L, "d", "I"))
+      .toDF("id", "v", "op")
+    val out = LoadOps.applyCdc(target, changes, "id", "op")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+    // A key that is deleted AND re-upserted in the same batch lands once
+    // with the upserted value (the anti-join removes the old row; the "D"
+    // row itself is filtered; the "I"/"U" row unions in).
+    val both = Seq((1L, "gone", "D"), (1L, "back", "I")).toDF("id", "v", "op")
+    val out2 = LoadOps.applyCdc(target, both, "id", "op")
+      .filter(col("id") === 1).collect().map(_.getString(1)).toSeq
+    assert(out2 == Seq("back"))
+  }
 }
