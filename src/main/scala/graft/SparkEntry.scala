@@ -1190,6 +1190,148 @@ object SparkEntry {
           sum(col("c_acctbal").cast(dec)).cast("double").as("totacctbal"))
     },
 
+    // TPC-H q7 shape: shipping volume between a nation pair, by ship year.
+    // Both dimension sides are pre-filtered to the two nations BEFORE the
+    // fact join (at 100 TB this shrinks supplier/customer by ~12x each and
+    // lets AQE pick broadcast for the dim sides); nation itself is
+    // broadcast explicitly.
+    "q7_volume_shipping" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val nat = t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("c_nk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))))
+          .cast("double").as("revenue"))
+    },
+
+    // TPC-H q8 shape: one nation's market share of revenue sold into a
+    // region, by order year. Share = decimal-sum(conditional) over
+    // decimal-sum(total), divided once in double (bit-identical both
+    // engines).
+    "q8_market_share" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val asiaCust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppNat = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val vol = (col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec)))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast(dec))).cast("double") /
+          sum(vol).cast("double")).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // TPC-H q9 shape (adapted: no partsupp table in this corpus, so unit
+    // cost is p_retailprice): profit by supplier nation and order year
+    // over parts whose name contains 'red'. Part/supplier dims pre-pruned
+    // and broadcast-joined; profit stays decimal until the final cast.
+    "q9_profit_nation_year" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val suppNat = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)) -
+          col("p_retailprice").cast(dec) * col("l_quantity").cast(dec))
+          .cast("double").as("profit"))
+    },
+
+    // TPC-H q15 shape: supplier(s) with the maximum revenue over a fixed
+    // quarter. The max is taken on the EXACT decimal sum (not the double
+    // projection), so the tie comparison is bit-identical to the oracle;
+    // the scalar max joins back via broadcast.
+    "q15_top_supplier" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)))).as("rev_dec"))
+      rev.crossJoin(broadcast(rev.agg(max(col("rev_dec")).as("max_rev"))))
+        .filter(col("rev_dec") === col("max_rev"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_rev"))
+    },
+
+    // TPC-H q21 shape (adapted: late = shipped >60 days after order date;
+    // this corpus has no commit/receipt dates): suppliers who were the
+    // SOLE late supplier on a multi-supplier finalized order. The
+    // correlated EXISTS / NOT EXISTS pair is reformulated as one
+    // per-order aggregate (distinct suppliers vs distinct late suppliers)
+    // — a single extra shuffle instead of two correlated self-joins.
+    "q21_waiting_supplier" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val perOrder = li.groupBy(col("o_orderkey").as("po_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+        .select(col("po_orderkey"))
+      li.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("po_orderkey"), "left_semi")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    },
+
     // ---- CSV encode/decode round-trip (T1/T2 family, CSV flavor) ----
     "csv_roundtrip" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
@@ -1487,6 +1629,89 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS mkt_share,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+
+    "q9_profit_nation_year" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) -
+        |    CAST(p_retailprice AS DECIMAL(18,2)) *
+        |    CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
     "csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "multimodal_frames" -> Oracles.multimodalFrames,
