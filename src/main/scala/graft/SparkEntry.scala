@@ -1332,6 +1332,102 @@ object SparkEntry {
         .orderBy(col("numwait").desc, col("s_name")).limit(20)
     },
 
+    // Relational reshaping: UNPIVOT (melt) the four lineitem measures to
+    // long form, then re-aggregate. Narrow-to-long is a pure projection
+    // (4x row explosion, no shuffle until the final 4-group agg).
+    "unpivot_lineitem" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy(col("measure"))
+        .agg(sum(col("val").cast(dec)).cast("double").as("total"),
+          count(lit(1)).as("n"))
+    },
+
+    // Map-typed column family: build a per-user event_type->count map
+    // (map_from_entries over a sorted entry array so key order is
+    // deterministic), then read it back via map_keys / element_at /
+    // transform_values / a fold over map_values. Output stays scalar
+    // (driver compare cannot hash map cells).
+    "map_functions_events" -> { (s, dir) =>
+      val perType = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      perType.groupBy(col("user_id"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+        .select(col("user_id"),
+          size(col("m")).as("n_types"),
+          array_join(map_keys(col("m")), ",").as("types"),
+          element_at(col("m"), "click").as("click_cnt"),
+          aggregate(map_values(col("m")), lit(0L), (a, x) => a + x)
+            .as("total_events"),
+          element_at(transform_values(col("m"), (_, v) => v * 2), "view")
+            .as("view_x2"))
+    },
+
+    // Window navigation with null skipping: first/last/nth non-null value
+    // per user (nulls planted at value<10). Unique (ts, event_id) order
+    // key keeps frames deterministic.
+    "window_ignore_nulls" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("value") >= 10.0, col("value")).as("v"))
+        .select(col("event_id"), col("user_id"),
+          first(col("v"), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_v"),
+          last(col("v"), ignoreNulls = true).over(wAll).as("last_v"),
+          nth_value(col("v"), 2, ignoreNulls = true).over(wAll).as("second_v"))
+    },
+
+    // Time-series gap fill: left-join a generated daily date spine
+    // (sequence over the min/max bounds, broadcast scalar) against sparse
+    // per-day aggregates and zero-fill the holes. URGENT orders are
+    // sparse enough (~1/day) that real gaps exist at every SF.
+    "gap_fill_daily" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(date_trunc("day", col("o_orderdate")).as("day"),
+          col("o_totalprice"))
+      val daily = urgent.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+      val spine = urgent
+        .agg(min(col("day")).as("mind"), max(col("day")).as("maxd"))
+        .select(explode(sequence(col("mind"), col("maxd"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+    },
+
+    // Fixed-width histogram over order totals: integer-exact bucketing
+    // (cents div bucket width — identical integer arithmetic in both
+    // engines; see scalar_functions' value_cents precedent). One
+    // hash-agg, fully codegen'd.
+    "price_histogram" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      t(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT) div 2500000")
+          .as("bucket"), col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+    },
+
     // ---- CSV encode/decode round-trip (T1/T2 family, CSV flavor) ----
     "csv_roundtrip" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
@@ -1711,6 +1807,68 @@ object SparkEntry {
         |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "unpivot_lineitem" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM m GROUP BY measure""".stripMargin,
+
+    "map_functions_events" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  count(*) AS n_types,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS types,
+        |  CAST(max(CASE WHEN event_type = 'click' THEN cnt END) AS BIGINT)
+        |    AS click_cnt,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_events,
+        |  CAST(max(CASE WHEN event_type = 'view' THEN cnt * 2 END) AS BIGINT)
+        |    AS view_x2
+        |FROM c GROUP BY user_id""".stripMargin,
+
+    "window_ignore_nulls" ->
+      """SELECT event_id, user_id,
+        |  first_value(v IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+        |  last_value(v IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+        |  nth_value(v, 2 IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_v
+        |FROM (SELECT event_id, user_id, ts,
+        |  CASE WHEN value >= 10.0 THEN value END AS v FROM events)""".stripMargin,
+
+    "gap_fill_daily" ->
+      """WITH urgent AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |daily AS (SELECT day, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM urgent GROUP BY day),
+        |spine AS (SELECT unnest(range((SELECT min(day) FROM urgent),
+        |  (SELECT max(day) FROM urgent) + INTERVAL 1 DAY,
+        |  INTERVAL 1 DAY)) AS day)
+        |SELECT spine.day AS day,
+        |  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+        |  COALESCE(revenue, 0.0) AS revenue
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin,
+
+    "price_histogram" ->
+      """SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) // 2500000 AS bucket,
+        |  count(*) AS n_orders,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
