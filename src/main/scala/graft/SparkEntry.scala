@@ -743,12 +743,18 @@ object SparkEntry {
 
     "bigram_counts" -> ((s, dir) =>
       // Corpus n-gram table (language-model counts): word bigrams with
-      // document and total frequencies, pruned to df >= 5.
+      // document and total frequencies, pruned to df >= 5. Two-level
+      // aggregation instead of countDistinct+count in one agg: the
+      // (doc_id, bigram) pre-agg collapses within-doc repeats map-side
+      // and avoids the Expand (2x shuffle rows) a mixed distinct/plain
+      // aggregate plans.
       t(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.wordBigrams(col("text"))).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("c"))
         .groupBy(col("bigram"))
-        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"))
         .filter(col("df") >= 5)),
 
     "funnel_view_click_purchase" -> ((s, dir) =>

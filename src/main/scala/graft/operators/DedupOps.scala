@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.TextFunctions._
 
@@ -189,33 +190,46 @@ object DedupOps {
     * pair keep their own id as component. Returns (`id`, component). */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       id: String, maxIter: Int = 20): DataFrame = {
+    // Pre-partition edges by the join key so every round's join reuses
+    // this layout (localCheckpoint preserves output partitioning) —
+    // the big edge set shuffles once, not once per round.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint(true)
+    // Convergence detection: labels only ever DECREASE under min-label
+    // propagation, so sum(component) is a strictly-decreasing monotone
+    // invariant — equal sums between rounds ⟺ no label changed. One
+    // cheap partial-agg action per round instead of a shuffle join +
+    // count against the previous labels.
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(DecimalType(38, 0))))
+        .head.getDecimal(0)
     var labels = vertices.select(col(id).as("v"))
       .withColumn("component", col("v"))
       .localCheckpoint(true)
-    var changed = 1L
+    var oldSum = checksum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val viaEdge = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("component"))
       val next = viaEdge.union(labels)
         .groupBy(col("v")).agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.select(col("v"), col("component").as("__old")), "v")
-        .filter(col("component") =!= col("__old")).count()
+      val newSum = checksum(next)
+      converged = newSum.compareTo(oldSum) == 0
+      oldSum = newSum
       labels = next
       iter += 1
     }
     // Unconverged labels are WRONG (some vertex would still shrink):
     // fail loudly rather than hand back a plausible-looking keep list.
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — component diameter exceeds " +
+          "(labels still shrinking) — component diameter exceeds " +
           "maxIter; raise maxIter (rounds needed = O(max component diameter))")
     labels.select(col("v").as(id), col("component"))
   }
