@@ -1323,9 +1323,15 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      val perOrder = li.groupBy(col("o_orderkey").as("po_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      // Two-level agg instead of two countDistincts in one aggregate
+      // (which would plan a 3x Expand): per-(order, supplier) late flag,
+      // then per-order counts.
+      val perOrder = li.groupBy(col("o_orderkey").as("po_orderkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(max(col("late")).as("supp_late"))
+        .groupBy(col("po_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"))
         .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
         .select(col("po_orderkey"))
       li.filter(col("late"))
@@ -1417,6 +1423,33 @@ object SparkEntry {
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
           coalesce(col("revenue"), lit(0.0)).as("revenue"))
     },
+
+    // Z-order (Morton) interleaved key over (user, day) — the clustering
+    // key LayoutOps.zorder lays files out by so min/max stats prune on
+    // BOTH dimensions at 100 TB. The oracle SQL is generated from the
+    // same bit-interleave loop (LayoutOps.zValue2Sql), so the arithmetic
+    // cannot drift between engines.
+    "zorder_key_events" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id").as("x"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .as("y"))
+        .select(col("event_id"),
+          LayoutOps.zValue2(col("x"), col("y")).as("zval"))
+    },
+
+    // Sketch: approximate grouped percentiles (GK / KLL-style summary —
+    // mergeable, single-pass, bounded memory; the 100 TB path where exact
+    // sort-based percentiles are impossible). Rows-only like the other
+    // approximate ops; the spec bounds its error against the exact
+    // percentiles.
+    "approx_percentiles_value" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          percentile_approx(col("value"), lit(0.95), lit(10000))
+            .as("p95_approx"))),
 
     // Fixed-width histogram over order totals: integer-exact bucketing
     // (cents div bucket width — identical integer arithmetic in both
@@ -1867,6 +1900,14 @@ object SparkEntry {
         |  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
         |  COALESCE(revenue, 0.0) AS revenue
         |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin,
+
+    "zorder_key_events" ->
+      s"""WITH d AS (SELECT event_id, user_id AS x,
+         |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS y
+         |  FROM events)
+         |SELECT event_id,
+         |  ${LayoutOps.zValue2Sql("x", "y")} AS zval
+         |FROM d""".stripMargin,
 
     "price_histogram" ->
       """SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) // 2500000 AS bucket,

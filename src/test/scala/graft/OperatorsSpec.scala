@@ -509,4 +509,70 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       .filter(col("id") === 1).collect().map(_.getString(1)).toSeq
     assert(out2 == Seq("back"))
   }
+
+  test("zValue2 matches a reference Morton interleave") {
+    import spark.implicits._
+    def refMorton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.tabulate(200)(i =>
+      (i.toLong, rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("id", "x", "y")
+      .select(col("id"), LayoutOps.zValue2(col("x"), col("y")).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pts.foreach { case (id, x, y) =>
+      assert(got(id) == refMorton(x, y, 16), s"($x,$y)")
+    }
+    // Morton order is a bijection: distinct inputs -> distinct codes.
+    assert(got.values.toSet.size == pts.map(p => (p._2, p._3)).toSet.size)
+  }
+
+  test("zorder clusters BOTH dimensions (vs single-dimension sort)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = Seq.tabulate(4000)(i =>
+      (i.toLong, rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      .toDF("id", "x", "y")
+    // Sum over output partitions of each dimension's min-max extent:
+    // a perfectly clustered dimension sums to ~full_range, a scattered
+    // one to ~numPartitions * full_range.
+    def extents(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val rows = d.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg((max(col("x")) - min(col("x"))).as("ex"),
+          (max(col("y")) - min(col("y"))).as("ey"))
+        .collect()
+      (rows.map(_.getAs[Long]("ex")).sum, rows.map(_.getAs[Long]("ey")).sum)
+    }
+    val z = extents(LayoutOps.zorder(df, col("x"), col("y"), 16, bits = 8))
+    val xOnly = extents(
+      df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x")))
+    // x-only sort leaves y fully scattered (every partition ~full range);
+    // z-order must beat it on y while staying far from scattered on x.
+    assert(z._2 < xOnly._2 / 2,
+      s"zorder y-extent ${z._2} not < half of x-sort's ${xOnly._2}")
+    assert(z._1 < xOnly._2 / 2,
+      s"zorder x-extent ${z._1} not < half of scattered ${xOnly._2}")
+  }
+
+  test("approx percentiles stay within tolerance of exact") {
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("approx_percentiles_value")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val exact = Tables(spark, dir, "events").groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    // value spans ~[0,100]; the sketch at accuracy 10000 over ~2k rows
+    // per group is near-exact — allow 1.0 absolute slack.
+    exact.foreach { case (k, (p50, p95)) =>
+      assert(math.abs(approx(k)._1 - p50) <= 1.0, s"$k p50")
+      assert(math.abs(approx(k)._2 - p95) <= 1.0, s"$k p95")
+    }
+  }
 }
