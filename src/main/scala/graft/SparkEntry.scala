@@ -289,6 +289,19 @@ object SparkEntry {
         "user_id", "ts", "ts", "event_id", "event_id")
     },
 
+    // Same as-of semantics, executed by the custom sort-merge physical
+    // operator (plans.AsOfJoinExec: custom LogicalPlan + SparkStrategy +
+    // SparkPlan) — per-side shuffles and a single forward merge walk
+    // instead of the union+window composition. Checked against the SAME
+    // oracle as asof_click_purchase.
+    "asof_merge_exec_click" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.plans.AsOfMergeJoin.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "ts", "event_id", "event_id")
+    },
+
     "asof_forward_next_click" -> { (s, dir) =>
       val ev = t(s, dir, "events")
       AnalyticOps.asofJoinForward(
@@ -1618,6 +1631,7 @@ object SparkEntry {
     "sessionize_30m" -> Oracles.sessionize(30),
     "session_conversion" -> Oracles.sessionConversion(30),
     "asof_click_purchase" -> Oracles.asofClickPurchase,
+    "asof_merge_exec_click" -> Oracles.asofClickPurchase,
     "asof_forward_next_click" -> Oracles.asofForwardNextClick,
     "asof_tolerance_click" -> Oracles.asofToleranceClick,
     "scd2_asof_lookup" -> Oracles.scd2AsofLookup,

@@ -1,0 +1,31 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Bridge for custom logical plans (`Dataset.ofRows` and the classic
+  * session internals are `private[sql]`). Same technique as
+  * [[GraftColumns]]: a minimal, clearly-scoped shim so graft can hand
+  * Catalyst a custom [[LogicalPlan]] and register the strategy that
+  * plans it — without requiring every session to be pre-built with
+  * `spark.sql.extensions`. */
+object GraftPlans {
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Idempotently add a planner strategy to a LIVE session
+    * (`spark.sql.extensions` only applies at session construction). */
+  def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(s))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
+  }
+}

@@ -557,6 +557,52 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       s"zorder x-extent ${z._1} not < half of scattered ${xOnly._2}")
   }
 
+  test("AsOfJoinExec matches the union+window as-of join exactly") {
+    import spark.implicits._
+    // Adversarial data: duplicate right timestamps per key (tie-break on
+    // id), left rows before any right row (null match), keys with no
+    // right rows at all, equal left/right timestamps (inclusive <=).
+    val rnd = new scala.util.Random(11)
+    val left = Seq.tabulate(500)(i =>
+      (i.toLong, rnd.nextInt(7).toLong, rnd.nextInt(40).toLong))
+      .toDF("lid", "k", "lt")
+      .select(col("k"), to_timestamp(lit("2024-01-01")).cast("long")
+        .plus(col("lt") * 60).cast("timestamp").as("ts"), col("lid"))
+    val right = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(40).toLong))
+      .toDF("rid", "k", "rt")
+      .select(col("k"), to_timestamp(lit("2024-01-01")).cast("long")
+        .plus(col("rt") * 60).cast("timestamp").as("ts"), col("rid"))
+    val viaWindow = operators.AnalyticOps.asofJoin(
+        left, right, "k", "ts", "ts", "lid", "rid")
+      .orderBy("lid").collect().map(_.toSeq).toSeq
+    val viaExec = plans.AsOfMergeJoin.asofJoin(
+        left, right, "k", "ts", "ts", "lid", "rid")
+      .orderBy("lid").collect().map(_.toSeq).toSeq
+    assert(viaExec == viaWindow)
+  }
+
+  test("AsOfJoinExec plans the custom exec with no union or window") {
+    val ev = Tables(spark, sf("sf0.001"), "events")
+    val df = plans.AsOfMergeJoin.asofJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"),
+      "user_id", "ts", "ts", "event_id", "event_id")
+    // It must produce the same rows as the oracle-checked operator …
+    val expect = operators.AnalyticOps.asofJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"),
+      "user_id", "ts", "ts", "event_id", "event_id")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(df.orderBy("event_id").collect().map(_.toSeq).toSeq == expect)
+    // … and run through the custom exec (nodeName prints without the
+    // Exec suffix), with no union/window composition.
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), p.take(800))
+    assert(!p.contains("Window") && !p.contains("Union"),
+      s"composition leaked into the custom-exec plan:\n${p.take(800)}")
+  }
+
   test("approx percentiles stay within tolerance of exact") {
     val dir = "/root/testdata/sf0.01"
     val approx = SparkEntry.queries("approx_percentiles_value")(spark, dir)
