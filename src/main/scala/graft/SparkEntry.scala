@@ -1437,6 +1437,33 @@ object SparkEntry {
           coalesce(col("revenue"), lit(0.0)).as("revenue"))
     },
 
+    // Balanced subsampling: a fixed-size deterministic sample per group
+    // (reservoir-equivalent at scale — rank over a uniform md5 hash key,
+    // partial WindowGroupLimit keeps the shuffle at k rows per partition
+    // per group). The LLM-pipeline "cap examples per source" op.
+    "sample_k_per_group" -> { (s, dir) =>
+      val hashed = t(s, dir, "events").select(col("event_type"), col("event_id"),
+        conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("hkey"))
+      AnalyticOps.topKPerGroup(hashed, Seq(col("event_type")),
+          Seq(col("hkey"), col("event_id")), 5)
+        .select(col("event_type"), col("event_id"))
+    },
+
+    // Outlier capping (winsorization): clamp each value into its group's
+    // [p5, p95] band. Exact interpolated percentiles (bit-identical to
+    // DuckDB quantile_cont), broadcast back — no second shuffle of the
+    // fact side.
+    "winsorized_values" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val qs = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.05)).as("lo"),
+          percentile(col("value"), lit(0.95)).as("hi"))
+      ev.join(broadcast(qs), "event_type")
+        .select(col("event_id"), col("event_type"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("v_capped"))
+    },
+
     // Z-order (Morton) interleaved key over (user, day) — the clustering
     // key LayoutOps.zorder lays files out by so min/max stats prune on
     // BOTH dimensions at 100 TB. The oracle SQL is generated from the
@@ -1914,6 +1941,27 @@ object SparkEntry {
         |  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
         |  COALESCE(revenue, 0.0) AS revenue
         |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin,
+
+    "sample_k_per_group" ->
+      """WITH h AS (SELECT event_type, event_id,
+        |  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        |    AS hkey
+        |  FROM events)
+        |SELECT event_type, event_id FROM (
+        |  SELECT event_type, event_id,
+        |    rank() OVER (PARTITION BY event_type ORDER BY hkey, event_id)
+        |      AS rnk
+        |  FROM h)
+        |WHERE rnk <= 5""".stripMargin,
+
+    "winsorized_values" ->
+      """WITH q AS (SELECT event_type,
+        |  quantile_cont(value, 0.05) AS lo,
+        |  quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type AS event_type,
+        |  least(greatest(value, lo), hi) AS v_capped
+        |FROM events e JOIN q ON e.event_type = q.event_type""".stripMargin,
 
     "zorder_key_events" ->
       s"""WITH d AS (SELECT event_id, user_id AS x,
