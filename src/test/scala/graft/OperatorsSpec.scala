@@ -580,6 +580,19 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
         left, right, "k", "ts", "ts", "lid", "rid")
       .orderBy("lid").collect().map(_.toSeq).toSeq
     assert(viaExec == viaWindow)
+    // Null keys group together on both paths (window partitionBy and the
+    // exec's natural ordering both treat null as its own key).
+    val leftN = left.withColumn("k",
+      when(col("k") === 0, lit(null).cast("long")).otherwise(col("k")))
+    val rightN = right.withColumn("k",
+      when(col("k") === 0, lit(null).cast("long")).otherwise(col("k")))
+    val wN = operators.AnalyticOps.asofJoin(
+        leftN, rightN, "k", "ts", "ts", "lid", "rid")
+      .orderBy("lid").collect().map(_.toSeq).toSeq
+    val eN = plans.AsOfMergeJoin.asofJoin(
+        leftN, rightN, "k", "ts", "ts", "lid", "rid")
+      .orderBy("lid").collect().map(_.toSeq).toSeq
+    assert(eN == wN)
   }
 
   test("AsOfJoinExec plans the custom exec with no union or window") {

@@ -28,6 +28,11 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("WindowGroupLimit"), p.take(600))
   }
 
+  test("per-group sampler keeps the shuffle partial (WindowGroupLimit)") {
+    val p = plan("sample_k_per_group")
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+  }
+
   test("dense jaccard: intersection stays out of the join condition") {
     // The Opaque barrier must keep graft_sorted_intersect_count in the
     // post-join projection — pushed into the BNLJ condition it runs
