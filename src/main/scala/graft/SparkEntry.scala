@@ -1437,6 +1437,22 @@ object SparkEntry {
           coalesce(col("revenue"), lit(0.0)).as("revenue"))
     },
 
+    // Mergeable-sketch rollup — THE re-aggregation pattern at 100 TB:
+    // build one DataSketches HLL per (type, day) partial, then union the
+    // binary sketches up to per-type totals WITHOUT touching raw rows
+    // again (daily partials are what a warehouse persists; re-scanning
+    // history to count distincts is the anti-pattern). Rows-only like
+    // the other approximate ops; the spec asserts the merged rollup's
+    // estimate equals the direct single-pass sketch estimate.
+    "hll_sketch_rollup" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("users_est"), count(lit(1)).as("n_days"))
+    },
+
     // Balanced subsampling: a fixed-size deterministic sample per group
     // (reservoir-equivalent at scale — rank over a uniform md5 hash key,
     // partial WindowGroupLimit keeps the shuffle at k rows per partition

@@ -616,6 +616,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       s"composition leaked into the custom-exec plan:\n${p.take(800)}")
   }
 
+  test("HLL sketch rollup: merged daily partials == direct sketch estimate") {
+    val dir = "/root/testdata/sf0.01"
+    val rolled = SparkEntry.queries("hll_sketch_rollup")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables(spark, dir, "events").groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // HLL union is lossless over the sketch state: the rollup of daily
+    // partials must give the SAME estimate as one pass over the rows.
+    assert(rolled == direct)
+    val exact = Tables(spark, dir, "events").groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(rolled(k) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"$k est=${rolled(k)} exact=$n")
+    }
+  }
+
   test("approx percentiles stay within tolerance of exact") {
     val dir = "/root/testdata/sf0.01"
     val approx = SparkEntry.queries("approx_percentiles_value")(spark, dir)
