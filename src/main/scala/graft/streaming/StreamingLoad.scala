@@ -55,6 +55,37 @@ object StreamingLoad {
       .start()
   }
 
+  /** Stream a CDC feed (rows carrying an op column; "D" = tombstone)
+    * into `table`: each micro-batch applies deletes and upserts in one
+    * [[graft.operators.LoadOps.applyCdc]] merge against the current
+    * version. Batch boundaries preserve feed order, so a delete and a
+    * re-insert of the same key in ONE batch resolve to the upsert (the
+    * applyCdc contract) and across batches to whichever arrived later —
+    * the same convergence a Redshift staging-table DELETE+INSERT gives
+    * the reference. */
+  def cdcStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      warehouse: ParquetWarehouse,
+      table: TableRef,
+      idField: String,
+      opCol: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val target =
+          if (warehouse.exists(table)) warehouse.table(table)
+          else batch.drop(opCol).limit(0) // first batch bootstraps the table
+        val merged = graft.operators.LoadOps.applyCdc(
+          target, batch, idField, opCol)
+        warehouse.load(LoadMode.TruncateInsert, table, merged, idField)
+      }
+      .start()
+
   /** Event-time windowed aggregation with a watermark — the streaming
     * form of [[graft.operators.AnalyticOps.tumblingAgg]] (same expression
     * tree; late rows beyond the watermark are dropped instead of

@@ -45,6 +45,40 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
   }
 
+  test("cdcStream: tombstones delete, upserts apply, across micro-batch runs") {
+    val root = Files.createTempDirectory("graft_cdc").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val tbl = TableRef("", "cdc_people")
+    val cdcSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("op", StringType)))
+
+    // Batch 1 bootstraps the table from inserts.
+    writeFile(src, "a.json",
+      "{\"id\":1,\"name\":\"a\",\"op\":\"I\"}\n" +
+      "{\"id\":2,\"name\":\"b\",\"op\":\"I\"}\n" +
+      "{\"id\":3,\"name\":\"c\",\"op\":\"I\"}")
+    StreamingLoad.cdcStream(spark, src, cdcSchema, wh, tbl,
+      "id", "op", s"$root/ckpt").awaitTermination()
+    assert(wh.table(tbl).count() == 3)
+
+    // Batch 2: delete id=2, restate id=3, insert id=4; and a delete +
+    // re-insert of id=1 in the SAME batch resolves to the upsert.
+    writeFile(src, "b.json",
+      "{\"id\":2,\"name\":\"b\",\"op\":\"D\"}\n" +
+      "{\"id\":3,\"name\":\"C2\",\"op\":\"U\"}\n" +
+      "{\"id\":4,\"name\":\"d\",\"op\":\"I\"}\n" +
+      "{\"id\":1,\"name\":\"a\",\"op\":\"D\"}\n" +
+      "{\"id\":1,\"name\":\"A2\",\"op\":\"I\"}")
+    StreamingLoad.cdcStream(spark, src, cdcSchema, wh, tbl,
+      "id", "op", s"$root/ckpt").awaitTermination()
+
+    val out = wh.table(tbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "A2"), (3L, "C2"), (4L, "d")))
+  }
+
   test("continuous file ingest: files arriving across triggers are all upserted") {
     val root = Files.createTempDirectory("graft_stream3").toString
     val src = s"$root/src"; Files.createDirectories(Paths.get(src))
