@@ -1437,6 +1437,36 @@ object SparkEntry {
           coalesce(col("revenue"), lit(0.0)).as("revenue"))
     },
 
+    // RANGE window frame over event time: per-customer trailing-30-day
+    // spend, the value-based frame (every row its own anchor) that ROWS
+    // frames can't express. Ordered on epoch seconds so both engines
+    // frame identically; decimal running sum so partial order is exact.
+    "range_frame_spend" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dec = DecimalType(18, 2)
+      val w = Window.partitionBy(col("o_custkey"))
+        // NTZ → timestamp (UTC session) → epoch seconds
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast(dec)).over(w)
+            .cast("double").as("spend_30d"))
+    },
+
+    // Semi-structured column via Spark 4 VariantType: parse the JSON
+    // props payload once, then typed-path extraction (the open-schema
+    // path for event properties — no fixed StructType required).
+    "variant_props" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          try_variant_get(col("v"), "$.k", "int").as("k_int"),
+          try_variant_get(col("v"), "$.missing", "string").as("missing_str"),
+          is_variant_null(col("v")).as("v_isnull"))
+    },
+
     // Mergeable-sketch rollup — THE re-aggregation pattern at 100 TB:
     // build one DataSketches HLL per (type, day) partial, then union the
     // binary sketches up to per-type totals WITHOUT touching raw rows
@@ -1957,6 +1987,22 @@ object SparkEntry {
         |  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
         |  COALESCE(revenue, 0.0) AS revenue
         |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin,
+
+    "range_frame_spend" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS spend_30d
+        |FROM orders""".stripMargin,
+
+    "variant_props" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  json_extract_string(props, '$.missing') AS missing_str,
+        |  false AS v_isnull
+        |FROM events""".stripMargin,
 
     "sample_k_per_group" ->
       """WITH h AS (SELECT event_type, event_id,
