@@ -310,6 +310,25 @@ object SparkEntry {
         "user_id", "ts", "ts", "event_id", "event_id")
     },
 
+    // Forward + tolerance variants through the custom exec, against the
+    // SAME oracles as their window-form twins.
+    "asof_merge_exec_forward" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.plans.AsOfMergeJoin.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "ts", "event_id", "event_id", forward = true)
+    },
+
+    "asof_merge_exec_tolerance" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.plans.AsOfMergeJoin.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "ts", "event_id", "event_id",
+        toleranceSec = Some(3600L))
+    },
+
     "asof_tolerance_click" -> { (s, dir) =>
       val ev = t(s, dir, "events")
       AnalyticOps.asofJoinTolerance(
@@ -1707,6 +1726,8 @@ object SparkEntry {
     "asof_merge_exec_click" -> Oracles.asofClickPurchase,
     "asof_forward_next_click" -> Oracles.asofForwardNextClick,
     "asof_tolerance_click" -> Oracles.asofToleranceClick,
+    "asof_merge_exec_forward" -> Oracles.asofForwardNextClick,
+    "asof_merge_exec_tolerance" -> Oracles.asofToleranceClick,
     "scd2_asof_lookup" -> Oracles.scd2AsofLookup,
     "session_overlap_pairs" -> Oracles.sessionOverlapPairs(30),
     "events_sliding_1h_30m" -> Oracles.sliding1h30m,

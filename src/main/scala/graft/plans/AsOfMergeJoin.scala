@@ -34,7 +34,9 @@ case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightTieBreak: Seq[Expression]) extends BinaryNode {
+    rightTieBreak: Seq[Expression],
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -49,8 +51,9 @@ case class AsOfJoin(
   * via `spark.sql.extensions=graft.expressions.GraftExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, fwd, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -65,6 +68,8 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Seq[Expression],
+    forward: Boolean,
+    toleranceMicros: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -107,6 +112,9 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(nRightFields)
       val joined = new JoinedRow
 
+      val fwd = forward
+      val tol = toleranceMicros
+
       new Iterator[InternalRow] {
         // Lookahead right row (owned copies — child iterators reuse
         // their row buffers) and the current same-key match candidate.
@@ -115,6 +123,7 @@ case class AsOfJoinExec(
         private var rHeadTime: UnsafeRow = _
         private var cand: InternalRow = _
         private var candKey: UnsafeRow = _
+        private var candTime: UnsafeRow = _
 
         private def advanceRight(): Unit =
           if (rIter.hasNext) {
@@ -134,15 +143,34 @@ case class AsOfJoinExec(
           // Skip right rows for keys before the current left key …
           while (rHead != null && keyOrd.compare(rHeadKey, lKey) < 0)
             advanceRight()
-          // … then consume all same-key rows with rtime <= ltime; the
-          // LAST consumed (max (rtime, tieBreak) — the sort order) wins.
-          while (rHead != null && keyOrd.compare(rHeadKey, lKey) == 0 &&
-              timeOrd.compare(rHeadTime, lT) <= 0) {
-            cand = rHead; candKey = rHeadKey
-            advanceRight()
-          }
-          val matched = cand != null && keyOrd.compare(candKey, lKey) == 0
-          resultProj(joined(lRow, if (matched) cand else nullRight))
+          val matchedRow: InternalRow =
+            if (fwd) {
+              // Forward: discard same-key rows strictly before ltime
+              // (ascending left means they can't match later rows
+              // either); the lookahead row itself is then the first
+              // at-or-after — the match.
+              while (rHead != null && keyOrd.compare(rHeadKey, lKey) == 0 &&
+                  timeOrd.compare(rHeadTime, lT) < 0)
+                advanceRight()
+              if (rHead != null && keyOrd.compare(rHeadKey, lKey) == 0)
+                rHead
+              else null
+            } else {
+              // Backward: consume all same-key rows with rtime <= ltime;
+              // the LAST consumed (max (rtime, tieBreak) — the sort
+              // order) wins.
+              while (rHead != null && keyOrd.compare(rHeadKey, lKey) == 0 &&
+                  timeOrd.compare(rHeadTime, lT) <= 0) {
+                cand = rHead; candKey = rHeadKey; candTime = rHeadTime
+                advanceRight()
+              }
+              if (cand != null && keyOrd.compare(candKey, lKey) == 0 &&
+                  tol.forall(t => lT.getLong(0) - candTime.getLong(0) <= t))
+                cand
+              else null
+            }
+          resultProj(joined(lRow,
+            if (matchedRow != null) matchedRow else nullRight))
         }
       }
     }
@@ -152,11 +180,18 @@ case class AsOfJoinExec(
 /** Column-name-level API over the custom operator. */
 object AsOfMergeJoin {
 
-  /** Same contract and output schema as [[AnalyticOps.asofJoin]]
-    * (`leftId, key, lts, asof_<rightId>`), executed by [[AsOfJoinExec]]. */
+  /** Same contract and output schema as [[AnalyticOps.asofJoin]] /
+    * [[AnalyticOps.asofJoinForward]] / [[AnalyticOps.asofJoinTolerance]]
+    * (`leftId, key, lts, asof_<rightId>`), executed by [[AsOfJoinExec]].
+    * `toleranceSec` bounds how far BEFORE the left time the backward
+    * match may lie (not supported forward, mirroring the window forms). */
   def asofJoin(left: DataFrame, right: DataFrame,
       key: String, lts: String, rts: String,
-      leftId: String, rightId: String): DataFrame = {
+      leftId: String, rightId: String,
+      forward: Boolean = false,
+      toleranceSec: Option[Long] = None): DataFrame = {
+    require(!(forward && toleranceSec.isDefined),
+      "tolerance is only defined for the backward direction")
     val spark = left.sparkSession
     GraftPlans.addStrategy(spark, AsOfJoinStrategy)
     val lp = GraftPlans.analyzed(
@@ -167,7 +202,9 @@ object AsOfMergeJoin {
     val node = AsOfJoin(lp, rp,
       leftKeys = Seq(lp.output(0)), rightKeys = Seq(rp.output(0)),
       leftTime = lp.output(1), rightTime = rp.output(1),
-      rightTieBreak = Seq(rp.output(2)))
+      rightTieBreak = Seq(rp.output(2)),
+      forward = forward,
+      toleranceMicros = toleranceSec.map(_ * 1000000L))
     GraftPlans.ofRows(spark, node)
       .select(col(leftId), col(key), col(lts),
         col("__rid").as(s"asof_$rightId"))

@@ -593,6 +593,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
         leftN, rightN, "k", "ts", "ts", "lid", "rid")
       .orderBy("lid").collect().map(_.toSeq).toSeq
     assert(eN == wN)
+    // Forward direction and tolerance bound, against their window twins
+    // on the same adversarial data.
+    val wF = operators.AnalyticOps.asofJoinForward(
+        left, right, "k", "ts", "ts", "lid", "rid")
+      .orderBy("lid").collect().map(_.toSeq).toSeq
+    val eF = plans.AsOfMergeJoin.asofJoin(
+        left, right, "k", "ts", "ts", "lid", "rid", forward = true)
+      .orderBy("lid").collect().map(_.toSeq).toSeq
+    assert(eF == wF)
+    val wT = operators.AnalyticOps.asofJoinTolerance(
+        left, right, "k", "ts", "ts", "lid", "rid", toleranceSec = 300L)
+      .orderBy("lid").collect().map(_.toSeq).toSeq
+    val eT = plans.AsOfMergeJoin.asofJoin(
+        left, right, "k", "ts", "ts", "lid", "rid",
+        toleranceSec = Some(300L))
+      .orderBy("lid").collect().map(_.toSeq).toSeq
+    assert(eT == wT)
   }
 
   test("AsOfJoinExec plans the custom exec with no union or window") {
