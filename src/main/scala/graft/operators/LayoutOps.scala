@@ -64,4 +64,55 @@ object LayoutOps {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Per-file [min, max] of a numeric column, read from parquet FOOTERS
+    * only — no data pages touched. This is the metadata a table format's
+    * manifest (Delta/Iceberg) persists; here it is read directly so the
+    * skipping mechanics are inspectable. Row-group statistics are folded
+    * per file. Returns (file, min, max) as doubles (covers int/long/
+    * float/double columns). Driver-side loop over footers: metadata-scale
+    * work, the same cost model as a manifest read — for very large file
+    * counts, list once and fan the footer reads out over an RDD. */
+  def parquetFileStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String, column: String): Seq[(String, Double, Double)] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val meta = ParquetFileReader.readFooter(conf, f.getPath,
+          ParquetMetadataConverter.NO_FILTER)
+        val ranges = meta.getBlocks.asScala.flatMap { block =>
+          block.getColumns.asScala
+            .filter(_.getPath.toDotString == column)
+            .flatMap { cc =>
+              val st = cc.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else Some((toDouble(st.genericGetMin),
+                toDouble(st.genericGetMax)))
+            }
+        }
+        require(ranges.nonEmpty, s"no stats for $column in ${f.getPath}")
+        (f.getPath.toString, ranges.map(_._1).min, ranges.map(_._2).max)
+      }
+  }
+
+  private def toDouble(v: Any): Double = v match {
+    case n: java.lang.Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"non-numeric parquet statistic: ${other.getClass}")
+  }
+
+  /** The subset of files a `column BETWEEN lo AND hi` scan must read,
+    * decided purely from footer statistics — the file-skipping step that
+    * makes [[zorder]] pay off: after Z-ordering, BOTH interleaved
+    * dimensions have tight per-file ranges, so either predicate prunes. */
+  def pruneFiles(stats: Seq[(String, Double, Double)],
+      lo: Double, hi: Double): Seq[String] =
+    stats.collect { case (f, mn, mx) if mx >= lo && mn <= hi => f }
 }

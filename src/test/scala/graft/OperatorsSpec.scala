@@ -633,6 +633,35 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       s"composition leaked into the custom-exec plan:\n${p.take(800)}")
   }
 
+  test("zorder + footer stats: both dimensions prune files; unordered doesn't") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = Seq.tabulate(8000)(i =>
+      (i.toLong, rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      .toDF("id", "x", "y")
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // Unordered baseline: files cut by arrival (id) order.
+    df.repartitionByRange(16, col("id")).write.parquet(s"$root/plain")
+    LayoutOps.zorder(df, col("x"), col("y"), 16, bits = 8)
+      .write.parquet(s"$root/zed")
+    def prunedCount(dir: String, column: String): Int =
+      LayoutOps.pruneFiles(
+        LayoutOps.parquetFileStats(spark, dir, column), 0, 31).size
+    // A 1/8-range predicate on EITHER interleaved dimension must skip
+    // most z-ordered files; the arrival-ordered table reads every file.
+    assert(prunedCount(s"$root/plain", "x") == 16)
+    assert(prunedCount(s"$root/zed", "x") <= 8,
+      s"x-pruning too weak: ${prunedCount(s"$root/zed", "x")}/16")
+    assert(prunedCount(s"$root/zed", "y") <= 8,
+      s"y-pruning too weak: ${prunedCount(s"$root/zed", "y")}/16")
+    // Pruning is sound: the kept files contain every matching row.
+    val keptX = LayoutOps.pruneFiles(
+      LayoutOps.parquetFileStats(spark, s"$root/zed", "x"), 0, 31)
+    val viaKept = spark.read.parquet(keptX: _*)
+      .filter(col("x").between(0, 31)).count()
+    assert(viaKept == df.filter(col("x").between(0, 31)).count())
+  }
+
   test("HLL sketch rollup: merged daily partials == direct sketch estimate") {
     val dir = "/root/testdata/sf0.01"
     val rolled = SparkEntry.queries("hll_sketch_rollup")(spark, dir)
