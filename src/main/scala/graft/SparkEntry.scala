@@ -1456,6 +1456,35 @@ object SparkEntry {
           coalesce(col("revenue"), lit(0.0)).as("revenue"))
     },
 
+    // Lateral explode with position: first five words per document via
+    // posexplode_outer (docs with no tokens would still surface one
+    // null row — generator variant coverage).
+    "lateral_explode_words" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode_outer(slice(split(col("text"), "\\s+"), 1, 5))
+            .as(Seq("pos", "word")))
+    },
+
+    // Percent-of-total: each priority's share of global revenue. The
+    // global total is an exact decimal scalar broadcast back (NOT an
+    // unpartitioned window — that would serialize the whole table
+    // through one task); one double division on each side.
+    "revenue_share_by_priority" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val byP = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("rev_dec"),
+          count(lit(1)).as("n_orders"))
+      val tot = byP.agg(sum(col("rev_dec")).as("tot_dec"))
+      byP.crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"),
+          col("rev_dec").cast("double").as("revenue"),
+          (col("rev_dec").cast("double") / col("tot_dec").cast("double"))
+            .as("share"),
+          col("n_orders"))
+    },
+
     // RANGE window frame over event time: per-customer trailing-30-day
     // spend, the value-based frame (every row its own anchor) that ROWS
     // frames can't express. Ordered on epoch seconds so both engines
@@ -2008,6 +2037,25 @@ object SparkEntry {
         |  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
         |  COALESCE(revenue, 0.0) AS revenue
         |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin,
+
+    "lateral_explode_words" ->
+      """WITH ws AS (SELECT doc_id,
+        |  list_slice(string_split_regex(text, '\s+'), 1, 5) AS w
+        |  FROM documents)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS word
+        |FROM ws, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t""".stripMargin,
+
+    "revenue_share_by_priority" ->
+      """WITH byp AS (SELECT o_orderpriority,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+        |  count(*) AS n_orders
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(rev_dec AS DOUBLE) /
+        |    CAST((SELECT SUM(rev_dec) FROM byp) AS DOUBLE) AS share,
+        |  n_orders
+        |FROM byp""".stripMargin,
 
     "range_frame_spend" ->
       """SELECT o_orderkey, o_custkey,
