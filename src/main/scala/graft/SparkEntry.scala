@@ -1456,6 +1456,29 @@ object SparkEntry {
           coalesce(col("revenue"), lit(0.0)).as("revenue"))
     },
 
+    // Time-weighted average per user: each value holds until the next
+    // event; TWA = Σ(value·dt) / Σdt. All arithmetic is integer fixed
+    // point (2^24 scale; epoch-second deltas via integer µs division)
+    // until ONE final double division, so both engines fold identically.
+    "time_weighted_value" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val secs = (unix_micros(col("ts").cast("timestamp")) / lit(1000000L))
+        .cast("long")
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * lit(16777216L)).cast("long").as("v_fp"),
+          secs.as("t_s"))
+        .withColumn("next_s", lead(col("t_s"), 1).over(w))
+        .filter(col("next_s").isNotNull)
+        .withColumn("dt", col("next_s") - col("t_s"))
+        .groupBy(col("user_id"))
+        .agg((sum(col("v_fp") * col("dt")).cast("double") /
+          (sum(col("dt")) * lit(16777216L)).cast("double")).as("twa"),
+          sum(col("dt")).as("span_s"))
+    },
+
     // Lateral explode with position: first five words per document via
     // posexplode_outer (docs with no tokens would still surface one
     // null row — generator variant coverage).
@@ -2037,6 +2060,21 @@ object SparkEntry {
         |  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
         |  COALESCE(revenue, 0.0) AS revenue
         |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin,
+
+    "time_weighted_value" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(floor(value * 16777216) AS BIGINT) AS v_fp,
+        |  epoch_us(ts) // 1000000 AS t_s,
+        |  lead(epoch_us(ts) // 1000000) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS next_s
+        |  FROM events),
+        |d AS (SELECT user_id, v_fp, next_s - t_s AS dt
+        |  FROM e WHERE next_s IS NOT NULL)
+        |SELECT user_id,
+        |  CAST(CAST(SUM(v_fp * dt) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(SUM(dt) AS BIGINT) * 16777216 AS DOUBLE) AS twa,
+        |  CAST(SUM(dt) AS BIGINT) AS span_s
+        |FROM d GROUP BY user_id""".stripMargin,
 
     "lateral_explode_words" ->
       """WITH ws AS (SELECT doc_id,
