@@ -134,6 +134,17 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
   def compact(t: TableRef, nFiles: Int): Unit =
     commitNewVersion(t, table(t).repartition(nFiles))
 
+  /** Z-order compaction (the OPTIMIZE ZORDER BY analog): rewrite the
+    * current version clustered on the Morton interleave of two columns,
+    * so file min/max stats prune range predicates on EITHER dimension
+    * (see [[graft.operators.LayoutOps]]). Same atomic version swap as
+    * [[compact]] — readers never see a half-written layout. */
+  def compactZorder(t: TableRef, x: String, y: String, nFiles: Int,
+      bits: Int = 16): Unit =
+    commitNewVersion(t, graft.operators.LayoutOps.zorder(
+      table(t), org.apache.spark.sql.functions.col(x),
+      org.apache.spark.sql.functions.col(y), nFiles, bits))
+
   /** Data files of the live version (for file-count/size accounting).
     * Recursive: partitioned tables keep their parquet parts inside
     * partition subdirectories. */

@@ -398,6 +398,35 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(wh.table(tbl).count() == total)
   }
 
+  test("warehouse z-order compaction: atomic swap + both dims prune") {
+    import graft.core._
+    import graft.io.ParquetWarehouse
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val root = java.nio.file.Files.createTempDirectory("graft_zcompact").toString
+    val wh = new ParquetWarehouse(spark, root)
+    val tbl = TableRef("", "events_z")
+    val df = Seq.tabulate(8000)(i =>
+      (i.toLong, rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      .toDF("id", "x", "y")
+    wh.create(tbl, df.repartitionByRange(16, col("id")))
+    val total = wh.table(tbl).count()
+    wh.compactZorder(tbl, "x", "y", 16, bits = 8)
+    assert(wh.table(tbl).count() == total)
+    // The live version is now prunable on either clustered dimension.
+    val dir = wh.dataFiles(tbl) // sanity: files exist post-swap
+    assert(dir.size == 16)
+    val verDir = {
+      val it = new java.io.File(root).listFiles()
+        .find(_.getName == "events_z").get
+      it.listFiles().filter(_.isDirectory).maxBy(_.getName).toString
+    }
+    def pruned(c: String): Int = LayoutOps.pruneFiles(
+      LayoutOps.parquetFileStats(spark, verDir, c), 0, 31).size
+    assert(pruned("x") <= 8 && pruned("y") <= 8,
+      s"pruning weak: x=${pruned("x")} y=${pruned("y")}")
+  }
+
   test("warehouse dataFiles recurses into partition subdirectories") {
     import graft.core._
     import graft.io.ParquetWarehouse
