@@ -46,6 +46,33 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule for the custom node: left-only filter predicates
+  * commute with an as-of join (each left row's match depends only on
+  * that row), so push them below — after the standard batches have moved
+  * the filter down to sit on [[AsOfJoin]], this hands the conjuncts that
+  * reference only left attributes to the left child, where physical
+  * planning folds them into the parquet scan (PushedFilters). Right-side
+  * predicates must NOT move: dropping right rows changes which row is
+  * "most recent". */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoin) =>
+      val leftSet = AttributeSet(j.left.output)
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(leftSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Plans [[AsOfJoin]] onto [[AsOfJoinExec]]. Registered per-session via
   * [[AsOfMergeJoin.asofJoin]] (experimental.extraStrategies) or globally
   * via `spark.sql.extensions=graft.expressions.GraftExtensions`. */
@@ -194,6 +221,7 @@ object AsOfMergeJoin {
       "tolerance is only defined for the backward direction")
     val spark = left.sparkSession
     GraftPlans.addStrategy(spark, AsOfJoinStrategy)
+    GraftPlans.addOptimization(spark, PushFilterThroughAsOfJoin)
     val lp = GraftPlans.analyzed(
       left.select(col(key), col(lts), col(leftId)))
     val rp = GraftPlans.analyzed(

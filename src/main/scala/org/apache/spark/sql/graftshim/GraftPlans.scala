@@ -28,4 +28,16 @@ object GraftPlans {
         exp.extraStrategies = exp.extraStrategies :+ s
     }
   }
+
+  /** Idempotently add an optimizer rule to a LIVE session (runs in the
+    * user-provided-optimizers batch, after the standard batches). */
+  def addOptimization(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(r))
+        exp.extraOptimizations = exp.extraOptimizations :+ r
+    }
+  }
 }

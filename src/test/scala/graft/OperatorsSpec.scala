@@ -710,6 +710,40 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("PushFilterThroughAsOfJoin: left-only filters sink below the join") {
+    val ev = Tables(spark, sf("sf0.001"), "events")
+    val joined = plans.AsOfMergeJoin.asofJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"),
+      "user_id", "ts", "ts", "event_id", "event_id")
+    val filtered = joined.filter(col("event_id") < 500)
+    val expect = plans.AsOfMergeJoin.asofJoin(
+        ev.filter(col("event_type") === "purchase" && col("event_id") < 500),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "ts", "event_id", "event_id")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(filtered.orderBy("event_id").collect().map(_.toSeq).toSeq == expect)
+    // The optimized logical plan has the predicate BELOW AsOfJoin (left
+    // branch), not above it.
+    val opt = filtered.queryExecution.optimizedPlan
+    val top = opt.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[plans.AsOfJoin] &&
+          f.condition.toString.contains("event_id") => f
+    }
+    assert(top.isEmpty, s"left-only filter stayed above the join:\n$opt")
+    val node = opt.collectFirst { case j: plans.AsOfJoin => j }.get
+    assert(node.left.toString.contains("event_id"),
+      s"predicate not pushed into the left branch:\n${node.left}")
+    // A filter on the RIGHT payload must stay above (pushing it would
+    // change which right row is most recent).
+    val rightFiltered = joined.filter(col("asof_event_id") > 100)
+    val optR = rightFiltered.queryExecution.optimizedPlan
+    val nodeR = optR.collectFirst { case j: plans.AsOfJoin => j }.get
+    assert(!nodeR.right.toString.contains("> 100"),
+      s"right-side predicate wrongly pushed:\n${nodeR.right}")
+  }
+
   test("approx percentiles stay within tolerance of exact") {
     val dir = "/root/testdata/sf0.01"
     val approx = SparkEntry.queries("approx_percentiles_value")(spark, dir)
