@@ -66,8 +66,14 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
   }
 
   def table(t: TableRef): DataFrame =
-    spark.read.parquet(s"${tableDir(t)}/${currentVersion(t).getOrElse(
-      throw new IllegalArgumentException(s"no such table: ${t.qualified}"))}")
+    // mergeSchema: appended file sets may carry evolved (widened)
+    // schemas — union the footer schemas so new columns surface as
+    // nulls on old files (schema-evolution-on-read; the reference
+    // delegates the same problem to Redshift's `columnMap 'auto'`,
+    // utils.ts:34). Footer-schema merge is metadata-scale work.
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"${tableDir(t)}/${currentVersion(t).getOrElse(
+        throw new IllegalArgumentException(s"no such table: ${t.qualified}"))}")
 
   /** Write a brand-new version dir (honoring the table's partition
     * layout) and swap the pointer to it.

@@ -427,6 +427,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       s"pruning weak: x=${pruned("x")} y=${pruned("y")}")
   }
 
+  test("warehouse schema evolution: appended files add columns on read") {
+    import graft.core._
+    import graft.io.ParquetWarehouse
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val wh = new ParquetWarehouse(spark, root)
+    val tbl = TableRef("", "evolving")
+    wh.create(tbl, Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // A later load arrives with an extra column (upstream added a field).
+    wh.load(LoadMode.Insert, tbl,
+      Seq((3L, "c", 9.5)).toDF("id", "name", "score"), "id")
+    val out = wh.table(tbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(out == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(9.5))))
+  }
+
   test("warehouse dataFiles recurses into partition subdirectories") {
     import graft.core._
     import graft.io.ParquetWarehouse
