@@ -103,9 +103,18 @@ final class Loader(
       executor.foreach(e => txnRunner.run(e, q.q, q.cleanUp))
 
       // Native Spark execution of the load semantics (our engine).
+      // `observe` piggybacks row/byte counters on the load job itself —
+      // the reference's per-task progress events (O1) without a second
+      // pass over the data.
+      val observation = new org.apache.spark.sql.Observation(s"load-$uuid")
       val stagedDf = bodies.map(b => b.select(bodies.head.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
         .reduce(_ unionByName _)
+        .observe(observation,
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows_loaded"))
       warehouse.load(mode, cfg.table, stagedDf, cfg.idField)
+      observation.getAsJava.forEach((k, v) =>
+        listener.onProgress("loadedMetrics", Map(k -> String.valueOf(v))))
 
       wrapUp(success = true)
       listener.onProgress("done", Map.empty)

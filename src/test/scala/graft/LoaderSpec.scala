@@ -29,10 +29,13 @@ class LoaderSpec extends AnyFunSuite with SparkSuite {
 
   private class Recorder extends LoadListener {
     var progress = Vector.empty[String]
+    var infos = Vector.empty[(String, Map[String, String])]
     var errors = 0
     var done = 0
-    override def onProgress(task: String, info: Map[String, String]): Unit =
+    override def onProgress(task: String, info: Map[String, String]): Unit = {
       progress :+= task
+      infos :+= (task -> info)
+    }
     override def onError(e: Throwable): Unit = errors += 1
     override def onDone(): Unit = done += 1
   }
@@ -61,6 +64,10 @@ class LoaderSpec extends AnyFunSuite with SparkSuite {
     assert(rec.progress.count(_ == "uploadedManifest") == 1)
     assert(rec.done == 1 && rec.errors == 0)
     assert(wh.table(TableRef("", "target")).count() == 6)
+    // observe-based metrics rode along with the load job (no extra pass)
+    assert(rec.infos.collect {
+      case ("loadedMetrics", m) => m("rows_loaded")
+    } == Vector("6"))
     // manifest lists every staged file, mandatory:true (L5)
     val mf = Files.readString(java.nio.file.Paths.get(
       ups.head.dir).getParent.resolve(s"manifest_${loader.uuid}.json"))
