@@ -730,6 +730,26 @@ object Oracles {
        |SELECT bigram, count(DISTINCT doc_id) AS df, count(*) AS tf
        |FROM b GROUP BY bigram HAVING count(DISTINCT doc_id) >= 5""".stripMargin
 
+  /** Corpus-commonness score: mean corpus frequency of a doc's bigrams
+    * (exact integer sum, one double division). */
+  val docCommonness: String =
+    s"""WITH $bigramsCte,
+       |b AS (SELECT doc_id, unnest(sh) AS bigram FROM bg),
+       |c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM b GROUP BY bigram)
+       |SELECT doc_id,
+       |  CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE) AS commonness,
+       |  count(*) AS n_bigrams
+       |FROM b JOIN c USING (bigram) GROUP BY doc_id""".stripMargin
+
+  /** Duplicate-cluster size distribution over the CC components. */
+  def ccClusterSizes(t0Sql: String, minJaccard: Double): String =
+    s"""SELECT csize, count(*) AS n_clusters FROM (
+       |  SELECT component, count(*) AS csize FROM (
+       |${ccComponents(t0Sql, minJaccard)}
+       |  ) GROUP BY component) GROUP BY csize""".stripMargin
+
   /** SQL twin of the typed mapGroups digest. */
   val userDigestTyped: String =
     """SELECT user_id, count(*) AS n_events,

@@ -789,6 +789,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"))
         .filter(col("df") >= 5)),
 
+    // Corpus-commonness score per document: mean corpus frequency of its
+    // bigrams — a quality/novelty signal (low = rare vocabulary). The
+    // counts dictionary is compact (vocab-scale) so the dictionary join
+    // broadcasts under AQE at any corpus size.
+    "doc_commonness" -> { (s, dir) =>
+      val bigr = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.wordBigrams(col("text")))
+            .as("bigram"))
+      val counts = bigr.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      bigr.join(counts, "bigram")
+        .groupBy(col("doc_id"))
+        .agg((sum(col("cnt")).cast("double") /
+          count(lit(1)).cast("double")).as("commonness"),
+          count(lit(1)).as("n_bigrams"))
+    },
+
+    // Size distribution of the duplicate clusters (how big do near-dup
+    // families get) — derived from the CC labels.
+    "dup_cluster_sizes" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val pairs = DedupOps.ngramJaccardDense(docs, "doc_id", "text", NgramMinJaccard)
+      DedupOps.connectedComponents(docs.select(col("doc_id")), pairs, "doc_id")
+        .groupBy(col("component")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+    },
+
     "funnel_view_click_purchase" -> ((s, dir) =>
       // Ordered conversion funnel: users whose first view precedes their
       // first click precedes their first purchase. One conditional-agg
@@ -1766,6 +1793,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_cc_components" -> Oracles.ccComponents(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_cc_keep" -> Oracles.ccKeep(Oracles.plantedDocs, NgramMinJaccard),
+    "dup_cluster_sizes" -> Oracles.ccClusterSizes(Oracles.plantedDocs, NgramMinJaccard),
+    "doc_commonness" -> Oracles.docCommonness,
     "dedup_simhash" -> Oracles.simhash,
     "decontamination" -> Oracles.decontamination,
     "repetition_scores" -> Oracles.repetitionScores,
