@@ -16,6 +16,12 @@ case class SessAccum(startTs: Timestamp, endTs: Timestamp, n: Long)
 case class SessionOut(user_id: Long, session_start: Timestamp,
     session_end: Timestamp, n_events: Long)
 
+/** Row/state/result types for [[StreamingLoad.asofJoinStream]]. */
+case class AsOfEv(k: Long, ts: Timestamp, side: Int, id: Long)
+case class AsOfBuf(pending: Seq[AsOfEv], lastRid: Option[Long])
+case class AsOfMatch(event_id: Long, user_id: Long, ts: Timestamp,
+    asof_event_id: Option[Long])
+
 /** Structured Streaming restatement of the reference's incremental-arrival
   * model (SURVEY.md §2.1 S4, §7.2 M5): the reference starts an S3 upload
   * per `addFile` and loads everything present at `insert()` time; here a
@@ -157,6 +163,52 @@ object StreamingLoad {
             }
             closed.reverseIterator
           }
+      }
+  }
+
+  /** Streaming as-of join (the temporal-join shape Flink calls a
+    * versioned-table join; Spark has no built-in): for each left event,
+    * the most recent right event with `rts <= lts` on the same key —
+    * identical matching to [[graft.operators.AnalyticOps.asofJoin]] and
+    * [[graft.plans.AsOfJoinExec]], but continuous. Events inside the
+    * watermark horizon are buffered in state; once the watermark passes
+    * them they are processed in exact (time, side, id) order, so
+    * out-of-order arrival within the horizon cannot change results.
+    * State per key = the pending slice + one rid (the running match) —
+    * right-side history older than the watermark collapses to a single
+    * value instead of accumulating. */
+  def asofJoinStream(left: DataFrame, right: DataFrame,
+      key: String, lts: String, rts: String,
+      leftId: String, rightId: String,
+      watermark: String): Dataset[AsOfMatch] = {
+    import left.sparkSession.implicits._
+    def mic(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val l = left.select(col(key).as("k"), col(lts).as("ts"),
+      lit(1).as("side"), col(leftId).as("id"))
+    val r = right.select(col(key).as("k"), col(rts).as("ts"),
+      lit(0).as("side"), col(rightId).as("id"))
+    l.unionByName(r).as[AsOfEv]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[AsOfBuf, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, it: Iterator[AsOfEv], state: GroupState[AsOfBuf]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val prior = state.getOption.getOrElse(AsOfBuf(Nil, None))
+          val (ready, pending) = (prior.pending ++ it.toSeq)
+            .partition(_.ts.getTime <= wmMs)
+          var last = prior.lastRid
+          val out = Seq.newBuilder[AsOfMatch]
+          ready.sortBy(e => (mic(e.ts), e.side, e.id)).foreach { e =>
+            if (e.side == 0) last = Some(e.id)
+            else out += AsOfMatch(e.id, k, e.ts, last)
+          }
+          state.update(AsOfBuf(pending, last))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(pending.map(_.ts.getTime).min, wmMs + 1))
+          out.result().iterator
       }
   }
 

@@ -174,6 +174,69 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       s"streamed sessions not in batch ground truth: ${streamed -- batchAll}")
   }
 
+  test("asofJoinStream matches the batch as-of join on flushed rows") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables(spark, sf, "events")
+    val batchOut = graft.operators.AnalyticOps.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "ts", "event_id", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+
+    // Replay purchases+clicks chronologically in 3 files (one per
+    // trigger) so the watermark advances between batches.
+    val root = Files.createTempDirectory("graft_asof_stream").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val rows = ev.filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .orderBy("ts", "event_id").collect()
+    val cut = rows.length / 3
+    var maxTsOfFirstTwo = 0L
+    Seq(rows.take(cut), rows.slice(cut, 2 * cut), rows.drop(2 * cut))
+      .zipWithIndex.foreach { case (chunk, i) =>
+        if (i < 2) maxTsOfFirstTwo =
+          math.max(maxTsOfFirstTwo, chunk.map(_.getTimestamp(1).getTime).max)
+        val lines = chunk.map { r =>
+          s"""{"user_id":${r.getLong(0)},"ts_ms":${r.getTimestamp(1).getTime},"event_type":"${r.getString(2)}","event_id":${r.getLong(3)}}"""
+        }.mkString("\n")
+        writeFile(src, f"part-$i%03d.json", lines)
+        Paths.get(src, f"part-$i%03d.json").toFile
+          .setLastModified(1000000000000L + i * 60000L)
+      }
+    val eschema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_ms", LongType),
+      StructField("event_type", StringType), StructField("event_id", LongType)))
+    val stream = spark.readStream.schema(eschema)
+      .option("maxFilesPerTrigger", 1).json(src)
+      .select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts"),
+        col("event_type"), col("event_id"))
+    val out = StreamingLoad.asofJoinStream(
+      stream.filter(col("event_type") === "purchase"),
+      stream.filter(col("event_type") === "click"),
+      "user_id", "ts", "ts", "event_id", "event_id", "0 seconds")
+    out.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .format("memory").queryName("asof_stream")
+      .start().awaitTermination()
+
+    val streamed = spark.table("asof_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // Everything emitted must match the batch result exactly …
+    assert(streamed.subsetOf(batchOut),
+      s"streamed rows disagree with batch: ${streamed -- batchOut}")
+    // … and every left event the watermark passed must have been emitted
+    // (only the final batch may still sit in state when the replay ends).
+    val mustHave = batchOut.filter(_._3 < maxTsOfFirstTwo)
+    assert(mustHave.subsetOf(streamed),
+      s"flushed rows missing: ${(mustHave -- streamed).take(5)}")
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     val root = Files.createTempDirectory("graft_sdedup").toString
     val src = s"$root/src"; Files.createDirectories(Paths.get(src))
