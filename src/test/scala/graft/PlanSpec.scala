@@ -163,4 +163,40 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       spark.sql("DROP TABLE IF EXISTS staged_b")
     }
   }
+
+  test("as-of exec over bucketed+sorted tables: no exchange on either side") {
+    // The payoff of AsOfJoinExec declaring standard distribution/ordering
+    // requirements: a warehouse that bucket+sorts its event tables by
+    // (key, time) feeds the as-of join with ZERO shuffles — at 100 TB the
+    // join cost collapses to the merge walk itself.
+    val wdir = java.nio.file.Files.createTempDirectory("graft_asof_bkt").toString
+    val ev = Tables(spark, sfDir, "events")
+    ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+      .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .option("path", s"$wdir/purch_b").mode("overwrite").saveAsTable("purch_b")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .option("path", s"$wdir/click_b").mode("overwrite").saveAsTable("click_b")
+    try {
+      val df = graft.plans.AsOfMergeJoin.asofJoin(
+        spark.table("purch_b"), spark.table("click_b"),
+        "user_id", "ts", "ts", "event_id", "event_id")
+      assert(df.count() > 0)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AsOfJoin "), p.take(800))
+      assert(!p.contains("Exchange"),
+        s"bucketed as-of still shuffled:\n${p.take(1200)}")
+      // Parity against the window form on the same bucketed inputs.
+      val expect = graft.operators.AnalyticOps.asofJoin(
+          spark.table("purch_b"), spark.table("click_b"),
+          "user_id", "ts", "ts", "event_id", "event_id")
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      assert(df.orderBy("event_id").collect().map(_.toSeq).toSeq == expect)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS purch_b")
+      spark.sql("DROP TABLE IF EXISTS click_b")
+    }
+  }
 }
