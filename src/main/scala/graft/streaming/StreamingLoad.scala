@@ -22,6 +22,35 @@ case class AsOfBuf(pending: Seq[AsOfEv], lastRid: Option[Long])
 case class AsOfMatch(event_id: Long, user_id: Long, ts: Timestamp,
     asof_event_id: Option[Long])
 
+/** Output row for [[StreamingLoad.runningCountsTws]]. */
+case class UserRunningCount(user_id: Long, n_events: Long)
+
+/** Spark 4 `transformWithState` processor: per-user running event count
+  * held in a named ValueState (the arbitrary-state API that supersedes
+  * flatMapGroupsWithState — typed state handles, timers, TTL; RocksDB
+  * state store required). Emits the updated total once per key per
+  * micro-batch. */
+class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, SessEvent, UserRunningCount] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+      timers: TimerValues): Iterator[UserRunningCount] = {
+    val prev = if (count.exists()) count.get() else 0L
+    val total = prev + rows.size
+    count.update(total)
+    Iterator.single(UserRunningCount(key, total))
+  }
+}
+
 /** Structured Streaming restatement of the reference's incremental-arrival
   * model (SURVEY.md §2.1 S4, §7.2 M5): the reference starts an S3 upload
   * per `addFile` and loads everything present at `insert()` time; here a
@@ -210,6 +239,20 @@ object StreamingLoad {
               math.max(pending.map(_.ts.getTime).min, wmMs + 1))
           out.result().iterator
       }
+  }
+
+  /** Per-user running event counts on the Spark 4 `transformWithState`
+    * API (see [[RunningCountProcessor]]). Requires the RocksDB state
+    * store provider:
+    * `spark.sql.streaming.stateStore.providerClass=
+    *  org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`. */
+  def runningCountsTws(events: Dataset[SessEvent])
+      : Dataset[UserRunningCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** Streaming exact dedup: drop rows whose dedup key was already seen,

@@ -237,6 +237,53 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       s"flushed rows missing: ${(mustHave -- streamed).take(5)}")
   }
 
+  test("transformWithState running counts accumulate across micro-batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_tws").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    // Two files -> two triggers: user 1 gets 2 then 1 more event; user 2
+    // gets 1 in each.
+    writeFile(src, "p0.json",
+      "{\"user_id\":1,\"ts_ms\":1000,\"event_id\":1}\n" +
+      "{\"user_id\":1,\"ts_ms\":2000,\"event_id\":2}\n" +
+      "{\"user_id\":2,\"ts_ms\":3000,\"event_id\":3}")
+    writeFile(src, "p1.json",
+      "{\"user_id\":1,\"ts_ms\":4000,\"event_id\":4}\n" +
+      "{\"user_id\":2,\"ts_ms\":5000,\"event_id\":5}")
+    Paths.get(src, "p0.json").toFile.setLastModified(1000000000000L)
+    Paths.get(src, "p1.json").toFile.setLastModified(1000000060000L)
+    val eschema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_ms", LongType),
+      StructField("event_id", LongType)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(eschema)
+        .option("maxFilesPerTrigger", 1).json(src)
+        .select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts"),
+          col("event_id"))
+        .as[graft.streaming.SessEvent]
+      StreamingLoad.runningCountsTws(stream).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("update")
+        .format("memory").queryName("tws_counts")
+        .start().awaitTermination()
+      val out = spark.table("tws_counts").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Per-batch emissions: user1 -> 2 then 3; user2 -> 1 then 2.
+      assert(out == Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L)), out)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     val root = Files.createTempDirectory("graft_sdedup").toString
     val src = s"$root/src"; Files.createDirectories(Paths.get(src))
