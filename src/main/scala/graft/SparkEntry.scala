@@ -789,6 +789,56 @@ object SparkEntry {
         .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"))
         .filter(col("df") >= 5)),
 
+    // Training-data chunking: split each document into fixed-width
+    // character windows with overlap (stride < width), the pre-tokenizer
+    // segmentation pass. Pure projection (sequence + substring), chunk
+    // text summarized as md5 + length so the output stays compact.
+    "doc_chunks" -> { (s, dir) =>
+      val stride = 150
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            greatest(expr(s"(length(text) - 1) div $stride"), lit(0))))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr(s"substring(text, chunk_idx * $stride + 1, 200)").as("chunk"))
+        .filter(length(col("chunk")) > 0)
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+    },
+
+    // Sequence packing: assign documents to fixed-token-budget packs,
+    // greedily in doc_id order WITHIN each source (per-source windows —
+    // never a global single-partition cumsum). pack_id = the pack the
+    // doc STARTS in: (running-total-before-doc) div budget.
+    "sequence_packing" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.bpeTokenCount(col("text"))
+            .as("n_tokens"))
+        .withColumn("tokens_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("tokens_before div 2000").as("pack_id"))
+    },
+
+    // Dataset mixture sampling: per-source keep rates applied via a
+    // deterministic uniform hash — the "mix web at 30%, books at 100%"
+    // step of corpus assembly. Rates inline on both sides.
+    "mixture_sample" -> { (s, dir) =>
+      val rate = typedLit(Map("src0" -> 300L, "src2" -> 800L,
+        "src3" -> 500L, "src4" -> 0L))
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long"), lit(1000L))
+      t(s, dir, "documents")
+        .filter(h < coalesce(element_at(rate, col("source")), lit(1000L)))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    },
+
     // Corpus-commonness score per document: mean corpus frequency of its
     // bigrams — a quality/novelty signal (low = rare vocabulary). The
     // counts dictionary is compact (vocab-scale) so the dictionary join
@@ -1795,6 +1845,41 @@ object SparkEntry {
     "dedup_cc_keep" -> Oracles.ccKeep(Oracles.plantedDocs, NgramMinJaccard),
     "dup_cluster_sizes" -> Oracles.ccClusterSizes(Oracles.plantedDocs, NgramMinJaccard),
     "doc_commonness" -> Oracles.docCommonness,
+
+    "doc_chunks" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, greatest((length(text) - 1) // 150, 0) + 1))
+        |    AS chunk_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |  length(substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200))
+        |    AS chunk_len,
+        |  md5(substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200))
+        |    AS chunk_md5
+        |FROM c
+        |WHERE length(substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200)) > 0""".stripMargin,
+
+    "sequence_packing" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+         |  len(regexp_extract_all(text,
+         |    '${graft.functions.TextFunctions.BpeTokenRe}')) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (
+         |    PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+         |    AS BIGINT) AS pack_id
+         |FROM tok""".stripMargin,
+
+    "mixture_sample" ->
+      """WITH h AS (SELECT source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 1000 AS hh
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept FROM h
+        |WHERE hh < CASE source WHEN 'src0' THEN 300 WHEN 'src2' THEN 800
+        |  WHEN 'src3' THEN 500 WHEN 'src4' THEN 0 ELSE 1000 END
+        |GROUP BY source""".stripMargin,
     "dedup_simhash" -> Oracles.simhash,
     "decontamination" -> Oracles.decontamination,
     "repetition_scores" -> Oracles.repetitionScores,
