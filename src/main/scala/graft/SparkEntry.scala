@@ -1672,6 +1672,19 @@ object SparkEntry {
           LayoutOps.zValue2(col("x"), col("y")).as("zval"))
     },
 
+    // 3-D Morton key (user, day, hour-of-day) — the k>2 generalization;
+    // oracle generated from the same interleave loop.
+    "zorder3_key_events" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id").as("x"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .as("y"),
+          hour(col("ts").cast("timestamp")).as("z"))
+        .select(col("event_id"),
+          LayoutOps.zValueN(Seq(col("x"), col("y"), col("z")), 16)
+            .as("zval"))
+    },
+
     // Sketch: approximate grouped percentiles (GK / KLL-style summary —
     // mergeable, single-pass, bounded memory; the 100 TB path where exact
     // sort-based percentiles are impossible). Rows-only like the other
@@ -2245,6 +2258,15 @@ object SparkEntry {
         |SELECT event_id, e.event_type AS event_type,
         |  least(greatest(value, lo), hi) AS v_capped
         |FROM events e JOIN q ON e.event_type = q.event_type""".stripMargin,
+
+    "zorder3_key_events" ->
+      s"""WITH d AS (SELECT event_id, user_id AS x,
+         |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS y,
+         |  hour(ts) AS z
+         |  FROM events)
+         |SELECT event_id,
+         |  ${LayoutOps.zValueNSql(Seq("x", "y", "z"), 16)} AS zval
+         |FROM d""".stripMargin,
 
     "zorder_key_events" ->
       s"""WITH d AS (SELECT event_id, user_id AS x,

@@ -50,6 +50,30 @@ object LayoutOps {
     }.mkString("(", ") | (", ")")
   }
 
+  /** N-dimensional Morton code: bit `i` of dimension `d` lands at
+    * position `i * k + d` (k = number of dims). `bits * k` must fit a
+    * positive long. [[zValue2]] is the k=2 special case. */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    val k = dims.size
+    require(k >= 2 && bits >= 1 && bits * k <= 63,
+      s"need 2+ dims and bits*dims <= 63, got $k dims x $bits bits")
+    val mask = (1L << bits) - 1
+    val masked = dims.map(_.cast("long").bitwiseAND(lit(mask)))
+    (for { i <- 0 until bits; (c, d) <- masked.zipWithIndex } yield
+      shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * k + d))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** SQL twin of [[zValueN]], generated from the same loop. */
+  def zValueNSql(dims: Seq[String], bits: Int): String = {
+    val k = dims.size
+    val mask = (1L << bits) - 1
+    val masked = dims.map(d => s"(CAST($d AS BIGINT) & $mask)")
+    (for { i <- 0 until bits; (c, d) <- masked.zipWithIndex } yield
+      s"((($c >> $i) & 1) << ${i * k + d})")
+      .mkString("(", ") | (", ")")
+  }
+
   /** Rewrite `df` into Z-order on two dimensions: range-partition by the
     * Morton code into `numFiles` output partitions, then sort within each
     * so row groups inside a file are tiles too. Every output partition

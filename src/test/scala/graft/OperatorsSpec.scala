@@ -575,6 +575,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(got.values.toSet.size == pts.map(p => (p._2, p._3)).toSet.size)
   }
 
+  test("zValueN (3-D) matches a reference interleave and is injective") {
+    import spark.implicits._
+    def ref(ds: Seq[Long], bits: Int): Long = {
+      val k = ds.size
+      (for { i <- 0 until bits; d <- 0 until k } yield
+        ((ds(d) >> i) & 1L) << (i * k + d)).reduce(_ | _)
+    }
+    val rnd = new scala.util.Random(5)
+    val pts = Seq.tabulate(150)(i => (i.toLong,
+      rnd.nextInt(256).toLong, rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val got = pts.toDF("id", "a", "b", "c")
+      .select(col("id"), LayoutOps.zValueN(
+        Seq(col("a"), col("b"), col("c")), 8).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pts.foreach { case (id, a, b, c) =>
+      assert(got(id) == ref(Seq(a, b, c), 8), s"($a,$b,$c)")
+    }
+    assert(got.values.toSet.size ==
+      pts.map(p => (p._2, p._3, p._4)).toSet.size)
+  }
+
   test("zorder clusters BOTH dimensions (vs single-dimension sort)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
