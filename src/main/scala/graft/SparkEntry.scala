@@ -1672,6 +1672,18 @@ object SparkEntry {
           LayoutOps.zValue2(col("x"), col("y")).as("zval"))
     },
 
+    // LSH-bucketed ANN (random hyperplanes + multiprobe): the second
+    // scale path next to IVF — bucketing is a pure projection (no
+    // centroid pass), so it composes with streaming ingest. Rows-only
+    // like the other approximate ops; spec checks planted-pair recall.
+    "knn_lsh" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      SimilarityOps.lshKnn(probes, corpus, KnnK)
+    },
+
     // 3-D Morton key (user, day, hour-of-day) — the k>2 generalization;
     // oracle generated from the same interleave loop.
     "zorder3_key_events" -> { (s, dir) =>

@@ -146,4 +146,57 @@ object SimilarityOps {
         cosine(col("x.vec"), col("y.vec")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Deterministic random-hyperplane coefficients for [[lshKnn]]: 64
+    * pseudo-uniform floats in [-1, 1) per plane, derived from md5 of
+    * (plane, component) — reproducible across runs/sessions with no RNG
+    * state. */
+  def lshPlanes(nPlanes: Int, dim: Int = 64): Array[Array[Float]] =
+    Array.tabulate(nPlanes, dim) { (p, j) =>
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$p:$j")
+          .substring(0, 15), 16)
+      ((h % 2000001L) - 1000000L) / 1000000.0f
+    }
+
+  /** LSH-bucketed ANN (random hyperplanes — the signed-projection
+    * family): bucket = the P sign bits of the vector against P fixed
+    * hyperplanes; candidates = corpus rows sharing the probe's bucket or
+    * any 1-bit-flip neighbor (multiprobe), exact cosine re-rank ≤ k.
+    * Complements [[ivfKnn]]: no centroid pass over the corpus at all —
+    * bucketing is a pure projection, so it composes with streaming
+    * ingest (bucket on write, search on read). Corpus fraction touched
+    * ≈ (P+1)/2^P. */
+  def lshKnn(
+      probes: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8,
+      probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
+    val planes = lshPlanes(nPlanes)
+    def bucketOf(vecc: Column): Column =
+      (0 until nPlanes).map { p =>
+        shiftleft(when(dot(vecc, typedLit(planes(p))) > 0.0, 1L)
+          .otherwise(0L), p)
+      }.reduce(_ bitwiseOR _)
+
+    val bucketed = corpus
+      .select(col(corpusId), col("vec"), norm(col("vec")).as("__nrm"),
+        bucketOf(col("vec")).as("bucket"))
+    // Multiprobe: the probe's own bucket plus every 1-bit flip.
+    val probeBuckets = probes
+      .select(col(probeId), col("probe_vec"),
+        norm(col("probe_vec")).as("__pnrm"),
+        bucketOf(col("probe_vec")).as("b0"))
+      .withColumn("bucket", explode(array(
+        (col("b0") +: (0 until nPlanes).map(p =>
+          col("b0").bitwiseXOR(lit(1L << p)))): _*)))
+      .drop("b0")
+    bucketed.join(broadcast(probeBuckets), Seq("bucket"))
+      .filter(col(probeId) =!= col(corpusId))
+      .select(col(probeId), col(corpusId),
+        (dot(col("probe_vec"), col("vec")) /
+          (col("__pnrm") * col("__nrm"))).as("sim"))
+      .withColumn("rank", rank().over(
+        Window.partitionBy(col(probeId)).orderBy(col("sim").desc, col(corpusId))))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
 }

@@ -247,6 +247,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
   }
 
+  test("lshKnn finds planted near-duplicates (recall >= 0.8)") {
+    // Planted pairs at cosine ~0.992: P(one sign flip per plane) is a
+    // few %, and multiprobe covers any single flip, so recall is high.
+    val dir = "/root/testdata/sf0.01"
+    val base = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val planted = base.select((col("vec_id") + 10000000L).as("probe_id"),
+      concat(slice(col("vec"), 1, 63), array(lit(0.0f))).as("probe_vec"))
+    val hits = SimilarityOps.lshKnn(planted, base, k = 3)
+      .filter(col("vec_id") === col("probe_id") - 10000000L)
+      .count()
+    val nPairs = base.count()
+    assert(hits >= (nPairs * 0.8).toLong, s"recall ${hits.toDouble / nPairs}")
+    // Deterministic: identical result on re-run (fixed hyperplanes).
+    val again = SimilarityOps.lshKnn(planted, base, k = 3)
+      .filter(col("vec_id") === col("probe_id") - 10000000L).count()
+    assert(again == hits)
+  }
+
   test("ivfKnn recall@5 vs brute force is usable (> 0.5)") {
     val emb = Tables(spark, sf, "embeddings")
     val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
