@@ -1672,6 +1672,16 @@ object SparkEntry {
           LayoutOps.zValue2(col("x"), col("y")).as("zval"))
     },
 
+    // Data-quality gate: violation counts per failed-rule combination
+    // (LoadOps.expectations — the declarative generalization of
+    // MAXERROR from parse errors to arbitrary predicates).
+    "expectation_violations" -> { (s, dir) =>
+      val (_, bad) = LoadOps.expectations(t(s, dir, "orders"), Map(
+        "status_final" -> (col("o_orderstatus") === "F"),
+        "price_under_300k" -> (col("o_totalprice") < 300000.0)))
+      bad.groupBy(col("failed_rules")).agg(count(lit(1)).as("n"))
+    },
+
     // LSH-bucketed ANN (random hyperplanes + multiprobe): the second
     // scale path next to IVF — bucketing is a pure projection (no
     // centroid pass), so it composes with streaming ingest. Rows-only
@@ -2270,6 +2280,17 @@ object SparkEntry {
         |SELECT event_id, e.event_type AS event_type,
         |  least(greatest(value, lo), hi) AS v_capped
         |FROM events e JOIN q ON e.event_type = q.event_type""".stripMargin,
+
+    "expectation_violations" ->
+      """WITH v AS (SELECT array_to_string(list_filter([
+        |  CASE WHEN NOT coalesce(o_totalprice < 300000.0, false)
+        |    THEN 'price_under_300k' END,
+        |  CASE WHEN NOT coalesce(o_orderstatus = 'F', false)
+        |    THEN 'status_final' END
+        |  ], x -> x IS NOT NULL), ',') AS failed_rules
+        |  FROM orders)
+        |SELECT failed_rules, count(*) AS n FROM v
+        |WHERE failed_rules <> '' GROUP BY failed_rules""".stripMargin,
 
     "zorder3_key_events" ->
       s"""WITH d AS (SELECT event_id, user_id AS x,

@@ -137,4 +137,26 @@ object LoadOps {
     widths.foldLeft(df) { case (d, (c, w)) =>
       d.withColumn(c, substring(col(c), 1, w))
     }
+
+  /** Declarative load expectations (the DLT-expectations shape; the
+    * generalization of [[boundErrors]] from parse errors to arbitrary
+    * predicates): each rule is a boolean Column that must hold per row.
+    * Returns (clean rows, violations tagged with the names of every
+    * failed rule) in ONE pass — the split is two filters over the same
+    * scan, no row is evaluated twice per rule. Callers route violations
+    * to a quarantine sink and fail the load if their count exceeds the
+    * configured tolerance (maxError). */
+  def expectations(df: DataFrame, rules: Map[String, Column])
+      : (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "no expectation rules given")
+    val ordered = rules.toSeq.sortBy(_._1)
+    val failedArr = array_compact(array(ordered.map { case (name, cond) =>
+      when(!coalesce(cond, lit(false)), lit(name))
+    }: _*))
+    val tagged = df.withColumn("__failed", failedArr)
+    (tagged.filter(size(col("__failed")) === 0).drop("__failed"),
+      tagged.filter(size(col("__failed")) > 0)
+        .withColumn("failed_rules", array_join(col("__failed"), ","))
+        .drop("__failed"))
+  }
 }

@@ -576,6 +576,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(out2 == Seq("back"))
   }
 
+  test("expectations split clean/violations and tag every failed rule") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 10.0),   // clean
+      (2L, None: Option[String], 5.0),  // fails not_null
+      (3L, Some("b"), -1.0),   // fails positive
+      (4L, None: Option[String], -2.0)  // fails both
+    ).toDF("id", "name", "score")
+    val (clean, bad) = LoadOps.expectations(df, Map(
+      "name_not_null" -> col("name").isNotNull,
+      "score_positive" -> (col("score") > 0)))
+    assert(clean.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val tags = bad.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("failed_rules"))).toSeq
+    assert(tags == Seq((2L, "name_not_null"), (3L, "score_positive"),
+      (4L, "name_not_null,score_positive")))
+    // Null predicate result counts as a violation (SQL three-valued
+    // logic must not let unknowns through).
+    val (c2, b2) = LoadOps.expectations(
+      Seq((1L, Some(2.0)), (2L, None: Option[Double])).toDF("id", "v"),
+      Map("v_big" -> (col("v") > 1.0)))
+    assert(c2.count() == 1 && b2.count() == 1)
+  }
+
   test("zValue2 matches a reference Morton interleave") {
     import spark.implicits._
     def refMorton(x: Long, y: Long, bits: Int): Long =
