@@ -1672,6 +1672,20 @@ object SparkEntry {
           LayoutOps.zValue2(col("x"), col("y")).as("zval"))
     },
 
+    // SQL front-end parity: the same q6 semantics submitted as ANSI SQL
+    // through spark.sql over a temp view (Catalyst plans both forms to
+    // the same physical plan; the oracle is shared with q6_revenue_band).
+    "sql_interface_q6" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_sqlv")
+      s.sql(
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem_sqlv
+          |WHERE l_discount >= 0.05 AND l_discount <= 0.07
+          |  AND l_quantity < 24.0""".stripMargin)
+    },
+
     // Data-quality gate: violation counts per failed-rule combination
     // (LoadOps.expectations — the declarative generalization of
     // MAXERROR from parse errors to arbitrary predicates).
@@ -2280,6 +2294,8 @@ object SparkEntry {
         |SELECT event_id, e.event_type AS event_type,
         |  least(greatest(value, lo), hi) AS v_capped
         |FROM events e JOIN q ON e.event_type = q.event_type""".stripMargin,
+
+    "sql_interface_q6" -> Oracles.q6RevenueBand,
 
     "expectation_violations" ->
       """WITH v AS (SELECT array_to_string(list_filter([
