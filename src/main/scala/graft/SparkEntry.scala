@@ -1672,6 +1672,30 @@ object SparkEntry {
           LayoutOps.zValue2(col("x"), col("y")).as("zval"))
     },
 
+    // Markov transition counts: consecutive order-priority pairs per
+    // customer (lag over the per-customer order sequence) — the
+    // behavioral sequence-model building block.
+    "priority_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"),
+          lag(col("o_orderpriority"), 1).over(w).as("prev_priority"))
+        .filter(col("prev_priority").isNotNull)
+        .groupBy(col("prev_priority"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Engagement distribution: how many users fall in each activity
+    // band (events-per-user, bucketed by 10s) — two cheap aggregations.
+    "user_activity_histogram" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .groupBy(expr("n_events div 10").as("bucket"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // SQL front-end parity: the same q6 semantics submitted as ANSI SQL
     // through spark.sql over a temp view (Catalyst plans both forms to
     // the same physical plan; the oracle is shared with q6_revenue_band).
@@ -2296,6 +2320,21 @@ object SparkEntry {
         |FROM events e JOIN q ON e.event_type = q.event_type""".stripMargin,
 
     "sql_interface_q6" -> Oracles.q6RevenueBand,
+
+    "priority_transitions" ->
+      """SELECT prev_priority, o_orderpriority, count(*) AS n FROM (
+        |  SELECT o_custkey, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev_priority
+        |  FROM orders)
+        |WHERE prev_priority IS NOT NULL
+        |GROUP BY prev_priority, o_orderpriority""".stripMargin,
+
+    "user_activity_histogram" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT n_events // 10 AS bucket, count(*) AS n_users
+        |FROM c GROUP BY bucket""".stripMargin,
 
     "expectation_violations" ->
       """WITH v AS (SELECT array_to_string(list_filter([
