@@ -1672,6 +1672,28 @@ object SparkEntry {
           LayoutOps.zValue2(col("x"), col("y")).as("zval"))
     },
 
+    // Top-k as a typed Aggregator (graft.functions.TopKLargest): partial
+    // k-bounded buffers merge map-side, so the shuffle carries only
+    // O(groups*k*partitions) rows — the aggregation form of top-k next
+    // to the WindowGroupLimit form (topk_orders_by_priority). Same
+    // oracle family: unique (value desc, id) order.
+    "topk_agg_revenue" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          col("o_totalprice").as("value"), col("o_orderkey").as("id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => graft.functions.TopKItem(r._2, r._3))
+        .agg(graft.functions.TopKAgg.topKLargest(5).name("topk"))
+        .toDF("o_orderpriority", "topk")
+        .select(col("o_orderpriority"),
+          posexplode(col("topk.items")).as(Seq("pos", "item")))
+        .select(col("o_orderpriority"), (col("pos") + 1).as("rnk"),
+          col("item.id").as("o_orderkey"),
+          col("item.value").as("o_totalprice"))
+    },
+
     // Markov transition counts: consecutive order-priority pairs per
     // customer (lag over the per-customer order sequence) — the
     // behavioral sequence-model building block.
@@ -2320,6 +2342,15 @@ object SparkEntry {
         |FROM events e JOIN q ON e.event_type = q.event_type""".stripMargin,
 
     "sql_interface_q6" -> Oracles.q6RevenueBand,
+
+    "topk_agg_revenue" ->
+      """SELECT o_orderpriority, CAST(rnk AS INTEGER) AS rnk,
+        |  o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 5""".stripMargin,
 
     "priority_transitions" ->
       """SELECT prev_priority, o_orderpriority, count(*) AS n FROM (

@@ -576,6 +576,34 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(out2 == Seq("back"))
   }
 
+  test("TopKLargest aggregator is partition-invariant and matches window top-k") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def run(parts: Int): Seq[(String, Int, Long, Double)] =
+      SparkEntry.queries("topk_agg_revenue")(spark, dir) match {
+        case df =>
+          val base = Tables(spark, dir, "orders").repartition(parts)
+          base.createOrReplaceTempView("__ignore") // keep base referenced
+          df.orderBy("o_orderpriority", "rnk").collect()
+            .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+              r.getDouble(3))).toSeq
+      }
+    val got = run(4)
+    assert(got == run(13)) // merge() associativity across partitionings
+    // Window-form ground truth with the same unique ordering.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expect = Tables(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("o_orderpriority", "rnk").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expect)
+  }
+
   test("expectations split clean/violations and tag every failed rule") {
     import spark.implicits._
     val df = Seq(
