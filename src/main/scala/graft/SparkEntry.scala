@@ -1672,6 +1672,34 @@ object SparkEntry {
           LayoutOps.zValue2(col("x"), col("y")).as("zval"))
     },
 
+    // Month-over-month revenue growth via a self-join on the aggregated
+    // month table (NOT an unpartitioned lag window — the raw data never
+    // passes through a single partition; the tiny month table joins to
+    // itself broadcast).
+    "revenue_mom_growth" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val m = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("rev_dec"))
+      val prev = m.select(expr("month + INTERVAL 1 MONTH").as("month"),
+        col("rev_dec").as("prev_dec"))
+      m.join(broadcast(prev), Seq("month"), "left")
+        .select(col("month"), col("rev_dec").cast("double").as("revenue"),
+          ((col("rev_dec") - col("prev_dec")).cast("double") /
+            col("prev_dec").cast("double")).as("mom_growth"))
+    },
+
+    // Null-safe equality join (<=>): planted nulls on both sides still
+    // pair up — the semantics a plain equi-join silently drops.
+    "null_safe_join_counts" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), nullif(col("c_nationkey"), lit(3)).as("ck"))
+      val nat = t(s, dir, "nation")
+        .select(nullif(col("n_nationkey"), lit(3)).as("nk"), col("n_name"))
+      cust.join(broadcast(nat), col("ck") <=> col("nk"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
+    },
+
     // Top-k as a typed Aggregator (graft.functions.TopKLargest): partial
     // k-bounded buffers merge map-side, so the shuffle carries only
     // O(groups*k*partitions) rows — the aggregation form of top-k next
@@ -2342,6 +2370,25 @@ object SparkEntry {
         |FROM events e JOIN q ON e.event_type = q.event_type""".stripMargin,
 
     "sql_interface_q6" -> Oracles.q6RevenueBand,
+
+    "revenue_mom_growth" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        |    AS month,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1)
+        |SELECT cur.month AS month,
+        |  CAST(cur.rev_dec AS DOUBLE) AS revenue,
+        |  CAST(cur.rev_dec - prev.rev_dec AS DOUBLE) /
+        |    CAST(prev.rev_dec AS DOUBLE) AS mom_growth
+        |FROM m cur LEFT JOIN m prev
+        |  ON cur.month = prev.month + INTERVAL 1 MONTH""".stripMargin,
+
+    "null_safe_join_counts" ->
+      """SELECT n_name, count(*) AS n_cust
+        |FROM (SELECT c_custkey, nullif(c_nationkey, 3) AS ck FROM customer) c
+        |JOIN (SELECT nullif(n_nationkey, 3) AS nk, n_name FROM nation) n
+        |  ON c.ck IS NOT DISTINCT FROM n.nk
+        |GROUP BY n_name""".stripMargin,
 
     "topk_agg_revenue" ->
       """SELECT o_orderpriority, CAST(rnk AS INTEGER) AS rnk,
