@@ -137,6 +137,38 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     * small parquet files dominates — periodic compaction is the standard
     * remedy. Atomic like every other version swap: readers see the old
     * file set until the pointer moves. */
+  /** All retained version ids, oldest first (the fixed-width millis
+    * prefix makes lexicographic order chronological). The write path
+    * retains exactly {current, previous}, so this is the time-travel
+    * horizon: one generation back. */
+  def versions(t: TableRef): Seq[String] =
+    fs.listStatus(new Path(tableDir(t)))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("v_")).sorted.toSeq
+
+  /** Time-travel read of a specific retained version (ids from
+    * [[versions]]); the CURRENT pointer is untouched — this is a read,
+    * not a rollback. */
+  def tableAt(t: TableRef, version: String): DataFrame = {
+    require(versions(t).contains(version),
+      s"version $version not retained for ${t.qualified} " +
+        s"(have: ${versions(t).mkString(",")})")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"${tableDir(t)}/$version")
+  }
+
+  /** Roll the CURRENT pointer back to the previous retained version (the
+    * load-went-bad escape hatch; the bad version stays on disk until the
+    * next commit's retention pass). */
+  def rollback(t: TableRef): Unit = {
+    val cur = currentVersion(t).getOrElse(
+      throw new IllegalArgumentException(s"no such table: ${t.qualified}"))
+    val prev = versions(t).filter(_ != cur).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no previous version retained for ${t.qualified}"))
+    setVersion(t, prev)
+  }
+
   def compact(t: TableRef, nFiles: Int): Unit =
     commitNewVersion(t, table(t).repartition(nFiles))
 

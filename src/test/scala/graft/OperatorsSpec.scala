@@ -447,6 +447,29 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       s"pruning weak: x=${pruned("x")} y=${pruned("y")}")
   }
 
+  test("warehouse time travel and rollback across the retained generation") {
+    import graft.core._
+    import graft.io.ParquetWarehouse
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val wh = new ParquetWarehouse(spark, root)
+    val tbl = TableRef("", "tt")
+    wh.create(tbl, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = wh.versions(tbl).last
+    wh.load(LoadMode.TruncateInsert, tbl, Seq((9L, "z")).toDF("id", "v"), "id")
+    // Current is the new data; the previous generation is still readable.
+    assert(wh.table(tbl).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(wh.tableAt(tbl, v1).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(wh.versions(tbl).size == 2)
+    // Rollback swings the pointer back without rewriting data.
+    wh.rollback(tbl)
+    assert(wh.table(tbl).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // Unknown version ids are refused.
+    intercept[IllegalArgumentException](wh.tableAt(tbl, "v_nope"))
+  }
+
   test("warehouse schema evolution: appended files add columns on read") {
     import graft.core._
     import graft.io.ParquetWarehouse
