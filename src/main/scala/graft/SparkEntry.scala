@@ -1672,6 +1672,31 @@ object SparkEntry {
           LayoutOps.zValue2(col("x"), col("y")).as("zval"))
     },
 
+    // Exact least-squares trend per event type: slope of value vs
+    // epoch-day from integer moment sums (x exact int days, y in 2^24
+    // fixed point; BIGINT partials, DECIMAL(38,0) combination, ONE
+    // double division at the end — the regr_slope the engines can't be
+    // trusted to fold identically, done exactly).
+    "value_trend_by_type" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      t(s, dir, "events")
+        .select(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("x"),
+          floor(col("value") * lit(16777216L)).cast("long").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"),
+          ((col("n").cast(d38) * col("sxy").cast(d38) -
+            col("sx").cast(d38) * col("sy").cast(d38)).cast("double") /
+          ((col("n").cast(d38) * col("sxx").cast(d38) -
+            col("sx").cast(d38) * col("sx").cast(d38)).cast("double") *
+            lit(16777216.0))).as("slope_per_day"),
+          col("n"))
+    },
+
     // Month-over-month revenue growth via a self-join on the aggregated
     // month table (NOT an unpartitioned lag window — the raw data never
     // passes through a single partition; the tiny month table joins to
@@ -2370,6 +2395,28 @@ object SparkEntry {
         |FROM events e JOIN q ON e.event_type = q.event_type""".stripMargin,
 
     "sql_interface_q6" -> Oracles.q6RevenueBand,
+
+    "value_trend_by_type" ->
+      """WITH m AS (SELECT event_type,
+        |  CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |  CAST(CAST(SUM(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |    AS BIGINT) AS DECIMAL(38,0)) AS sx,
+        |  CAST(CAST(SUM(CAST(floor(value * 16777216) AS BIGINT)) AS BIGINT)
+        |    AS DECIMAL(38,0)) AS sy,
+        |  CAST(CAST(SUM(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) *
+        |    CAST(floor(value * 16777216) AS BIGINT)) AS BIGINT)
+        |    AS DECIMAL(38,0)) AS sxy,
+        |  CAST(CAST(SUM(CAST(datediff('day', DATE '1970-01-01',
+        |    CAST(ts AS DATE)) AS BIGINT) *
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |    AS BIGINT) AS DECIMAL(38,0)) AS sxx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (CAST(n * sxx - sx * sx AS DOUBLE) * 16777216.0)
+        |    AS slope_per_day,
+        |  CAST(n AS BIGINT) AS n
+        |FROM m""".stripMargin,
 
     "revenue_mom_growth" ->
       """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
