@@ -489,6 +489,31 @@ object Oracles {
        |    + (0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 200.0)))
        |    + (0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))) >= $minQuality""".stripMargin
 
+  /** End-to-end corpus assembly (mixture sample → exact dedup → quality
+    * gate → per-source token budget) — the composed form of
+    * mixture_sample + dedup_exact + quality_filter + token_counts, so
+    * the chain is oracle-checked as a WHOLE, not just per stage. */
+  def corpusPipeline(minQuality: Double, bpeRe: String): String =
+    s"""WITH kept AS (SELECT doc_id, source, text FROM documents
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      % 1000 <
+       |    CASE source WHEN 'src0' THEN 300 WHEN 'src2' THEN 800
+       |      WHEN 'src3' THEN 500 WHEN 'src4' THEN 0 ELSE 1000 END),
+       |dd AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+       |d2 AS (SELECT k.doc_id, k.source, k.text
+       |  FROM kept k JOIN dd ON k.doc_id = dd.doc_id),
+       |q AS (SELECT doc_id, source, text, ${toks("text")} AS tk FROM d2),
+       |fin AS (SELECT source,
+       |  len(regexp_extract_all(text, '$bpeRe')) AS n_tokens
+       |  FROM q
+       |  WHERE ((0.4 * (CAST(${hits("tk", StopEn)} AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
+       |    + (0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 200.0)))
+       |    + (0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
+       |    >= $minQuality)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM fin GROUP BY source""".stripMargin
+
   /** PII scrub over deterministically planted email/phone. DuckDB
     * regexp_replace needs the 'g' flag; RE2 and Java agree on these
     * patterns. */

@@ -839,6 +839,30 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
     },
 
+    // End-to-end corpus assembly pipeline, oracle-checked as a WHOLE:
+    // mixture sample → exact dedup (min id per content hash) → quality
+    // gate → per-source doc and token totals. The composability proof
+    // for the LLM-pipeline operator family.
+    "corpus_pipeline" -> { (s, dir) =>
+      val rate = typedLit(Map("src0" -> 300L, "src2" -> 800L,
+        "src3" -> 500L, "src4" -> 0L))
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long"), lit(1000L))
+      val kept = t(s, dir, "documents")
+        .filter(h < coalesce(element_at(rate, col("source")), lit(1000L)))
+      val dedup = kept.groupBy(md5(col("text")).as("__fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      kept.join(dedup, "doc_id")
+        .filter(graft.functions.TextFunctions.qualityScore(col("text")) >=
+          QualityMin)
+        .select(col("source"),
+          graft.functions.TextFunctions.bpeTokenCount(col("text"))
+            .as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+    },
+
     // Corpus-commonness score per document: mean corpus frequency of its
     // bigrams — a quality/novelty signal (low = rare vocabulary). The
     // counts dictionary is compact (vocab-scale) so the dictionary join
@@ -1993,6 +2017,8 @@ object SparkEntry {
     "dedup_cc_keep" -> Oracles.ccKeep(Oracles.plantedDocs, NgramMinJaccard),
     "dup_cluster_sizes" -> Oracles.ccClusterSizes(Oracles.plantedDocs, NgramMinJaccard),
     "doc_commonness" -> Oracles.docCommonness,
+    "corpus_pipeline" -> Oracles.corpusPipeline(QualityMin,
+      graft.functions.TextFunctions.BpeTokenRe),
 
     "doc_chunks" ->
       """WITH c AS (SELECT doc_id, text,
