@@ -599,6 +599,18 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(out2 == Seq("back"))
   }
 
+  test("driver contract: entry() returns rows; every query has a checker") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // Every oracle key must reference an existing query, and the known
+    // rows-only set is exactly the genuinely-approximate ops.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"orphan oracles: ${o -- q}")
+    assert(q -- o == Set("approx_distinct_users", "approx_percentiles_value",
+      "hll_sketch_rollup", "knn_ivf", "knn_lsh"),
+      s"unexpected rows-only queries: ${q -- o}")
+  }
+
   test("TopKLargest aggregator is partition-invariant and matches window top-k") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
