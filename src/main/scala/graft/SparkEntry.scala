@@ -839,6 +839,39 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
     },
 
+    // Entity resolution: fuzzy supplier-name match (levenshtein <= 2)
+    // against planted one-char-dropped corruptions, with prefix+length
+    // blocking so the comparison never goes O(n^2) — the blocking join
+    // prunes to same-2-char-prefix pairs before any edit distance runs.
+    "fuzzy_name_match" -> { (s, dir) =>
+      val base = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      val corrupted = base.select((col("s_suppkey") + 100000L).as("c_suppkey"),
+        // drop the 3rd character: a deterministic 1-edit corruption
+        concat(substring(col("s_name"), 1, 2), expr("substring(s_name, 4)"))
+          .as("c_name"))
+      base.join(corrupted,
+          substring(col("s_name"), 1, 2) === substring(col("c_name"), 1, 2) &&
+          abs(length(col("s_name")) - length(col("c_name"))) <= 1)
+        .withColumn("dist", levenshtein(col("s_name"), col("c_name")))
+        .filter(col("dist") <= 2)
+        .select(col("s_suppkey"), col("c_suppkey"), col("dist"))
+    },
+
+    // Trailing 7-day distinct actives per day: explode each event into
+    // the 7 day-buckets it contributes to, then one distinct-agg per
+    // day — the bounded-window form of distinct counting (no
+    // ever-growing state, shuffle keyed by day).
+    "trailing_7d_active_users" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).as("event_day"))
+        .select(col("user_id"), explode(sequence(col("event_day"),
+          col("event_day") + expr("INTERVAL 6 DAYS"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+    },
+
     // End-to-end corpus assembly pipeline, oracle-checked as a WHOLE:
     // mixture sample → exact dedup (min id per content hash) → quality
     // gate → per-source doc and token totals. The composability proof
@@ -2019,6 +2052,27 @@ object SparkEntry {
     "doc_commonness" -> Oracles.docCommonness,
     "corpus_pipeline" -> Oracles.corpusPipeline(QualityMin,
       graft.functions.TextFunctions.BpeTokenRe),
+
+    "fuzzy_name_match" ->
+      """WITH c AS (SELECT s_suppkey + 100000 AS c_suppkey,
+        |  substr(s_name, 1, 2) || substr(s_name, 4) AS c_name
+        |  FROM supplier)
+        |SELECT s_suppkey, c_suppkey,
+        |  levenshtein(s_name, c_name) AS dist
+        |FROM supplier JOIN c
+        |  ON substr(s_name, 1, 2) = substr(c_name, 1, 2)
+        | AND abs(length(s_name) - length(c_name)) <= 1
+        |WHERE levenshtein(s_name, c_name) <= 2""".stripMargin,
+
+    "trailing_7d_active_users" ->
+      """WITH d AS (SELECT user_id,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day FROM events),
+        |x AS (SELECT user_id,
+        |  unnest(range(event_day, event_day + INTERVAL 7 DAY,
+        |    INTERVAL 1 DAY)) AS day
+        |  FROM d)
+        |SELECT day, count(DISTINCT user_id) AS active_7d
+        |FROM x GROUP BY day""".stripMargin,
 
     "doc_chunks" ->
       """WITH c AS (SELECT doc_id, text,
