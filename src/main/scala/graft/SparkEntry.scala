@@ -839,6 +839,27 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
     },
 
+    // Conversion latency: exact percentiles of first-view -> first-
+    // purchase delay (seconds). Interpolated percentile is bit-exact vs
+    // quantile_cont; the delay itself is integer epoch-second math.
+    "funnel_latency" -> { (s, dir) =>
+      val firsts = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view",
+            (unix_micros(col("ts").cast("timestamp")) / lit(1000000L))
+              .cast("long"))).as("first_view"),
+          min(when(col("event_type") === "purchase",
+            (unix_micros(col("ts").cast("timestamp")) / lit(1000000L))
+              .cast("long"))).as("first_purchase"))
+        .filter(col("first_view").isNotNull &&
+          col("first_purchase") > col("first_view"))
+        .select((col("first_purchase") - col("first_view")).as("delay_s"))
+      firsts.agg(count(lit(1)).as("n_converted"),
+        percentile(col("delay_s"), lit(0.5)).as("p50_s"),
+        percentile(col("delay_s"), lit(0.9)).as("p90_s"))
+    },
+
     // Entity resolution: fuzzy supplier-name match (levenshtein <= 2)
     // against planted one-char-dropped corruptions, with prefix+length
     // blocking so the comparison never goes O(n^2) — the blocking join
@@ -2052,6 +2073,20 @@ object SparkEntry {
     "doc_commonness" -> Oracles.docCommonness,
     "corpus_pipeline" -> Oracles.corpusPipeline(QualityMin,
       graft.functions.TextFunctions.BpeTokenRe),
+
+    "funnel_latency" ->
+      """WITH f AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view'
+        |    THEN epoch_us(ts) // 1000000 END) AS first_view,
+        |  min(CASE WHEN event_type = 'purchase'
+        |    THEN epoch_us(ts) // 1000000 END) AS first_purchase
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT first_purchase - first_view AS delay_s FROM f
+        |  WHERE first_view IS NOT NULL AND first_purchase > first_view)
+        |SELECT count(*) AS n_converted,
+        |  quantile_cont(delay_s, 0.5) AS p50_s,
+        |  quantile_cont(delay_s, 0.9) AS p90_s
+        |FROM d""".stripMargin,
 
     "fuzzy_name_match" ->
       """WITH c AS (SELECT s_suppkey + 100000 AS c_suppkey,

@@ -470,6 +470,28 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](wh.tableAt(tbl, "v_nope"))
   }
 
+  test("change feed between warehouse versions via snapshotDiff") {
+    import graft.core._
+    import graft.io.ParquetWarehouse
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    val wh = new ParquetWarehouse(spark, root)
+    val tbl = TableRef("", "cdf")
+    wh.create(tbl, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val v1 = wh.versions(tbl).last
+    wh.load(LoadMode.TruncateInsert, tbl,
+      Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "v"), "id")
+    // The retained generation + snapshotDiff = a change data feed
+    // between any two versions, without having recorded changes at
+    // write time.
+    val diff = LoadOps.snapshotDiff(
+        wh.tableAt(tbl, v1), wh.table(tbl), "id", Seq("v"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(diff == Seq((1L, "same"), (2L, "update"), (3L, "delete"),
+      (4L, "insert")))
+  }
+
   test("warehouse schema evolution: appended files add columns on read") {
     import graft.core._
     import graft.io.ParquetWarehouse
