@@ -839,6 +839,19 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
     },
 
+    // Skew diagnostic: heaviest keys and their row share — the input to
+    // choosing salt counts (SkewOps.keyHistogram).
+    "skew_key_histogram" -> ((s, dir) =>
+      SkewOps.keyHistogram(t(s, dir, "events"), col("user_id"), 10)),
+
+    // Activity heatmap: events by (day-of-week, hour) — the classic
+    // usage-pattern matrix, one hash-agg.
+    "activity_heatmap" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(dayofweek(col("ts").cast("timestamp")).as("dow"),
+          hour(col("ts").cast("timestamp")).as("hr"))
+        .agg(count(lit(1)).as("n_events"))),
+
     // Conversion latency: exact percentiles of first-view -> first-
     // purchase delay (seconds). Interpolated percentile is bit-exact vs
     // quantile_cont; the delay itself is integer epoch-second math.
@@ -2073,6 +2086,19 @@ object SparkEntry {
     "doc_commonness" -> Oracles.docCommonness,
     "corpus_pipeline" -> Oracles.corpusPipeline(QualityMin,
       graft.functions.TextFunctions.BpeTokenRe),
+
+    "skew_key_histogram" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS n_rows
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c)
+        |SELECT key, n_rows,
+        |  CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM c, t ORDER BY n_rows DESC, key LIMIT 10""".stripMargin,
+
+    "activity_heatmap" ->
+      """SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "funnel_latency" ->
       """WITH f AS (SELECT user_id,

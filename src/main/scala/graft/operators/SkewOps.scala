@@ -16,6 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** Skew diagnostic: the top-N heaviest keys with their share of all
+    * rows — the measurement that decides WHETHER to salt and with how
+    * many salts (a key at share s needs ~s * totalRows / targetRowsPerTask
+    * salts). One agg + a tiny top-N + a broadcast scalar; the fact table
+    * is scanned once. */
+  def keyHistogram(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column, topN: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__total"))
+    counts.orderBy(col("n_rows").desc, col("key")).limit(topN)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n_rows"),
+        (col("n_rows").cast("double") / col("__total").cast("double"))
+          .as("share"))
+  }
+
   /** Two-phase salted sum/count aggregation: phase 1 aggregates
     * (key, salt) — at most `salts` cells per hot key per reducer —
     * phase 2 merges the per-salt partials. Sums stay DECIMAL through
