@@ -621,6 +621,28 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(out2 == Seq("back"))
   }
 
+  test("exact-arithmetic queries are invariant to shuffle parallelism") {
+    // The bit-exact-oracle discipline only holds at 1000 executors if
+    // partial aggregation order cannot change results: integer/decimal
+    // partials are associative, and every float op happens once, after
+    // aggregation. Verify by re-running representative queries under a
+    // different shuffle partition count.
+    val dir = "/root/testdata/sf0.001"
+    val names = Seq("time_weighted_value", "value_trend_by_type",
+      "stats_moments_by_type", "q5_nation_revenue", "corpus_pipeline")
+    def snapshot(): Map[String, Seq[String]] = names.map { n =>
+      val df = SparkEntry.queries(n)(spark, dir)
+      n -> df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+        .collect().map(_.toString).toSeq
+    }.toMap
+    val before = snapshot()
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val after = snapshot()
+      names.foreach(n => assert(before(n) == after(n), n))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
   test("driver contract: entry() returns rows; every query has a checker") {
     assert(SparkEntry.entry(spark).count() > 0)
     // Every oracle key must reference an existing query, and the known
