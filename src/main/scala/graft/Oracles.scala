@@ -489,6 +489,35 @@ object Oracles {
        |    + (0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 200.0)))
        |    + (0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))) >= $minQuality""".stripMargin
 
+  /** Derived-partsupp constants — the corpus ships no partsupp table, so
+    * the q2/q11/q16 family runs over a DETERMINISTIC derivation (4
+    * supplier rows per part, integer-hash spread; cost held in integer
+    * CENTS so every downstream aggregate is exact). Shared by the Spark
+    * side and the generated CTE below. */
+  val PsPerPart = 4
+  val PsMulKey = 7919L
+  val PsMulI = 104729L
+  val PsQtyMulKey = 31L
+  val PsQtyMulI = 17L
+  val PsQtyMod = 1000L
+  val PsCostMulKey = 13L
+  val PsCostMulI = 7L
+  val PsCostMod = 90000L
+  val PsCostBase = 1000L
+
+  /** The partsupp derivation as a DuckDB CTE body (one row per
+    * (part, i<PsPerPart)); `ps(ps_partkey, ps_suppkey, ps_availqty,
+    * ps_cost_cents)`. */
+  def partsuppCte: String =
+    s"""ps AS (SELECT p_partkey AS ps_partkey,
+       |  (p_partkey * $PsMulKey + i * $PsMulI) %
+       |    (SELECT max(s_suppkey) + 1 FROM supplier) AS ps_suppkey,
+       |  (p_partkey * $PsQtyMulKey + i * $PsQtyMulI) % $PsQtyMod + 1
+       |    AS ps_availqty,
+       |  (p_partkey * $PsCostMulKey + i * $PsCostMulI) % $PsCostMod +
+       |    $PsCostBase AS ps_cost_cents
+       |FROM part, LATERAL (SELECT unnest(range(0, $PsPerPart)) AS i) t)""".stripMargin
+
   /** End-to-end corpus assembly (mixture sample → exact dedup → quality
     * gate → per-source token budget) — the composed form of
     * mixture_sample + dedup_exact + quality_filter + token_counts, so

@@ -33,6 +33,26 @@ object SparkEntry {
       expr("substring(text, 1, (length(text) * 4) div 5)").as("text")))
   }
 
+  /** Deterministic derived partsupp (the corpus ships none — see
+    * [[Oracles.partsuppCte]] for the matching SQL, generated from the
+    * same constants): 4 supplier rows per part, cost in integer CENTS. */
+  private def derivedPartsupp(s: SparkSession, dir: String): DataFrame = {
+    import Oracles._
+    val nSupp = t(s, dir, "supplier").agg((max(col("s_suppkey")) + 1)
+      .as("__n_supp"))
+    t(s, dir, "part").select(col("p_partkey"))
+      .crossJoin(broadcast(nSupp))
+      .select(col("p_partkey"), col("__n_supp"),
+        explode(sequence(lit(0), lit(PsPerPart - 1))).as("i"))
+      .select(col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * PsMulKey + col("i") * PsMulI) % col("__n_supp"))
+          .as("ps_suppkey"),
+        ((col("p_partkey") * PsQtyMulKey + col("i") * PsQtyMulI) %
+          PsQtyMod + 1).as("ps_availqty"),
+        ((col("p_partkey") * PsCostMulKey + col("i") * PsCostMulI) %
+          PsCostMod + PsCostBase).as("ps_cost_cents"))
+  }
+
   /** Staged "update" rows for the load-mode parity ops: every 7th order,
     * with a mutated status — the Spark side of the oracle's CTE. */
   private def stagedOrders(s: SparkSession, dir: String): DataFrame =
@@ -837,6 +857,71 @@ object SparkEntry {
       t(s, dir, "documents")
         .filter(h < coalesce(element_at(rate, col("source")), lit(1000L)))
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    },
+
+    // TPC-H q11 shape over the derived partsupp (see Oracles.partsuppCte
+    // — integer cents keep every aggregate exact): stock value per part
+    // for suppliers in the first five nations, kept where the part's
+    // value exceeds 0.1% of the total (integer comparison, no float
+    // threshold).
+    "q11_important_stock" -> { (s, dir) =>
+      val ps = derivedPartsupp(s, dir)
+        .join(t(s, dir, "supplier")
+          .filter(col("s_nationkey") < 5).select(col("s_suppkey")),
+          col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("ps_partkey"),
+          (col("ps_cost_cents") * col("ps_availqty")).as("value_cents"))
+      val perPart = ps.groupBy(col("ps_partkey"))
+        .agg(sum(col("value_cents")).as("part_cents"))
+      val total = perPart.agg(sum(col("part_cents")).as("total_cents"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_cents") * 1000 > col("total_cents"))
+        .select(col("ps_partkey"),
+          (col("part_cents").cast("double") / 100.0).as("stock_value"))
+    },
+
+    // TPC-H q2 shape over the derived partsupp: the cheapest supplier
+    // per PROMO part among suppliers in the first two regions — the
+    // correlated-min pattern as two exact integer min-aggregations
+    // (min cents, then min suppkey among ties), top 20 by account
+    // balance.
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      val regionSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_regionkey") < 2).select(col("n_nationkey"),
+            col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val ps = derivedPartsupp(s, dir)
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+          col("ps_partkey") === col("p_partkey"))
+        .join(regionSupp.select(col("s_suppkey")),
+          col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("ps_partkey"), col("ps_suppkey"), col("ps_cost_cents"))
+      val minCost = ps.groupBy(col("ps_partkey"))
+        .agg(min(col("ps_cost_cents")).as("min_cents"))
+      val winner = ps.join(minCost, Seq("ps_partkey"))
+        .filter(col("ps_cost_cents") === col("min_cents"))
+        .groupBy(col("ps_partkey"), col("min_cents"))
+        .agg(min(col("ps_suppkey")).as("win_suppkey"))
+      winner.join(regionSupp, col("win_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("ps_partkey"),
+          (col("min_cents").cast("double") / 100.0).as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("ps_partkey")).limit(20)
+    },
+
+    // TPC-H q16 shape over the derived partsupp: distinct supplier count
+    // per (brand, type, size) for parts outside one brand.
+    "q16_supplier_variety" -> { (s, dir) =>
+      derivedPartsupp(s, dir)
+        .join(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#3" && col("p_size") <= 20)
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
+          col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
     },
 
     // Skew diagnostic: heaviest keys and their row share — the input to
@@ -2086,6 +2171,48 @@ object SparkEntry {
     "doc_commonness" -> Oracles.docCommonness,
     "corpus_pipeline" -> Oracles.corpusPipeline(QualityMin,
       graft.functions.TextFunctions.BpeTokenRe),
+
+    "q11_important_stock" ->
+      s"""WITH ${Oracles.partsuppCte},
+         |f AS (SELECT ps_partkey,
+         |  CAST(ps_cost_cents * ps_availqty AS BIGINT) AS value_cents
+         |  FROM ps WHERE ps_suppkey IN
+         |    (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)),
+         |pp AS (SELECT ps_partkey,
+         |  CAST(SUM(value_cents) AS BIGINT) AS part_cents
+         |  FROM f GROUP BY ps_partkey),
+         |tt AS (SELECT CAST(SUM(part_cents) AS BIGINT) AS total_cents FROM pp)
+         |SELECT ps_partkey,
+         |  CAST(part_cents AS DOUBLE) / 100.0 AS stock_value
+         |FROM pp, tt WHERE part_cents * 1000 > total_cents""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      s"""WITH ${Oracles.partsuppCte},
+         |rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_regionkey < 2),
+         |f AS (SELECT ps_partkey, ps_suppkey, ps_cost_cents FROM ps
+         |  WHERE ps_partkey IN (SELECT p_partkey FROM part
+         |    WHERE p_type = 'PROMO')
+         |    AND ps_suppkey IN (SELECT s_suppkey FROM rs)),
+         |mc AS (SELECT ps_partkey, min(ps_cost_cents) AS min_cents
+         |  FROM f GROUP BY ps_partkey),
+         |w AS (SELECT f.ps_partkey, min_cents, min(ps_suppkey) AS win_suppkey
+         |  FROM f JOIN mc ON f.ps_partkey = mc.ps_partkey
+         |    AND f.ps_cost_cents = mc.min_cents
+         |  GROUP BY f.ps_partkey, min_cents)
+         |SELECT s_acctbal, s_name, n_name, ps_partkey,
+         |  CAST(min_cents AS DOUBLE) / 100.0 AS supply_cost
+         |FROM w JOIN rs ON win_suppkey = s_suppkey
+         |ORDER BY s_acctbal DESC, ps_partkey LIMIT 20""".stripMargin,
+
+    "q16_supplier_variety" ->
+      s"""WITH ${Oracles.partsuppCte}
+         |SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM ps JOIN part ON ps_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#3' AND p_size <= 20
+         |GROUP BY p_brand, p_type, p_size""".stripMargin,
 
     "skew_key_histogram" ->
       """WITH c AS (SELECT user_id AS key, count(*) AS n_rows
