@@ -924,6 +924,26 @@ object SparkEntry {
         .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
     },
 
+    // TPC-H q20 shape: suppliers holding excess stock — availqty more
+    // than half the 1996 shipped quantity of that (part, supplier).
+    // Quantities are integral, so 2*availqty > sum(qty) is an exact
+    // integer comparison (no 0.5 float factor).
+    "q20_excess_stock" -> { (s, dir) =>
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty_shipped"))
+      val excess = derivedPartsupp(s, dir)
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") * 2 > col("qty_shipped"))
+        .select(col("ps_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    },
+
     // Skew diagnostic: heaviest keys and their row share — the input to
     // choosing salt counts (SkewOps.keyHistogram).
     "skew_key_histogram" -> ((s, dir) =>
@@ -2213,6 +2233,20 @@ object SparkEntry {
          |FROM ps JOIN part ON ps_partkey = p_partkey
          |WHERE p_brand <> 'Brand#3' AND p_size <= 20
          |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+    "q20_excess_stock" ->
+      s"""WITH ${Oracles.partsuppCte},
+         |sh AS (SELECT l_partkey, l_suppkey,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_shipped
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY l_partkey, l_suppkey)
+         |SELECT s_suppkey, s_name FROM supplier
+         |WHERE s_suppkey IN (
+         |  SELECT ps_suppkey FROM ps JOIN sh
+         |    ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |  WHERE ps_availqty * 2 > qty_shipped)""".stripMargin,
 
     "skew_key_histogram" ->
       """WITH c AS (SELECT user_id AS key, count(*) AS n_rows
