@@ -195,6 +195,15 @@ object StreamingLoad {
       }
   }
 
+  /** Stream-static enrichment: join a stream against a batch dimension
+    * table (the lookup-join every event pipeline needs). The static side
+    * is re-planned per micro-batch, so a dimension refreshed in place
+    * (e.g. a warehouse version swap) is picked up without restarting the
+    * query; Catalyst broadcasts it when it fits. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      key: String, how: String = "left"): DataFrame =
+    stream.join(dim, Seq(key), how)
+
   /** Streaming as-of join (the temporal-join shape Flink calls a
     * versioned-table join; Spark has no built-in): for each left event,
     * the most recent right event with `rts <= lts` on the same key —

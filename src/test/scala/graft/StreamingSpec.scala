@@ -237,6 +237,29 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       s"flushed rows missing: ${(mustHave -- streamed).take(5)}")
   }
 
+  test("stream-static enrichment joins the dim table per micro-batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_enrich").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    writeFile(src, "p0.json",
+      "{\"id\":1,\"uid\":10}\n{\"id\":2,\"uid\":20}\n{\"id\":3,\"uid\":99}")
+    val dim = Seq((10L, "alice"), (20L, "bob")).toDF("uid", "name")
+    val eschema = StructType(Seq(
+      StructField("id", LongType), StructField("uid", LongType)))
+    val stream = spark.readStream.schema(eschema).json(src)
+    StreamingLoad.enrichStream(stream, dim, "uid").writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("enriched")
+      .start().awaitTermination()
+    // USING-join puts the key first: (uid, id, name).
+    val out = spark.table("enriched").orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toSeq
+    // Left join: unmatched uid 99 survives with a null name.
+    assert(out == Seq((10L, Some("alice")), (20L, Some("bob")),
+      (99L, None)))
+  }
+
   test("transformWithState running counts accumulate across micro-batches") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_tws").toString
