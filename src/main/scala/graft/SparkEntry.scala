@@ -912,6 +912,38 @@ object SparkEntry {
         .orderBy(col("s_acctbal").desc, col("ps_partkey")).limit(20)
     },
 
+    // TPC-H q9 in its TRUE shape (the earlier q9_profit_nation_year used
+    // retail price as a cost proxy): profit by supplier nation and order
+    // year with the derived partsupp's per-(part, supplier) cost —
+    // revenue as an exact decimal sum, cost as an exact integer cents
+    // sum, one double subtraction at the end.
+    "q9_profit_partsupp" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val suppNat = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0) // a quarter of parts, q9's p_name-LIKE analog
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(derivedPartsupp(s, dir),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast("double").as("revenue"),
+          (sum(col("ps_cost_cents") * col("l_quantity").cast("long"))
+            .cast("double") / 100.0).as("supply_cost"))
+        .withColumn("profit", col("revenue") - col("supply_cost"))
+    },
+
     // TPC-H q16 shape over the derived partsupp: distinct supplier count
     // per (brand, type, size) for parts outside one brand.
     "q16_supplier_variety" -> { (s, dir) =>
@@ -2225,6 +2257,27 @@ object SparkEntry {
          |  CAST(min_cents AS DOUBLE) / 100.0 AS supply_cost
          |FROM w JOIN rs ON win_suppkey = s_suppkey
          |ORDER BY s_acctbal DESC, ps_partkey LIMIT 20""".stripMargin,
+
+    "q9_profit_partsupp" ->
+      s"""WITH ${Oracles.partsuppCte}
+         |SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+         |    AS DOUBLE) AS revenue,
+         |  CAST(CAST(SUM(ps_cost_cents * CAST(l_quantity AS BIGINT))
+         |    AS BIGINT) AS DOUBLE) / 100.0 AS supply_cost,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+         |    AS DOUBLE) -
+         |  CAST(CAST(SUM(ps_cost_cents * CAST(l_quantity AS BIGINT))
+         |    AS BIGINT) AS DOUBLE) / 100.0 AS profit
+         |FROM lineitem
+         |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_partkey % 4 = 0
+         |GROUP BY 1, 2""".stripMargin,
 
     "q16_supplier_variety" ->
       s"""WITH ${Oracles.partsuppCte}
