@@ -271,6 +271,82 @@ object Oracles {
        |  FROM s) WHERE rank <= $k""".stripMargin
   }
 
+  /** IVF knn (SimilarityOps.ivfKnn): the oracle reproduces the EXACT
+    * bucketing — bounded md5-hash centroid sample (same
+    * `('0x'||substr(md5,1,15))::BIGINT % (N div C)` arithmetic), rank-1
+    * nearest-centroid assignment, nprobe probe buckets, fold-ordered
+    * cosine re-rank with the same (sim DESC, id) tie-break. */
+  def knnIvf(probeEvery: Int, k: Int, targetC: Int, nprobe: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |n AS (SELECT vec_id, vec,
+       |  sqrt(${dot("vec", "vec")}) AS nrm
+       |  FROM v),
+       |c AS (SELECT vec_id AS cent_id, vec AS cent_vec, nrm AS cnrm FROM n
+       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |    % greatest((SELECT count(*) FROM v) // $targetC, 1) = 0),
+       |caw AS (SELECT n.vec_id, n.vec, n.nrm, c.cent_id,
+       |    ${dot("n.vec", "c.cent_vec")} / (n.nrm * c.cnrm) AS csim
+       |  FROM n, c),
+       |ca AS (SELECT vec_id, vec, nrm, cent_id FROM (
+       |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank
+       |  FROM caw) WHERE crank = 1),
+       |pw AS (SELECT p.vec_id AS probe_id, p.vec AS pvec, p.nrm AS pnrm, c.cent_id,
+       |    ${dot("p.vec", "c.cent_vec")} / (p.nrm * c.cnrm) AS csim
+       |  FROM (SELECT * FROM n WHERE vec_id % $probeEvery = 0) p, c),
+       |pb AS (SELECT probe_id, pvec, pnrm, cent_id FROM (
+       |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY csim DESC, cent_id) AS crank
+       |  FROM pw) WHERE crank <= $nprobe),
+       |s AS (SELECT pb.probe_id, ca.vec_id,
+       |    ${dot("pb.pvec", "ca.vec")} / (pb.pnrm * ca.nrm) AS sim
+       |  FROM ca JOIN pb ON ca.cent_id = pb.cent_id
+       |  WHERE ca.vec_id <> pb.probe_id)
+       |SELECT probe_id, vec_id, round(sim, 9) AS sim, rank FROM (
+       |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM s) WHERE rank <= $k""".stripMargin
+  }
+
+  /** LSH knn (SimilarityOps.lshKnn): sign-bit bucketing against the
+    * md5-derived hyperplanes — the plane constants are embedded from the
+    * SAME [[graft.operators.SimilarityOps.lshPlanes]] call, each float
+    * widened to double and rendered via a round-tripping string cast
+    * (`CAST('<shortest-repr>' AS DOUBLE)`, never a bare decimal literal,
+    * which DuckDB would type DECIMAL and double-round) — then 1-bit
+    * multiprobe and the same fold-ordered cosine re-rank. */
+  def knnLsh(probeEvery: Int, k: Int, nPlanes: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+    val planeRows = graft.operators.SimilarityOps.lshPlanes(nPlanes)
+      .zipWithIndex.map { case (row, p) =>
+        row.map(f => s"CAST('${f.toDouble}' AS DOUBLE)")
+          .mkString(s"($p, [", ", ", "])")
+      }.mkString(",\n  ")
+    s"""WITH pl AS (SELECT * FROM (VALUES
+       |  $planeRows) t(p, pvec)),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |n AS (SELECT vec_id, vec,
+       |  sqrt(${dot("vec", "vec")}) AS nrm
+       |  FROM v),
+       |bk AS (SELECT n.vec_id,
+       |    CAST(SUM(CASE WHEN ${dot("n.vec", "pl.pvec")} > 0.0
+       |      THEN (1::BIGINT << pl.p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+       |  FROM n, pl GROUP BY n.vec_id),
+       |b AS (SELECT n.vec_id, n.vec, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id)),
+       |pb AS (SELECT vec_id AS probe_id, vec AS pvec, nrm AS pnrm,
+       |    unnest(list_prepend(bucket, list_transform(
+       |      generate_series(0, ${nPlanes - 1}),
+       |      p -> xor(bucket, 1::BIGINT << p)))) AS bucket
+       |  FROM b WHERE vec_id % $probeEvery = 0),
+       |s AS (SELECT pb.probe_id, b.vec_id,
+       |    ${dot("pb.pvec", "b.vec")} / (pb.pnrm * b.nrm) AS sim
+       |  FROM b JOIN pb USING (bucket)
+       |  WHERE b.vec_id <> pb.probe_id)
+       |SELECT probe_id, vec_id, round(sim, 9) AS sim FROM (
+       |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM s) WHERE rank <= $k""".stripMargin
+  }
+
   val tumbling1h: String =
     s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
        |  count(*) AS n_events,

@@ -67,17 +67,38 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-style ANN: data-derived coarse centroids (every `centroidEvery`-th
-    * vector — deterministic, no iterative training), assign corpus rows to
-    * their nearest centroid bucket, then search only the `nprobe` buckets
-    * nearest each probe. Returns the same shape as [[bruteForceKnn]];
-    * recall < 1 by construction (spec checks recall vs brute force). */
+  /** Deterministic bounded centroid sample for IVF: ~`targetC` rows
+    * REGARDLESS of corpus size. Sampling rate is `targetC / N` (via
+    * md5-hash modulo with step = max(N div targetC, 1)), so the broadcast
+    * centroid table and the O(N·C) nearest-centroid assignment stay
+    * fixed-cost as the corpus grows — real IVF keeps C ≈ const (or √N);
+    * a proportional sample (the old `id % 97`) makes assignment O(N²/97),
+    * which at 100 TB broadcasts ~1% of the corpus. The corpus count is a
+    * scalar subquery (broadcast single-row crossJoin), not a driver-side
+    * `.count()`, so the result stays a pure lazy DataFrame. */
+  def ivfCentroids(
+      corpus: DataFrame, targetC: Int,
+      corpusId: String = "vec_id"): DataFrame = {
+    val n = corpus.agg(count(lit(1)).as("__n"))
+    corpus.crossJoin(broadcast(n))
+      .filter(
+        conv(substring(md5(col(corpusId).cast("string")), 1, 15), 16, 10)
+          .cast("long") % greatest(expr(s"__n div $targetC"), lit(1L)) === 0L)
+      .select(col(corpusId).as("cent_id"), col("vec").as("cent_vec"))
+  }
+
+  /** IVF-style ANN: a bounded deterministic centroid sample (~`targetC`
+    * centroids — see [[ivfCentroids]]), assign corpus rows to their
+    * nearest centroid bucket, then search only the `nprobe` buckets
+    * nearest each probe. Corpus fraction scanned ≈ nprobe/targetC.
+    * Returns the same shape as [[bruteForceKnn]]; recall < 1 by
+    * construction (spec checks recall vs brute force; the DuckDB oracle
+    * reproduces the exact bucketing, so correctness is hash-checked too). */
   def ivfKnn(
       probes: DataFrame, corpus: DataFrame, k: Int,
-      centroidEvery: Int = 97, nprobe: Int = 3,
+      centroidTarget: Int = 16, nprobe: Int = 3,
       probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
-    val centroids = corpus.filter(col(corpusId) % centroidEvery === 0)
-      .select(col(corpusId).as("cent_id"), col("vec").as("cent_vec"))
+    val centroids = ivfCentroids(corpus, centroidTarget, corpusId)
 
     def nearestBuckets(df: DataFrame, idc: String, vecc: String, n: Int): DataFrame =
       df.crossJoin(broadcast(centroids))
@@ -128,10 +149,9 @@ object SimilarityOps {
     * pairs from coarse-bucket cohabitation (same IVF assignment) —
     * the embedding analogue of MinHash candidate generation. */
   def embeddingNearDup(
-      corpus: DataFrame, threshold: Double, centroidEvery: Int = 97,
+      corpus: DataFrame, threshold: Double, centroidTarget: Int = 16,
       corpusId: String = "vec_id"): DataFrame = {
-    val centroids = corpus.filter(col(corpusId) % centroidEvery === 0)
-      .select(col(corpusId).as("cent_id"), col("vec").as("cent_vec"))
+    val centroids = ivfCentroids(corpus, centroidTarget, corpusId)
     val assigned = corpus.crossJoin(broadcast(centroids))
       .select(col(corpusId), col("vec"), col("cent_id"),
         cosine(col("vec"), col("cent_vec")).as("csim"))
