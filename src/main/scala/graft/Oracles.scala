@@ -118,6 +118,38 @@ object Oracles {
 
   /** Keep list after near-dedup: corpus minus every id_b of a
     * thresholded candidate pair (lowest-id representative survives). */
+  /** Exact substring dedup (DedupOps.duplicateSpans): content-defined
+    * chunking — boundary where the hash60 of the `window`-token span
+    * ending at i ≡ 0 (mod `divisor`) — then chunk-hash equality across
+    * documents. Parallel unnest zips starts/ends positionally (the
+    * PostgreSQL semantic DuckDB follows); the CASE guard mirrors the
+    * Spark side's lazy CaseWhen keeping list_slice off non-positive
+    * starts. */
+  def dedupSubstring(t0Sql: String, window: Int, divisor: Int): String =
+    s"""WITH t0 AS ($t0Sql),
+       |t AS (SELECT doc_id, string_split($norm, ' ') AS toks
+       |  FROM (SELECT doc_id, text FROM t0)),
+       |b AS (SELECT doc_id, toks, len(toks) AS n,
+       |  list_filter(generate_series(1, len(toks)), i ->
+       |    CASE WHEN i >= $window THEN
+       |      ('0x' || substr(md5(array_to_string(
+       |        list_slice(toks, i - ${window - 1}, i), ' ')), 1, 15))::BIGINT
+       |        % $divisor = 0
+       |    ELSE false END) AS bnd
+       |  FROM t),
+       |c AS (SELECT doc_id, toks,
+       |    unnest(list_prepend(1, list_transform(bnd, x -> x + 1))) AS s,
+       |    unnest(list_append(bnd, n)) AS e
+       |  FROM b),
+       |ch AS (SELECT doc_id, s AS start_tok, (e - s) + 1 AS chunk_len,
+       |    ('0x' || substr(md5(array_to_string(
+       |      list_slice(toks, s, e), ' ')), 1, 15))::BIGINT AS chash
+       |  FROM c WHERE e >= s),
+       |d AS (SELECT chash, count(DISTINCT doc_id) AS n_docs
+       |  FROM ch GROUP BY chash HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT ch.doc_id, ch.start_tok, ch.chunk_len, ch.chash, d.n_docs
+       |FROM ch JOIN d USING (chash)""".stripMargin
+
   def dedupNearKeep(t0Sql: String, minEst: Double): String =
     s"""SELECT doc_id FROM ($t0Sql) d
        |WHERE doc_id NOT IN (SELECT id_b FROM (

@@ -235,6 +235,15 @@ object SparkEntry {
       DedupOps.connectedComponents(docs.select(col("doc_id")), pairs, "doc_id")
     },
 
+    // Exact substring dedup (Lee et al. arXiv:2107.06499, Spark-shaped):
+    // content-defined chunk spans shared verbatim across documents — the
+    // planted 80%-prefix copies share every prefix chunk with their
+    // originals regardless of offset.
+    "dedup_substring" -> { (s, dir) =>
+      DedupOps.duplicateSpans(plantedDocs(s, dir), "doc_id", "text",
+        CdcWindow, CdcDivisor)
+    },
+
     // Cluster-minimum keep list: exactly one survivor per component.
     "dedup_cc_keep" -> { (s, dir) =>
       val docs = plantedDocs(s, dir)
@@ -2119,6 +2128,10 @@ object SparkEntry {
   val MinhashMinEst = 0.35
   val NgramMinJaccard = 0.4
   val SimhashMaxHamming = 8
+  // Content-defined chunking: boundary = hash of the 5-token window
+  // ending here ≡ 0 (mod 8) → ~8-token expected chunks.
+  val CdcWindow = 5
+  val CdcDivisor = 8
   val KnnProbeEvery = 100
   val KnnK = 5
   // IVF: bounded centroid count (C stays ~4 as the corpus grows — the
@@ -2229,6 +2242,7 @@ object SparkEntry {
     "fingerprints" -> Oracles.fingerprints,
     "dedup_exact_docs" -> Oracles.dedupExactDocs,
     "dedup_minhash_lsh" -> Oracles.minhashPairs(Oracles.plantedDocs, MinhashMinEst),
+    "dedup_substring" -> Oracles.dedupSubstring(Oracles.plantedDocs, CdcWindow, CdcDivisor),
     "dedup_ngram_jaccard" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_cc_components" -> Oracles.ccComponents(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_cc_keep" -> Oracles.ccKeep(Oracles.plantedDocs, NgramMinJaccard),

@@ -419,4 +419,71 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  // ---- Exact substring dedup (content-defined chunking) ---------------
+
+  /** Content-defined chunk spans of each document — the exact-substring
+    * dedup family (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499). The paper builds a
+    * suffix array, which is inherently sequential and single-machine;
+    * the shardable Spark restatement is content-defined chunking: a
+    * token position closes a chunk when the md5-derived hash of the
+    * `window`-token span ending there ≡ 0 (mod `divisor`). Boundaries
+    * depend only on LOCAL content, so a long span shared by two
+    * documents chunks identically in both REGARDLESS of its byte offset
+    * (fixed-width chunking would misalign), and exact duplicate spans
+    * become chunk-hash equality at ~`divisor`-token granularity.
+    *
+    * Chunking is a PURE PROJECTION — no shuffle, no state; it shards to
+    * any corpus size and composes with streaming ingest. Output:
+    * `(id, start_tok, chunk_len, chash)`, one row per chunk. Expected
+    * chunk length ≈ `divisor` tokens. `__toks` is bound as a column
+    * BEFORE the lambdas so HOF capture references an attribute, not a
+    * re-evaluated expression (the split would otherwise recompute per
+    * element). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 5, divisor: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol),
+      split(normalized(col(textCol)), " ").as("__toks"))
+    // Boundary positions: the CASE guard keeps slice() away from
+    // non-positive starts (CaseWhen branches evaluate lazily).
+    val withB = base.select(col(idCol), col("__toks"),
+      size(col("__toks")).as("__n"),
+      filter(sequence(lit(1), size(col("__toks"))),
+        i => when(i >= window,
+            hash60(array_join(
+              slice(col("__toks"), i - (window - 1), lit(window)), " "))
+              % divisor === 0)
+          .otherwise(lit(false))).as("__bnd"))
+    // Chunks: starts = 1 ∪ (boundary+1), ends = boundaries ∪ n; a
+    // trailing boundary at n yields an empty (n+1, n) pair — filtered.
+    withB.select(col(idCol),
+      explode(filter(
+        zip_with(
+          concat(array(lit(1)), transform(col("__bnd"), b => b + 1)),
+          concat(col("__bnd"), array(col("__n"))),
+          (s, e) => struct(
+            s.as("start_tok"),
+            (e - s + 1).as("chunk_len"),
+            hash60(array_join(slice(col("__toks"), s, e - s + 1), " "))
+              .as("chash"))),
+        c => c.getField("chunk_len") > 0)).as("__c"))
+      .select(col(idCol), col("__c.start_tok").as("start_tok"),
+        col("__c.chunk_len").as("chunk_len"), col("__c.chash").as("chash"))
+  }
+
+  /** Exact duplicate spans: [[cdcChunks]] + ONE chunk-hash groupBy
+    * (partial count-distinct combines map-side) + a join back on the
+    * duplicated hashes. Every occurrence of a span whose chunk text
+    * appears in ≥ `minDocs` distinct documents, with its location. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 5, divisor: Int = 8, minDocs: Int = 2): DataFrame = {
+    val ch = cdcChunks(docs, idCol, textCol, window, divisor)
+    val dup = ch.groupBy(col("chash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    ch.join(dup, Seq("chash"))
+      .select(col(idCol), col("start_tok"), col("chunk_len"),
+        col("chash"), col("n_docs"))
+  }
 }
