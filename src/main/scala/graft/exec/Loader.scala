@@ -40,7 +40,8 @@ final class Loader(
     executor: Option[SqlExecutor] = None,
     creds: CopyCredentials = CopyCredentials.None,
     listener: LoadListener = LoadListener.Silent,
-    txnRunner: RetryingTxnRunner = new RetryingTxnRunner()) {
+    txnRunner: RetryingTxnRunner = new RetryingTxnRunner(),
+    initialBodies: Seq[DataFrame] = Nil) {
 
   val jobTime: String = java.time.format.DateTimeFormatter
     .ofPattern("yyyyMMdd_HHmmss")
@@ -56,17 +57,56 @@ final class Loader(
   private def debug(msg: => String): Unit = if (cfg.debug) println(s"[graft] $msg")
 
   /** Stage one body now (upload-at-add, S4). Returns the staged file set, or
-    * None if the job already started (warn-and-drop, X5). */
+    * None if the job already started (warn-and-drop, X5).
+    *
+    * Progress granularity (O3): the reference streams byte-level
+    * `managedUpload.on('progress')` events per upload (README.md:310-311,
+    * RedshiftLoader.ts:147-151). Spark equivalent: a SparkListener
+    * registered for the duration of this body's write job bridges each
+    * task's output metrics into `uploadProgress` events as partitions
+    * commit (task-level = one event per written part), and the
+    * `uploadedFile` completion event carries exact per-file byte counts
+    * from the committed files. The bridge sees task-ends of any job that
+    * overlaps this write on the same SparkContext — Loader stages bodies
+    * sequentially, so in practice that is this write. */
   def addBody(df: DataFrame, format: String = "json"): Option[StagedUpload] =
     if (started) {
       debug(s"addBody after start ignored")
       None
     } else {
-      val up = staging.writeBody(df, uploads.size, format, cfg.copySettings.gzip)
+      val idx = uploads.size
+      val bridge = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val om = if (t.taskMetrics != null) t.taskMetrics.outputMetrics else null
+          if (om != null && (om.bytesWritten > 0 || om.recordsWritten > 0))
+            listener.onProgress("uploadProgress", Map(
+              "index" -> idx.toString,
+              "bytes" -> om.bytesWritten.toString,
+              "records" -> om.recordsWritten.toString))
+        }
+      }
+      spark.sparkContext.addSparkListener(bridge)
+      val up =
+        try staging.writeBody(df, idx, format, cfg.copySettings.gzip)
+        finally {
+          // Async bus: drain before deregistering or trailing task-end
+          // events are dropped nondeterministically.
+          org.apache.spark.graftshim.GraftScheduler.drainListenerBus(spark.sparkContext)
+          spark.sparkContext.removeSparkListener(bridge)
+        }
       uploads += up
       bodies += df
+      val conf = spark.sparkContext.hadoopConfiguration
+      val sizes = up.files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getName -> p.getFileSystem(conf).getFileStatus(p).getLen
+      }
       listener.onProgress("uploadedFile", Map(
-        "index" -> up.index.toString, "files" -> up.files.size.toString))
+        "index" -> up.index.toString,
+        "files" -> up.files.size.toString,
+        "bytes" -> sizes.map(_._2).sum.toString) ++
+        sizes.map { case (name, len) => s"bytes.$name" -> len.toString })
       Some(up)
     }
 
@@ -127,6 +167,12 @@ final class Loader(
         throw e
     } finally spark.sparkContext.clearJobGroup()
   }
+
+  // Constructor-time bodies (reference parity: `new RedshiftLoader(options)`
+  // stages `options.body`/`options.bodies` immediately —
+  // RedshiftLoader.ts:122): staged here exactly as explicit addBody calls,
+  // same upload-at-add semantics and events.
+  initialBodies.foreach(addBody(_))
 
   /** Staging cleanup per policy (C1: ALWAYS / SUCCESS / NEVER). */
   private def wrapUp(success: Boolean): Unit = {

@@ -94,36 +94,70 @@ object LayoutOps {
     * manifest (Delta/Iceberg) persists; here it is read directly so the
     * skipping mechanics are inspectable. Row-group statistics are folded
     * per file. Returns (file, min, max) as doubles (covers int/long/
-    * float/double columns). Driver-side loop over footers: metadata-scale
-    * work, the same cost model as a manifest read — for very large file
-    * counts, list once and fan the footer reads out over an RDD. */
+    * float/double columns). Driver-side loop over footers: fine at
+    * manifest scale; use [[parquetFileStatsDistributed]] when the file
+    * count is large enough that a serial footer loop is the bottleneck. */
   def parquetFileStats(spark: org.apache.spark.sql.SparkSession,
       dir: String, column: String): Seq[(String, Double, Double)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    listParquet(conf, dir).map(f => footerStats(conf, f, column))
+  }
+
+  /** Distributed variant of [[parquetFileStats]]: list ONCE on the
+    * driver (manifest-scale — a few strings per file), fan the footer
+    * reads out over an RDD, and collect only the (file, min, max)
+    * triples. At millions of files the serial driver loop above is the
+    * bottleneck; here each task opens its own slice of footers and the
+    * driver never holds more than the stats themselves. Identical
+    * result to the driver-side path (spec-asserted). */
+  def parquetFileStatsDistributed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, column: String, slices: Int = 0): Seq[(String, Double, Double)] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val paths = listParquet(hconf, dir)
+    if (paths.isEmpty) return Seq.empty
+    val ser = new graft.core.SerializableHadoopConf(hconf)
+    val n = math.max(1, if (slices > 0) slices
+      else math.min(paths.length, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(paths, n)
+      .mapPartitions { it =>
+        val conf = ser.value
+        it.map(f => footerStats(conf, f, column))
+      }
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  private def listParquet(conf: org.apache.hadoop.conf.Configuration,
+      dir: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    p.getFileSystem(conf).listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+      .sorted
+  }
+
+  /** Fold one file's row-group statistics for `column` into a
+    * (file, min, max) triple — footer bytes only, no data pages. */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      file: String, column: String): (String, Double, Double) = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.format.converter.ParquetMetadataConverter
     import scala.jdk.CollectionConverters._
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(dir)
-    val fs = p.getFileSystem(conf)
-    fs.listStatus(p).toSeq
-      .filter(f => f.getPath.getName.endsWith(".parquet"))
-      .map { f =>
-        val meta = ParquetFileReader.readFooter(conf, f.getPath,
-          ParquetMetadataConverter.NO_FILTER)
-        val ranges = meta.getBlocks.asScala.flatMap { block =>
-          block.getColumns.asScala
-            .filter(_.getPath.toDotString == column)
-            .flatMap { cc =>
-              val st = cc.getStatistics
-              if (st == null || !st.hasNonNullValue) None
-              else Some((toDouble(st.genericGetMin),
-                toDouble(st.genericGetMax)))
-            }
+    val meta = ParquetFileReader.readFooter(conf, new Path(file),
+      ParquetMetadataConverter.NO_FILTER)
+    val ranges = meta.getBlocks.asScala.flatMap { block =>
+      block.getColumns.asScala
+        .filter(_.getPath.toDotString == column)
+        .flatMap { cc =>
+          val st = cc.getStatistics
+          if (st == null || !st.hasNonNullValue) None
+          else Some((toDouble(st.genericGetMin),
+            toDouble(st.genericGetMax)))
         }
-        require(ranges.nonEmpty, s"no stats for $column in ${f.getPath}")
-        (f.getPath.toString, ranges.map(_._1).min, ranges.map(_._2).max)
-      }
+    }
+    require(ranges.nonEmpty, s"no stats for $column in $file")
+    (file, ranges.map(_._1).min, ranges.map(_._2).max)
   }
 
   private def toDouble(v: Any): Double = v match {

@@ -75,6 +75,53 @@ class LoaderSpec extends AnyFunSuite with SparkSuite {
     assert(mf.contains("\"mandatory\":true"))
   }
 
+  test("per-upload progress carries byte counts: task-level events + per-file sizes (O3)") {
+    val (whDir, stg) = (tmp(), tmp())
+    val wh = new ParquetWarehouse(spark, whDir)
+    val rec = new Recorder
+    val cfg = LoaderConfig(table = TableRef("", "target"),
+      cleanup = CleanupPolicy.Never)
+    val loader = mkLoader(cfg, wh, stg, rec)
+    val up = loader.addBody(Ingest.ndjsonString(spark, body1)).get
+    // Task-level streaming progress (the reference's managedUpload
+    // 'progress' analogue): at least one event, with positive bytes and
+    // the right body index.
+    val streamed = rec.infos.collect { case ("uploadProgress", m) => m }
+    assert(streamed.nonEmpty)
+    assert(streamed.forall(m => m("index") == "0" && m("bytes").toLong > 0))
+    // Completion event: exact per-file byte counts matching the staged
+    // files on disk.
+    val fileEv = rec.infos.collect { case ("uploadedFile", m) => m }.head
+    assert(fileEv("bytes").toLong > 0)
+    val perFile = up.files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getName -> p.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+    }
+    perFile.foreach { case (name, len) =>
+      assert(fileEv(s"bytes.$name").toLong == len, s"wrong bytes for $name")
+    }
+    assert(fileEv("bytes").toLong == perFile.map(_._2).sum)
+  }
+
+  test("constructor-time bodies stage immediately: 2 bodies + manifest = 3 staged (spec:108-115)") {
+    val (whDir, stg) = (tmp(), tmp())
+    val wh = new ParquetWarehouse(spark, whDir)
+    val rec = new Recorder
+    val cfg = LoaderConfig(table = TableRef("", "target"),
+      cleanup = CleanupPolicy.Never)
+    // Reference parity: new RedshiftLoader(options) stages options.bodies
+    // at construction (RedshiftLoader.ts:122) — no explicit addBody calls.
+    val loader = new Loader(spark, cfg, wh, stg, listener = rec,
+      txnRunner = new RetryingTxnRunner(sleeper = _ => ()),
+      initialBodies = Seq(
+        Ingest.ndjsonString(spark, body1), Ingest.ndjsonString(spark, body2)))
+    assert(rec.progress.count(_ == "uploadedFile") == 2)
+    assert(loader.insert() == "SUCCESS")
+    assert(rec.progress.count(_ == "uploadedManifest") == 1)
+    assert(wh.table(TableRef("", "target")).count() == 6)
+  }
+
   test("upsert merges on id; duplicate staged ids all land (L3 wart)") {
     val (whDir, stg) = (tmp(), tmp())
     val wh = new ParquetWarehouse(spark, whDir)

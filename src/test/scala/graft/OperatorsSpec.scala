@@ -942,6 +942,16 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     val viaKept = spark.read.parquet(keptX: _*)
       .filter(col("x").between(0, 31)).count()
     assert(viaKept == df.filter(col("x").between(0, 31)).count())
+    // The RDD fan-out path returns the SAME stats as the driver loop
+    // (so the prune-soundness above transfers), across several slice
+    // counts including fewer slices than files.
+    val direct = LayoutOps.parquetFileStats(spark, s"$root/zed", "x")
+      .sortBy(_._1)
+    for (slices <- Seq(0, 3, 16)) {
+      val dist = LayoutOps.parquetFileStatsDistributed(
+        spark, s"$root/zed", "x", slices)
+      assert(dist == direct, s"slices=$slices diverged")
+    }
   }
 
   test("HLL sketch rollup: merged daily partials == direct sketch estimate") {
