@@ -1030,8 +1030,16 @@ object SparkEntry {
         // drop the 3rd character: a deterministic 1-edit corruption
         concat(substring(col("s_name"), 1, 2), expr("substring(s_name, 4)"))
           .as("c_name"))
-      base.join(corrupted,
-          substring(col("s_name"), 1, 2) === substring(col("c_name"), 1, 2) &&
+      // Symmetric-delete candidate join (DedupOps.editCandidates): the
+      // natural 2-char-prefix block key is DEGENERATE on this corpus
+      // (every name starts "Supplier#"), which would collapse blocking
+      // to all-pairs — O(N²) levenshteins. Deletion-neighborhood keys
+      // stay O(N·L²) regardless of key skew; every original predicate
+      // (prefix, length band, dist ≤ 2) is re-applied on the candidate
+      // superset, so the result — and the oracle — are unchanged.
+      DedupOps.editCandidates(base, corrupted,
+          "s_suppkey", "s_name", "c_suppkey", "c_name")
+        .filter(substring(col("s_name"), 1, 2) === substring(col("c_name"), 1, 2) &&
           abs(length(col("s_name")) - length(col("c_name"))) <= 1)
         .withColumn("dist", levenshtein(col("s_name"), col("c_name")))
         .filter(col("dist") <= 2)

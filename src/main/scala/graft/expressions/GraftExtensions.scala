@@ -41,6 +41,11 @@ object GraftFunctions {
     GraftColumns.column(SortedIntersectCount(
       GraftColumns.expression(a), GraftColumns.expression(b)))
 
+  /** Distinct ≤2-deletion neighborhood of a string — symmetric-delete
+    * blocking keys (see [[DeletionNeighborhood]]). */
+  def delNeighborhood(s: Column): Column =
+    GraftColumns.column(DeletionNeighborhood(GraftColumns.expression(s)))
+
   /** Optimizer barrier: identity on `c`, but filters over it won't be
     * pushed below the projection (see [[Opaque]]). */
   def opaque(c: Column): Column =

@@ -283,6 +283,44 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(recall > 0.5, s"recall $recall")
   }
 
+  test("delNeighborhood expression == composed HOF form (as sets)") {
+    // The custom expression must generate exactly the distinct-deletion
+    // key set the composed nested-transform reference form defines —
+    // on real names, short strings (L=0,1,2 edges), and repeated chars.
+    import spark.implicits._
+    val strs = Seq("Supplier#000000001", "", "a", "ab", "aaa", "abcab")
+      .toDF("s")
+    val both = strs.select(
+      array_sort(DedupOps.delNeighborhood(col("s"))).as("fast"),
+      array_sort(DedupOps.delNeighborhoodComposed(col("s"))).as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+  }
+
+  test("editCandidates covers every true dist<=2 pair (symmetric-delete soundness)") {
+    // Ground truth by brute force on a small slice; the deletion-
+    // neighborhood join must produce a SUPERSET (pigeonhole argument:
+    // each of <=2 edits deletes at most one char per side).
+    val sup = Tables(spark, "/root/testdata/sf0.01", "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    val corr = sup.select((col("s_suppkey") + 100000L).as("c_suppkey"),
+      concat(substring(col("s_name"), 1, 2), expr("substring(s_name, 4)"))
+        .as("c_name"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("s_suppkey", "c_suppkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(sup.crossJoin(corr)
+      .filter(levenshtein(col("s_name"), col("c_name")) <= 2))
+    val cand = pairs(DedupOps.editCandidates(sup, corr,
+      "s_suppkey", "s_name", "c_suppkey", "c_name"))
+    assert(truth.nonEmpty)
+    assert(truth.subsetOf(cand),
+      s"missed ${(truth -- cand).take(5)} of ${truth.size}")
+  }
+
   test("duplicateSpans finds a shared span at DIFFERENT offsets (CDC alignment)") {
     import spark.implicits._
     // The content-defined-chunking property fixed-width chunking lacks:
