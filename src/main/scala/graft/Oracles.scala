@@ -1096,6 +1096,37 @@ object Oracles {
        |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
        |SELECT id_a, id_b, sim FROM s WHERE sim >= $minSim""".stripMargin
 
+  /** SemDeDup keep list (SimilarityOps.semDedup on the planted corpus):
+    * same md5-modulo centroid sample and rank-1 assignment as the IVF
+    * oracle, then drop rows with a lower-id cluster-mate at cosine ≥
+    * threshold. Fold-ordered dots keep every double bit-identical. */
+  def semdedupKeep(minSim: Double, targetC: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |pl AS (SELECT vec_id, vec FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 10000000, list_concat(list_slice(vec, 1, 63), [0.0]) FROM base),
+       |n AS (SELECT vec_id, vec,
+       |  sqrt(${dot("vec", "vec")}) AS nrm
+       |  FROM pl),
+       |c AS (SELECT vec_id AS cent_id, vec AS cent_vec, nrm AS cnrm FROM n
+       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |    % greatest((SELECT count(*) FROM pl) // $targetC, 1) = 0),
+       |aw AS (SELECT n.vec_id, n.vec, n.nrm, c.cent_id,
+       |    ${dot("n.vec", "c.cent_vec")} / (n.nrm * c.cnrm) AS csim
+       |  FROM n, c),
+       |a AS (SELECT vec_id, vec, nrm, cent_id FROM (
+       |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank
+       |  FROM aw) WHERE crank = 1),
+       |dropped AS (SELECT DISTINCT x.vec_id
+       |  FROM a x JOIN a y ON x.cent_id = y.cent_id AND y.vec_id < x.vec_id
+       |  WHERE ${dot("x.vec", "y.vec")} / (x.nrm * y.nrm) >= $minSim)
+       |SELECT vec_id, cent_id FROM a
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+  }
+
   /** SCD2 merge over a freshly-versioned orders target: replaced
     * current rows close at the effective timestamp; staged rows open
     * there. */

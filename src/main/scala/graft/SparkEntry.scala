@@ -2130,6 +2130,22 @@ object SparkEntry {
         concat(slice(col("vec"), 1, 63), array(lit(0.0f))).as("vec")))
       SimilarityOps.exactNearDup(planted, EmbNearDupMin)
     },
+
+    // SemDeDup (semantic dedup, arXiv:2303.09540) on the same planted
+    // corpus: coarse-cluster by nearest deterministic centroid, drop
+    // members with a lower-id near-duplicate (cosine >= threshold) in
+    // their cluster. The planted copies land in their original's cluster
+    // and get dropped; the keep list is the semantic analogue of
+    // dedup_near_keep.
+    "semdedup_keep" -> { (s, dir) =>
+      val base = t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), col("embedding").as("vec"))
+      val planted = base.unionByName(base.select(
+        (col("vec_id") + 10000000L).as("vec_id"),
+        concat(slice(col("vec"), 1, 63), array(lit(0.0f))).as("vec")))
+      SimilarityOps.semDedup(planted, EmbNearDupMin,
+        centroidTarget = IvfCentroidTarget)
+    },
   )
 
   // Tunable thresholds shared by the Spark ops and their oracles.
@@ -2488,6 +2504,7 @@ object SparkEntry {
     "bitwise_functions" -> Oracles.bitwiseFunctions,
     "token_counts" -> Oracles.tokenCounts(graft.functions.TextFunctions.BpeTokenRe),
     "embedding_near_dup" -> Oracles.embeddingNearDup(EmbNearDupMin),
+    "semdedup_keep" -> Oracles.semdedupKeep(EmbNearDupMin, IvfCentroidTarget),
     "label_centroid_norms" -> Oracles.labelCentroidNorms,
     "salted_agg_events" -> Oracles.saltedAggEvents,
     "salted_join_customer_orders" -> Oracles.joinCustomerOrders,

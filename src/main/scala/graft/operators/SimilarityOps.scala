@@ -145,6 +145,22 @@ object SimilarityOps {
       .filter(col("sim") >= threshold)
   }
 
+  /** Rank-1 nearest-centroid assignment: each corpus row tagged with its
+    * closest centroid's `cent_id` (cosine, ties broken on cent_id). The
+    * centroid side must be broadcast-sized ([[ivfCentroids]] bounds it);
+    * the assignment is then a map-side O(N·C) pass — no shuffle of the
+    * corpus. Shared by [[embeddingNearDup]] and [[semDedup]]. */
+  def assignToCentroids(
+      corpus: DataFrame, centroids: DataFrame,
+      corpusId: String = "vec_id"): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .select(col(corpusId), col("vec"), col("cent_id"),
+        cosine(col("vec"), col("cent_vec")).as("csim"))
+      .withColumn("crank", rank().over(
+        Window.partitionBy(col(corpusId)).orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("crank") === 1)
+      .select(col(corpusId), col("vec"), col("cent_id"))
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold over candidate
     * pairs from coarse-bucket cohabitation (same IVF assignment) —
     * the embedding analogue of MinHash candidate generation. */
@@ -152,19 +168,51 @@ object SimilarityOps {
       corpus: DataFrame, threshold: Double, centroidTarget: Int = 16,
       corpusId: String = "vec_id"): DataFrame = {
     val centroids = ivfCentroids(corpus, centroidTarget, corpusId)
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .select(col(corpusId), col("vec"), col("cent_id"),
-        cosine(col("vec"), col("cent_vec")).as("csim"))
-      .withColumn("crank", rank().over(
-        Window.partitionBy(col(corpusId)).orderBy(col("csim").desc, col("cent_id"))))
-      .filter(col("crank") === 1)
-      .select(col(corpusId), col("vec"), col("cent_id"))
+    val assigned = assignToCentroids(corpus, centroids, corpusId)
     assigned.as("x").join(assigned.as("y"),
         col("x.cent_id") === col("y.cent_id") &&
           col(s"x.$corpusId") < col(s"y.$corpusId"))
       .select(col(s"x.$corpusId").as("id_a"), col(s"y.$corpusId").as("id_b"),
         cosine(col("x.vec"), col("y.vec")).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  /** SemDeDup (semantic deduplication, Abbas et al. arXiv:2303.09540):
+    * coarse-cluster the corpus by nearest deterministic centroid, then
+    * WITHIN each cluster drop every vector whose cosine to a LOWER-id
+    * cluster-mate reaches `threshold` — the paper's keep-lowest-index
+    * rule, restated relationally. Returns the kept `(id, cent_id)` rows.
+    *
+    * The reference's merge semantics keep duplicates (SURVEY.md §2.3 L3);
+    * this is the embedding-space analogue of the MinHash keep list —
+    * pruning semantically-redundant training documents that exact and
+    * lexical dedup cannot see.
+    *
+    * Scale: clustering bounds the pair space to Σ|cluster|² — the
+    * published algorithm's shape. `centroidTarget` must grow with the
+    * corpus (C ≈ √N keeps expected cluster size √N, i.e. pair work
+    * O(N·√N) not O(N²)); the centroid side stays a broadcast either way
+    * ([[ivfCentroids]]). The per-cluster join shuffles on `cent_id`, so
+    * a pathological mega-cluster is the skew knob to watch — mitigate
+    * with a larger C (finer clusters), exactly as the paper tunes k. */
+  def semDedup(
+      corpus: DataFrame, threshold: Double, centroidTarget: Int = 16,
+      corpusId: String = "vec_id"): DataFrame = {
+    val centroids = ivfCentroids(corpus, centroidTarget, corpusId)
+    val assigned = assignToCentroids(corpus, centroids, corpusId)
+      .withColumn("__nrm", norm(col("vec")))
+    // Dropped = has ANY lower-id near-duplicate in its cluster. Expressed
+    // as a pair semi-join so each survivor is decided independently (the
+    // SemDeDup implementation's pairwise rule, not a chained greedy).
+    val dropped = assigned.as("x").join(assigned.as("y"),
+        col("x.cent_id") === col("y.cent_id") &&
+          col(s"y.$corpusId") < col(s"x.$corpusId"))
+      .filter((dot(col("x.vec"), col("y.vec")) /
+        (col("x.__nrm") * col("y.__nrm"))) >= threshold)
+      .select(col(s"x.$corpusId").as(corpusId))
+      .distinct()
+    assigned.join(dropped, Seq(corpusId), "left_anti")
+      .select(col(corpusId), col("cent_id"))
   }
 
   /** Deterministic random-hyperplane coefficients for [[lshKnn]]: 64

@@ -395,6 +395,38 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(dups.contains((100L, 1000100L)), s"got $dups")
   }
 
+  test("semDedup drops the planted copy, keeps the lowest-id representative") {
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+    val planted = corpus.unionByName(
+      corpus.filter(col("vec_id") === 100)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("vec")))
+    val kept = SimilarityOps.semDedup(planted, 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // The exact copy shares vec 100's cluster and cosine 1.0 — the
+    // higher id must be dropped, the original kept.
+    assert(kept.contains(100L) && !kept.contains(1000100L))
+    // Keep list is a subset of the corpus and nonempty.
+    assert(kept.nonEmpty && kept.subsetOf(
+      planted.select("vec_id").collect().map(_.getLong(0)).toSet))
+  }
+
+  test("semDedup keep list has no surviving near-dup pair within a cluster") {
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+    val thr = 0.9
+    val kept = SimilarityOps.semDedup(corpus, thr)
+    // Among survivors sharing a cluster, no pair may reach the threshold:
+    // the drop rule removed every higher-id member of such a pair.
+    val withVec = kept.join(corpus, "vec_id")
+    val bad = withVec.as("x").join(withVec.as("y"),
+        col("x.cent_id") === col("y.cent_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(SimilarityOps.cosine(col("x.vec"), col("y.vec")) >= thr)
+      .count()
+    assert(bad == 0, s"$bad surviving near-dup pairs")
+  }
+
   test("asofJoin: right row at identical ts is visible (inclusive <=)") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
