@@ -249,6 +249,50 @@ object Oracles {
          |        FROM corpus))
          |SELECT DISTINCT doc_id FROM gc JOIN gev USING (gram)""".stripMargin
 
+  /** Boilerplate scrub (TextOps.boilerplateScrub on the planted-footer
+    * corpus): fixed-width token tiles, document-frequency threshold,
+    * reconstruct from surviving tiles in order. Same hash60 tile keys
+    * as the Spark side. */
+  def boilerplateScrub(footer: String, width: Int, minDf: Int): String =
+    s"""WITH d AS (SELECT doc_id, text || ' ' || '$footer' AS text FROM documents),
+       |t AS (SELECT doc_id, $norm AS nrm FROM d),
+       |s AS (SELECT doc_id, string_split(nrm, ' ') AS tk FROM t),
+       |tl AS (SELECT doc_id, i AS seg_idx,
+       |    array_to_string(list_slice(tk, i * $width + 1, i * $width + $width), ' ') AS seg_text
+       |  FROM s, LATERAL (SELECT unnest(range(0, (len(tk) + ${width - 1}) // $width)) AS i) g),
+       |h AS (SELECT doc_id, seg_idx, seg_text, ${hash60("seg_text")} AS hh FROM tl),
+       |boiler AS (SELECT hh FROM (SELECT DISTINCT hh, doc_id FROM h)
+       |  GROUP BY hh HAVING count(*) >= $minDf),
+       |kept AS (SELECT * FROM h WHERE hh NOT IN (SELECT hh FROM boiler)),
+       |ka AS (SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean
+       |  FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_tiles FROM h GROUP BY doc_id)
+       |SELECT tot.doc_id AS doc_id, n_tiles,
+       |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       |  md5(COALESCE(clean, '')) AS clean_md5
+       |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id""".stripMargin
+
+  /** Add-one-smoothed bigram LM score per document
+    * (TextOps.bigramLmScores): 2^30 fixed-point transition
+    * probabilities, one final double division. */
+  val bigramLmScores: String =
+    s"""WITH $bigramsCte,
+       |b AS (SELECT doc_id, unnest(sh) AS bg FROM bg),
+       |pair AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+       |pw AS (SELECT bg, c2, string_split(bg, ' ')[1] AS w1 FROM pair),
+       |ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM pw GROUP BY w1),
+       |voc AS (SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest(tk) AS w FROM s)),
+       |probs AS (SELECT bg,
+       |    ((c2 + 1) * 1073741824) // (c1 + (SELECT v FROM voc)) AS p_fp
+       |  FROM pw JOIN ctx USING (w1)),
+       |sc AS (SELECT doc_id, p_fp FROM b JOIN probs USING (bg))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(SUM(p_fp) AS DOUBLE) /
+       |    CAST(count(*) * 1073741824 AS DOUBLE) AS lm_score
+       |FROM sc GROUP BY doc_id""".stripMargin
+
   /** Max-bigram repetition share per document (Gopher-style quality
     * signal). */
   val repetitionScores: String =

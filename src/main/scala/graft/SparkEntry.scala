@@ -197,6 +197,22 @@ object SparkEntry {
         .withColumn("rep_ratio",
           col("max_tf").cast("double") / col("n_bigrams").cast("double"))),
 
+    // Line-level boilerplate removal (C4/RefinedWeb cleaning pass) on a
+    // planted corpus: every document gets the same 20-token footer, the
+    // scrub detects tiles shared by >= minDf docs and reconstructs each
+    // document from its surviving tiles.
+    "boilerplate_scrub" -> { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", col("text"), lit(BoilerFooter)).as("text"))
+      TextOps.boilerplateScrub(planted, "doc_id", "text",
+        BoilerTileWidth, BoilerMinDf)
+    },
+
+    // KenLM-style corpus LM quality score: mean add-one-smoothed bigram
+    // transition probability per document (fixed-point exact).
+    "bigram_lm_scores" -> ((s, dir) =>
+      TextOps.bigramLmScores(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- dedup family ----
     "dedup_exact_docs" -> ((s, dir) =>
       // arg-min aggregation form: partial (map-side) combine, unlike the
@@ -2173,6 +2189,13 @@ object SparkEntry {
   // Planted embedding copies (last component zeroed) score ~0.992;
   // unrelated pairs in this corpus top out ~0.51.
   val EmbNearDupMin = 0.9
+  // Boilerplate scrub: 8-token tiles; a tile appearing in >= 20 distinct
+  // docs is boilerplate. The planted footer lands in every doc, so its
+  // interior tiles cross the threshold in every alignment class.
+  val BoilerTileWidth = 8
+  val BoilerMinDf = 20
+  val BoilerFooter = "all rights reserved contact us at example dot com " +
+    "terms of service apply subscribe to our newsletter for updates today"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2437,6 +2460,9 @@ object SparkEntry {
     "dedup_simhash" -> Oracles.simhash,
     "decontamination" -> Oracles.decontamination,
     "repetition_scores" -> Oracles.repetitionScores,
+    "boilerplate_scrub" ->
+      Oracles.boilerplateScrub(BoilerFooter, BoilerTileWidth, BoilerMinDf),
+    "bigram_lm_scores" -> Oracles.bigramLmScores,
     "simhash_near_dup" -> Oracles.simhashNearDup(SimhashMaxHamming),
     "knn_bruteforce" -> Oracles.knnBruteForce(KnnProbeEvery, KnnK),
     "knn_ivf" -> Oracles.knnIvf(KnnProbeEvery, KnnK, IvfCentroidTarget, IvfNprobe),

@@ -60,6 +60,90 @@ object TextOps {
       tokens(normalized(col(text))), n).as("gram_hashes"))
   }
 
+  /** Fixed-width token tiles of the normalized text: `(id, seg_idx,
+    * seg_text)` — the segmentation unit for [[boilerplateScrub]] (the
+    * corpus here has no newlines, so tiles stand in for the "lines" of
+    * line-level web-corpus cleaning). Pure projection: one tokenize, one
+    * sequence+explode; the last tile may be shorter than `width`. */
+  def tokenTiles(docs: DataFrame, id: String, text: String, width: Int): DataFrame = {
+    require(width >= 1, s"tile width must be >= 1, got $width")
+    docs.select(col(id), tokens(normalized(col(text))).as("__toks"))
+      .select(col(id), col("__toks"),
+        explode(sequence(lit(0),
+          expr(s"(size(__toks) + ${width - 1}) div $width") - 1)).as("seg_idx"))
+      .select(col(id), col("seg_idx"),
+        array_join(slice(col("__toks"),
+          col("seg_idx") * width + 1, lit(width)), " ").as("seg_text"))
+  }
+
+  /** Boilerplate removal, the line-dedup cleaning pass of web-corpus
+    * pipelines (C4 / RefinedWeb): a tile that appears verbatim in at
+    * least `minDf` DISTINCT documents is boilerplate (footers, cookie
+    * banners, nav chrome); every document is reconstructed from its
+    * surviving tiles in order. Returns per-doc
+    * `(id, n_tiles, n_kept, clean_md5)`.
+    *
+    * Scale: tile hashing is a projection; the document-frequency count
+    * is a two-level aggregation ((hash, doc) dedup collapses map-side,
+    * then one count per hash — no Expand, no distinct-over-shuffle of
+    * raw tiles); the boilerplate dictionary is vocabulary-sized (tiles
+    * crossing `minDf` docs), so the anti-join broadcasts under AQE at
+    * any corpus size. Reconstruction shuffles each doc's surviving
+    * (seg_idx, seg_text) once — the unavoidable regroup. */
+  def boilerplateScrub(docs: DataFrame, id: String, text: String,
+      width: Int, minDf: Int): DataFrame = {
+    val tiles = tokenTiles(docs, id, text, width)
+      .withColumn("__h", hash60(col("seg_text")))
+    val boiler = tiles.select(col("__h"), col(id)).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("__h"))
+    val kept = tiles.join(boiler, Seq("__h"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg_text")))),
+          x => x.getField("seg_text")), " ").as("__clean"))
+    tiles.groupBy(col(id)).agg(count(lit(1)).as("n_tiles"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_tiles"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("__clean"), lit(""))).as("clean_md5"))
+  }
+
+  /** Add-one-smoothed bigram language-model score per document — the
+    * KenLM-style perplexity quality filter restated with exact
+    * arithmetic: train bigram counts on the corpus itself, then score
+    * each document by its mean smoothed transition probability
+    * P(w2|w1) = (c(w1 w2)+1) / (ctx(w1)+V). Probabilities are held in
+    * 2^30 fixed point (integer division — exact in both engines); the
+    * ONLY float op is the final per-doc mean, so the DuckDB oracle is
+    * bit-identical. Low score = improbable word transitions (gibberish,
+    * OCR noise); complements the corpus-frequency signal of
+    * `doc_commonness` by conditioning on the preceding word.
+    *
+    * Scale: the bigram dictionary is vocabulary²-bounded (far below
+    * corpus size), so the score join broadcasts under AQE; counts are
+    * partial-aggregated map-side. */
+  def bigramLmScores(docs: DataFrame, id: String, text: String): DataFrame = {
+    val bg = docs.select(col(id),
+      explode(wordBigrams(col(text))).as("bg"))
+    val pair = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val ctx = pair.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = docs
+      .select(explode(tokens(normalized(col(text)))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val probs = pair.join(ctx, "w1").crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        expr("((c2 + 1) * 1073741824) div (c1 + v)").as("p_fp"))
+    bg.join(probs, "bg")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("p_fp")).cast("double") /
+          (count(lit(1)) * lit(1073741824L)).cast("double")).as("lm_score"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least one
     * word n-gram with the held-out evaluation set are flagged (the
     * train/test-leak scan every LLM data pipeline runs). Inverted-index

@@ -395,6 +395,48 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(dups.contains((100L, 1000100L)), s"got $dups")
   }
 
+  test("boilerplateScrub removes the planted footer, keeps unique content") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", col("text"), lit(SparkEntry.BoilerFooter)).as("text"))
+    val out = TextOps.boilerplateScrub(docs, "doc_id", "text",
+      SparkEntry.BoilerTileWidth, SparkEntry.BoilerMinDf)
+    // Every doc carries the footer, so every doc must lose at least one
+    // tile — but never all of them (the original text is unique).
+    val bad = out.filter(col("n_kept") >= col("n_tiles") || col("n_kept") <= 0)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("boilerplateScrub with an unreachable threshold is the identity") {
+    import graft.functions.TextFunctions
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val out = TextOps.boilerplateScrub(docs, "doc_id", "text",
+      SparkEntry.BoilerTileWidth, minDf = 1000000)
+    // No tile can reach the threshold: reconstruction must round-trip the
+    // normalized text exactly (tiling is lossless).
+    val mismatch = out
+      .join(docs.select(col("doc_id"),
+        md5(TextFunctions.normalized(col("text"))).as("orig_md5")), "doc_id")
+      .filter(col("clean_md5") =!= col("orig_md5") ||
+        col("n_kept") =!= col("n_tiles"))
+      .count()
+    assert(mismatch == 0)
+  }
+
+  test("bigramLmScores ranks in-domain text above shuffled-vocab gibberish") {
+    import spark.implicits._
+    // 30 fluent docs repeat the same transitions; 1 gibberish doc uses
+    // the same words in transitions the corpus never repeats.
+    val fluent = (1 to 30).map(i => (i.toLong, "the cat sat on the mat and the dog ran"))
+    val gib = Seq((99L, "mat the on dog and sat ran cat the mat on"))
+    val docs = (fluent ++ gib).toDF("doc_id", "text")
+    val scores = TextOps.bigramLmScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(99L) < scores(1L),
+      s"gibberish ${scores(99L)} should score below fluent ${scores(1L)}")
+  }
+
   test("semDedup drops the planted copy, keeps the lowest-id representative") {
     val emb = Tables(spark, sf, "embeddings")
     val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
