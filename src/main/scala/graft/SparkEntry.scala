@@ -1403,6 +1403,25 @@ object SparkEntry {
           sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
     },
 
+    // Bloom-prefiltered join: the selective order subset's keys become a
+    // distributed-built Bloom sketch; lineitem rows are probed against it
+    // BEFORE the join shuffle (only ~might-match rows move), then the
+    // equi-join removes false positives — row-identical to the plain
+    // join, at a fraction of the shuffled bytes.
+    "bloom_prefilter_join" -> { (s, dir) =>
+      val dec = DecimalType(18, 2)
+      val small = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val big = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      SkewOps.bloomPrefilteredJoin(big, small, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+    },
+
     // ---- TPC-H q17 shape: aggregate-derived per-group threshold
     // (scalar subquery as a join against the per-part averages) ----
     "q17_small_quantity" -> { (s, dir) =>
@@ -2534,6 +2553,12 @@ object SparkEntry {
     "label_centroid_norms" -> Oracles.labelCentroidNorms,
     "salted_agg_events" -> Oracles.saltedAggEvents,
     "salted_join_customer_orders" -> Oracles.joinCustomerOrders,
+    "bloom_prefilter_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0
+        |GROUP BY o_orderpriority""".stripMargin,
     "q17_small_quantity" -> Oracles.q17SmallQuantity,
     "supplier_nation_acctbal" -> Oracles.supplierNationAcctbal,
 

