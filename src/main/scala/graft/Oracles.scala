@@ -1171,6 +1171,40 @@ object Oracles {
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
   }
 
+  /** Deterministic k-means (ClusterOps.kmeans): hash-sample seeds, then
+    * `iters` unrolled Lloyd iterations — fold-ordered L2 distances,
+    * (d2, cent_id) tie-break, 2^24 fixed-point per-dimension means
+    * (integer division truncates toward zero in BOTH engines). */
+  def kmeansCentroids(targetC: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""a${k}w AS (SELECT v.vec_id, v.vec, c.cent_id,
+         |    list_reduce(list_transform(generate_series(1, 64),
+         |      i -> (v.vec[i] - c.cent_vec[i]) * (v.vec[i] - c.cent_vec[i])),
+         |      (a, b) -> a + b) AS d2
+         |  FROM v, c${k - 1} c),
+         |a$k AS (SELECT vec_id, vec, cent_id FROM (
+         |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS r
+         |  FROM a${k}w) WHERE r = 1),
+         |m$k AS (SELECT cent_id, i AS pos, count(*) AS n,
+         |    SUM(CAST(floor(vec[i] * 16777216) AS BIGINT)) AS s
+         |  FROM a$k, (SELECT unnest(generate_series(1, 64)) AS i) g
+         |  GROUP BY cent_id, i),
+         |c$k AS (SELECT cent_id, min(n) AS n_members,
+         |    list(CAST(s // n AS DOUBLE) / CAST(16777216 AS DOUBLE) ORDER BY pos)
+         |      AS cent_vec
+         |  FROM m$k GROUP BY cent_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v
+       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |    % greatest((SELECT count(*) FROM v) // $targetC, 1) = 0),
+       |$iterCtes
+       |SELECT cent_id, CAST(n_members AS BIGINT) AS n_members,
+       |  sqrt(list_reduce(list_transform(generate_series(1, 64),
+       |    i -> cent_vec[i] * cent_vec[i]), (a, b) -> a + b)) AS centroid_norm
+       |FROM c$iters""".stripMargin
+  }
+
   /** SCD2 merge over a freshly-versioned orders target: replaced
     * current rows close at the effective timestamp; staged rows open
     * there. */

@@ -2166,6 +2166,22 @@ object SparkEntry {
       SimilarityOps.exactNearDup(planted, EmbNearDupMin)
     },
 
+    // Deterministic distributed k-means: hash-sample seeds refined by
+    // Lloyd iterations (broadcast assign + fixed-point per-dimension
+    // means — no corpus shuffle per iteration). This is the IVF coarse-
+    // quantizer trainer; output is the refined centroid table.
+    "kmeans_centroids" -> { (s, dir) =>
+      val corpus = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("vec"))
+      val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
+        .select(col("cent_id"),
+          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+      ClusterOps.kmeans(corpus, initial, KmeansIters)
+        .select(col("cent_id"), col("n_members"),
+          sqrt(SimilarityOps.dotFold(col("cent_vec"), col("cent_vec")))
+            .as("centroid_norm"))
+    },
+
     // SemDeDup (semantic dedup, arXiv:2303.09540) on the same planted
     // corpus: coarse-cluster by nearest deterministic centroid, drop
     // members with a lower-id near-duplicate (cosine >= threshold) in
@@ -2208,6 +2224,10 @@ object SparkEntry {
   // Planted embedding copies (last component zeroed) score ~0.992;
   // unrelated pairs in this corpus top out ~0.51.
   val EmbNearDupMin = 0.9
+  // k-means: 8 hash-sampled seeds, 2 Lloyd refinement iterations (the
+  // oracle unrolls the same count).
+  val KmeansK = 8
+  val KmeansIters = 2
   // Boilerplate scrub: 8-token tiles; a tile appearing in >= 20 distinct
   // docs is boilerplate. The planted footer lands in every doc, so its
   // interior tiles cross the threshold in every alignment class.
@@ -2550,6 +2570,7 @@ object SparkEntry {
     "token_counts" -> Oracles.tokenCounts(graft.functions.TextFunctions.BpeTokenRe),
     "embedding_near_dup" -> Oracles.embeddingNearDup(EmbNearDupMin),
     "semdedup_keep" -> Oracles.semdedupKeep(EmbNearDupMin, IvfCentroidTarget),
+    "kmeans_centroids" -> Oracles.kmeansCentroids(KmeansK, KmeansIters),
     "label_centroid_norms" -> Oracles.labelCentroidNorms,
     "salted_agg_events" -> Oracles.saltedAggEvents,
     "salted_join_customer_orders" -> Oracles.joinCustomerOrders,

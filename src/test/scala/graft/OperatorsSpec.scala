@@ -453,6 +453,48 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       s"gibberish ${scores(99L)} should score below fluent ${scores(1L)}")
   }
 
+  test("kmeans refinement does not increase the clustering objective") {
+    val corpus = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val initial = SimilarityOps.ivfCentroids(corpus, 8)
+      .select(col("cent_id"),
+        transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+
+    def sse(cents: org.apache.spark.sql.DataFrame): Double = {
+      val d2 = aggregate(
+        zip_with(col("vec"), col("cent_vec"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, x) => acc + x)
+      corpus.crossJoin(broadcast(cents.select("cent_id", "cent_vec")))
+        .groupBy(col("vec_id")).agg(min(d2).as("d2"))
+        .agg(sum(col("d2"))).head().getDouble(0)
+    }
+
+    val one = ClusterOps.kmeans(corpus, initial, 1)
+    val two = ClusterOps.kmeans(corpus, initial, 2)
+    val (s0, s1, s2) = (sse(initial), sse(one), sse(two))
+    // Lloyd is monotone with exact means; 2^24 fixed-point rounding can
+    // nudge each step by at most a hair — allow 0.01%.
+    assert(s1 <= s0 * 1.0001, s"iter1 $s1 vs seed $s0")
+    assert(s2 <= s1 * 1.0001, s"iter2 $s2 vs iter1 $s1")
+  }
+
+  test("kmeans centroids are invariant to corpus partitioning") {
+    val corpus = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val initial = SimilarityOps.ivfCentroids(corpus, 8)
+      .select(col("cent_id"),
+        transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+    def run(c: org.apache.spark.sql.DataFrame) =
+      ClusterOps.kmeans(c, initial, 2)
+        .select(col("cent_id"), col("n_members"),
+          to_json(col("cent_vec")).as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // Fixed-point integer sums are associative: any partitioning must
+    // produce bit-identical centroids.
+    assert(run(corpus) == run(corpus.repartition(7, col("vec_id") % 3)))
+  }
+
   test("semDedup drops the planted copy, keeps the lowest-id representative") {
     val emb = Tables(spark, sf, "embeddings")
     val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
