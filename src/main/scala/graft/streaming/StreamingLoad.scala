@@ -121,6 +121,55 @@ object StreamingLoad {
       }
       .start()
 
+  /** Near-duplicate-REJECTING ingest: the online form of the corpus
+    * dedup family. Each micro-batch of arriving documents is MinHash-
+    * signed and LSH-banded against the PERSISTED signature store
+    * ([[graft.operators.DedupOps.minhashCandidatesAgainst]] — the corpus
+    * itself is never re-shingled; only its ~256-byte/doc signatures stay
+    * hot), and additionally against the batch's own earlier-id members.
+    * Rejected documents never reach the corpus table; survivors are
+    * appended together WITH their signatures, so later batches — and
+    * later runs — dedup against them too. At 100 TB this is the pattern
+    * that keeps ingest-side dedup O(new-batch), independent of corpus
+    * size. */
+  def nearDupRejectStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      warehouse: ParquetWarehouse,
+      table: TableRef,
+      sigTable: TableRef,
+      idField: String,
+      textField: String,
+      minEst: Double,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        val ops = graft.operators.DedupOps
+        // Rejected for matching the persisted store…
+        val vsStore =
+          if (warehouse.exists(sigTable))
+            ops.minhashCandidatesAgainst(
+                warehouse.table(sigTable), batch, idField, textField)
+              .filter(col("est_jaccard") >= minEst)
+              .select(col("new_id").as(idField))
+          else batch.select(col(idField)).limit(0)
+        // …or a LOWER-id member of this same batch (keep-lowest rule).
+        val within = ops.minhashCandidates(batch, idField, textField)
+          .filter(col("est_jaccard") >= minEst)
+          .select(col("id_b").as(idField))
+        val survivors = batch.join(
+          vsStore.unionByName(within).distinct(), Seq(idField), "left_anti")
+        warehouse.load(LoadMode.Insert, table, survivors, idField)
+        val sigs = ops.minhashSignatureArr(survivors, idField, textField)
+        warehouse.load(LoadMode.Insert, sigTable, sigs, idField)
+      }
+      .start()
+
   /** Event-time windowed aggregation with a watermark — the streaming
     * form of [[graft.operators.AnalyticOps.tumblingAgg]] (same expression
     * tree; late rows beyond the watermark are dropped instead of

@@ -45,6 +45,44 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
   }
 
+  test("nearDupRejectStream: within-batch and vs-store rejection across runs") {
+    val root = Files.createTempDirectory("graft_neardup").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val (tbl, sig) = (TableRef("", "corpus"), TableRef("", "corpus_sigs"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val base = "spark filter merge join window batch stream hash sort " +
+      "group order value column row table part key data line agg"
+
+    // Run 1: two distinct docs + a near-copy of doc 1 (higher id) —
+    // the copy must be rejected WITHIN the batch.
+    writeFile(src, "a.json",
+      s"""{"doc_id":1,"text":"$base one"}
+         |{"doc_id":2,"text":"totally different tiny document about nothing else at all"}
+         |{"doc_id":3,"text":"$base two"}""".stripMargin)
+    StreamingLoad.nearDupRejectStream(spark, src, docSchema, wh, tbl, sig,
+      "doc_id", "text", minEst = 0.5, s"$root/ckpt").awaitTermination()
+    val afterRun1 = wh.table(tbl).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterRun1 == Set(1L, 2L), s"got $afterRun1")
+    assert(wh.table(sig).count() == 2)
+
+    // Run 2: a near-copy of the STORED doc 1 (rejected via the persisted
+    // signatures — the corpus is not re-shingled) and one new doc (kept).
+    writeFile(src, "b.json",
+      s"""{"doc_id":10,"text":"$base three"}
+         |{"doc_id":11,"text":"fresh unrelated content words appear nowhere in the corpus yet"}""".stripMargin)
+    StreamingLoad.nearDupRejectStream(spark, src, docSchema, wh, tbl, sig,
+      "doc_id", "text", minEst = 0.5, s"$root/ckpt").awaitTermination()
+    val afterRun2 = wh.table(tbl).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterRun2 == Set(1L, 2L, 11L), s"got $afterRun2")
+    // Survivors' signatures were persisted alongside.
+    assert(wh.table(sig).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 11L))
+  }
+
   test("cdcStream: tombstones delete, upserts apply, across micro-batch runs") {
     val root = Files.createTempDirectory("graft_cdc").toString
     val src = s"$root/src"; Files.createDirectories(Paths.get(src))
