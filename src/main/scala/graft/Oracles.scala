@@ -249,6 +249,26 @@ object Oracles {
          |        FROM corpus))
          |SELECT DISTINCT doc_id FROM gc JOIN gev USING (gram)""".stripMargin
 
+  /** HTML cleaning (TextFunctions.cleanHtml on the planted-markup
+    * corpus): tag strip, entity unescape (&amp; last), whitespace
+    * collapse — replace() replaces all occurrences in both engines. */
+  val cleanHtml: String =
+    s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+       |    THEN '<div class="post"><p>' || text ||
+       |         '</p>&nbsp;<a href="#">Read&amp;more</a></div>'
+       |    ELSE text END AS html FROM documents),
+       |c AS (SELECT doc_id, html,
+       |  trim(regexp_replace(
+       |    replace(replace(replace(replace(replace(replace(
+       |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+       |    '\\s+', ' ', 'g')) AS clean
+       |  FROM d)
+       |SELECT doc_id, length(html) AS n_raw,
+       |  md5(clean) AS clean_md5, length(clean) AS n_clean
+       |FROM c""".stripMargin
+
   /** Boilerplate scrub (TextOps.boilerplateScrub on the planted-footer
     * corpus): fixed-width token tiles, document-frequency threshold,
     * reconstruct from surviving tiles in order. Same hash60 tile keys

@@ -197,6 +197,22 @@ object SparkEntry {
         .withColumn("rep_ratio",
           col("max_tf").cast("double") / col("n_bigrams").cast("double"))),
 
+    // HTML stripping on a planted-markup corpus: even docs get wrapped in
+    // tags + entities, the cleaner recovers text (+ the unescaped link
+    // text); odd docs pass through untouched.
+    "clean_html" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<div class=\"post\"><p>"), col("text"),
+            lit("</p>&nbsp;<a href=\"#\">Read&amp;more</a></div>")))
+          .otherwise(col("text")).as("html"))
+      planted.select(col("doc_id"),
+        length(col("html")).as("n_raw"),
+        md5(TextFunctions.cleanHtml(col("html"))).as("clean_md5"),
+        length(TextFunctions.cleanHtml(col("html"))).as("n_clean"))
+    },
+
     // Line-level boilerplate removal (C4/RefinedWeb cleaning pass) on a
     // planted corpus: every document gets the same 20-token footer, the
     // scrub detects tiles shared by >= minDf docs and reconstructs each
@@ -2501,6 +2517,7 @@ object SparkEntry {
     "repetition_scores" -> Oracles.repetitionScores,
     "boilerplate_scrub" ->
       Oracles.boilerplateScrub(BoilerFooter, BoilerTileWidth, BoilerMinDf),
+    "clean_html" -> Oracles.cleanHtml,
     "bigram_lm_scores" -> Oracles.bigramLmScores,
     "simhash_near_dup" -> Oracles.simhashNearDup(SimhashMaxHamming),
     "knn_bruteforce" -> Oracles.knnBruteForce(KnnProbeEvery, KnnK),

@@ -77,6 +77,21 @@ object TextFunctions {
     (lit(0.4) * stopRatio + lit(0.3) * lenSat) + lit(0.3) * diversity
   }
 
+  /** HTML-to-text cleaning — the markup-stripping pass of web-corpus
+    * ingestion: drop tags, unescape the common entities (`&amp;` last,
+    * so entity-encoded entities can't double-unescape into markup),
+    * collapse whitespace. Pure regexp/replace projection: runs at scan
+    * speed inside codegen, and each step has an exact oracle-dialect
+    * twin. */
+  def cleanHtml(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Canonical form for fingerprinting: lower-cased, whitespace collapsed. */
   def normalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")

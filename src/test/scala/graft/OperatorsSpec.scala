@@ -395,6 +395,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(dups.contains((100L, 1000100L)), s"got $dups")
   }
 
+  test("cleanHtml strips tags, unescapes entities exactly once, collapses space") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "<p>a &amp;lt; b</p>"), // encoded entity must NOT double-unescape
+      (2L, "x  <br/>   y &nbsp; z"),
+      (3L, "<a href=\"#\">link&quot;s</a>"),
+      (4L, "plain")).toDF("id", "html")
+    val out = df.select(col("id"), TextFunctions.cleanHtml(col("html")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a &lt; b")
+    assert(out(2L) == "x y z")
+    assert(out(3L) == "link\"s")
+    assert(out(4L) == "plain")
+  }
+
   test("bloomPrefilteredJoin equals the plain join and prunes the big side") {
     val small = Tables(spark, sf, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
