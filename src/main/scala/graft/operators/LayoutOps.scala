@@ -173,4 +173,41 @@ object LayoutOps {
   def pruneFiles(stats: Seq[(String, Double, Double)],
       lo: Double, hi: Double): Seq[String] =
     stats.collect { case (f, mn, mx) if mx >= lo && mn <= hi => f }
+
+  /** Per-file Bloom data-skipping index (the Delta/Iceberg bloom-index
+    * mechanic) over an integral `column`: ONE distributed pass groups
+    * rows by `_metadata.file_path` and folds each file's values into a
+    * `BloomFilterAggregate` sketch — partials merge map-side, and the
+    * driver ends up holding only (file, sketch-bytes), never row data.
+    * Complements footer min/max stats: ranges prune sorted/clustered
+    * columns, blooms prune POINT lookups on high-cardinality columns
+    * min/max can't help with. */
+  def buildFileBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, column: String,
+      expectedItems: Long = 1L << 17, numBits: Long = 1L << 20)
+      : Seq[(String, Array[Byte])] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.GraftColumns.{column => toCol, expression}
+    spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(toCol(new BloomFilterAggregate(
+          expression(col(column).cast("long")),
+          Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression()).as("bf"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Files a `column = key` point lookup must read, per the Bloom index:
+    * every file whose sketch might contain the key (false positives cost
+    * a wasted file read, never a missed row). With a key-clustered
+    * layout this is typically one file out of hundreds. */
+  def pruneFilesByKey(index: Seq[(String, Array[Byte])], key: Long)
+      : Seq[String] =
+    index.collect { case (f, bytes)
+      if org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .mightContainLong(key) => f }
 }

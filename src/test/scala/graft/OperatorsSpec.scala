@@ -1140,6 +1140,29 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("file Bloom index: point lookups prune to few files, soundly") {
+    import spark.implicits._
+    val df = Seq.tabulate(8000)(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    // Key-clustered layout: each file owns a contiguous id range.
+    df.repartitionByRange(16, col("id")).write.parquet(s"$root/t")
+    val index = LayoutOps.buildFileBloomIndex(spark, s"$root/t", "id",
+      expectedItems = 1000, numBits = 1 << 14)
+    assert(index.size == 16)
+    for (key <- Seq(0L, 1234L, 4567L, 7999L)) {
+      val kept = LayoutOps.pruneFilesByKey(index, key)
+      // Soundness: the kept files contain every row with that key…
+      val viaKept = spark.read.parquet(kept: _*)
+        .filter(col("id") === key).count()
+      assert(viaKept == 1, s"key $key lost by pruning")
+      // …and the sketch actually skips: a point key lives in one file,
+      // false positives may add a few more, but never most of the table.
+      assert(kept.size <= 4, s"key $key kept ${kept.size}/16 files")
+    }
+    // A key that was never written prunes (almost) everything.
+    assert(LayoutOps.pruneFilesByKey(index, 999999L).size <= 4)
+  }
+
   test("HLL sketch rollup: merged daily partials == direct sketch estimate") {
     val dir = "/root/testdata/sf0.01"
     val rolled = SparkEntry.queries("hll_sketch_rollup")(spark, dir)
