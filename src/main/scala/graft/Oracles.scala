@@ -313,6 +313,36 @@ object Oracles {
        |    CAST(count(*) * 1073741824 AS DOUBLE) AS lm_score
        |FROM sc GROUP BY doc_id""".stripMargin
 
+  /** BM25, rational-idf form (TextOps.bm25Scores): exact odds-ratio idf
+    * (no ln — not bit-stable across engines), doc-length normalization,
+    * per-doc fold in sorted term order. All constants cast to DOUBLE so
+    * DuckDB's DECIMAL literals can't double-round. */
+  def bm25Scores(terms: Seq[String], k1: Double, b: Double): String = {
+    val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents),
+       |d AS (SELECT doc_id, len(tk) AS dl, tk FROM t),
+       |tf0 AS (SELECT doc_id, dl, term,
+       |    len(list_filter(tk, x -> x = term)) AS tf
+       |  FROM d, (SELECT unnest($termList) AS term) q),
+       |tf AS (SELECT * FROM tf0 WHERE tf > 0),
+       |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |st AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM d),
+       |c AS (SELECT tf.doc_id, tf.term,
+       |    (CAST(2 * st.n_docs - 2 * dfc.df + 1 AS DOUBLE) /
+       |      CAST(2 * dfc.df + 1 AS DOUBLE)) *
+       |    ((CAST(tf.tf AS DOUBLE) * CAST(${k1 + 1} AS DOUBLE)) /
+       |     (CAST(tf.tf AS DOUBLE) + CAST($k1 AS DOUBLE) *
+       |      (CAST(${1.0 - b} AS DOUBLE) + CAST($b AS DOUBLE) *
+       |       (CAST(tf.dl AS DOUBLE) /
+       |        (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+       |    AS comp
+       |  FROM tf JOIN dfc USING (term), st)
+       |SELECT doc_id, count(*) AS n_hits,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(comp ORDER BY term)), (a, x) -> a + x) AS bm25
+       |FROM c GROUP BY doc_id""".stripMargin
+  }
+
   /** Max-bigram repetition share per document (Gopher-style quality
     * signal). */
   val repetitionScores: String =

@@ -229,6 +229,11 @@ object SparkEntry {
     "bigram_lm_scores" -> ((s, dir) =>
       TextOps.bigramLmScores(t(s, dir, "documents"), "doc_id", "text")),
 
+    // BM25 retrieval scoring against a fixed query (rational-idf form —
+    // see TextOps.bm25Scores for the ln determinism note).
+    "bm25_scores" -> ((s, dir) =>
+      TextOps.bm25Scores(t(s, dir, "documents"), "doc_id", "text", Bm25Terms)),
+
     // ---- dedup family ----
     "dedup_exact_docs" -> ((s, dir) =>
       // arg-min aggregation form: partial (map-side) combine, unlike the
@@ -2240,6 +2245,8 @@ object SparkEntry {
   // Planted embedding copies (last component zeroed) score ~0.992;
   // unrelated pairs in this corpus top out ~0.51.
   val EmbNearDupMin = 0.9
+  // BM25 query (terms from the corpus vocabulary, so df spans a range).
+  val Bm25Terms = Seq("spark", "merge", "window", "stream")
   // k-means: 8 hash-sampled seeds, 2 Lloyd refinement iterations (the
   // oracle unrolls the same count).
   val KmeansK = 8
@@ -2519,6 +2526,7 @@ object SparkEntry {
       Oracles.boilerplateScrub(BoilerFooter, BoilerTileWidth, BoilerMinDf),
     "clean_html" -> Oracles.cleanHtml,
     "bigram_lm_scores" -> Oracles.bigramLmScores,
+    "bm25_scores" -> Oracles.bm25Scores(Bm25Terms, 1.2, 0.75),
     "simhash_near_dup" -> Oracles.simhashNearDup(SimhashMaxHamming),
     "knn_bruteforce" -> Oracles.knnBruteForce(KnnProbeEvery, KnnK),
     "knn_ivf" -> Oracles.knnIvf(KnnProbeEvery, KnnK, IvfCentroidTarget, IvfNprobe),

