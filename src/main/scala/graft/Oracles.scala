@@ -180,12 +180,47 @@ object Oracles {
        |${ccComponents(t0Sql, minJaccard)}
        |) c WHERE component = doc_id""".stripMargin
 
+  /** Quality-weighted cluster collapse (DedupOps.keepClusterBest): the
+    * CC labels joined with the text_stats quality expression, one
+    * row_number per component ordered (quality DESC, doc_id). */
+  def ccKeepBest(t0Sql: String, minJaccard: Double): String =
+    s"""SELECT doc_id, component FROM (
+       |  SELECT c.doc_id, c.component, row_number() OVER (
+       |      PARTITION BY c.component ORDER BY q.q DESC, c.doc_id) AS r
+       |  FROM (
+       |${ccComponents(t0Sql, minJaccard)}
+       |  ) c JOIN (
+       |    SELECT doc_id,
+       |      ((0.4 * (CAST(${hits("tk", StopEn)} AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
+       |        + (0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 200.0)))
+       |        + (0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))) AS q
+       |    FROM (SELECT doc_id, ${toks("text")} AS tk FROM ($t0Sql))
+       |  ) q USING (doc_id)) WHERE r = 1""".stripMargin
+
   val docsWithEmbeddings: String =
     """SELECT doc_id, lang, n_chars, label,
       |  sqrt(list_reduce(list_transform(generate_series(1, 64), i -> vec[i] * vec[i]), (a, b) -> a + b)) AS emb_norm
       |FROM documents
       |JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings)
       |  ON doc_id = vec_id""".stripMargin
+
+  /** Temperature mixture sampling (alpha=0.5): Z folded in sorted source
+    * order, integer 2^20-th thresholds, md5 per-row keep test. */
+  val mixtureTemperature: String =
+    s"""WITH bys AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+       |z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(sqrt(CAST(n_src AS DOUBLE)) ORDER BY source)), (a, x) -> a + x) AS z,
+       |  CAST(SUM(n_src) AS BIGINT) AS n_total FROM bys),
+       |r AS (SELECT source, n_src,
+       |    CAST(floor(least(CAST(1 AS DOUBLE),
+       |      (CAST(0.5 AS DOUBLE) * CAST(n_total AS DOUBLE) * sqrt(CAST(n_src AS DOUBLE))) /
+       |      (z * CAST(n_src AS DOUBLE))) * CAST(1048576 AS DOUBLE)) AS BIGINT) AS thr
+       |  FROM bys, z)
+       |SELECT d.source, min(r.n_src) AS n_src, min(r.thr) AS thr,
+       |  count(*) AS n_kept
+       |FROM documents d JOIN r ON d.source = r.source
+       |WHERE ${hash60("CAST(d.doc_id AS VARCHAR)")} % 1048576 < r.thr
+       |GROUP BY d.source""".stripMargin
 
   val stratifiedSplitCounts: String =
     s"""SELECT lang,
@@ -248,6 +283,31 @@ object Oracles {
          |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
          |        FROM corpus))
          |SELECT DISTINCT doc_id FROM gc JOIN gev USING (gram)""".stripMargin
+
+  /** Luhn-validated card scan (TextFunctions.luhnValid on the planted
+    * corpus): same integer fold — double every second digit from the
+    * right, subtract 9 above 9, sum % 10. */
+  val piiLuhnCards: String = {
+    val luhn =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(num) + 1), i ->
+        |      CASE WHEN i % 2 = 0 THEN
+        |        CASE WHEN substr(reverse(num), i, 1)::BIGINT * 2 > 9
+        |          THEN substr(reverse(num), i, 1)::BIGINT * 2 - 9
+        |          ELSE substr(reverse(num), i, 1)::BIGINT * 2 END
+        |      ELSE substr(reverse(num), i, 1)::BIGINT END)),
+        |    (a, x) -> a + x) % 10 = 0""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 11 = 0 THEN ' card 4539148803436467' ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 0 THEN ' card 4539148803436468' ELSE '' END
+       |    AS text FROM documents),
+       |n AS (SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]{16}')) AS num FROM d),
+       |v AS (SELECT doc_id, num, $luhn AS ok FROM n)
+       |SELECT doc_id, count(*) AS n_candidates,
+       |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       |  max(CASE WHEN ok THEN '****' || substr(num, 13, 4) END) AS masked
+       |FROM v GROUP BY doc_id""".stripMargin
+  }
 
   /** HTML cleaning (TextFunctions.cleanHtml on the planted-markup
     * corpus): tag strip, entity unescape (&amp; last), whitespace

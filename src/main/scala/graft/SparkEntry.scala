@@ -197,6 +197,32 @@ object SparkEntry {
         .withColumn("rep_ratio",
           col("max_tf").cast("double") / col("n_bigrams").cast("double"))),
 
+    // PII card-number scan with Luhn validation (regex alone
+    // false-positives on arbitrary 16-digit runs): every 11th doc gets a
+    // Luhn-valid planted number, every 13th an invalid one — only the
+    // valid ones count as findings; output keeps just the masked tail.
+    "pii_luhn_cards" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0,
+            lit(" card 4539148803436467")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" card 4539148803436468")).otherwise(lit("")))
+          .as("text"))
+      planted
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("[0-9]{16}"), lit(0)))
+            .as("num"))
+        .select(col("doc_id"), col("num"),
+          TextFunctions.luhnValid(col("num")).as("ok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_valid"),
+          max(when(col("ok"), concat(lit("****"), substring(col("num"), 13, 4))))
+            .as("masked"))
+    },
+
     // HTML stripping on a planted-markup corpus: even docs get wrapped in
     // tags + entities, the cleaner recovers text (+ the unescaped link
     // text); odd docs pass through untouched.
@@ -286,6 +312,17 @@ object SparkEntry {
       val docs = plantedDocs(s, dir)
       val pairs = DedupOps.ngramJaccardDense(docs, "doc_id", "text", NgramMinJaccard)
       DedupOps.keepClusterMin(docs, pairs, "doc_id").select(col("doc_id"))
+    },
+
+    // Quality-weighted cluster collapse: keep each near-dup cluster's
+    // BEST-quality member (not the arbitrary lowest id) — on the planted
+    // corpus the truncated copies score differently from their originals,
+    // so the choice is exercised.
+    "dedup_keep_best" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val pairs = DedupOps.ngramJaccardDense(docs, "doc_id", "text", NgramMinJaccard)
+      DedupOps.keepClusterBest(docs, pairs, "doc_id",
+        graft.functions.TextFunctions.qualityScore(col("text")))
     },
 
     // ---- similarity search ----
@@ -904,6 +941,39 @@ object SparkEntry {
       t(s, dir, "documents")
         .filter(h < coalesce(element_at(rate, col("source")), lit(1000L)))
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    },
+
+    // Multinomial temperature sampling (alpha = 0.5 via sqrt — exact in
+    // IEEE): per-source keep rate proportional to n^alpha / n, so small
+    // sources are up-weighted relative to their share — the multilingual
+    // mixture-balancing pass. Z folds the per-source sqrt terms in
+    // sorted source order (sum-of-doubles order is part of the
+    // contract); thresholds are integer 2^20-ths so the per-row keep
+    // test is exact.
+    "mixture_temperature" -> { (s, dir) =>
+      val frac = 0.5
+      val docs = t(s, dir, "documents")
+      val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val zdf = bySrc.agg(
+        aggregate(
+          array_sort(collect_list(struct(col("source"),
+            sqrt(col("n_src").cast("double")).as("r")))),
+          lit(0.0), (a, x) => a + x.getField("r")).as("z"),
+        sum(col("n_src")).as("n_total"))
+      val rates = bySrc.crossJoin(broadcast(zdf))
+        .select(col("source"), col("n_src"),
+          floor(least(lit(1.0),
+            (lit(frac) * col("n_total").cast("double") *
+              sqrt(col("n_src").cast("double"))) /
+            (col("z") * col("n_src").cast("double"))) * lit(1048576.0))
+            .cast("long").as("thr"))
+      val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long"), lit(1048576L))
+      docs.join(broadcast(rates), "source")
+        .filter(h < col("thr"))
+        .groupBy(col("source"))
+        .agg(min(col("n_src")).as("n_src"), min(col("thr")).as("thr"),
+          count(lit(1)).as("n_kept"))
     },
 
     // TPC-H q11 shape over the derived partsupp (see Oracles.partsuppCte
@@ -2355,6 +2425,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_cc_components" -> Oracles.ccComponents(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_cc_keep" -> Oracles.ccKeep(Oracles.plantedDocs, NgramMinJaccard),
+    "dedup_keep_best" ->
+      Oracles.ccKeepBest(Oracles.plantedDocs, NgramMinJaccard),
     "dup_cluster_sizes" -> Oracles.ccClusterSizes(Oracles.plantedDocs, NgramMinJaccard),
     "doc_commonness" -> Oracles.docCommonness,
     "corpus_pipeline" -> Oracles.corpusPipeline(QualityMin,
@@ -2519,12 +2591,14 @@ object SparkEntry {
         |WHERE hh < CASE source WHEN 'src0' THEN 300 WHEN 'src2' THEN 800
         |  WHEN 'src3' THEN 500 WHEN 'src4' THEN 0 ELSE 1000 END
         |GROUP BY source""".stripMargin,
+    "mixture_temperature" -> Oracles.mixtureTemperature,
     "dedup_simhash" -> Oracles.simhash,
     "decontamination" -> Oracles.decontamination,
     "repetition_scores" -> Oracles.repetitionScores,
     "boilerplate_scrub" ->
       Oracles.boilerplateScrub(BoilerFooter, BoilerTileWidth, BoilerMinDf),
     "clean_html" -> Oracles.cleanHtml,
+    "pii_luhn_cards" -> Oracles.piiLuhnCards,
     "bigram_lm_scores" -> Oracles.bigramLmScores,
     "bm25_scores" -> Oracles.bm25Scores(Bm25Terms, 1.2, 0.75),
     "simhash_near_dup" -> Oracles.simhashNearDup(SimhashMaxHamming),

@@ -92,6 +92,25 @@ object TextFunctions {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  /** Luhn checksum validity of a digit string — the check that separates
+    * real card numbers from random 16-digit runs in PII scans (regex
+    * alone false-positives on order ids, hashes, phone groups). From
+    * the rightmost digit: double every second, subtract 9 above 9, sum
+    * divisible by 10. Pure integer fold — exact in any engine. */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val total = aggregate(
+      sequence(lit(1), length(digits)),
+      lit(0L),
+      (acc, i) => {
+        val d = substr(rev, i, lit(1)).cast("long")
+        val dd = when(i % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + dd
+      })
+    total % 10 === 0
+  }
+
   /** Canonical form for fingerprinting: lower-cased, whitespace collapsed. */
   def normalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")

@@ -244,6 +244,24 @@ object DedupOps {
     docs.join(comp.filter(col(id) === col("component")).select(col(id)), Seq(id))
   }
 
+  /** Quality-weighted cluster collapse: keep the BEST-scoring member of
+    * each near-dup cluster (ties → lowest id) instead of the arbitrary
+    * lowest-id one — what production dedup actually wants: when a page
+    * and its mirror differ in extraction quality, preserve the cleaner
+    * copy. One rank window per component over the CC labels; `score`
+    * must be deterministic (e.g.
+    * [[graft.functions.TextFunctions.qualityScore]]). */
+  def keepClusterBest(docs: DataFrame, pairs: DataFrame, id: String,
+      score: Column): DataFrame = {
+    val comp = connectedComponents(docs.select(col(id)), pairs, id)
+    docs.join(comp, id)
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(score.desc, col(id))))
+      .filter(col("__r") === 1)
+      .select(col(id), col("component"))
+  }
+
   // ---- exact n-gram Jaccard (the oracle-grade ground truth) ----------
 
   /** Exact pairwise Jaccard over distinct word-bigram shingles via an

@@ -395,6 +395,54 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(dups.contains((100L, 1000100L)), s"got $dups")
   }
 
+  test("luhnValid accepts real checksums, rejects off-by-one digits") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      ("4539148803436467", true), ("4539148803436468", false),
+      ("79927398713", true), ("79927398710", false), // classic 11-digit pair
+      ("0000000000000000", true))
+    val out = cases.map(_._1).toDF("num")
+      .select(col("num"), TextFunctions.luhnValid(col("num")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (n, exp) => assert(out(n) == exp, n) }
+  }
+
+  test("temperature mixture: smaller sources get higher keep rates") {
+    val rows = SparkEntry.queries("mixture_temperature")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // (n_src, thr)
+      .sortBy(_._1)
+    assert(rows.length >= 2)
+    // alpha = 0.5 < 1: the keep threshold must be non-increasing in
+    // source size — the whole point of temperature balancing.
+    rows.sliding(2).foreach { case Array((n1, t1), (n2, t2)) =>
+      assert(n1 == n2 || t1 >= t2, s"thr not monotone: ($n1,$t1) vs ($n2,$t2)")
+    }
+  }
+
+  test("keepClusterBest keeps the max-quality member of each cluster") {
+    import graft.functions.TextFunctions
+    val base = Tables(spark, sf, "documents").filter(col("doc_id") < 30)
+      .select(col("doc_id"), col("text"))
+    val docs = base.unionByName(base.select(
+      (col("doc_id") + 1000).as("doc_id"),
+      expr("substring(text, 1, (length(text) * 4) div 5)").as("text")))
+    val pairs = DedupOps.ngramJaccardDense(docs, "doc_id", "text", 0.4)
+    val kept = DedupOps.keepClusterBest(docs, pairs, "doc_id",
+      TextFunctions.qualityScore(col("text")))
+    // Independently recompute the argmax per component: the kept member
+    // must be the quality max (ties lowest id), one keeper per cluster.
+    val comp = DedupOps.connectedComponents(
+      docs.select(col("doc_id")), pairs, "doc_id")
+    val best = docs.join(comp, "doc_id")
+      .groupBy(col("component"))
+      .agg(max_by(col("doc_id"),
+        struct(TextFunctions.qualityScore(col("text")), -col("doc_id")))
+        .as("doc_id"))
+    assert(kept.count() == comp.select("component").distinct().count())
+    assert(kept.select("doc_id").exceptAll(best.select("doc_id")).count() == 0)
+  }
+
   test("bm25: rare-term hits outrank common-term repetition; tf still counts") {
     import spark.implicits._
     val docs = Seq(
