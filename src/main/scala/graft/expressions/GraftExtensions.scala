@@ -41,6 +41,12 @@ object GraftFunctions {
     GraftColumns.column(SortedIntersectCount(
       GraftColumns.expression(a), GraftColumns.expression(b)))
 
+  /** Codegen'd squared L2 distance, vector (float/double) vs centroid
+    * (double) — the k-means assignment kernel (see [[L2DistSq]]). */
+  def l2DistSq(x: Column, c: Column): Column =
+    GraftColumns.column(L2DistSq(
+      GraftColumns.expression(x), GraftColumns.expression(c)))
+
   /** Distinct ≤2-deletion neighborhood of a string — symmetric-delete
     * blocking keys (see [[DeletionNeighborhood]]). */
   def delNeighborhood(s: Column): Column =

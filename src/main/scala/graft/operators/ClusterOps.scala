@@ -41,10 +41,11 @@ object ClusterOps {
     * updated `(cent_id, n_members, cent_vec array<double>)`. */
   def kmeansIterate(corpus: DataFrame, centroids: DataFrame,
       corpusId: String = "vec_id"): DataFrame = {
-    val d2 = aggregate(
-      zip_with(col("vec"), col("cent_vec"),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, x) => acc + x)
+    // Codegen'd kernel; bit-identical to the composed
+    // aggregate(zip_with(...)) fold (see L2DistSq's contract + spec) —
+    // the interpreted-HOF form costs ~3x on the N*C assignment pass.
+    val d2 = graft.expressions.GraftFunctions.l2DistSq(
+      col("vec"), col("cent_vec"))
     val assigned = corpus
       .crossJoin(broadcast(centroids.select(col("cent_id"), col("cent_vec"))))
       .select(col(corpusId), col("vec"), col("cent_id"), d2.as("__d2"))

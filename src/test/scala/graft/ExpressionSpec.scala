@@ -27,6 +27,38 @@ class ExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(diff == 0)
   }
 
+  test("graft_l2_dist_sq is bit-identical to the composed fold, both widths") {
+    import graft.expressions.GraftFunctions
+    val emb = Tables(spark, sf, "embeddings").limit(100)
+    def fold(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, c, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, v) => acc + v)
+    // float vec vs double centroid (the k-means shape)…
+    val cents = emb.select(col("vec_id").as("cid"),
+      transform(col("embedding"), v => v.cast("double")).as("c"))
+    val pairs = emb.select(col("vec_id"), col("embedding").as("x"))
+      .crossJoin(cents.limit(8))
+    val d1 = pairs.select(
+        GraftFunctions.l2DistSq(col("x"), col("c")).as("native"),
+        fold(col("x"), col("c")).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(d1 == 0)
+    // …and double vs double (iteration 2+).
+    val dd = cents.select(col("cid"), col("c").as("x"))
+      .crossJoin(cents.limit(8))
+    val d2 = dd.select(
+        GraftFunctions.l2DistSq(col("x"), col("c")).as("native"),
+        fold(col("x"), col("c")).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(d2 == 0)
+    // Length mismatch -> null (the fold's zip_with would truncate, the
+    // kernel refuses — matching DotProductFloat's contract).
+    import spark.implicits._
+    val bad = Seq((Array(1.0f, 2.0f), Array(1.0))).toDF("x", "c")
+      .select(GraftFunctions.l2DistSq(col("x"), col("c"))).collect()
+    assert(bad(0).isNullAt(0))
+  }
+
   test("graft_dot null/length semantics match the fold") {
     import spark.implicits._
     val df = Seq(
