@@ -41,7 +41,8 @@ object Ingest {
   }
 
   /** File-based sources for the COPY formats the reference declares
-    * (S5, types.ts:47-49): JSON/CSV/PARQUET/ORC; gzip is transparent.
+    * (S5, types.ts:47-49): JSON/CSV/PARQUET/ORC — plus XML (Spark 4
+    * built-in source, `rowTag` option); gzip is transparent.
     * AVRO is emitted as a COPY tag by CopySqlBuilder but scanning it needs
     * the external spark-avro package (not in this zero-egress jar set). */
   def files(spark: SparkSession, format: String, path: String,

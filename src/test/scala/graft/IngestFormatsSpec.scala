@@ -37,6 +37,16 @@ class IngestFormatsSpec extends AnyFunSuite with SparkSuite {
   test("parquet round-trips")(roundTrip("parquet"))
   test("orc round-trips")(roundTrip("orc"))
 
+  test("xml round-trips (Spark 4 built-in source via Ingest.files)") {
+    val dir = Files.createTempDirectory("graft_fmt_xml").toString + "/data"
+    sample.write.format("xml").option("rowTag", "row").save(dir)
+    val back = Ingest.files(spark, "xml", dir, Some(sample.schema),
+        Map("rowTag" -> "row"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(back == Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+  }
+
   test("gzip NDJSON round-trips (CopySettings.gzip)") {
     val dir = Files.createTempDirectory("graft_fmt_gz").toString + "/data"
     sample.write.option("compression", "gzip").json(dir)
