@@ -105,6 +105,36 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       scan.metadata("PushedFilters"))
   }
 
+  test("aggregate pushdown: min/max/count answered from parquet footers") {
+    // The 100 TB shape for table profiling: with the v2 parquet path and
+    // aggregatePushdown on, MIN/MAX/COUNT over an unfiltered scan read
+    // footer statistics, not data pages.
+    val conf = spark.conf
+    val prevAgg = conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = conf.getOption("spark.sql.sources.useV1SourceList")
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val df = spark.read.parquet(s"$sfDir/orders.parquet")
+        .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"),
+          count(lit(1)).as("n"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]"),
+        p.take(800))
+      // Pushed-down answers must equal the data-page scan's.
+      val r = df.head()
+      val full = Tables(spark, sfDir, "orders")
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")), count(lit(1))).head()
+      assert(r.getLong(0) == full.getLong(0) && r.getLong(1) == full.getLong(1)
+        && r.getLong(2) == full.getLong(2))
+    } finally {
+      prevAgg.fold(conf.unset("spark.sql.parquet.aggregatePushdown"))(
+        conf.set("spark.sql.parquet.aggregatePushdown", _))
+      prevV1.fold(conf.unset("spark.sql.sources.useV1SourceList"))(
+        conf.set("spark.sql.sources.useV1SourceList", _))
+    }
+  }
+
   test("whole-stage codegen covers the scalar-function projection") {
     val df = SparkEntry.queries("scalar_functions")(spark, sfDir)
     // "*(n)" node prefixes mark whole-stage-codegen membership.
