@@ -263,6 +263,22 @@ object Oracles {
       |    (a, b) -> a + b), 6) AS f_l1
       |FROM counts GROUP BY doc_id""".stripMargin
 
+  /** Nearest-neighbor payload resize (MultimodalOps.resizeNearest,
+    * srcW=16 → 8x8): same floor index map over the hex-pair raster. */
+  val multimodalResize: String =
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
+      |    octet_length(encode(text)) AS n FROM documents),
+      |f AS (SELECT doc_id, h, n // 16 AS src_h FROM d WHERE n >= 16),
+      |px AS (SELECT doc_id, i,
+      |    ('0x' || substr(h,
+      |      CAST((((i // 8) * src_h) // 8) * 16 + ((i % 8) * 16) // 8 AS INT) * 2 + 1,
+      |      2))::INT AS v
+      |  FROM f, (SELECT unnest(range(0, 64)) AS i) g)
+      |SELECT doc_id, 8 AS dst_w, 8 AS dst_h,
+      |  md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS raster_md5,
+      |  CAST(SUM(v) AS DOUBLE) / CAST(64 AS DOUBLE) AS mean_px
+      |FROM px GROUP BY doc_id""".stripMargin
+
   /** 5-gram decontamination over the planted corpus (every 97th doc
     * carries 120 chars of an eval doc). */
   val decontamination: String =

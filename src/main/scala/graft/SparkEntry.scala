@@ -197,6 +197,14 @@ object SparkEntry {
         .withColumn("rep_ratio",
           col("max_tf").cast("double") / col("n_bigrams").cast("double"))),
 
+    // REAL nearest-neighbor resize on opaque payload bytes (16-wide
+    // 8-bit raster -> 8x8 thumbnail, exact integer index map) — the
+    // thumbnail kernel without a codec; digest + mean leave the scan.
+    "multimodal_resize" -> { (s, dir) =>
+      val df = MultimodalOps.withBinaryColumn(t(s, dir, "documents"), "text")
+      MultimodalOps.resizeNearest(df, "doc_id", srcW = 16, dstW = 8, dstH = 8)
+    },
+
     // PII card-number scan with Luhn validation (regex alone
     // false-positives on arbitrary 16-digit runs): every 11th doc gets a
     // Luhn-valid planted number, every 13th an invalid one — only the
@@ -2599,6 +2607,7 @@ object SparkEntry {
       Oracles.boilerplateScrub(BoilerFooter, BoilerTileWidth, BoilerMinDf),
     "clean_html" -> Oracles.cleanHtml,
     "pii_luhn_cards" -> Oracles.piiLuhnCards,
+    "multimodal_resize" -> Oracles.multimodalResize,
     "bigram_lm_scores" -> Oracles.bigramLmScores,
     "bm25_scores" -> Oracles.bm25Scores(Bm25Terms, 1.2, 0.75),
     "simhash_near_dup" -> Oracles.simhashNearDup(SimhashMaxHamming),

@@ -113,6 +113,40 @@ object MultimodalOps {
       .filter(col("chunk_len") > 0)
   }
 
+  /** REAL nearest-neighbor pixel resize on the opaque payload: the bytes
+    * are read as a `srcW`-wide 8-bit grayscale raster (rows = n_bytes
+    * div srcW, the tail partial row dropped) and sampled to dstW x dstH
+    * with the standard floor(dst·src/dstDim) index map — the actual
+    * kernel a thumbnail pass runs, on real bytes, no codec needed. Pure
+    * projection over exact integer arithmetic (byte values come from
+    * hex-pair parsing, index math is integer division of non-negative
+    * ints — the double-division-then-truncate form equals `div` because
+    * IEEE division is correctly rounded), so the DuckDB oracle
+    * reproduces the resized raster bit-for-bit. Output keeps the
+    * digest + exact mean, not the raster, so only narrow rows shuffle. */
+  def resizeNearest(df: DataFrame, idCol: String,
+      srcW: Int, dstW: Int, dstH: Int): DataFrame = {
+    val hexs = hex(col("payload"))
+    val srcH = (octet_length(col("payload")).cast("long") / srcW).cast("long")
+    val px = transform(sequence(lit(0), lit(dstW * dstH - 1)), i => {
+      val r = (i.cast("long") / dstW).cast("long")
+      val c = pmod(i, lit(dstW)).cast("long")
+      val srcR = ((r * col("__src_h")).cast("double") / dstH).cast("long")
+      val srcC = ((c * srcW).cast("double") / dstW).cast("long")
+      val idx = srcR * srcW + srcC
+      conv(substring(col("__hex"), (idx * 2 + 1).cast("int"), lit(2)), 16, 10)
+        .cast("int")
+    })
+    df.filter(octet_length(col("payload")) >= srcW)
+      .withColumn("__hex", hexs).withColumn("__src_h", srcH)
+      .withColumn("__px", px)
+      .select(col(idCol), lit(dstW).as("dst_w"), lit(dstH).as("dst_h"),
+        md5(array_join(transform(col("__px"), v => v.cast("string")), ","))
+          .as("raster_md5"),
+        (aggregate(col("__px"), lit(0L), (a, v) => a + v).cast("double") /
+          lit((dstW * dstH).toDouble)).as("mean_px"))
+  }
+
   /** Metadata-level "resize": recompute the declared dimensions; the
     * payload is untouched (a real resize happens inside decodeFeatures'
     * batch loop). */

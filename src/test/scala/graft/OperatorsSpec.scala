@@ -395,6 +395,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(dups.contains((100L, 1000100L)), s"got $dups")
   }
 
+  test("resizeNearest samples the exact nearest-neighbor raster") {
+    import spark.implicits._
+    val text = "0123456789ABCDEF" + "GHIJKLMNOPQRSTUV" // 2 rows of 16 bytes
+    val df = MultimodalOps.withBinaryColumn(
+      Seq((1L, text)).toDF("doc_id", "text"), "text")
+    val out = MultimodalOps.resizeNearest(df, "doc_id",
+      srcW = 16, dstW = 8, dstH = 8).head()
+    // Hand-computed index map: srcR = r*2 div 8, srcC = c*16 div 8.
+    val bytes = text.getBytes("UTF-8")
+    val px = for (r <- 0 until 8; c <- 0 until 8)
+      yield bytes((r * 2 / 8) * 16 + (c * 16 / 8)).toInt
+    val expMd5 = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(px.mkString(","))
+    assert(out.getAs[String]("raster_md5") == expMd5)
+    assert(out.getAs[Double]("mean_px") == px.sum.toDouble / 64.0)
+  }
+
   test("luhnValid accepts real checksums, rejects off-by-one digits") {
     import spark.implicits._
     import graft.functions.TextFunctions
