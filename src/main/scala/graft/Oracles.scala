@@ -263,6 +263,47 @@ object Oracles {
       |    (a, b) -> a + b), 6) AS f_l1
       |FROM counts GROUP BY doc_id""".stripMargin
 
+  /** End-to-end web pipeline (clean_html → boilerplate scrub → quality
+    * gate → per-source yield), composed from the same stage SQL the
+    * individual oracles use. */
+  def webPipeline(footer: String, width: Int, minDf: Int,
+      minQuality: Double, bpeRe: String): String =
+    s"""WITH raw AS (SELECT doc_id, source,
+       |    (CASE WHEN doc_id % 2 = 0
+       |       THEN '<div class="post"><p>' || text ||
+       |            '</p>&nbsp;<a href="#">Read&amp;more</a></div>'
+       |       ELSE text END) || ' ' || '$footer' AS html
+       |  FROM documents),
+       |c AS (SELECT doc_id, source,
+       |  trim(regexp_replace(
+       |    replace(replace(replace(replace(replace(replace(
+       |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+       |    '\\s+', ' ', 'g')) AS text
+       |  FROM raw),
+       |t AS (SELECT doc_id, $norm AS nrm FROM c),
+       |s2 AS (SELECT doc_id, string_split(nrm, ' ') AS tk FROM t),
+       |tl AS (SELECT doc_id, i AS seg_idx,
+       |    array_to_string(list_slice(tk, i * $width + 1, i * $width + $width), ' ') AS seg_text
+       |  FROM s2, LATERAL (SELECT unnest(range(0, (len(tk) + ${width - 1}) // $width)) AS i) g),
+       |h AS (SELECT doc_id, seg_idx, seg_text, ${hash60("seg_text")} AS hh FROM tl),
+       |boiler AS (SELECT hh FROM (SELECT DISTINCT hh, doc_id FROM h)
+       |  GROUP BY hh HAVING count(*) >= $minDf),
+       |kept AS (SELECT * FROM h WHERE hh NOT IN (SELECT hh FROM boiler)),
+       |rec AS (SELECT doc_id, string_agg(seg_text, ' ' ORDER BY seg_idx) AS text
+       |  FROM kept GROUP BY doc_id),
+       |recon AS (SELECT c.doc_id, c.source, COALESCE(rec.text, '') AS text
+       |  FROM c LEFT JOIN rec ON c.doc_id = rec.doc_id),
+       |q AS (SELECT doc_id, source, text, ${toks("text")} AS tk FROM recon)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(text, '$bpeRe'))) AS BIGINT) AS total_tokens
+       |FROM q
+       |WHERE ((0.4 * (CAST(${hits("tk", StopEn)} AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
+       |    + (0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 200.0)))
+       |    + (0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))) >= $minQuality
+       |GROUP BY source""".stripMargin
+
   /** Nearest-neighbor payload resize (MultimodalOps.resizeNearest,
     * srcW=16 → 8x8): same floor index map over the hex-pair raster. */
   val multimodalResize: String =

@@ -205,6 +205,34 @@ object SparkEntry {
       MultimodalOps.resizeNearest(df, "doc_id", srcW = 16, dstW = 8, dstH = 8)
     },
 
+    // End-to-end WEB pipeline, oracle-checked as one query: planted
+    // markup+footer pages -> HTML strip -> corpus-frequency boilerplate
+    // scrub -> quality gate on the cleaned text -> per-source yield
+    // (docs + BPE token budget). The round-5 cleaning ops composed the
+    // way a crawl-ingest job runs them.
+    "web_pipeline" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val raw = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat_ws(" ",
+          when(col("doc_id") % 2 === 0,
+            concat(lit("<div class=\"post\"><p>"), col("text"),
+              lit("</p>&nbsp;<a href=\"#\">Read&amp;more</a></div>")))
+            .otherwise(col("text")),
+          lit(BoilerFooter)).as("html"))
+      val cleaned = raw.select(col("doc_id"), col("source"),
+        TextFunctions.cleanHtml(col("html")).as("text"))
+      val scrubbed = TextOps.boilerplateScrubText(cleaned, "doc_id", "text",
+          BoilerTileWidth, BoilerMinDf)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      scrubbed
+        .filter(TextFunctions.qualityScore(col("text")) >= WebQualityMin)
+        .join(cleaned.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.bpeTokenCount(col("text")).cast("long"))
+            .as("total_tokens"))
+    },
+
     // PII card-number scan with Luhn validation (regex alone
     // false-positives on arbitrary 16-digit runs): every 11th doc gets a
     // Luhn-valid planted number, every 13th an invalid one — only the
@@ -2334,6 +2362,9 @@ object SparkEntry {
   // interior tiles cross the threshold in every alignment class.
   val BoilerTileWidth = 8
   val BoilerMinDf = 20
+  // web_pipeline quality gate over the SCRUBBED text (distribution
+  // shifts vs the raw corpus once the footer is gone).
+  val WebQualityMin = 0.25
   val BoilerFooter = "all rights reserved contact us at example dot com " +
     "terms of service apply subscribe to our newsletter for updates today"
 
@@ -2608,6 +2639,8 @@ object SparkEntry {
     "clean_html" -> Oracles.cleanHtml,
     "pii_luhn_cards" -> Oracles.piiLuhnCards,
     "multimodal_resize" -> Oracles.multimodalResize,
+    "web_pipeline" -> Oracles.webPipeline(BoilerFooter, BoilerTileWidth,
+      BoilerMinDf, WebQualityMin, graft.functions.TextFunctions.BpeTokenRe),
     "bigram_lm_scores" -> Oracles.bigramLmScores,
     "bm25_scores" -> Oracles.bm25Scores(Bm25Terms, 1.2, 0.75),
     "simhash_near_dup" -> Oracles.simhashNearDup(SimhashMaxHamming),

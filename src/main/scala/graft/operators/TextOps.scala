@@ -91,6 +91,15 @@ object TextOps {
     * any corpus size. Reconstruction shuffles each doc's surviving
     * (seg_idx, seg_text) once — the unavoidable regroup. */
   def boilerplateScrub(docs: DataFrame, id: String, text: String,
+      width: Int, minDf: Int): DataFrame =
+    boilerplateScrubText(docs, id, text, width, minDf)
+      .select(col(id), col("n_tiles"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+
+  /** [[boilerplateScrub]] with the reconstructed text itself (for
+    * pipeline composition); all-boilerplate docs come back with empty
+    * text, never dropped. */
+  def boilerplateScrubText(docs: DataFrame, id: String, text: String,
       width: Int, minDf: Int): DataFrame = {
     val tiles = tokenTiles(docs, id, text, width)
       .withColumn("__h", hash60(col("seg_text")))
@@ -108,7 +117,7 @@ object TextOps {
       .join(kept, Seq(id), "left")
       .select(col(id), col("n_tiles"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        md5(coalesce(col("__clean"), lit(""))).as("clean_md5"))
+        coalesce(col("__clean"), lit("")).as("clean_text"))
   }
 
   /** Add-one-smoothed bigram language-model score per document — the
