@@ -105,6 +105,35 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       scan.metadata("PushedFilters"))
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val prev = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      // One key owns ~97% of the fact rows; the dim is made non-broadcastable.
+      val fact = spark.range(0, 60000)
+        .select(when(col("id") % 30 === 0, col("id")).otherwise(lit(7L)).as("k"),
+          concat(lit("payload_padding_payload_padding_"), col("id")).as("v"))
+      val dim = spark.range(0, 2000).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("dv"))
+      val joined = fact.join(dim, "k")
+      joined.collect() // materialize the SAME DataFrame so AQE finalizes
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${p.take(1200)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("aggregate pushdown: min/max/count answered from parquet footers") {
     // The 100 TB shape for table profiling: with the v2 parquet path and
     // aggregatePushdown on, MIN/MAX/COUNT over an unfiltered scan read
