@@ -2080,6 +2080,18 @@ object SparkEntry {
           LayoutOps.zValue2(col("x"), col("y")).as("zval"))
     },
 
+    // Hilbert-curve layout key (space-filling alternative to the Morton
+    // code: consecutive indexes are always adjacent cells, so
+    // range-partitioned files get tighter bounding boxes).
+    "hilbert_key_events" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id").as("x"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .as("y"))
+        .select(col("event_id"),
+          LayoutOps.hilbert2(col("x"), col("y")).as("hval"))
+    },
+
     // Exact least-squares trend per event type: slope of value vs
     // epoch-day from integer moment sums (x exact int days, y in 2^24
     // fixed point; BIGINT partials, DECIMAL(38,0) combination, ONE
@@ -3110,6 +3122,16 @@ object SparkEntry {
          |SELECT event_id,
          |  ${LayoutOps.zValue2Sql("x", "y")} AS zval
          |FROM d""".stripMargin,
+
+    "hilbert_key_events" -> {
+      val (ctes, last) = LayoutOps.hilbert2SqlCtes(
+        "d", "x", "y", Seq("event_id"))
+      s"""WITH d AS (SELECT event_id, user_id AS x,
+         |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS y
+         |  FROM events),
+         |$ctes
+         |SELECT event_id, hd AS hval FROM $last""".stripMargin
+    },
 
     "price_histogram" ->
       """SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) // 2500000 AS bucket,

@@ -50,6 +50,44 @@ object LayoutOps {
     }.mkString("(", ") | (", ")")
   }
 
+  /** Hilbert-curve index (the [[graft.expressions.HilbertIndex2D]]
+    * codegen walk): consecutive indexes are always 4-adjacent cells, so
+    * range-partitioned files get tighter bounding boxes than Morton's
+    * corner jumps allow. */
+  def hilbert2(x: Column, y: Column, bits: Int = 16): Column =
+    org.apache.spark.sql.graftshim.GraftColumns.column(
+      graft.expressions.HilbertIndex2D(
+        org.apache.spark.sql.graftshim.GraftColumns.expression(x.cast("long")),
+        org.apache.spark.sql.graftshim.GraftColumns.expression(y.cast("long")),
+        bits))
+
+  /** SQL twin of [[hilbert2]], generated from the same recurrence so the
+    * two sides cannot drift: one chained CTE per level carrying the
+    * rotated (x, y) state and the accumulated distance. Returns the CTE
+    * list (to splice after a source CTE named `srcCte` that exposes
+    * `carryCols`, `xcol`, `ycol`) and the name of the final CTE, whose
+    * `hd` column is the Hilbert index. */
+  def hilbert2SqlCtes(srcCte: String, xcol: String, ycol: String,
+      carryCols: Seq[String], bits: Int = 16): (String, String) = {
+    val mask = (1L << bits) - 1
+    val carry = carryCols.mkString(", ")
+    val first =
+      s"""h0 AS (SELECT $carry, (CAST($xcol AS BIGINT) & $mask) AS hx,
+         |  (CAST($ycol AS BIGINT) & $mask) AS hy, CAST(0 AS BIGINT) AS hd
+         |  FROM $srcCte)""".stripMargin
+    val levels = (0 until bits).map { k =>
+      val s = 1L << (bits - 1 - k)
+      val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""h${k + 1} AS (SELECT $carry,
+         |  CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $s - 1 - hy ELSE hy END) ELSE hx END AS hx,
+         |  CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $s - 1 - hx ELSE hx END) ELSE hy END AS hy,
+         |  hd + $s * $s * xor(3 * $rx, $ry) AS hd
+         |  FROM h$k)""".stripMargin
+    }
+    ((first +: levels).mkString(",\n"), s"h$bits")
+  }
+
   /** N-dimensional Morton code: bit `i` of dimension `d` lands at
     * position `i * k + d` (k = number of dims). `bits * k` must fit a
     * positive long. [[zValue2]] is the k=2 special case. */

@@ -1223,6 +1223,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("hilbert2: bijective on the grid, consecutive indexes are adjacent") {
+    import spark.implicits._
+    val bits = 5
+    val n = 1 << bits
+    val cells = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val out = cells.select(col("x"), col("y"),
+        LayoutOps.hilbert2(col("x"), col("y"), bits).as("d"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+    // Bijection onto [0, n^2).
+    assert(out.map(_._1).distinct.length == n * n)
+    assert(out.map(_._1).min == 0 && out.map(_._1).max == n * n - 1)
+    // The Hilbert property Morton lacks: walking the curve never jumps —
+    // consecutive indexes are Manhattan-distance-1 cells.
+    val byD = out.sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps between ($x1,$y1) and ($x2,$y2)")
+    }
+  }
+
   test("file Bloom index: point lookups prune to few files, soundly") {
     import spark.implicits._
     val df = Seq.tabulate(8000)(i => (i.toLong, s"v$i")).toDF("id", "v")
