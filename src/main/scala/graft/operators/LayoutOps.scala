@@ -127,6 +127,16 @@ object LayoutOps {
       .drop("__z")
   }
 
+  /** [[zorder]] with the Hilbert key ([[hilbert2]]) instead of the
+    * Morton code: same range-partition + in-partition sort, tighter
+    * per-file bounding boxes (the curve never jumps cells). */
+  def hilbertOrder(df: DataFrame, x: Column, y: Column, numFiles: Int,
+      bits: Int = 16): DataFrame =
+    df.withColumn("__h", hilbert2(x, y, bits))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+
   /** Per-file [min, max] of a numeric column, read from parquet FOOTERS
     * only — no data pages touched. This is the metadata a table format's
     * manifest (Delta/Iceberg) persists; here it is read directly so the

@@ -1211,6 +1211,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     val viaKept = spark.read.parquet(keptX: _*)
       .filter(col("x").between(0, 31)).count()
     assert(viaKept == df.filter(col("x").between(0, 31)).count())
+    // Hilbert layout prunes at least as hard on the same workload
+    // (its files' bounding boxes are tighter — the curve never jumps).
+    LayoutOps.hilbertOrder(df, col("x"), col("y"), 16, bits = 8)
+      .write.parquet(s"$root/hil")
+    assert(prunedCount(s"$root/hil", "x") <= 8,
+      s"hilbert x-pruning too weak: ${prunedCount(s"$root/hil", "x")}/16")
+    assert(prunedCount(s"$root/hil", "y") <= 8,
+      s"hilbert y-pruning too weak: ${prunedCount(s"$root/hil", "y")}/16")
+    val keptHx = LayoutOps.pruneFiles(
+      LayoutOps.parquetFileStats(spark, s"$root/hil", "x"), 0, 31)
+    assert(spark.read.parquet(keptHx: _*)
+      .filter(col("x").between(0, 31)).count()
+      == df.filter(col("x").between(0, 31)).count())
+
     // The RDD fan-out path returns the SAME stats as the driver loop
     // (so the prune-soundness above transfers), across several slice
     // counts including fewer slices than files.
