@@ -1361,15 +1361,36 @@ object Oracles {
          |      AS cent_vec
          |  FROM m$k GROUP BY cent_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-       |c0 AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v
-       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-       |    % greatest((SELECT count(*) FROM v) // $targetC, 1) = 0),
-       |$iterCtes
+    s"""WITH ${kmeansCtePrefix(targetC, iterCtes)}
        |SELECT cent_id, CAST(n_members AS BIGINT) AS n_members,
        |  sqrt(list_reduce(list_transform(generate_series(1, 64),
        |    i -> cent_vec[i] * cent_vec[i]), (a, b) -> a + b)) AS centroid_norm
        |FROM c$iters""".stripMargin
+  }
+
+  private def kmeansCtePrefix(targetC: Int, iterCtes: String): String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v
+       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |    % greatest((SELECT count(*) FROM v) // $targetC, 1) = 0),
+       |$iterCtes""".stripMargin
+
+  /** Per-vector cluster map against the refined centroids
+    * (ClusterOps.kmeansAssign after kmeans): one more rank-1 assignment
+    * over the final CTE. */
+  def kmeansAssignments(targetC: Int, iters: Int): String = {
+    val centroidSql = kmeansCentroids(targetC, iters)
+    val prefixEnd = centroidSql.indexOf("\nSELECT cent_id")
+    val withCtes = centroidSql.substring(0, prefixEnd)
+    s"""$withCtes,
+       |fw AS (SELECT v.vec_id, c.cent_id,
+       |    list_reduce(list_transform(generate_series(1, 64),
+       |      i -> (v.vec[i] - c.cent_vec[i]) * (v.vec[i] - c.cent_vec[i])),
+       |      (a, b) -> a + b) AS d2
+       |  FROM v, c$iters c)
+       |SELECT vec_id, cent_id, d2 FROM (
+       |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS r
+       |  FROM fw) WHERE r = 1""".stripMargin
   }
 
   /** SCD2 merge over a freshly-versioned orders target: replaced

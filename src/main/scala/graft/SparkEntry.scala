@@ -2321,6 +2321,18 @@ object SparkEntry {
             .as("centroid_norm"))
     },
 
+    // Per-vector cluster map against the refined centroids — the output
+    // downstream curation consumes (buckets, postings, quotas).
+    "kmeans_assignments" -> { (s, dir) =>
+      val corpus = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("vec"))
+      val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
+        .select(col("cent_id"),
+          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+      ClusterOps.kmeansAssign(corpus,
+        ClusterOps.kmeans(corpus, initial, KmeansIters))
+    },
+
     // SemDeDup (semantic dedup, arXiv:2303.09540) on the same planted
     // corpus: coarse-cluster by nearest deterministic centroid, drop
     // members with a lower-id near-duplicate (cosine >= threshold) in
@@ -2724,6 +2736,7 @@ object SparkEntry {
     "embedding_near_dup" -> Oracles.embeddingNearDup(EmbNearDupMin),
     "semdedup_keep" -> Oracles.semdedupKeep(EmbNearDupMin, IvfCentroidTarget),
     "kmeans_centroids" -> Oracles.kmeansCentroids(KmeansK, KmeansIters),
+    "kmeans_assignments" -> Oracles.kmeansAssignments(KmeansK, KmeansIters),
     "label_centroid_norms" -> Oracles.labelCentroidNorms,
     "salted_agg_events" -> Oracles.saltedAggEvents,
     "salted_join_customer_orders" -> Oracles.joinCustomerOrders,

@@ -66,6 +66,22 @@ object ClusterOps {
           .as("cent_vec"))
   }
 
+  /** Final cluster assignment against a (refined) centroid table — the
+    * per-row output a curation pipeline consumes (SemDeDup buckets,
+    * IVF postings, per-cluster sampling quotas): nearest centroid by
+    * (d2, cent_id), one broadcast map-side pass. */
+  def kmeansAssign(corpus: DataFrame, centroids: DataFrame,
+      corpusId: String = "vec_id"): DataFrame =
+    corpus
+      .crossJoin(broadcast(centroids.select(col("cent_id"), col("cent_vec"))))
+      .select(col(corpusId), col("cent_id"),
+        graft.expressions.GraftFunctions.l2DistSq(
+          col("vec"), col("cent_vec")).as("d2"))
+      .withColumn("__r", rank().over(
+        Window.partitionBy(col(corpusId)).orderBy(col("d2"), col("cent_id"))))
+      .filter(col("__r") === 1)
+      .select(col(corpusId), col("cent_id"), col("d2"))
+
   /** `iters` Lloyd iterations from `initial` centroids (e.g. an
     * [[SimilarityOps.ivfCentroids]] hash sample, components widened to
     * double). */

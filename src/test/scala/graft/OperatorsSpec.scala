@@ -594,6 +594,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(run(corpus) == run(corpus.repartition(7, col("vec_id") % 3)))
   }
 
+  test("kmeansAssign maps every vector to exactly one live centroid") {
+    val corpus = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val initial = SimilarityOps.ivfCentroids(corpus, 8)
+      .select(col("cent_id"),
+        transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+    val cents = ClusterOps.kmeans(corpus, initial, 2)
+    val assigned = ClusterOps.kmeansAssign(corpus, cents)
+    assert(assigned.count() == corpus.count())
+    assert(assigned.select("vec_id").distinct().count() == corpus.count())
+    val live = cents.select("cent_id").collect().map(_.getLong(0)).toSet
+    val used = assigned.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(used.subsetOf(live))
+  }
+
   test("semDedup drops the planted copy, keeps the lowest-id representative") {
     val emb = Tables(spark, sf, "embeddings")
     val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
