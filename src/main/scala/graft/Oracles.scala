@@ -1375,6 +1375,40 @@ object Oracles {
        |    % greatest((SELECT count(*) FROM v) // $targetC, 1) = 0),
        |$iterCtes""".stripMargin
 
+  /** IVF over the trained quantizer (SimilarityOps.ivfKnnTrained): L2
+    * rank-1 corpus buckets / rank<=nprobe probe buckets against the
+    * final kmeans CTE, fold-ordered cosine re-rank. */
+  def knnIvfTrained(probeEvery: Int, k: Int, targetC: Int, iters: Int,
+      nprobe: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+    def d2(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (a, b) -> a + b)"
+    val centroidSql = kmeansCentroids(targetC, iters)
+    val withCtes = centroidSql.substring(0, centroidSql.indexOf("\nSELECT cent_id"))
+    s"""$withCtes,
+       |n AS (SELECT vec_id, vec, sqrt(${dot("vec", "vec")}) AS nrm FROM v),
+       |caw AS (SELECT n.vec_id, n.vec, n.nrm, c.cent_id,
+       |    ${d2("n.vec", "c.cent_vec")} AS d2
+       |  FROM n, c$iters c),
+       |ca AS (SELECT vec_id, vec, nrm, cent_id FROM (
+       |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS cr
+       |  FROM caw) WHERE cr = 1),
+       |pw AS (SELECT p.vec_id AS probe_id, p.vec AS pvec, p.nrm AS pnrm, c.cent_id,
+       |    ${d2("p.vec", "c.cent_vec")} AS d2
+       |  FROM (SELECT * FROM n WHERE vec_id % $probeEvery = 0) p, c$iters c),
+       |pb AS (SELECT probe_id, pvec, pnrm, cent_id FROM (
+       |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY d2, cent_id) AS cr
+       |  FROM pw) WHERE cr <= $nprobe),
+       |s AS (SELECT pb.probe_id, ca.vec_id,
+       |    ${dot("pb.pvec", "ca.vec")} / (pb.pnrm * ca.nrm) AS sim
+       |  FROM ca JOIN pb ON ca.cent_id = pb.cent_id
+       |  WHERE ca.vec_id <> pb.probe_id)
+       |SELECT probe_id, vec_id, round(sim, 9) AS sim, rank FROM (
+       |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM s) WHERE rank <= $k""".stripMargin
+  }
+
   /** Per-vector cluster map against the refined centroids
     * (ClusterOps.kmeansAssign after kmeans): one more rank-1 assignment
     * over the final CTE. */

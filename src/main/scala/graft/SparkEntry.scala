@@ -2321,6 +2321,23 @@ object SparkEntry {
             .as("centroid_norm"))
     },
 
+    // IVF search over the TRAINED quantizer (FAISS-style): L2
+    // nearest-centroid buckets from the Lloyd-refined centroids, cosine
+    // re-rank inside nprobe buckets.
+    "knn_ivf_trained" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
+        .select(col("cent_id"),
+          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+      SimilarityOps.ivfKnnTrained(probes, corpus, KnnK,
+          ClusterOps.kmeans(corpus, initial, KmeansIters), nprobe = IvfNprobe)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("sim"), 9).as("sim"), col("rank"))
+    },
+
     // Per-vector cluster map against the refined centroids — the output
     // downstream curation consumes (buckets, postings, quotas).
     "kmeans_assignments" -> { (s, dir) =>
@@ -2737,6 +2754,8 @@ object SparkEntry {
     "semdedup_keep" -> Oracles.semdedupKeep(EmbNearDupMin, IvfCentroidTarget),
     "kmeans_centroids" -> Oracles.kmeansCentroids(KmeansK, KmeansIters),
     "kmeans_assignments" -> Oracles.kmeansAssignments(KmeansK, KmeansIters),
+    "knn_ivf_trained" -> Oracles.knnIvfTrained(
+      KnnProbeEvery, KnnK, KmeansK, KmeansIters, IvfNprobe),
     "label_centroid_norms" -> Oracles.labelCentroidNorms,
     "salted_agg_events" -> Oracles.saltedAggEvents,
     "salted_join_customer_orders" -> Oracles.joinCustomerOrders,

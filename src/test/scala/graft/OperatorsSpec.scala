@@ -283,6 +283,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(recall > 0.5, s"recall $recall")
   }
 
+  test("ivfKnnTrained recall@5 is usable and not below the hash-seed IVF") {
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilarityOps.bruteForceKnn(probes, corpus, 5))
+    val initial = SimilarityOps.ivfCentroids(corpus, SparkEntry.KmeansK)
+      .select(col("cent_id"),
+        transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+    val trained = pairs(SimilarityOps.ivfKnnTrained(probes, corpus, 5,
+      graft.operators.ClusterOps.kmeans(corpus, initial, 2),
+      nprobe = SparkEntry.IvfNprobe))
+    val recall = (exact & trained).size.toDouble / exact.size
+    assert(recall > 0.5, s"trained recall $recall")
+  }
+
   test("delNeighborhood expression == composed HOF form (as sets)") {
     // The custom expression must generate exactly the distinct-deletion
     // key set the composed nested-transform reference form defines —
