@@ -558,6 +558,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(mismatch == 0)
   }
 
+  test("tokenTiles tiling is lossless across widths and messy inputs") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "Beta", "GAMMA", "d", "épsilon", "x1")
+    val docs = ((1 to 40).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(if (i % 3 == 0) "   " else " "))
+    } :+ (98L, "single") :+ (99L, "  padded   both  ends  ")).toDF("doc_id", "text")
+    for (width <- Seq(1, 3, 8, 50)) {
+      // Reassembling ALL tiles in order must reproduce the normalized
+      // text exactly — no token lost, duplicated, or reordered.
+      val recon = TextOps.tokenTiles(docs, "doc_id", "text", width)
+        .groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg_text")))),
+          x => x.getField("seg_text")), " ").as("recon"))
+      val bad = recon
+        .join(docs.select(col("doc_id"),
+          TextFunctions.normalized(col("text")).as("norm")), "doc_id")
+        .filter(col("recon") =!= col("norm")).count()
+      assert(bad == 0, s"width=$width lost content")
+    }
+  }
+
   test("bigramLmScores ranks in-domain text above shuffled-vocab gibberish") {
     import spark.implicits._
     // 30 fluent docs repeat the same transitions; 1 gibberish doc uses
