@@ -56,6 +56,58 @@ object Oracles {
   private def hash60(s: String) = s"('0x' || substr(md5($s), 1, 15))::BIGINT"
   private def hash48(s: String) = s"('0x' || substr(md5($s), 1, 12))::BIGINT"
 
+  // ---- KMV / sampled sketches (SketchOps) -------------------------------
+
+  /** KMV bottom-k distinct estimate (SketchOps.kmvDistinct): same 60-bit
+    * md5 hashes, same DISTINCT + rank ≤ k sketch, same truncating-integer
+    * estimator `(k-1) * (2^60 // kth)` — nothing floating-point enters
+    * the hashed output. */
+  def kmvDistinctUsers(k: Int): String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |  ${hash60("CAST(user_id AS VARCHAR)")} AS hkey FROM events),
+       |r AS (SELECT event_type, hkey,
+       |  rank() OVER (PARTITION BY event_type ORDER BY hkey) AS rk FROM h),
+       |b AS (SELECT event_type, count(*) AS n_kept, max(hkey) AS kth
+       |  FROM r WHERE rk <= $k GROUP BY event_type)
+       |SELECT event_type,
+       |  CASE WHEN n_kept < $k THEN n_kept
+       |       ELSE ${k - 1} * (1152921504606846976 // kth) END AS users_est
+       |FROM b""".stripMargin
+
+  /** KMV rollup (SketchOps.kmvRollup): per-(type, day) bottom-k partials,
+    * merged per type by distinct-union + re-rank IN THE SAME HASH SPACE —
+    * the lossless KMV merge. */
+  def kmvSketchRollup(k: Int): String =
+    s"""WITH h AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS day,
+       |  ${hash60("CAST(user_id AS VARCHAR)")} AS hkey FROM events),
+       |d AS (SELECT event_type, day, hkey, rank() OVER (
+       |  PARTITION BY event_type, day ORDER BY hkey) AS rk FROM h),
+       |daily AS (SELECT event_type, day, hkey FROM d WHERE rk <= $k),
+       |u AS (SELECT DISTINCT event_type, hkey FROM daily),
+       |r AS (SELECT event_type, hkey,
+       |  rank() OVER (PARTITION BY event_type ORDER BY hkey) AS rk FROM u),
+       |b AS (SELECT event_type, count(*) AS n_kept, max(hkey) AS kth
+       |  FROM r WHERE rk <= $k GROUP BY event_type),
+       |nd AS (SELECT event_type, count(DISTINCT day) AS n_days
+       |  FROM daily GROUP BY event_type)
+       |SELECT b.event_type,
+       |  CASE WHEN n_kept < $k THEN n_kept
+       |       ELSE ${k - 1} * (1152921504606846976 // kth) END AS users_est,
+       |  nd.n_days
+       |FROM b JOIN nd ON b.event_type = nd.event_type""".stripMargin
+
+  /** Hash-sampled exact percentiles (SketchOps.sampledPercentiles): the
+    * 1-in-mod md5 row sample, then DuckDB quantile_cont ≡ Spark
+    * percentile (bit-identical interpolation — winsorized_values
+    * precedent). */
+  def sampledPercentilesValue(mod: Int): String =
+    s"""WITH s AS (SELECT event_type, value FROM events
+       |  WHERE ${hash60("CAST(event_id AS VARCHAR)")} % $mod = 0)
+       |SELECT event_type,
+       |  quantile_cont(value, 0.5) AS p50_sampled,
+       |  quantile_cont(value, 0.95) AS p95_sampled
+       |FROM s GROUP BY event_type""".stripMargin
+
   /** Word-bigram shingle list of the normalized text (TextFunctions
     * .wordBigrams): single-token docs degrade to the token itself. */
   private val bigramsCte =

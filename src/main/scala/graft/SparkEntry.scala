@@ -553,11 +553,14 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     },
 
-    // Sketch: HyperLogLog approximate distinct (rows-only: approximation
-    // has no cross-engine-exact oracle; spec checks tolerance vs exact).
-    "approx_distinct_users" -> ((s, dir) =>
-      t(s, dir, "events").groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+    // Sketch: KMV / bottom-k distinct estimate — the deterministic,
+    // oracle-able counterpart of HLL (SketchOps.approxDistinct is the
+    // tolerance-spec'd HLL twin). Both engines keep the k smallest
+    // 60-bit md5 hashes and derive the estimate in pure integer
+    // arithmetic, so the result hashes bit-identically.
+    "kmv_distinct_users" -> ((s, dir) =>
+      SketchOps.kmvDistinct(t(s, dir, "events"), Seq(col("event_type")),
+        col("user_id"), KmvK)),
 
     // ---- corpus statistics ----
     "vocab_doc_freq" -> ((s, dir) =>
@@ -2024,20 +2027,16 @@ object SparkEntry {
     },
 
     // Mergeable-sketch rollup — THE re-aggregation pattern at 100 TB:
-    // build one DataSketches HLL per (type, day) partial, then union the
-    // binary sketches up to per-type totals WITHOUT touching raw rows
-    // again (daily partials are what a warehouse persists; re-scanning
-    // history to count distincts is the anti-pattern). Rows-only like
-    // the other approximate ops; the spec asserts the merged rollup's
-    // estimate equals the direct single-pass sketch estimate.
-    "hll_sketch_rollup" -> { (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        .groupBy(col("event_type"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-          .as("users_est"), count(lit(1)).as("n_days"))
-    },
+    // build one bottom-k sketch per (type, day) partial, then merge the
+    // partials up to per-type totals WITHOUT touching raw rows again
+    // (daily partials are what a warehouse persists; re-scanning
+    // history to count distincts is the anti-pattern). KMV merge is
+    // exactly lossless (bottom-k of the partial union == bottom-k of
+    // the full data), so unlike the HLL twin (SketchOps.hllRollup,
+    // tolerance-spec'd) this form is oracle-hashable.
+    "kmv_sketch_rollup" -> ((s, dir) =>
+      SketchOps.kmvRollup(t(s, dir, "events"), col("event_type"),
+        date_trunc("day", col("ts")), col("user_id"), KmvK)),
 
     // Balanced subsampling: a fixed-size deterministic sample per group
     // (reservoir-equivalent at scale — rank over a uniform md5 hash key,
@@ -2244,18 +2243,16 @@ object SparkEntry {
             .as("zval"))
     },
 
-    // Sketch: approximate grouped percentiles (GK / KLL-style summary —
-    // mergeable, single-pass, bounded memory; the 100 TB path where exact
-    // sort-based percentiles are impossible). Rows-only like the other
-    // approximate ops; the spec bounds its error against the exact
-    // percentiles.
-    "approx_percentiles_value" -> ((s, dir) =>
-      t(s, dir, "events").groupBy(col("event_type"))
-        .agg(
-          percentile_approx(col("value"), lit(0.5), lit(10000))
-            .as("p50_approx"),
-          percentile_approx(col("value"), lit(0.95), lit(10000))
-            .as("p95_approx"))),
+    // Deterministic hash-sampled exact percentiles — the oracle-able
+    // counterpart of approx_percentile (SketchOps.approxPercentiles is
+    // the tolerance-spec'd KLL twin): a 1-in-SampleMod md5 sample of
+    // rows (same set in both engines), exact interpolated percentiles
+    // on the sample. The 100 TB shape — replace the impossible
+    // full-data sort with a sample small enough to aggregate exactly.
+    "sampled_percentiles_value" -> ((s, dir) =>
+      SketchOps.sampledPercentiles(t(s, dir, "events"), col("event_type"),
+        col("event_id"), col("value"), SampleMod,
+        Seq(0.5 -> "p50_sampled", 0.95 -> "p95_sampled"))),
 
     // Fixed-width histogram over order totals: integer-exact bucketing
     // (cents div bucket width — identical integer arithmetic in both
@@ -2398,6 +2395,12 @@ object SparkEntry {
   // oracle unrolls the same count).
   val KmeansK = 8
   val KmeansIters = 2
+  // KMV bottom-k sketch size: small enough that the estimator path (not
+  // the exact-count fallback) is exercised at sf0.01, large enough that
+  // the estimate lands within the spec tolerance of exact.
+  val KmvK = 64
+  // Deterministic 1-in-10 hash sample for the sampled-percentile query.
+  val SampleMod = 10
   // Boilerplate scrub: 8-token tiles; a tile appearing in >= 20 distinct
   // docs is boilerplate. The planted footer lands in every doc, so its
   // interior tiles cross the threshold in every alignment class.
@@ -3059,6 +3062,10 @@ object SparkEntry {
         |SELECT event_id, e.event_type AS event_type,
         |  least(greatest(value, lo), hi) AS v_capped
         |FROM events e JOIN q ON e.event_type = q.event_type""".stripMargin,
+
+    "kmv_distinct_users" -> Oracles.kmvDistinctUsers(KmvK),
+    "kmv_sketch_rollup" -> Oracles.kmvSketchRollup(KmvK),
+    "sampled_percentiles_value" -> Oracles.sampledPercentilesValue(SampleMod),
 
     "sql_interface_q6" -> Oracles.q6RevenueBand,
 

@@ -768,12 +768,32 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     val exact = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = SparkEntry.queries("approx_distinct_users")(spark, sf)
+    val approx = operators.SketchOps
+      .approxDistinct(ev, col("event_type"), col("user_id"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet == exact.keySet)
     approx.foreach { case (k, a) =>
       val e = exact(k)
       assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("KMV bottom-k estimate lands within tolerance of exact distinct") {
+    val dir = "/root/testdata/sf0.01"
+    val ev = Tables(spark, dir, "events")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = SparkEntry.queries("kmv_distinct_users")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // KMV with k=64: relative error concentrates near 1/sqrt(k-2) ≈ 13%;
+    // allow 3 sigma. Groups under k distinct values must be EXACT.
+    est.foreach { case (k, a) =>
+      val e = exact(k)
+      if (e < SparkEntry.KmvK) assert(a == e, s"$k: sub-k group not exact")
+      else assert(math.abs(a - e).toDouble / e < 0.40,
+        s"$k: kmv $a vs exact $e")
     }
   }
 
@@ -1043,9 +1063,9 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"orphan oracles: ${o -- q}")
-    assert(q -- o == Set("approx_distinct_users", "approx_percentiles_value",
-      "hll_sketch_rollup"),
-      s"unexpected rows-only queries: ${q -- o}")
+    // Fully green gate: every query has a DuckDB oracle (the approximate
+    // HLL/KLL twins live in SketchOps behind tolerance specs instead).
+    assert((q -- o).isEmpty, s"unexpected rows-only queries: ${q -- o}")
   }
 
   test("TopKLargest aggregator is partition-invariant and matches window top-k") {
@@ -1343,21 +1363,38 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
 
   test("HLL sketch rollup: merged daily partials == direct sketch estimate") {
     val dir = "/root/testdata/sf0.01"
-    val rolled = SparkEntry.queries("hll_sketch_rollup")(spark, dir)
+    val ev = Tables(spark, dir, "events")
+    val rolled = operators.SketchOps.hllRollup(ev, col("event_type"),
+        date_trunc("day", col("ts")), col("user_id"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val direct = Tables(spark, dir, "events").groupBy(col("event_type"))
+    val direct = ev.groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // HLL union is lossless over the sketch state: the rollup of daily
     // partials must give the SAME estimate as one pass over the rows.
     assert(rolled == direct)
-    val exact = Tables(spark, dir, "events").groupBy(col("event_type"))
+    val exact = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
       assert(math.abs(rolled(k) - n) <= math.max(2L, (n * 0.05).toLong),
         s"$k est=${rolled(k)} exact=$n")
     }
+  }
+
+  test("KMV rollup merge is exactly lossless: partials rollup == one pass") {
+    val dir = "/root/testdata/sf0.01"
+    val ev = Tables(spark, dir, "events")
+    val k = SparkEntry.KmvK
+    val rolled = SparkEntry.queries("kmv_sketch_rollup")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // bottom-k(∪_day bottom-k(day)) == bottom-k(all rows): the merged
+    // estimate must EQUAL the direct single-pass KMV estimate — exact
+    // losslessness, stronger than HLL's state-equality.
+    val direct = operators.SketchOps
+      .kmvDistinct(ev, Seq(col("event_type")), col("user_id"), k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled == direct)
   }
 
   test("PushFilterThroughAsOfJoin: left-only filters sink below the join") {
@@ -1396,7 +1433,9 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
 
   test("approx percentiles stay within tolerance of exact") {
     val dir = "/root/testdata/sf0.01"
-    val approx = SparkEntry.queries("approx_percentiles_value")(spark, dir)
+    val approx = operators.SketchOps.approxPercentiles(
+        Tables(spark, dir, "events"), col("event_type"), col("value"),
+        10000, Seq(0.5 -> "p50_approx", 0.95 -> "p95_approx"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
     val exact = Tables(spark, dir, "events").groupBy(col("event_type"))
