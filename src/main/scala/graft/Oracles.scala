@@ -56,6 +56,75 @@ object Oracles {
   private def hash60(s: String) = s"('0x' || substr(md5($s), 1, 15))::BIGINT"
   private def hash48(s: String) = s"('0x' || substr(md5($s), 1, 12))::BIGINT"
 
+  // ---- trained BPE (TextOps.bpeTrain) -----------------------------------
+
+  /** Unrolled BPE-training CTE chain — the SAME recurrence as
+    * [[graft.operators.TextOps.bpeTrain]], stage by stage (the
+    * hilbert2SqlCtes can't-drift pattern): `w0` is the per-character
+    * symbolization of the corpus word dictionary; each stage extracts
+    * adjacent symbol pairs, picks the argmax pair (count DESC, pair
+    * string ASC — the delimiter sorts below every symbol char, so pair-
+    * string order == (a,b) order), and applies the merge as the same
+    * leftmost non-overlapping `replace(' a b ', ' ab ')`. The sentinel
+    * `chr(2)` pair keeps an exhausted round total, mirroring
+    * TextOps.BpeSentinelPair. */
+  def bpeDictCtes(merges: Int): String = {
+    // Each w{i-1} feeds BOTH its stage's pair-argmax and its rewrite;
+    // MATERIALIZED pins linear evaluation (inlining would recompute the
+    // corpus scan 2^merges times).
+    val head =
+      s"""wd AS (SELECT unnest(string_split($norm, ' ')) AS word FROM documents),
+         |w0 AS MATERIALIZED (SELECT word, count(*) AS cnt,
+         |  ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
+         |  FROM wd GROUP BY word)""".stripMargin
+    val stages = (1 to merges).map { i =>
+      s"""p$i AS (SELECT pr, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest(list_transform(generate_series(1, len(sy) - 1),
+         |      j -> sy[j] || ' ' || sy[j + 1])) AS pr
+         |    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM w${i - 1}))
+         |  GROUP BY pr),
+         |b$i AS (SELECT pr FROM (
+         |    SELECT pr, n FROM p$i
+         |    UNION ALL SELECT chr(2) || ' ' || chr(2), -1)
+         |  ORDER BY n DESC, pr LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT word, cnt,
+         |  replace(s, ' ' || b.pr || ' ', ' ' || replace(b.pr, ' ', '') || ' ') AS s
+         |  FROM w${i - 1}, b$i b)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  /** Per-doc trained-BPE token counts (TextOps.bpeTokenCounts): per-word
+    * symbol count read off the trained dictionary (spaces minus one),
+    * joined back to the exploded corpus. */
+  def bpeTokenCounts(merges: Int): String =
+    s"""WITH ${bpeDictCtes(merges)},
+       |dict AS (SELECT word,
+       |  length(s) - length(replace(s, ' ', '')) - 1 AS n_sym FROM w$merges),
+       |dw AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS word
+       |  FROM documents)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN dict USING (word) GROUP BY doc_id""".stripMargin
+
+  /** Greedy sequence packing by TRUE trained-BPE token budget
+    * (SparkEntry `bpe_sequence_packing`): running pre-sum of per-doc BPE
+    * tokens within source, integer-divided into `budget`-token bins. */
+  def bpeSequencePacking(merges: Int, budget: Int): String =
+    s"""WITH ${bpeDictCtes(merges)},
+       |dict AS (SELECT word,
+       |  length(s) - length(replace(s, ' ', '')) - 1 AS n_sym FROM w$merges),
+       |dw AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS word
+       |  FROM documents),
+       |tok AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+       |  FROM dw JOIN dict USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id, d.source, t.n_bpe_tokens,
+       |  CAST(COALESCE(SUM(t.n_bpe_tokens) OVER (
+       |    PARTITION BY d.source ORDER BY d.doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $budget
+       |    AS BIGINT) AS pack_id
+       |FROM documents d JOIN tok t ON d.doc_id = t.doc_id""".stripMargin
+
   // ---- KMV / sampled sketches (SketchOps) -------------------------------
 
   /** KMV bottom-k distinct estimate (SketchOps.kmvDistinct): same 60-bit

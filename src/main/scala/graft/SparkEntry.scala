@@ -969,6 +969,34 @@ object SparkEntry {
           expr("tokens_before div 2000").as("pack_id"))
     },
 
+    // Trained-BPE token counts per document — the real-tokenizer upgrade
+    // of the regex proxy: a merge table is TRAINED on the corpus
+    // (Sennrich-style pair-count iterations, vocabulary-bounded state),
+    // and token counts come from the learned symbolization. The oracle
+    // replays the identical training recurrence as an unrolled CTE
+    // chain (Oracles.bpeDictCtes), so the two engines cannot drift.
+    "bpe_token_counts" -> ((s, dir) =>
+      TextOps.bpeTokenCounts(t(s, dir, "documents"), "doc_id", "text",
+        BpeMerges)),
+
+    // Sequence packing re-expressed over TRUE trained-BPE budgets (the
+    // packing twin of sequence_packing, which uses the regex proxy):
+    // token budgets are the currency of corpus assembly, so the bin
+    // arithmetic should run on what the tokenizer will actually emit.
+    "bpe_sequence_packing" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val counts = TextOps.bpeTokenCounts(t(s, dir, "documents"),
+        "doc_id", "text", BpeMerges)
+      t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(counts.select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+        .withColumn("tokens_before",
+          coalesce(sum(col("n_bpe_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_bpe_tokens"),
+          expr(s"tokens_before div $BpePackBudget").as("pack_id"))
+    },
+
     // Dataset mixture sampling: per-source keep rates applied via a
     // deterministic uniform hash — the "mix web at 30%, books at 100%"
     // step of corpus assembly. Rates inline on both sides.
@@ -2395,6 +2423,11 @@ object SparkEntry {
   // oracle unrolls the same count).
   val KmeansK = 8
   val KmeansIters = 2
+  // BPE: merge-table size trained on the corpus; packing budget in
+  // trained-BPE tokens. 24 merges is past the point where whole common
+  // words fuse to single symbols on the synthetic vocabulary.
+  val BpeMerges = 24
+  val BpePackBudget = 1500
   // KMV bottom-k sketch size: small enough that the estimator path (not
   // the exact-count fallback) is exercised at sf0.01, large enough that
   // the estimate lands within the spec tolerance of exact.
@@ -3062,6 +3095,10 @@ object SparkEntry {
         |SELECT event_id, e.event_type AS event_type,
         |  least(greatest(value, lo), hi) AS v_capped
         |FROM events e JOIN q ON e.event_type = q.event_type""".stripMargin,
+
+    "bpe_token_counts" -> Oracles.bpeTokenCounts(BpeMerges),
+    "bpe_sequence_packing" -> Oracles.bpeSequencePacking(BpeMerges,
+      BpePackBudget),
 
     "kmv_distinct_users" -> Oracles.kmvDistinctUsers(KmvK),
     "kmv_sketch_rollup" -> Oracles.kmvSketchRollup(KmvK),

@@ -153,6 +153,92 @@ object TextOps {
           (count(lit(1)) * lit(1073741824L)).cast("double")).as("lm_score"))
   }
 
+  /** Sentinel "pair" for an exhausted BPE merge round (no adjacent pairs
+    * left anywhere): sorts after every real pair via its -1 count, and
+    * applying it is a no-op (no word contains the U+0002 control char).
+    * Keeps the unrolled training chain total without data-dependent
+    * branching; the oracle's twin is `chr(2) || ' ' || chr(2)`. */
+  val BpeSentinelPair = "\u0002 \u0002"
+
+  /** Byte-pair-encoding trainer (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): starting from
+    * per-character symbols, repeatedly merge the corpus-wide most
+    * frequent adjacent symbol pair. Returns the trained dictionary
+    * `(word, cnt, s)` where `s` is the word's final symbolization as a
+    * delimited string `" sym1 sym2 ... "`.
+    *
+    * Determinism/oracle design: the symbolization is carried as a
+    * SPACE-DELIMITED STRING, so applying one merge rule (a,b) is
+    * `replace(s, ' a b ', ' ab ')` — leftmost non-overlapping string
+    * replacement, identical in Spark and DuckDB, and provably equal to
+    * the per-symbol greedy fold (a newly merged symbol `ab` can never
+    * re-merge under the SAME rule, since `ab` ≠ `a` and `ab` ≠ `b` for
+    * non-empty halves). Pair argmax ties break on the pair string —
+    * equivalent to (a, b) lexicographic order because the delimiter
+    * sorts below every symbol character. The DuckDB oracle replays the
+    * SAME recurrence as an unrolled CTE chain generated from this
+    * constant set ([[graft.Oracles.bpeDictCtes]]), so the two engines
+    * cannot drift.
+    *
+    * Scale: training state is the DISTINCT-WORD dictionary (vocabulary-
+    * bounded — far below corpus size), built from ONE corpus scan; each
+    * of the `merges` rounds is an aggregation + 1-row argmax +
+    * projection over that dictionary, localCheckpoint'ed so the plan
+    * stays linear in `merges` (the state feeds both the argmax and the
+    * rewrite, which would otherwise double the lineage per round). */
+  def bpeTrain(docs: DataFrame, text: String, merges: Int): DataFrame = {
+    require(merges >= 1, s"need merges >= 1, got $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sentinel = Seq((BpeSentinelPair, -1L)).toDF("pr", "n")
+    val init = docs
+      .select(explode(tokens(normalized(col(text)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        concat(lit(" "), expr("regexp_replace(word, '(.)', '$1 ')")).as("s"))
+      .localCheckpoint()
+    (1 to merges).foldLeft(init) { (state, _) =>
+      val pairs = state
+        .select(col("cnt"), split(trim(col("s")), " ").as("sy"))
+        .select(col("cnt"), explode(expr(
+          """case when size(sy) < 2 then cast(array() as array<string>)
+            |else transform(sequence(1, size(sy) - 1),
+            |  j -> element_at(sy, j) || ' ' || element_at(sy, j + 1))
+            |end""".stripMargin)).as("pr"))
+        .groupBy(col("pr")).agg(sum(col("cnt")).as("n"))
+      val best = pairs.unionByName(sentinel)
+        .orderBy(col("n").desc, col("pr")).limit(1)
+      state.crossJoin(broadcast(best))
+        .select(col("word"), col("cnt"), expr(
+          "replace(s, ' ' || pr || ' ', ' ' || replace(pr, ' ', '') || ' ')")
+          .as("s"))
+        .localCheckpoint()
+    }
+  }
+
+  /** Per-document token counts under a corpus-trained BPE vocabulary:
+    * `(id, n_words, n_bpe_tokens)`. The real-tokenizer upgrade of the
+    * regex proxy [[graft.functions.TextFunctions.bpeTokenCount]] —
+    * token budgets are the currency of packing / mixture / yield
+    * queries, so they should come from the trained merge table.
+    *
+    * Scale: BPE APPLICATION never touches document rows — the per-word
+    * symbol count is read off the trained dictionary (`n_sym` = spaces
+    * in `s` minus one) and broadcast-joined to the exploded corpus; one
+    * corpus scan, one vocabulary-sized broadcast, one per-doc sum. */
+  def bpeTokenCounts(docs: DataFrame, id: String, text: String,
+      merges: Int): DataFrame = {
+    val dict = bpeTrain(docs, text, merges)
+      .select(col("word"),
+        (length(col("s")) - length(expr("replace(s, ' ', '')")) - 1)
+          .as("n_sym"))
+    docs.select(col(id), explode(tokens(normalized(col(text)))).as("word"))
+      .join(broadcast(dict), "word")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
+  }
+
   /** BM25 relevance scoring of the corpus against a fixed query-term
     * set — the retrieval ranking behind corpus search / targeted
     * curation. Classic BM25 with one determinism substitution: the idf

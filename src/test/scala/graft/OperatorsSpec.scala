@@ -778,6 +778,32 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("BPE training learns the most frequent pair first, greedily left-to-right") {
+    import spark.implicits._
+    // Tokens: aa x1, ab x3 — first merge must be (a,b) (count 3), second
+    // (a,a). After 2 merges both words are single symbols.
+    val docs = Seq((1L, "aa ab"), (2L, "ab ab")).toDF("doc_id", "text")
+    val dict = TextOps.bpeTrain(docs, "text", 2)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(dict("aa") == " aa ")
+    assert(dict("ab") == " ab ")
+    // Greedy leftmost non-overlapping within one rule: "aaa" under a
+    // single (a,a) merge becomes [aa, a], NOT [a, aa] and NOT [aaa].
+    val tri = TextOps.bpeTrain(Seq((1L, "aaa")).toDF("doc_id", "text"),
+      "text", 1).collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(tri("aaa") == " aa a ")
+    // Token counts flow from the dictionary: doc 1 = aa(1) + ab(1).
+    val counts = TextOps.bpeTokenCounts(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(counts(1L) == (2L, 2L))
+    assert(counts(2L) == (2L, 2L))
+    // More merges can only shrink (or hold) the corpus token count.
+    val m1 = TextOps.bpeTokenCounts(docs, "doc_id", "text", 1)
+      .agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0)
+    val m2 = counts.values.map(_._2).sum
+    assert(m2 <= m1)
+  }
+
   test("KMV bottom-k estimate lands within tolerance of exact distinct") {
     val dir = "/root/testdata/sf0.01"
     val ev = Tables(spark, dir, "events")
