@@ -1459,42 +1459,54 @@ object Oracles {
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
   }
 
-  /** Deterministic k-means (ClusterOps.kmeans): hash-sample seeds, then
-    * `iters` unrolled Lloyd iterations — fold-ordered L2 distances,
+  /** Generalized deterministic-kmeans CTE chain over `v$sfx` (which must
+    * provide `(vec_id, vec DOUBLE[dim])`): hash-sample seeds `c0$sfx`,
+    * then `iters` unrolled Lloyd iterations — fold-ordered L2 distances,
     * (d2, cent_id) tie-break, 2^24 fixed-point per-dimension means
-    * (integer division truncates toward zero in BOTH engines). */
-  def kmeansCentroids(targetC: Int, iters: Int): String = {
+    * (integer division truncates toward zero in BOTH engines). The
+    * suffix keeps several chains composable in one query (the PQ oracle
+    * trains one chain per subspace). */
+  private def kmeansChain(sfx: String, dim: Int, targetC: Int,
+      iters: Int): String = {
     val iterCtes = (1 to iters).map { k =>
-      s"""a${k}w AS (SELECT v.vec_id, v.vec, c.cent_id,
-         |    list_reduce(list_transform(generate_series(1, 64),
+      s"""a$k${sfx}w AS (SELECT v.vec_id, v.vec, c.cent_id,
+         |    list_reduce(list_transform(generate_series(1, $dim),
          |      i -> (v.vec[i] - c.cent_vec[i]) * (v.vec[i] - c.cent_vec[i])),
          |      (a, b) -> a + b) AS d2
-         |  FROM v, c${k - 1} c),
-         |a$k AS (SELECT vec_id, vec, cent_id FROM (
+         |  FROM v$sfx v, c${k - 1}$sfx c),
+         |a$k$sfx AS (SELECT vec_id, vec, cent_id FROM (
          |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS r
-         |  FROM a${k}w) WHERE r = 1),
-         |m$k AS (SELECT cent_id, i AS pos, count(*) AS n,
+         |  FROM a$k${sfx}w) WHERE r = 1),
+         |m$k$sfx AS (SELECT cent_id, i AS pos, count(*) AS n,
          |    SUM(CAST(floor(vec[i] * 16777216) AS BIGINT)) AS s
-         |  FROM a$k, (SELECT unnest(generate_series(1, 64)) AS i) g
+         |  FROM a$k$sfx, (SELECT unnest(generate_series(1, $dim)) AS i) g
          |  GROUP BY cent_id, i),
-         |c$k AS (SELECT cent_id, min(n) AS n_members,
+         |c$k$sfx AS (SELECT cent_id, min(n) AS n_members,
          |    list(CAST(s // n AS DOUBLE) / CAST(16777216 AS DOUBLE) ORDER BY pos)
          |      AS cent_vec
-         |  FROM m$k GROUP BY cent_id)""".stripMargin
+         |  FROM m$k$sfx GROUP BY cent_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${kmeansCtePrefix(targetC, iterCtes)}
+    s"""c0$sfx AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v$sfx
+       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |    % greatest((SELECT count(*) FROM v$sfx) // $targetC, 1) = 0),
+       |$iterCtes""".stripMargin
+  }
+
+  /** The full-vector kmeans CTE list (v, c0..c`iters`) — the shared
+    * prefix of every trained-quantizer oracle. Exposed as a value so
+    * composing oracles append to it instead of re-parsing rendered SQL
+    * (round-5 ADVICE: the old `indexOf("\\nSELECT cent_id")` surgery). */
+  private def kmeansCtePrefix(targetC: Int, iters: Int): String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |${kmeansChain("", 64, targetC, iters)}""".stripMargin
+
+  /** Deterministic k-means final centroids (ClusterOps.kmeans). */
+  def kmeansCentroids(targetC: Int, iters: Int): String =
+    s"""WITH ${kmeansCtePrefix(targetC, iters)}
        |SELECT cent_id, CAST(n_members AS BIGINT) AS n_members,
        |  sqrt(list_reduce(list_transform(generate_series(1, 64),
        |    i -> cent_vec[i] * cent_vec[i]), (a, b) -> a + b)) AS centroid_norm
        |FROM c$iters""".stripMargin
-  }
-
-  private def kmeansCtePrefix(targetC: Int, iterCtes: String): String =
-    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-       |c0 AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v
-       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-       |    % greatest((SELECT count(*) FROM v) // $targetC, 1) = 0),
-       |$iterCtes""".stripMargin
 
   /** IVF over the trained quantizer (SimilarityOps.ivfKnnTrained): L2
     * rank-1 corpus buckets / rank<=nprobe probe buckets against the
@@ -1505,9 +1517,7 @@ object Oracles {
       s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (a, b) -> a + b)"
     def d2(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, 64), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (a, b) -> a + b)"
-    val centroidSql = kmeansCentroids(targetC, iters)
-    val withCtes = centroidSql.substring(0, centroidSql.indexOf("\nSELECT cent_id"))
-    s"""$withCtes,
+    s"""WITH ${kmeansCtePrefix(targetC, iters)},
        |n AS (SELECT vec_id, vec, sqrt(${dot("vec", "vec")}) AS nrm FROM v),
        |caw AS (SELECT n.vec_id, n.vec, n.nrm, c.cent_id,
        |    ${d2("n.vec", "c.cent_vec")} AS d2
@@ -1534,10 +1544,7 @@ object Oracles {
     * (ClusterOps.kmeansAssign after kmeans): one more rank-1 assignment
     * over the final CTE. */
   def kmeansAssignments(targetC: Int, iters: Int): String = {
-    val centroidSql = kmeansCentroids(targetC, iters)
-    val prefixEnd = centroidSql.indexOf("\nSELECT cent_id")
-    val withCtes = centroidSql.substring(0, prefixEnd)
-    s"""$withCtes,
+    s"""WITH ${kmeansCtePrefix(targetC, iters)},
        |fw AS (SELECT v.vec_id, c.cent_id,
        |    list_reduce(list_transform(generate_series(1, 64),
        |      i -> (v.vec[i] - c.cent_vec[i]) * (v.vec[i] - c.cent_vec[i])),
@@ -1546,6 +1553,81 @@ object Oracles {
        |SELECT vec_id, cent_id, d2 FROM (
        |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS r
        |  FROM fw) WHERE r = 1""".stripMargin
+  }
+
+  /** IVF-PQ (SimilarityOps.ivfPqKnn): coarse kmeans chain + one
+    * sub-kmeans chain per subspace; codes = rank-1 sub-assignments;
+    * ADC = per-(probe, candidate) sum of LUT distances folded in
+    * subspace order from a 0.0 seed (Spark's aggregate-over-zip twin);
+    * exact fold-ordered cosine on the `rerank` shortlist only. */
+  def knnIvfPq(probeEvery: Int, k: Int, targetC: Int, iters: Int,
+      nprobe: Int, m: Int, subDim: Int, ks: Int, rerank: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+    def d2(a: String, b: String, dim: Int) =
+      s"list_reduce(list_transform(generate_series(1, $dim), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (a, b) -> a + b)"
+    val subChains = (0 until m).map { s0 =>
+      s"""vs$s0 AS (SELECT vec_id,
+         |  list_slice(vec, ${s0 * subDim + 1}, ${(s0 + 1) * subDim}) AS vec
+         |  FROM v),
+         |${kmeansChain(s"s$s0", subDim, ks, iters)}""".stripMargin
+    }.mkString(",\n")
+    val codeCtes = (0 until m).map { s0 =>
+      s"""cdw$s0 AS (SELECT v.vec_id, c.cent_id,
+         |    ${d2("v.vec", "c.cent_vec", subDim)} AS d2
+         |  FROM vs$s0 v, c${iters}s$s0 c),
+         |cd$s0 AS (SELECT vec_id, $s0 AS sub, cent_id AS code FROM (
+         |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS r
+         |  FROM cdw$s0) WHERE r = 1),
+         |lut$s0 AS (SELECT p.probe_id, $s0 AS sub, c.cent_id AS code,
+         |    ${d2("p.vec", "c.cent_vec", subDim)} AS d2c
+         |  FROM (SELECT vec_id AS probe_id,
+         |      list_slice(vec, ${s0 * subDim + 1}, ${(s0 + 1) * subDim}) AS vec
+         |    FROM v WHERE vec_id % $probeEvery = 0) p, c${iters}s$s0 c)""".stripMargin
+    }.mkString(",\n")
+    val codesUnion = (0 until m).map(s0 => s"SELECT * FROM cd$s0")
+      .mkString(" UNION ALL ")
+    val lutUnion = (0 until m).map(s0 => s"SELECT * FROM lut$s0")
+      .mkString(" UNION ALL ")
+    s"""WITH ${kmeansCtePrefix(targetC, iters)},
+       |$subChains,
+       |$codeCtes,
+       |codes AS ($codesUnion),
+       |luts AS ($lutUnion),
+       |caw AS (SELECT v.vec_id, c.cent_id,
+       |    ${d2("v.vec", "c.cent_vec", 64)} AS cd2
+       |  FROM v, c$iters c),
+       |ca AS (SELECT vec_id, cent_id FROM (
+       |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY cd2, cent_id) AS cr
+       |  FROM caw) WHERE cr = 1),
+       |pw AS (SELECT p.vec_id AS probe_id, c.cent_id,
+       |    ${d2("p.vec", "c.cent_vec", 64)} AS cd2
+       |  FROM (SELECT * FROM v WHERE vec_id % $probeEvery = 0) p, c$iters c),
+       |pb AS (SELECT probe_id, cent_id FROM (
+       |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY cd2, cent_id) AS cr
+       |  FROM pw) WHERE cr <= $nprobe),
+       |cand AS (SELECT pb.probe_id, ca.vec_id
+       |  FROM ca JOIN pb ON ca.cent_id = pb.cent_id
+       |  WHERE ca.vec_id <> pb.probe_id),
+       |adc AS (SELECT cp.probe_id, cp.vec_id,
+       |    list_reduce(list_prepend(0.0, list(l.d2c ORDER BY l.sub)),
+       |      (a, b) -> a + b) AS adc
+       |  FROM cand cp
+       |  JOIN codes cd ON cd.vec_id = cp.vec_id
+       |  JOIN luts l ON l.probe_id = cp.probe_id AND l.sub = cd.sub
+       |    AND l.code = cd.code
+       |  GROUP BY cp.probe_id, cp.vec_id),
+       |sl AS (SELECT probe_id, vec_id FROM (
+       |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS ar
+       |  FROM adc) WHERE ar <= $rerank),
+       |n AS (SELECT vec_id, vec, sqrt(${dot("vec", "vec")}) AS nrm FROM v),
+       |s AS (SELECT sl.probe_id, sl.vec_id,
+       |    ${dot("p.vec", "x.vec")} / (p.nrm * x.nrm) AS sim
+       |  FROM sl JOIN n x ON x.vec_id = sl.vec_id
+       |  JOIN n p ON p.vec_id = sl.probe_id)
+       |SELECT probe_id, vec_id, round(sim, 9) AS sim, rank FROM (
+       |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM s) WHERE rank <= $k""".stripMargin
   }
 
   /** SCD2 merge over a freshly-versioned orders target: replaced

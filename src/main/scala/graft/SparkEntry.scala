@@ -2363,6 +2363,29 @@ object SparkEntry {
           round(col("sim"), 9).as("sim"), col("rank"))
     },
 
+    // IVF-PQ (Jégou et al. 2011) — the memory/IO companion of
+    // knn_ivf_trained: per-subspace k-means codebooks (reusing the
+    // ClusterOps trainer), candidate scoring by asymmetric distance over
+    // broadcast probe LUTs — the candidate stream carries m small codes,
+    // never the 64 floats — and exact cosine re-rank on the ADC-best
+    // shortlist only.
+    "knn_ivf_pq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
+        .select(col("cent_id"),
+          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+      val coarse = ClusterOps.kmeans(corpus, initial, KmeansIters)
+      val books = SimilarityOps.pqCodebooks(corpus, PqM, PqSubDim, PqKs,
+        KmeansIters)
+      SimilarityOps.ivfPqKnn(probes, corpus, KnnK, coarse, books, PqSubDim,
+          nprobe = IvfNprobe, rerank = PqRerank)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("sim"), 9).as("sim"), col("rank"))
+    },
+
     // Per-vector cluster map against the refined centroids — the output
     // downstream curation consumes (buckets, postings, quotas).
     "kmeans_assignments" -> { (s, dir) =>
@@ -2423,6 +2446,16 @@ object SparkEntry {
   // oracle unrolls the same count).
   val KmeansK = 8
   val KmeansIters = 2
+  // Product quantization: 4 subspaces x 16 dims, ~8 codes per subspace
+  // (hash-sample seeded like the coarse quantizer), ADC shortlist of
+  // 8k candidates re-ranked exactly. The synthetic embeddings are
+  // near-random (no cluster structure), so ADC needs a deeper shortlist
+  // than a real corpus would; rerank stays FIXED as the corpus grows,
+  // which is what makes PQ a pruner at scale.
+  val PqM = 4
+  val PqSubDim = 16
+  val PqKs = 8
+  val PqRerank = 8 * KnnK
   // BPE: merge-table size trained on the corpus; packing budget in
   // trained-BPE tokens. 24 merges is past the point where whole common
   // words fuse to single symbols on the synthetic vocabulary.
@@ -2792,6 +2825,8 @@ object SparkEntry {
     "kmeans_assignments" -> Oracles.kmeansAssignments(KmeansK, KmeansIters),
     "knn_ivf_trained" -> Oracles.knnIvfTrained(
       KnnProbeEvery, KnnK, KmeansK, KmeansIters, IvfNprobe),
+    "knn_ivf_pq" -> Oracles.knnIvfPq(KnnProbeEvery, KnnK, KmeansK,
+      KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqRerank),
     "label_centroid_norms" -> Oracles.labelCentroidNorms,
     "salted_agg_events" -> Oracles.saltedAggEvents,
     "salted_join_customer_orders" -> Oracles.joinCustomerOrders,

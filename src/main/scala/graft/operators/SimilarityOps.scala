@@ -164,6 +164,138 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Product-quantization sub-codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector space is
+    * split into `m` contiguous `subDim`-wide subspaces and a small
+    * k-means codebook (~`ks` codes) is trained per subspace — reusing
+    * [[ClusterOps.kmeans]] on the sliced corpus with the same
+    * hash-sampled seeding. Returns `(sub, cent_id, cent_vec)`.
+    *
+    * Scale: each subspace trainer is the kmeans pass (broadcast
+    * centroids, fixed-point means); the trained codebook is m·ks rows —
+    * always broadcastable. */
+  def pqCodebooks(corpus: DataFrame, m: Int, subDim: Int, ks: Int,
+      iters: Int, corpusId: String = "vec_id"): DataFrame =
+    (0 until m).map { sub =>
+      val sliced = corpus.select(col(corpusId),
+        slice(col("vec"), sub * subDim + 1, subDim).as("vec"))
+      val initial = ivfCentroids(sliced, ks, corpusId)
+        .select(col("cent_id"),
+          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+      ClusterOps.kmeans(sliced, initial, iters, corpusId)
+        .select(lit(sub).as("sub"), col("cent_id"), col("cent_vec"))
+    }.reduce(_ unionByName _)
+
+  /** 8-bit-style PQ code assignment: each row's `m` subvectors mapped to
+    * their nearest sub-centroid — a pure projection against the
+    * broadcast codebook (rank-1 per (row, sub) plans as partial
+    * WindowGroupLimit). Returns `(id, codes array)` with codes ordered
+    * by subspace; the full float vector is REPLACED by m small ids,
+    * which is the whole memory/IO point of PQ at 100 TB. */
+  def pqCodes(corpus: DataFrame, codebooks: DataFrame, subDim: Int,
+      corpusId: String = "vec_id"): DataFrame =
+    corpus.crossJoin(broadcast(codebooks))
+      .select(col(corpusId), col("sub"), col("cent_id"),
+        graft.expressions.GraftFunctions.l2DistSq(
+          slice(col("vec"), col("sub") * subDim + 1, lit(subDim)),
+          col("cent_vec")).as("__d2"))
+      .withColumn("__r", rank().over(
+        Window.partitionBy(col(corpusId), col("sub"))
+          .orderBy(col("__d2"), col("cent_id"))))
+      .filter(col("__r") === 1)
+      .groupBy(col(corpusId))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cent_id")))),
+        x => x.getField("cent_id")).as("codes"))
+
+  /** IVF-PQ ANN — the FAISS companion of [[ivfKnnTrained]]: coarse
+    * buckets from the trained quantizer, candidate scoring by ASYMMETRIC
+    * DISTANCE (per-probe lookup tables of probe-subvector→code
+    * distances, summed over subspaces against each candidate's codes),
+    * exact cosine re-rank ONLY on the `rerank` ADC-best candidates.
+    *
+    * Scale: the candidate stream carries `(cent_id, id, codes)` — never
+    * the float vectors (codes are m ids vs 64 floats: ~16x less IO);
+    * the probe LUTs are (probes · m · ks) doubles, broadcast; the exact
+    * re-rank joins the corpus by id for probes·rerank rows only, with
+    * the shortlist broadcast so the corpus never shuffles.
+    *
+    * Determinism: ADC folds subspace distances in subspace order from a
+    * 0.0 seed (the oracle folds `list(d2c ORDER BY sub)` identically);
+    * shortlist ties break (adc, id), final ties (sim desc, id). */
+  def ivfPqKnn(
+      probes: DataFrame, corpus: DataFrame, k: Int,
+      coarseCentroids: DataFrame, codebooks: DataFrame,
+      subDim: Int, nprobe: Int = 3, rerank: Int = 15,
+      probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
+    val cents = coarseCentroids.select(col("cent_id"), col("cent_vec"))
+    def buckets(df: DataFrame, idc: String, vecc: String, n: Int): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .select(df.columns.map(col) :+ col("cent_id") :+
+          graft.expressions.GraftFunctions.l2DistSq(
+            col(vecc), col("cent_vec")).as("__d2"): _*)
+        .withColumn("__cr", rank().over(
+          Window.partitionBy(col(idc)).orderBy(col("__d2"), col("cent_id"))))
+        .filter(col("__cr") <= n)
+        .drop("__d2", "__cr")
+
+    // Corpus side of the candidate join: bucket + codes, NO vectors.
+    val corpusCoded = buckets(corpus, corpusId, "vec", 1)
+      .select(col(corpusId), col("cent_id"))
+      .join(pqCodes(corpus, codebooks, subDim, corpusId), corpusId)
+
+    // Probe side: nprobe buckets + the per-subspace distance LUT
+    // (map cent_id -> d2, ordered into an array by subspace).
+    val lut = probes.crossJoin(broadcast(codebooks))
+      .select(col(probeId), col("sub"), col("cent_id"),
+        graft.expressions.GraftFunctions.l2DistSq(
+          slice(col("probe_vec"), col("sub") * subDim + 1, lit(subDim)),
+          col("cent_vec")).as("d2c"))
+      .groupBy(col(probeId), col("sub"))
+      .agg(map_from_entries(collect_list(struct(col("cent_id"), col("d2c"))))
+        .as("mp"))
+      .groupBy(col(probeId))
+      .agg(collect_list(struct(col("sub"), col("mp"))).as("__lst"))
+      // Maps are not orderable, so sort the (sub, map) structs with an
+      // explicit comparator on `sub` alone.
+      .select(col(probeId), expr(
+        """transform(array_sort(__lst, (l, r) ->
+          |  case when l.sub < r.sub then -1
+          |       when l.sub > r.sub then 1 else 0 end), x -> x.mp)"""
+          .stripMargin).as("luts"))
+    val probeBuckets = buckets(
+        probes.select(col(probeId), col("probe_vec")), probeId, "probe_vec",
+        nprobe)
+      .select(col(probeId), col("cent_id"))
+      .join(lut, probeId)
+
+    val shortlist = corpusCoded.join(broadcast(probeBuckets), Seq("cent_id"))
+      .filter(col(probeId) =!= col(corpusId))
+      .select(col(probeId), col(corpusId),
+        aggregate(
+          zip_with(col("codes"), col("luts"), (c, mp) => element_at(mp, c)),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+      .withColumn("__ar", rank().over(
+        Window.partitionBy(col(probeId)).orderBy(col("adc"), col(corpusId))))
+      .filter(col("__ar") <= rerank)
+      .select(col(probeId), col(corpusId))
+
+    // Exact re-rank on the shortlist only: fetch the few full vectors by
+    // id (shortlist broadcast — the corpus still never shuffles).
+    val c = corpus.select(col(corpusId), col("vec"),
+      norm(col("vec")).as("__nrm"))
+    val p = probes.select(col(probeId), col("probe_vec"),
+      norm(col("probe_vec")).as("__pnrm"))
+    c.join(broadcast(shortlist), corpusId)
+      .join(broadcast(p), probeId)
+      .select(col(probeId), col(corpusId),
+        (dot(col("probe_vec"), col("vec")) /
+          (col("__pnrm") * col("__nrm"))).as("sim"))
+      .withColumn("rank", rank().over(
+        Window.partitionBy(col(probeId)).orderBy(col("sim").desc, col(corpusId))))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact all-pairs cosine near-duplicates over a (bounded) corpus:
     * the O(n²) ground-truth baseline that [[embeddingNearDup]]'s bucketed
     * candidates are measured against. Broadcast one side; only

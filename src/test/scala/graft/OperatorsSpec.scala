@@ -804,6 +804,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(m2 <= m1)
   }
 
+  test("IVF-PQ recall: ADC shortlist + exact re-rank tracks knn_ivf_trained") {
+    val dir = "/root/testdata/sf0.01"
+    def hits(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .map { case (p, a) => p -> a.map(_._2).toSet }
+    val pq = hits("knn_ivf_pq")
+    val ivf = hits("knn_ivf_trained")
+    assert(pq.keySet == ivf.keySet)
+    // PQ prunes with quantized distances, so it cannot beat its own
+    // coarse-bucket baseline; on the near-random synthetic embeddings
+    // ADC ordering is noisy — require substantial (not perfect) overlap.
+    val recalls = pq.keys.toSeq.map { p =>
+      (pq(p) intersect ivf(p)).size.toDouble / ivf(p).size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall vs ivf_trained too low: $mean ($recalls)")
+  }
+
   test("KMV bottom-k estimate lands within tolerance of exact distinct") {
     val dir = "/root/testdata/sf0.01"
     val ev = Tables(spark, dir, "events")

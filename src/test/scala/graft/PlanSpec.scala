@@ -82,6 +82,47 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("IVF-PQ search: no shuffle carries float vectors — codes travel, not vectors") {
+    // Train quantizers first and cut their lineage (training is a
+    // separate, persisted artifact in a real pipeline); then assert the
+    // SEARCH plan never shuffles a vector column — candidates move as
+    // (cent_id, id, codes), the whole memory/IO point of PQ.
+    val emb = Tables(spark, sfDir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val initial = operators.SimilarityOps.ivfCentroids(corpus, 8)
+      .select(col("cent_id"),
+        transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+    val coarse = operators.ClusterOps.kmeans(corpus, initial, 1).localCheckpoint()
+    val books = operators.SimilarityOps.pqCodebooks(corpus, 4, 16, 4, 1)
+      .localCheckpoint()
+    val df = operators.SimilarityOps.ivfPqKnn(probes, corpus, 5, coarse,
+      books, 16)
+    df.collect() // materialize so AQE finalizes every stage
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[Seq[String]] = {
+      import org.apache.spark.sql.execution.adaptive._
+      import org.apache.spark.sql.execution.exchange._
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      val self = p match {
+        case s: ShuffleExchangeExec => Seq(s.output.map(_.name))
+        case _ => Nil
+      }
+      self ++ kids.flatMap(shuffles)
+    }
+    val found = shuffles(df.queryExecution.executedPlan)
+    assert(found.nonEmpty, "expected at least the rank-window shuffles")
+    val vectorCols = Set("vec", "probe_vec", "cent_vec")
+    val bad = found.filter(_.exists(vectorCols))
+    assert(bad.isEmpty, s"vector column crossed a shuffle: $bad")
+  }
+
   test("scans are column-pruned: q1_agg reads only the needed lineitem columns") {
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
     // sparkPlan, not executedPlan: AQE wraps the tree and hides children
