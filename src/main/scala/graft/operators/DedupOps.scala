@@ -262,6 +262,47 @@ object DedupOps {
       .select(col(id), col("component"))
   }
 
+  /** INCREMENTAL connected components — the continuous-curation twin of
+    * [[connectedComponents]]: fold one batch of new vertices and edges
+    * into a PERSISTED label table without recomputing the graph.
+    *
+    * Key invariant: a correct label table maps every vertex to the MIN
+    * id of its component, so each component is represented by one label.
+    * A new batch can only merge whole components (plus the new
+    * singletons), so it suffices to (1) lift the new edges into LABEL
+    * space — an edge (a, b) becomes (label(a), label(b)) — and (2) run
+    * CC on that label-merge graph, which is FRONTIER-SIZED (≤ 2·|batch
+    * edges| vertices, independent of corpus size); the min label of a
+    * merged label-set equals the min id over the union of their
+    * members, so (3) one broadcast remap of the label table restores the
+    * invariant. Per batch the corpus-sized work is exactly one map-side
+    * broadcast-join projection — the iteration never touches old rows.
+    *
+    * `prevLabels`: (`id`, component) — pass an empty frame to bootstrap.
+    * `newEdges`: `id_a`/`id_b` pairs; both endpoints must be known (old
+    * corpus or this batch). Returns the updated (`id`, component). */
+  def incrementalComponents(prevLabels: DataFrame, newVertices: DataFrame,
+      newEdges: DataFrame, id: String, maxIter: Int = 20): DataFrame = {
+    val seeded = prevLabels.select(col(id), col("component"))
+      .unionByName(newVertices.select(col(id), col(id).as("component")))
+    val labelEdges = newEdges.select(col("id_a"), col("id_b"))
+      .join(seeded.select(col(id).as("id_a"), col("component").as("__la")),
+        "id_a")
+      .join(seeded.select(col(id).as("id_b"), col("component").as("__lb")),
+        "id_b")
+      .select(col("__la").as("id_a"), col("__lb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    val touched = labelEdges.select(col("id_a").as(id))
+      .unionByName(labelEdges.select(col("id_b").as(id))).distinct()
+    val remap = connectedComponents(touched, labelEdges, id, maxIter)
+      .filter(col(id) =!= col("component"))
+      .select(col(id).as("__old"), col("component").as("__new"))
+    seeded.join(broadcast(remap), col("component") === col("__old"), "left")
+      .select(col(id),
+        coalesce(col("__new"), col("component")).as("component"))
+  }
+
   // ---- exact n-gram Jaccard (the oracle-grade ground truth) ----------
 
   /** Exact pairwise Jaccard over distinct word-bigram shingles via an

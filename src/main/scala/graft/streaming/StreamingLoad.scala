@@ -170,6 +170,65 @@ object StreamingLoad {
       }
       .start()
 
+  /** Continuous cluster labeling — the incremental twin of the batch
+    * `dedup_cc_*` family: every micro-batch of arriving documents is
+    * MinHash-signed, candidate edges are generated against the persisted
+    * signature store AND within the batch, and a PERSISTED component-
+    * label table is updated via [[graft.operators.DedupOps
+    * .incrementalComponents]] — only the frontier (this batch's edges,
+    * lifted to label space) iterates; the corpus-sized label table gets
+    * one broadcast remap per batch. Unlike [[nearDupRejectStream]],
+    * near-duplicates are KEPT and labeled, so downstream curation can
+    * pick per-cluster survivors with full information (quality-weighted
+    * keep, cluster-size stats) at any time without a batch recompute. */
+  def ccLabelStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      warehouse: ParquetWarehouse,
+      table: TableRef,
+      sigTable: TableRef,
+      labelTable: TableRef,
+      idField: String,
+      textField: String,
+      minEst: Double,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        val ops = graft.operators.DedupOps
+        val vsStore =
+          if (warehouse.exists(sigTable))
+            ops.minhashCandidatesAgainst(
+                warehouse.table(sigTable), batch, idField, textField)
+              .filter(col("est_jaccard") >= minEst)
+              .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"))
+          else batch.select(col(idField).as("id_a"), col(idField).as("id_b"))
+            .limit(0)
+        val within = ops.minhashCandidates(batch, idField, textField)
+          .filter(col("est_jaccard") >= minEst)
+          .select(col("id_a"), col("id_b"))
+        val prev =
+          if (warehouse.exists(labelTable)) warehouse.table(labelTable)
+          else batch.select(col(idField), col(idField).as("component"))
+            .limit(0)
+        // Materialize eagerly: the new labels are DERIVED from the table
+        // they are about to replace (TruncateInsert) — cut the lineage
+        // before the overwrite, or the lazy read races the write.
+        val labels = ops.incrementalComponents(
+            prev, batch.select(col(idField)),
+            vsStore.unionByName(within), idField)
+          .localCheckpoint(true)
+        warehouse.load(LoadMode.Insert, table, batch, idField)
+        warehouse.load(LoadMode.Insert, sigTable,
+          ops.minhashSignatureArr(batch, idField, textField), idField)
+        warehouse.load(LoadMode.TruncateInsert, labelTable, labels, idField)
+      }
+      .start()
+
   /** Event-time windowed aggregation with a watermark — the streaming
     * form of [[graft.operators.AnalyticOps.tumblingAgg]] (same expression
     * tree; late rows beyond the watermark are dropped instead of

@@ -83,6 +83,56 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .map(_.getLong(0)).toSet == Set(1L, 2L, 11L))
   }
 
+  test("ccLabelStream: incremental labels == batch connectedComponents after N batches") {
+    import graft.operators.DedupOps
+    val root = Files.createTempDirectory("graft_inccc").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val (tbl, sig, lab) = (TableRef("", "cc_corpus"),
+      TableRef("", "cc_sigs"), TableRef("", "cc_labels"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val base = "spark filter merge join window batch stream hash sort " +
+      "group order value column row table part key data line agg"
+    def run(): Unit =
+      StreamingLoad.ccLabelStream(spark, src, docSchema, wh, tbl, sig, lab,
+        "doc_id", "text", minEst = 0.5, s"$root/ckpt").awaitTermination()
+
+    // Batch 1: 1~3 near-dups (within batch), 2 unrelated.
+    writeFile(src, "a.json",
+      s"""{"doc_id":1,"text":"$base one"}
+         |{"doc_id":2,"text":"totally different tiny document about nothing else at all"}
+         |{"doc_id":3,"text":"$base two"}""".stripMargin)
+    run()
+    // Batch 2: 10~stored-1 (cross-batch edge -> joins component 1),
+    // 11 fresh singleton.
+    writeFile(src, "b.json",
+      s"""{"doc_id":10,"text":"$base three"}
+         |{"doc_id":11,"text":"fresh unrelated content words appear nowhere in the corpus yet"}""".stripMargin)
+    run()
+    // Batch 3: 12~stored-10 — a CHAINED merge (12 never saw doc 1's
+    // text directly... it does share the base; the component min must
+    // still resolve to 1 through the label-space merge).
+    writeFile(src, "c.json",
+      s"""{"doc_id":12,"text":"$base four"}""".stripMargin)
+    run()
+
+    val inc = wh.table(lab).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Ground truth: full-corpus candidate edges + batch CC.
+    val corpus = wh.table(tbl)
+    val edges = DedupOps.minhashCandidates(corpus, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+    val batchCc = DedupOps.connectedComponents(
+        corpus.select(col("doc_id")), edges, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == batchCc, s"incremental $inc vs batch $batchCc")
+    // The near-dup family actually clustered: 1, 3, 10, 12 share a
+    // component labeled by the min id.
+    assert(inc(1L) == 1L && inc(3L) == 1L && inc(10L) == 1L && inc(12L) == 1L)
+    assert(inc(2L) == 2L && inc(11L) == 11L)
+  }
+
   test("cdcStream: tombstones delete, upserts apply, across micro-batch runs") {
     val root = Files.createTempDirectory("graft_cdc").toString
     val src = s"$root/src"; Files.createDirectories(Paths.get(src))
