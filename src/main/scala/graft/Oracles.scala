@@ -366,23 +366,48 @@ object Oracles {
        |JOIN sizes nb ON nb.doc_id = id_b
        |WHERE CAST(c AS DOUBLE) / CAST((na.n + nb.n) - c AS DOUBLE) >= $minJaccard""".stripMargin
 
-  /** The multimodal decode STUB is a deterministic byte histogram, so
-    * even the mapPartitions path gets a real oracle: byte buckets are
-    * the high hex nibble of each payload byte; the L1 fold adds the 16
-    * features in index order (absent buckets contribute exact 0.0). */
+  /** GRB1 raster pixels, rebuilt at hex level with the SAME derivation
+    * as MultimodalOps.withToyRaster (dims from text length, pixels tile
+    * the utf-8 hex + trailing space), then bucketed by high nibble —
+    * what decodeFeatures' raster histogram computes after parsing the
+    * binary header. Shared by multimodal_decode / multimodal_features. */
+  private val grb1Ctes: String =
+    """d AS (SELECT doc_id, hex(encode(text)) || '20' AS hsrc,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+      |dims AS (SELECT doc_id, CAST(n % 13 + 4 AS INTEGER) AS w,
+      |  CAST(n % 11 + 3 AS INTEGER) AS h, hsrc FROM d),
+      |pix AS (SELECT doc_id, w, h, CAST(w * h AS BIGINT) AS npx,
+      |  rpad(hsrc, 2 * w * h, hsrc) AS ph FROM dims),
+      |byt AS (SELECT doc_id, ('0x' || substr(ph, 2 * i - 1, 1))::INTEGER AS bucket
+      |  FROM (SELECT doc_id, ph, unnest(generate_series(1, npx)) AS i FROM pix)),
+      |cnt AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+      |  FROM byt GROUP BY doc_id, bucket),
+      |grid AS (SELECT doc_id, unnest(generate_series(0, 15)) AS bucket FROM pix),
+      |fh AS (SELECT g.doc_id, g.bucket, coalesce(cnt.c, 0) AS c
+      |  FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.bucket = cnt.bucket),
+      |hist AS (SELECT doc_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY bucket) AS hs
+      |  FROM fh GROUP BY doc_id)""".stripMargin
+
+  /** Decoded GRB1 header + raster-histogram digest
+    * (MultimodalOps.decodeFeatures on withToyRaster payloads). */
+  val multimodalDecode: String =
+    s"""WITH $grb1Ctes
+       |SELECT p.doc_id, p.w AS width, p.h AS height, p.npx AS n_px,
+       |  md5(h.hs) AS hist_md5
+       |FROM pix p JOIN hist h ON p.doc_id = h.doc_id""".stripMargin
+
+  /** Normalized-histogram features over the decoded raster; the L1 fold
+    * adds the 16 features in bucket order (absent buckets exact 0.0). */
   val multimodalFeatures: String =
-    """WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
-      |  octet_length(encode(text)) AS n FROM documents),
-      |byt AS (SELECT doc_id, n, ('0x' || substr(h, 2 * i - 1, 1))::INTEGER AS bucket
-      |  FROM (SELECT doc_id, n, h, unnest(generate_series(1, n)) AS i FROM d)),
-      |counts AS (SELECT doc_id, bucket, count(*) AS c, max(n) AS n
-      |  FROM byt GROUP BY doc_id, bucket)
-      |SELECT doc_id, 16 AS dim,
-      |  round(CAST(coalesce(max(CASE WHEN bucket = 0 THEN c END), 0) AS DOUBLE)
-      |    / CAST(greatest(max(n), 1) AS DOUBLE), 9) AS f_first,
-      |  round(list_reduce(list(CAST(c AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE) ORDER BY bucket),
-      |    (a, b) -> a + b), 6) AS f_l1
-      |FROM counts GROUP BY doc_id""".stripMargin
+    s"""WITH $grb1Ctes
+       |SELECT f.doc_id, 16 AS dim,
+       |  round(CAST(max(CASE WHEN f.bucket = 0 THEN f.c END) AS DOUBLE)
+       |    / CAST(max(p.npx) AS DOUBLE), 9) AS f_first,
+       |  round(list_reduce(
+       |    list(CAST(f.c AS DOUBLE) / CAST(p.npx AS DOUBLE) ORDER BY f.bucket),
+       |    (a, b) -> a + b), 6) AS f_l1
+       |FROM fh f JOIN pix p ON f.doc_id = p.doc_id
+       |GROUP BY f.doc_id""".stripMargin
 
   /** End-to-end web pipeline (clean_html → boilerplate scrub → quality
     * gate → per-source yield), composed from the same stage SQL the

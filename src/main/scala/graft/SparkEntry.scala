@@ -647,16 +647,32 @@ object SparkEntry {
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.n_bytes").as("n_bytes"))),
 
-    // Rows-only checks (no SQL-expressible oracle): batch decode stub and
-    // the approximate ANN path (spec-tested for recall vs brute force).
-    // Scalar summary columns only — the driver sorts even rows-only
-    // outputs, and pandas can't sort array cells.
+    // Real end-to-end decode of the self-describing GRB1 raster format:
+    // ENCODE a genuine binary payload (magic + u16 dims + pixel bytes),
+    // then batch-DECODE it back — magic check, header parse, raster
+    // read — and hash the decoded histogram. The oracle rebuilds the
+    // identical raster at hex level, so a decoder bug (wrong endianness,
+    // off-by-one header skip) breaks the hash.
+    "multimodal_decode" -> ((s, dir) =>
+      MultimodalOps.decodeFeatures(
+        MultimodalOps.withToyRaster(t(s, dir, "documents"), "text"), "doc_id")
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          md5(array_join(transform(col("hist"), v => v.cast("string")), ","))
+            .as("hist_md5"))),
+
+    // Feature extraction over the decoded raster (normalized histogram):
+    // scalar summary columns only — the driver sorts rows before
+    // hashing, and pandas can't sort array cells.
     "multimodal_features" -> ((s, dir) =>
       MultimodalOps.decodeFeatures(
-        MultimodalOps.withBinaryColumn(t(s, dir, "documents"), "text"), "doc_id")
-        .select(col("doc_id"), size(col("features")).as("dim"),
-          round(element_at(col("features"), 1), 9).as("f_first"),
-          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6).as("f_l1"))),
+        MultimodalOps.withToyRaster(t(s, dir, "documents"), "text"), "doc_id")
+        .select(col("doc_id"), lit(MultimodalOps.FeatureDim).as("dim"),
+          round(element_at(col("hist"), 1).cast("double") /
+            col("n_px").cast("double"), 9).as("f_first"),
+          round(aggregate(
+            transform(col("hist"), v =>
+              v.cast("double") / col("n_px").cast("double")),
+            lit(0.0), (a, x) => a + x), 6).as("f_l1"))),
 
     // ---- relational coverage: joins, set ops, distinct, scalar fns ----
     "join_customer_orders" -> { (s, dir) =>
@@ -2775,6 +2791,7 @@ object SparkEntry {
     "rollup_lineitem" -> Oracles.rollupLineitem,
     "multimodal_meta" -> Oracles.multimodalMeta,
     "multimodal_features" -> Oracles.multimodalFeatures,
+    "multimodal_decode" -> Oracles.multimodalDecode,
     "quality_filter" -> Oracles.qualityFilter(QualityMin),
     "quality_deciles" -> Oracles.qualityDeciles,
     "standardized_values" -> Oracles.standardizedValues,

@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * ride as opaque `binary` columns with a typed metadata struct; decode /
   * feature-extraction runs batch-wise over partitions.
   *
-  * The decode step itself is a STUB (no image/audio codecs in this
-  * environment — deterministic fake features derived from the bytes); the
-  * Spark-side plumbing is real and tested: schema, batch shape,
-  * partition-wise execution, and the metadata/projection path.
+  * The container has no image/audio codecs, so the decodable format here
+  * is GRB1, a self-describing toy raster (magic + big-endian u16 dims +
+  * 8-bit grayscale pixels): [[withToyRaster]] ENCODES real binary
+  * payloads and [[decodeFeatures]] genuinely DECODES them — magic check,
+  * header parse, raster read, feature extraction — end-to-end, the same
+  * code path a real codec would slot into.
   *
   * Scale design: payload bytes are only materialized inside the partition
   * iterator (`mapPartitions`), never shuffled — all wide transforms are on
@@ -42,33 +44,76 @@ object MultimodalOps {
 
   val FeatureDim = 16
 
-  /** Batch-wise "decode + feature extraction" over partitions — the Scala
-    * analogue of a vectorized (mapInPandas-style) UDF: rows are pulled in
-    * batches of `batchSize`, each batch is "decoded" together, and only
-    * the narrow feature vector leaves the iterator.
+  /** GRB1 magic, "GRB1" in ASCII hex. Layout: 4-byte magic | u16 width
+    * (big-endian) | u16 height | width·height 8-bit grayscale pixels. */
+  val Grb1MagicHex = "47524231"
+
+  /** ENCODE a real GRB1 binary payload per row: dimensions derive from
+    * the text length (w ∈ [4,16], h ∈ [3,13]); pixels tile the utf-8
+    * bytes of the text (padded with a trailing space so empty text still
+    * tiles). Pure projection — hex-string assembly + one `unhex` — so
+    * the DuckDB oracle rebuilds the identical raster at hex level. */
+  def withToyRaster(df: DataFrame, textCol: String): DataFrame = {
+    val n = octet_length(encode(col(textCol), "utf-8")).cast("long")
+    df.withColumn("__w", (n % 13 + 4).cast("int"))
+      .withColumn("__h", (n % 11 + 3).cast("int"))
+      .withColumn("__hsrc",
+        concat(hex(encode(col(textCol), "utf-8")), lit("20")))
+      .withColumn("payload", unhex(concat(
+        lit(Grb1MagicHex),
+        lpad(hex(col("__w")), 4, "0"),
+        lpad(hex(col("__h")), 4, "0"),
+        expr("rpad(__hsrc, 2 * (__w * __h), __hsrc)"))))
+      .withColumn("meta", struct(
+        lit("graft/grb1").as("format"),
+        col("__w").as("width"), col("__h").as("height"),
+        octet_length(col("payload")).cast("long").as("n_bytes")))
+      .drop("__w", "__h", "__hsrc")
+  }
+
+  /** Batch-wise REAL decode + feature extraction over partitions — the
+    * Scala analogue of a vectorized (mapInPandas-style) UDF: rows are
+    * pulled in batches of `batchSize`, each batch is decoded together,
+    * and only the narrow header fields + histogram leave the iterator.
     *
-    * STUB decode: a real deployment would decode `payload` with an image
-    * codec here; this environment has none, so features are a
-    * deterministic byte-value histogram (16 buckets, L1-normalized) —
-    * stable across partitionings and runs. */
+    * The decoder is honest: it verifies the GRB1 magic (failing loudly
+    * on foreign bytes), parses the big-endian dimensions, reads exactly
+    * width·height raster bytes, and extracts a [[FeatureDim]]-bucket
+    * pixel histogram. Returns `(id, width, height, n_px,
+    * hist array<long>)` — counts, not ratios, so downstream derivations
+    * (and the oracle hash) stay integer-exact. */
   def decodeFeatures(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     val in = df.select(col(idCol).cast("long"), col("payload"))
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
-      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)))
     val rdd = in.rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // One "decode" per batch (codec setup amortized across the batch,
-        // like Arrow-batch Python UDFs).
+        // One decode pass per batch (codec setup amortized across the
+        // batch, like Arrow-batch Python UDFs).
         batch.iterator.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val hist = new Array[Double](FeatureDim)
+          require(bytes.length >= 8 &&
+            bytes(0) == 'G' && bytes(1) == 'R' && bytes(2) == 'B' &&
+            bytes(3) == '1',
+            s"row $id: payload is not GRB1 (${bytes.take(4).mkString(",")})")
+          val w = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+          val h = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+          val nPx = w * h
+          require(bytes.length >= 8 + nPx,
+            s"row $id: truncated raster (${bytes.length} bytes for $w x $h)")
+          val hist = new Array[Long](FeatureDim)
           var i = 0
-          while (i < bytes.length) { hist((bytes(i) & 0xff) / (256 / FeatureDim)) += 1.0; i += 1 }
-          val total = math.max(bytes.length.toDouble, 1.0)
-          Row(id, hist.map(_ / total).toIndexedSeq)
+          while (i < nPx) {
+            hist((bytes(8 + i) & 0xff) / (256 / FeatureDim)) += 1L
+            i += 1
+          }
+          Row(id, w, h, nPx.toLong, hist.toIndexedSeq)
         }
       }
     }

@@ -741,16 +741,29 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(out == Seq((101L, 202L), (102L, null)))
   }
 
-  test("multimodal: decodeFeatures batch stub is deterministic and normalized") {
+  test("multimodal: GRB1 decode is real, deterministic, and rejects foreign bytes") {
     val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 20)
-    val withBin = MultimodalOps.withBinaryColumn(docs, "text")
-    val f1 = MultimodalOps.decodeFeatures(withBin, "doc_id", batchSize = 7)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
-    val f2 = MultimodalOps.decodeFeatures(withBin.repartition(5), "doc_id", batchSize = 3)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
-    assert(f1 == f2, "features must not depend on partitioning/batching")
-    assert(f1.values.forall(v => math.abs(v.sum - 1.0) < 1e-9))
-    assert(f1.values.forall(_.length == MultimodalOps.FeatureDim))
+    val withBin = MultimodalOps.withToyRaster(docs, "text")
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getSeq[Long](4)))).toMap
+    val f1 = grab(MultimodalOps.decodeFeatures(withBin, "doc_id", batchSize = 7))
+    val f2 = grab(MultimodalOps.decodeFeatures(
+      withBin.repartition(5), "doc_id", batchSize = 3))
+    assert(f1 == f2, "decode must not depend on partitioning/batching")
+    // The decoder read the DECLARED raster: histogram counts sum to w*h.
+    f1.values.foreach { case (w, h, nPx, hist) =>
+      assert(nPx == w.toLong * h)
+      assert(hist.sum == nPx)
+      assert(hist.length == MultimodalOps.FeatureDim)
+    }
+    // Honest decoder: non-GRB1 payloads fail loudly, not quietly.
+    val foreign = MultimodalOps.withBinaryColumn(docs, "text")
+    val ex = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeFeatures(foreign, "doc_id").collect()
+    }
+    assert(ex.getMessage.contains("GRB1") ||
+      ex.getCause.getMessage.contains("GRB1"))
   }
 
   test("multimodal: frameSample slices payload without shuffling it") {
