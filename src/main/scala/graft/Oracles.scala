@@ -371,9 +371,10 @@ object Oracles {
     * the utf-8 hex + trailing space), then bucketed by high nibble —
     * what decodeFeatures' raster histogram computes after parsing the
     * binary header. Shared by multimodal_decode / multimodal_features. */
-  private val grb1Ctes: String =
-    """d AS (SELECT doc_id, hex(encode(text)) || '20' AS hsrc,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+  private def grb1Ctes(where: String = "TRUE"): String =
+    s"""d AS (SELECT doc_id, hex(encode(text)) || '20' AS hsrc,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents
+      |  WHERE $where),
       |dims AS (SELECT doc_id, CAST(n % 13 + 4 AS INTEGER) AS w,
       |  CAST(n % 11 + 3 AS INTEGER) AS h, hsrc FROM d),
       |pix AS (SELECT doc_id, w, h, CAST(w * h AS BIGINT) AS npx,
@@ -391,15 +392,24 @@ object Oracles {
   /** Decoded GRB1 header + raster-histogram digest
     * (MultimodalOps.decodeFeatures on withToyRaster payloads). */
   val multimodalDecode: String =
-    s"""WITH $grb1Ctes
+    s"""WITH ${grb1Ctes()}
        |SELECT p.doc_id, p.w AS width, p.h AS height, p.npx AS n_px,
        |  md5(h.hs) AS hist_md5
+       |FROM pix p JOIN hist h ON p.doc_id = h.doc_id""".stripMargin
+
+  /** Planted-file ingestion (Ingest.writeBinaryFiles → binaryFiles →
+    * decode): the GRB1 derivation restricted to the planted sample;
+    * file_len = 8-byte header + raster. */
+  val binaryFileIngest: String =
+    s"""WITH ${grb1Ctes("doc_id % 10 = 0")}
+       |SELECT p.doc_id, 8 + p.npx AS file_len, p.w AS width, p.h AS height,
+       |  p.npx AS n_px, md5(h.hs) AS hist_md5
        |FROM pix p JOIN hist h ON p.doc_id = h.doc_id""".stripMargin
 
   /** Normalized-histogram features over the decoded raster; the L1 fold
     * adds the 16 features in bucket order (absent buckets exact 0.0). */
   val multimodalFeatures: String =
-    s"""WITH $grb1Ctes
+    s"""WITH ${grb1Ctes()}
        |SELECT f.doc_id, 16 AS dim,
        |  round(CAST(max(CASE WHEN f.bucket = 0 THEN f.c END) AS DOUBLE)
        |    / CAST(max(p.npx) AS DOUBLE), 9) AS f_first,

@@ -660,6 +660,30 @@ object SparkEntry {
           md5(array_join(transform(col("hist"), v => v.cast("string")), ","))
             .as("hist_md5"))),
 
+    // Binary-file ingestion end-to-end: stage each sampled doc's GRB1
+    // payload as its OWN FILE (Ingest.writeBinaryFiles — executor-side
+    // Hadoop FS writes, one object per asset like a media bucket), read
+    // the directory back through the binaryFile source, parse ids from
+    // paths, and decode. The oracle recomputes the same derivation from
+    // the documents table, so a staging or listing bug breaks the hash.
+    "binary_file_ingest" -> { (s, dir) =>
+      val sample = MultimodalOps.withToyRaster(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "text")
+      val stage = s"/tmp/graft_grb1_stage_${Integer.toHexString(dir.hashCode)}"
+      graft.io.Ingest.writeBinaryFiles(sample, "doc_id", "payload", stage, ".grb")
+      val back = graft.io.Ingest.binaryFiles(s, stage, Some("*.grb"))
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.grb$", 1).cast("long")
+            .as("doc_id"),
+          col("length").as("file_len"), col("content").as("payload"))
+      back.select(col("doc_id"), col("file_len"))
+        .join(MultimodalOps.decodeFeatures(back, "doc_id"), "doc_id")
+        .select(col("doc_id"), col("file_len"), col("width"), col("height"),
+          col("n_px"),
+          md5(array_join(transform(col("hist"), v => v.cast("string")), ","))
+            .as("hist_md5"))
+    },
+
     // Feature extraction over the decoded raster (normalized histogram):
     // scalar summary columns only — the driver sorts rows before
     // hashing, and pandas can't sort array cells.
@@ -2792,6 +2816,7 @@ object SparkEntry {
     "multimodal_meta" -> Oracles.multimodalMeta,
     "multimodal_features" -> Oracles.multimodalFeatures,
     "multimodal_decode" -> Oracles.multimodalDecode,
+    "binary_file_ingest" -> Oracles.binaryFileIngest,
     "quality_filter" -> Oracles.qualityFilter(QualityMin),
     "quality_deciles" -> Oracles.qualityDeciles,
     "standardized_values" -> Oracles.standardizedValues,

@@ -65,6 +65,27 @@ object Ingest {
     glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
   }
 
+  /** The write twin of [[binaryFiles]]: stage each row's binary payload
+    * as its own file `<id><ext>` under `dir` — the shape object-store
+    * media ingestion expects (one object per asset). Executed per
+    * partition through the Hadoop FileSystem API, so the same code
+    * writes file://, hdfs:// or s3a:// and each executor writes only its
+    * partition's rows; nothing funnels through the driver. */
+  def writeBinaryFiles(df: DataFrame, idCol: String, payloadCol: String,
+      dir: String, ext: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    df.select(col(idCol).cast("string"), col(payloadCol))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.mkdirs(path)
+        rows.foreach { r =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(path, r.getString(0) + ext), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        }
+      }
+  }
+
   /** Rows → NDJSON lines (T1/T2: `toJSONLine` / `toNewLineJSON`,
     * utils.ts:27-39). */
   def toNdjson(df: DataFrame): Dataset[String] = {

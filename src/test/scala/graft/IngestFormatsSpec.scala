@@ -70,6 +70,30 @@ class IngestFormatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[String]("path").endsWith("img.bin"))
   }
 
+  test("writeBinaryFiles -> binaryFiles round-trips payloads one file per row") {
+    import graft.operators.MultimodalOps
+    val dir = Files.createTempDirectory("graft_binrt").toString + "/stage"
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 10)
+    val staged = MultimodalOps.withToyRaster(docs, "text")
+    Ingest.writeBinaryFiles(staged, "doc_id", "payload", dir, ".grb")
+    val back = Ingest.binaryFiles(spark, dir, Some("*.grb"))
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.grb$", 1).cast("long").as("doc_id"),
+        col("content"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val direct = staged.select(col("doc_id"), col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(back == direct, "bytes must survive the file round-trip exactly")
+    assert(back.keySet == direct.keySet)
+    // Decoding the round-tripped payloads works (magic survived).
+    val dec = MultimodalOps.decodeFeatures(
+      Ingest.binaryFiles(spark, dir, Some("*.grb")).select(
+        regexp_extract(col("path"), "(\\d+)\\.grb$", 1).cast("long").as("doc_id"),
+        col("content").as("payload")), "doc_id")
+    assert(dec.count() == direct.size)
+  }
+
   test("Ingest.files façade reads every jarred format") {
     for (fmt <- Seq("json", "csv", "parquet", "orc")) {
       val dir = Files.createTempDirectory(s"graft_facade_$fmt").toString + "/data"
