@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -257,6 +257,35 @@ object TextOps {
     * |Q| terms. */
   def bm25Scores(docs: DataFrame, id: String, text: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame =
+    bm25Core(docs, id, text, queryTerms, k1, b,
+      idf = (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1))
+        .cast("double") / (lit(2) * col("df") + lit(1)).cast("double"))
+
+  /** Textbook-idf BM25: `ln((N - df + 0.5)/(df + 0.5))` — Robertson's
+    * log-dampened odds ratio, the scorer deployments should use when
+    * multi-term score COMPOSITION matters (the log keeps rare terms from
+    * linearly swamping common ones in the per-doc sum; the rational form
+    * re-weights terms relative to each other). Not oracle-hashable (`ln`
+    * is not bit-stable across engines — see [[bm25Scores]]), so this
+    * form is spec-checked against the rational one instead: for a
+    * SINGLE-term query idf is a constant positive scale whenever
+    * df < N/2, so the two forms rank documents identically (the spec
+    * asserts it at ±1e-9 tie tolerance). When df > N/2 the log turns
+    * negative and flips that term's ranking — the classic BM25 quirk;
+    * clamp or add-one the idf if the corpus has such terms. */
+  def bm25ScoresLogIdf(docs: DataFrame, id: String, text: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame =
+    bm25Core(docs, id, text, queryTerms, k1, b,
+      idf = log((col("n_docs").cast("double") - col("df").cast("double")
+        + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
+
+  /** Shared BM25 pipeline: per-(doc, term) tf/dl, broadcast df + corpus
+    * stats, `idf` supplied by the caller (over `n_docs`/`df` columns),
+    * per-doc fold in sorted term order. */
+  private def bm25Core(docs: DataFrame, id: String, text: String,
+      queryTerms: Seq[String], k1: Double, b: Double, idf: Column)
       : DataFrame = {
     require(queryTerms.nonEmpty)
     val withTf = docs
@@ -272,8 +301,6 @@ object TextOps {
       .select(size(tokens(normalized(col(text)))).as("__dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("sum_dl"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-    val idf = (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1))
-      .cast("double") / (lit(2) * col("df") + lit(1)).cast("double")
     val tfd = col("tf").cast("double")
     val comp = idf * ((tfd * lit(k1 + 1)) /
       (tfd + lit(k1) * (lit(1.0 - b) + lit(b) *

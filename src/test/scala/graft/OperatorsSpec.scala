@@ -835,6 +835,40 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(mean >= 0.4, s"mean recall vs ivf_trained too low: $mean ($recalls)")
   }
 
+  test("log-idf BM25 ranks single-term queries identically to the rational form") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables(spark, dir, "documents")
+    val n = docs.count()
+    // ±1e-9 tie tolerance: bucket scores so a last-bit difference can't
+    // reorder effective ties; rank with id ascending inside a bucket.
+    def buckets(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect()
+        .map(r => r.getLong(0) -> math.rint(r.getDouble(2) / 1e-9).toLong)
+        .toMap
+    def ranked(b: Map[Long, Long], desc: Boolean): Seq[Long] =
+      b.toSeq.sortBy { case (id, s) => (if (desc) -s else s, id) }.map(_._1)
+
+    // Rare term (df < N/2, log-idf positive): rankings must be IDENTICAL.
+    val rare = "dup"
+    val r = buckets(TextOps.bm25Scores(docs, "doc_id", "text", Seq(rare)))
+    val l = buckets(TextOps.bm25ScoresLogIdf(docs, "doc_id", "text", Seq(rare)))
+    assert(r.nonEmpty && r.size < n / 2, s"'$rare' df=${r.size} not rare")
+    assert(r.keySet == l.keySet)
+    assert(ranked(r, desc = true) == ranked(l, desc = true),
+      s"single-term ranking diverged for '$rare'")
+
+    // Common term (df > N/2): the log turns NEGATIVE and inverts the
+    // ranking — the quirk the docstring warns about, pinned here so a
+    // future clamp shows up as a spec change, not a silent drift.
+    val common = "spark"
+    val rc = buckets(TextOps.bm25Scores(docs, "doc_id", "text", Seq(common)))
+    val lc = buckets(TextOps.bm25ScoresLogIdf(docs, "doc_id", "text", Seq(common)))
+    assert(rc.size > n / 2, s"'$common' df=${rc.size} not common")
+    assert(lc.values.forall(_ < 0), "log-idf should be negative here")
+    assert(ranked(rc, desc = true) == ranked(lc, desc = false),
+      s"negative log-idf should invert the '$common' ranking")
+  }
+
   test("KMV bottom-k estimate lands within tolerance of exact distinct") {
     val dir = "/root/testdata/sf0.01"
     val ev = Tables(spark, dir, "events")
