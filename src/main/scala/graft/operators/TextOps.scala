@@ -106,18 +106,22 @@ object TextOps {
     val boiler = tiles.select(col("__h"), col(id)).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .select(col("__h"))
-    val kept = tiles.join(boiler, Seq("__h"), "left_anti")
+      .select(col("__h"), lit(true).as("__boiler"))
+    // ONE pass over the tiles: left-join the (vocab-sized, broadcast)
+    // boilerplate flag, then a single groupBy computes the total count,
+    // the kept count, and the ordered reconstruction together —
+    // collect_list drops the nulls the `when` leaves on flagged tiles,
+    // and all-boilerplate docs still aggregate (empty clean_text, never
+    // dropped). Two corpus scans total (df-dict + this), down from the
+    // three of the anti-join/regroup/recount form (round-5 VERDICT #8).
+    tiles.join(boiler, Seq("__h"), "left")
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(count(lit(1)).as("n_tiles"),
+        count(when(col("__boiler").isNull, 1)).as("n_kept"),
         array_join(transform(
-          array_sort(collect_list(struct(col("seg_idx"), col("seg_text")))),
-          x => x.getField("seg_text")), " ").as("__clean"))
-    tiles.groupBy(col(id)).agg(count(lit(1)).as("n_tiles"))
-      .join(kept, Seq(id), "left")
-      .select(col(id), col("n_tiles"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("__clean"), lit("")).as("clean_text"))
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("seg_idx"), col("seg_text"))))),
+          x => x.getField("seg_text")), " ").as("clean_text"))
   }
 
   /** Add-one-smoothed bigram language-model score per document — the
