@@ -20,6 +20,12 @@ object Oracles {
   private val norm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
   private def toks(c: String) = raw"regexp_split_to_array(trim($c), '\s+')"
 
+  /** Escape a Scala string for embedding in a single-quoted SQL literal —
+    * a guard on the shared constants (footer text, regexes): today none
+    * contains a quote, but an added apostrophe must not silently break
+    * the generated oracle (round-5 ADVICE). */
+  private def q(s: String) = s.replace("'", "''")
+
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -428,7 +434,7 @@ object Oracles {
        |    (CASE WHEN doc_id % 2 = 0
        |       THEN '<div class="post"><p>' || text ||
        |            '</p>&nbsp;<a href="#">Read&amp;more</a></div>'
-       |       ELSE text END) || ' ' || '$footer' AS html
+       |       ELSE text END) || ' ' || '${q(footer)}' AS html
        |  FROM documents),
        |c AS (SELECT doc_id, source,
        |  trim(regexp_replace(
@@ -453,7 +459,7 @@ object Oracles {
        |  FROM c LEFT JOIN rec ON c.doc_id = rec.doc_id),
        |q AS (SELECT doc_id, source, text, ${toks("text")} AS tk FROM recon)
        |SELECT source, count(*) AS n_docs,
-       |  CAST(SUM(len(regexp_extract_all(text, '$bpeRe'))) AS BIGINT) AS total_tokens
+       |  CAST(SUM(len(regexp_extract_all(text, '${q(bpeRe)}'))) AS BIGINT) AS total_tokens
        |FROM q
        |WHERE ((0.4 * (CAST(${hits("tk", StopEn)} AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
        |    + (0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 200.0)))
@@ -547,7 +553,7 @@ object Oracles {
     * reconstruct from surviving tiles in order. Same hash60 tile keys
     * as the Spark side. */
   def boilerplateScrub(footer: String, width: Int, minDf: Int): String =
-    s"""WITH d AS (SELECT doc_id, text || ' ' || '$footer' AS text FROM documents),
+    s"""WITH d AS (SELECT doc_id, text || ' ' || '${q(footer)}' AS text FROM documents),
        |t AS (SELECT doc_id, $norm AS nrm FROM d),
        |s AS (SELECT doc_id, string_split(nrm, ' ') AS tk FROM t),
        |tl AS (SELECT doc_id, i AS seg_idx,
@@ -1008,7 +1014,7 @@ object Oracles {
        |  FROM kept k JOIN dd ON k.doc_id = dd.doc_id),
        |q AS (SELECT doc_id, source, text, ${toks("text")} AS tk FROM d2),
        |fin AS (SELECT source,
-       |  len(regexp_extract_all(text, '$bpeRe')) AS n_tokens
+       |  len(regexp_extract_all(text, '${q(bpeRe)}')) AS n_tokens
        |  FROM q
        |  WHERE ((0.4 * (CAST(${hits("tk", StopEn)} AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
        |    + (0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 200.0)))
@@ -1423,7 +1429,7 @@ object Oracles {
   def tokenCounts(bpeRe: String): String =
     s"""SELECT doc_id,
        |  len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
-       |  len(regexp_extract_all(text, '$bpeRe')) AS bpe_tokens
+       |  len(regexp_extract_all(text, '${q(bpeRe)}')) AS bpe_tokens
        |FROM documents""".stripMargin
 
   /** Per-label centroid norms: 2^-24 fixed-point element sums (decimal

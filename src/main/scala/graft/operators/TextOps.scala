@@ -67,10 +67,18 @@ object TextOps {
     * sequence+explode; the last tile may be shorter than `width`. */
   def tokenTiles(docs: DataFrame, id: String, text: String, width: Int): DataFrame = {
     require(width >= 1, s"tile width must be >= 1, got $width")
+    // Guard the sequence bound: Spark's sequence(0, -1) DESCENDS
+    // ([0, -1]), so a zero-token doc would mint phantom tiles with
+    // negative seg_idx. Unreachable while tokens('') returns [''], but
+    // the oracle's range(0, 0) is empty — clamp + filter keeps the two
+    // engines agreeing if the tokenizer ever filters empties.
     docs.select(col(id), tokens(normalized(col(text))).as("__toks"))
       .select(col(id), col("__toks"),
-        explode(sequence(lit(0),
-          expr(s"(size(__toks) + ${width - 1}) div $width") - 1)).as("seg_idx"))
+        expr(s"(size(__toks) + ${width - 1}) div $width").as("__nt"))
+      .select(col(id), col("__toks"), col("__nt"),
+        explode(sequence(lit(0), greatest(col("__nt") - 1, lit(0))))
+          .as("seg_idx"))
+      .filter(col("seg_idx") < col("__nt"))
       .select(col(id), col("seg_idx"),
         array_join(slice(col("__toks"),
           col("seg_idx") * width + 1, lit(width)), " ").as("seg_text"))

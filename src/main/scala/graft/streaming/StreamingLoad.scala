@@ -158,9 +158,18 @@ object StreamingLoad {
               .filter(col("est_jaccard") >= minEst)
               .select(col("new_id").as(idField))
           else batch.select(col(idField)).limit(0)
-        // …or a LOWER-id member of this same batch (keep-lowest rule).
+        // …or a LOWER-id member of this same batch (keep-lowest rule) —
+        // but only a lower-id member that itself SURVIVES the vs-store
+        // check: if A is store-rejected and B ~ A but B is unlike
+        // anything stored, dropping B on A's account would lose B's
+        // content from the corpus entirely (round-5 ADVICE). Within the
+        // surviving set the rule stays pairwise (chains like
+        // store-dup ← B ← C still drop C with B) — the same
+        // transitivity caveat semDedup documents.
         val within = ops.minhashCandidates(batch, idField, textField)
           .filter(col("est_jaccard") >= minEst)
+          .join(vsStore.select(col(idField).as("id_a")), Seq("id_a"),
+            "left_anti")
           .select(col("id_b").as(idField))
         val survivors = batch.join(
           vsStore.unionByName(within).distinct(), Seq(idField), "left_anti")
