@@ -407,7 +407,7 @@ object Oracles {
     * decode): the GRB1 derivation restricted to the planted sample;
     * file_len = 8-byte header + raster. */
   val binaryFileIngest: String =
-    s"""WITH ${grb1Ctes("doc_id % 10 = 0")}
+    s"""WITH ${grb1Ctes("doc_id % 50 = 0")}
        |SELECT p.doc_id, 8 + p.npx AS file_len, p.w AS width, p.h AS height,
        |  p.npx AS n_px, md5(h.hs) AS hist_md5
        |FROM pix p JOIN hist h ON p.doc_id = h.doc_id""".stripMargin
@@ -1602,7 +1602,8 @@ object Oracles {
     * subspace order from a 0.0 seed (Spark's aggregate-over-zip twin);
     * exact fold-ordered cosine on the `rerank` shortlist only. */
   def knnIvfPq(probeEvery: Int, k: Int, targetC: Int, iters: Int,
-      nprobe: Int, m: Int, subDim: Int, ks: Int, rerank: Int): String = {
+      nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
+      rerank: Int): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (a, b) -> a + b)"
     def d2(a: String, b: String, dim: Int) =
@@ -1611,12 +1612,12 @@ object Oracles {
       s"""vs$s0 AS (SELECT vec_id,
          |  list_slice(vec, ${s0 * subDim + 1}, ${(s0 + 1) * subDim}) AS vec
          |  FROM v),
-         |${kmeansChain(s"s$s0", subDim, ks, iters)}""".stripMargin
+         |${kmeansChain(s"s$s0", subDim, ks, subIters)}""".stripMargin
     }.mkString(",\n")
     val codeCtes = (0 until m).map { s0 =>
       s"""cdw$s0 AS (SELECT v.vec_id, c.cent_id,
          |    ${d2("v.vec", "c.cent_vec", subDim)} AS d2
-         |  FROM vs$s0 v, c${iters}s$s0 c),
+         |  FROM vs$s0 v, c${subIters}s$s0 c),
          |cd$s0 AS (SELECT vec_id, $s0 AS sub, cent_id AS code FROM (
          |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS r
          |  FROM cdw$s0) WHERE r = 1),
@@ -1624,7 +1625,7 @@ object Oracles {
          |    ${d2("p.vec", "c.cent_vec", subDim)} AS d2c
          |  FROM (SELECT vec_id AS probe_id,
          |      list_slice(vec, ${s0 * subDim + 1}, ${(s0 + 1) * subDim}) AS vec
-         |    FROM v WHERE vec_id % $probeEvery = 0) p, c${iters}s$s0 c)""".stripMargin
+         |    FROM v WHERE vec_id % $probeEvery = 0) p, c${subIters}s$s0 c)""".stripMargin
     }.mkString(",\n")
     val codesUnion = (0 until m).map(s0 => s"SELECT * FROM cd$s0")
       .mkString(" UNION ALL ")

@@ -74,6 +74,12 @@ object Ingest {
   def writeBinaryFiles(df: DataFrame, idCol: String, payloadCol: String,
       dir: String, ext: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
+    // Truncate-stage semantics: clear the target dir first so a stale
+    // file from an earlier (differently-sampled) staging run can't
+    // pollute the listing a reader sees.
+    val driverFs = path.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (driverFs.exists(path)) driverFs.delete(path, true)
     df.select(col(idCol).cast("string"), col(payloadCol))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())

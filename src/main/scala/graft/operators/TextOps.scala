@@ -239,8 +239,16 @@ object TextOps {
     * in `s` minus one) and broadcast-joined to the exploded corpus; one
     * corpus scan, one vocabulary-sized broadcast, one per-doc sum. */
   def bpeTokenCounts(docs: DataFrame, id: String, text: String,
-      merges: Int): DataFrame = {
-    val dict = bpeTrain(docs, text, merges)
+      merges: Int): DataFrame =
+    bpeTokenCountsWith(docs, id, text, bpeTrain(docs, text, merges))
+
+  /** [[bpeTokenCounts]] against an ALREADY-TRAINED dictionary — the
+    * production shape: train once, persist the (tiny) merge dictionary,
+    * apply everywhere (several queries sharing one trained dict is the
+    * same pattern as sharing a persisted signature store). */
+  def bpeTokenCountsWith(docs: DataFrame, id: String, text: String,
+      trainedDict: DataFrame): DataFrame = {
+    val dict = trainedDict
       .select(col("word"),
         (length(col("s")) - length(expr("replace(s, ' ', '')")) - 1)
           .as("n_sym"))
