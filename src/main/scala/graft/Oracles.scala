@@ -113,6 +113,32 @@ object Oracles {
        |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
        |FROM dw JOIN dict USING (word) GROUP BY doc_id""".stripMargin
 
+  /** Token-budget head (SparkEntry `token_budget_head`): the quality
+    * expression is textStats', the token counts are the trained-BPE
+    * dict's, the cumsum is a plain window (the Spark side's distributed
+    * prefix sum equals it exactly — long addition is associative). */
+  def tokenBudgetHead(merges: Int, budget: Long): String =
+    s"""WITH ${bpeDictCtes(merges)},
+       |dict AS (SELECT word,
+       |  length(s) - length(replace(s, ' ', '')) - 1 AS n_sym FROM w$merges),
+       |dw AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS word
+       |  FROM documents),
+       |tok AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+       |  FROM dw JOIN dict USING (word) GROUP BY doc_id),
+       |tq AS (SELECT doc_id, text, ${toks("text")} AS tk FROM documents),
+       |qual AS (SELECT doc_id,
+       |  ((0.4 * (CAST(${hits("tk", StopEn)} AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
+       |    + (0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 200.0)))
+       |    + (0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
+       |    AS quality
+       |  FROM tq),
+       |cum AS (SELECT q.doc_id, t.n_bpe_tokens,
+       |  SUM(t.n_bpe_tokens) OVER (ORDER BY q.quality DESC, q.doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tokens_cum
+       |  FROM qual q JOIN tok t ON q.doc_id = t.doc_id)
+       |SELECT doc_id, n_bpe_tokens, CAST(tokens_cum AS BIGINT) AS tokens_cum
+       |FROM cum WHERE tokens_cum <= $budget""".stripMargin
+
   /** Greedy sequence packing by TRUE trained-BPE token budget
     * (SparkEntry `bpe_sequence_packing`): running pre-sum of per-doc BPE
     * tokens within source, integer-divided into `budget`-token bins. */

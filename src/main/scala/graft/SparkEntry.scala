@@ -1021,6 +1021,29 @@ object SparkEntry {
           expr("tokens_before div 2000").as("pack_id"))
     },
 
+    // Token-budget head selection — "train on the best documents until
+    // the budget is spent": rank the corpus by quality (descending,
+    // doc_id tie-break) and keep the prefix whose cumulative trained-BPE
+    // token count fits the budget. The cumulative sum is the DISTRIBUTED
+    // prefix sum (AnalyticOps.globalRunningSum — range repartition +
+    // per-partition offsets), NOT the single-partition global window
+    // that dies at 100 TB; integer token counts make every prefix
+    // exact, so the oracle's plain window cumsum matches bit-for-bit.
+    "token_budget_head" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.qualityScore(col("text"))
+            .as("quality"))
+        .join(TextOps.bpeTokenCountsWith(docs, "doc_id", "text",
+            bpeDict(s, dir))
+          .select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+      AnalyticOps.globalRunningSum(scored,
+          Seq(col("quality").desc, col("doc_id")), col("n_bpe_tokens"),
+          "tokens_cum")
+        .filter(col("tokens_cum") <= TokenBudget)
+        .select(col("doc_id"), col("n_bpe_tokens"), col("tokens_cum"))
+    },
+
     // Trained-BPE token counts per document — the real-tokenizer upgrade
     // of the regex proxy: a merge table is TRAINED on the corpus
     // (Sennrich-style pair-count iterations, vocabulary-bounded state),
@@ -2516,6 +2539,9 @@ object SparkEntry {
   // words fuse to single symbols on the synthetic vocabulary.
   val BpeMerges = 24
   val BpePackBudget = 1500
+  // Budget-head selection: keep top-quality docs until this many trained
+  // BPE tokens are accumulated (~1/3 of the sf0.01 corpus).
+  val TokenBudget = 20000L
   // KMV bottom-k sketch size: small enough that the estimator path (not
   // the exact-count fallback) is exercised at sf0.01, large enough that
   // the estimate lands within the spec tolerance of exact.
@@ -3189,6 +3215,7 @@ object SparkEntry {
         |FROM events e JOIN q ON e.event_type = q.event_type""".stripMargin,
 
     "bpe_token_counts" -> Oracles.bpeTokenCounts(BpeMerges),
+    "token_budget_head" -> Oracles.tokenBudgetHead(BpeMerges, TokenBudget),
     "bpe_sequence_packing" -> Oracles.bpeSequencePacking(BpeMerges,
       BpePackBudget),
 

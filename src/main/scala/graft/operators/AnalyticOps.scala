@@ -238,6 +238,42 @@ object AnalyticOps {
     withRn.withColumn(bucketCol, bucket.cast("int")).drop("__rn")
   }
 
+  /** Distributed `SUM(value) OVER (ORDER BY order ROWS UNBOUNDED
+    * PRECEDING)` WITHOUT the single-partition global window: range-
+    * repartition on the sort key, one pass collecting per-PARTITION
+    * totals (numPartitions longs — metadata, not data), prefix-scan them
+    * on the driver, then a second pass adds each partition's offset to
+    * its local running sum. Integer-exact (long addition is associative,
+    * so the partition split cannot change any prefix), deterministic
+    * whenever `order` is a total order — the partitioner's sampled range
+    * boundaries affect only WHERE rows sit, never the prefix values.
+    * The sorted input is computed twice (totals + final pass), same
+    * trade [[globalRowNumber]]'s zipWithIndex makes. */
+  def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+      sumCol: String = "running_sum",
+      numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val base = df.withColumn("__v", value.cast("long"))
+    val sorted = numPartitions
+      .fold(base.repartitionByRange(order: _*))(
+        n => base.repartitionByRange(n, order: _*))
+      .sortWithinPartitions(order: _*)
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val rdd0 = sorted.rdd
+    val partials = rdd0.mapPartitionsWithIndex { (i, rows) =>
+      var s = 0L; rows.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partials.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add(sumCol, LongType, nullable = false)
+    val out = rdd0.mapPartitionsWithIndex { (i, rows) =>
+      var acc = offsets(i)
+      rows.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(out, schema).drop("__v")
+  }
+
   /** Global top-k with ranks, scalably: `orderBy(order).limit(k)` plans
     * as TakeOrderedAndProject (per-partition partial top-k, tiny driver
     * merge) instead of a single-partition global window; ranks are then

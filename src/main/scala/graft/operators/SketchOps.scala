@@ -62,21 +62,27 @@ object SketchOps {
     when(nKept < k, nKept)
       .otherwise(lit(k - 1L) * expr(s"$HashDomain div kth"))
 
-  /** Estimate from sketch rows (group*, hkey): already-hashed space —
-    * dedups, re-takes bottom-k, derives the estimate. This is also the
-    * MERGE operation: feed it the union of partial sketches. */
-  def kmvEstimateSketch(sketch: DataFrame, group: Seq[Column],
-      k: Int): DataFrame = {
-    val uniq = sketch.distinct()
-    uniq
+  /** KMV MERGE in sketch-row form: dedup a (possibly oversized) union of
+    * partial sketches `(group*, hkey)` and re-take bottom-k per group —
+    * what a warehouse PERSISTS between batches (≤ k rows per group,
+    * lossless to merge again later). */
+  def kmvMergeSketch(sketch: DataFrame, group: Seq[Column],
+      k: Int): DataFrame =
+    sketch.distinct()
       .withColumn("__rk",
         rank().over(Window.partitionBy(group: _*).orderBy(col("hkey"))))
       .filter(col("__rk") <= k)
+      .drop("__rk")
+
+  /** Estimate from sketch rows (group*, hkey): already-hashed space —
+    * merges ([[kmvMergeSketch]]) then derives the estimate. */
+  def kmvEstimateSketch(sketch: DataFrame, group: Seq[Column],
+      k: Int): DataFrame =
+    kmvMergeSketch(sketch, group, k)
       .groupBy(group: _*)
       .agg(count(lit(1)).as("__n_kept"), max(col("hkey")).as("kth"))
       .select(group :+ kmvEstimate(col("__n_kept"), col("kth"), k)
         .as("users_est"): _*)
-  }
 
   /** Distinct-count estimate per group: groups + `users_est`. */
   def kmvDistinct(df: DataFrame, group: Seq[Column], value: Column,

@@ -238,6 +238,47 @@ object StreamingLoad {
       }
       .start()
 
+  /** Continuously-maintained KMV distinct-count sketch: each micro-batch
+    * is hashed to its bottom-k rows and LOSSLESSLY merged into the
+    * persisted per-group sketch table (≤ k rows per group, ~8 bytes per
+    * row — the running "distinct users per type" a dashboard reads
+    * without ever re-scanning history). KMV merge is exact
+    * (bottom-k(stored ∪ batch) == bottom-k(all rows ever seen) — the
+    * [[graft.operators.SketchOps]] invariant the parity spec asserts),
+    * so unlike approximate-state stores the streamed sketch never
+    * drifts from the batch recompute. */
+  def kmvSketchStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      warehouse: ParquetWarehouse,
+      sketchTable: TableRef,
+      groupField: String,
+      valueField: String,
+      k: Int,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        val ops = graft.operators.SketchOps
+        val newSk = ops.kmvBottomK(batch, Seq(col(groupField)),
+          col(valueField), k)
+        val prev =
+          if (warehouse.exists(sketchTable)) warehouse.table(sketchTable)
+          else newSk.limit(0)
+        // Eager checkpoint: the merged sketch derives from the table it
+        // truncate-replaces.
+        val merged = ops.kmvMergeSketch(prev.unionByName(newSk),
+            Seq(col(groupField)), k)
+          .localCheckpoint(true)
+        warehouse.load(LoadMode.TruncateInsert, sketchTable, merged,
+          groupField)
+      }
+      .start()
+
   /** Event-time windowed aggregation with a watermark — the streaming
     * form of [[graft.operators.AnalyticOps.tumblingAgg]] (same expression
     * tree; late rows beyond the watermark are dropped instead of

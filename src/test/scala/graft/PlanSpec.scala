@@ -123,6 +123,29 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(bad.isEmpty, s"vector column crossed a shuffle: $bad")
   }
 
+  test("globalRunningSum equals the single-partition window cumsum exactly") {
+    val ev = Tables(spark, sfDir, "events").select(
+      col("event_id"), col("user_id"))
+    val got = operators.AnalyticOps.globalRunningSum(
+        ev, Seq(col("user_id").desc, col("event_id")), col("user_id"), "cum",
+        numPartitions = Some(7))
+      .select(col("event_id"), col("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = ev.withColumn("cum",
+        sum(col("user_id")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("user_id").desc, col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expect)
+    // …and the distributed form keeps multiple partitions in play (the
+    // whole point: no single-partition global window).
+    val parts = operators.AnalyticOps.globalRunningSum(
+      ev, Seq(col("user_id").desc, col("event_id")), col("user_id"), "cum",
+      numPartitions = Some(7)).rdd.getNumPartitions
+    assert(parts > 1, s"expected a multi-partition plan, got $parts")
+  }
+
   test("scans are column-pruned: q1_agg reads only the needed lineitem columns") {
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
     // sparkPlan, not executedPlan: AQE wraps the tree and hides children

@@ -133,6 +133,48 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(inc(2L) == 2L && inc(11L) == 11L)
   }
 
+  test("kmvSketchStream: streamed sketch == batch sketch (lossless merge)") {
+    import graft.operators.SketchOps
+    val root = Files.createTempDirectory("graft_kmv").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val sk = TableRef("", "user_sketch")
+    val evSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("user_id", LongType)))
+    val k = 8
+    def run(): Unit =
+      StreamingLoad.kmvSketchStream(spark, src, evSchema, wh, sk,
+        "event_type", "user_id", k, s"$root/ckpt").awaitTermination()
+    def lines(ids: Range, typ: String): String =
+      ids.map(i => s"""{"event_type":"$typ","user_id":$i}""").mkString("\n")
+
+    // 3 batches, > k distinct users per type, overlapping across batches.
+    writeFile(src, "a.json", lines(1 to 20, "click") + "\n" + lines(1 to 5, "view"))
+    run()
+    writeFile(src, "b.json", lines(10 to 40, "click") + "\n" + lines(3 to 30, "view"))
+    run()
+    writeFile(src, "c.json", lines(35 to 60, "click"))
+    run()
+
+    // Sketch table stays bounded at k rows per group.
+    val stored = wh.table(sk)
+    assert(stored.groupBy("event_type").count().collect()
+      .forall(_.getLong(1) <= k))
+    // Lossless merge: estimate from the streamed sketch equals the
+    // batch KMV over every row ever seen.
+    val streamedEst = SketchOps.kmvEstimateSketch(stored,
+        Seq(col("event_type")), k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    val all = ((1 to 20) ++ (10 to 40) ++ (35 to 60)).map(("click", _)) ++
+      ((1 to 5) ++ (3 to 30)).map(("view", _))
+    val batchEst = SketchOps.kmvDistinct(
+        all.toDF("event_type", "user_id"),
+        Seq(col("event_type")), col("user_id"), k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamedEst == batchEst, s"$streamedEst vs $batchEst")
+  }
+
   test("cdcStream: tombstones delete, upserts apply, across micro-batch runs") {
     val root = Files.createTempDirectory("graft_cdc").toString
     val src = s"$root/src"; Files.createDirectories(Paths.get(src))
