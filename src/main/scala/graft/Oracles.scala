@@ -529,6 +529,31 @@ object Oracles {
          |        FROM corpus))
          |SELECT DISTINCT doc_id FROM gc JOIN gev USING (gram)""".stripMargin
 
+  /** Graded contamination (TextOps.contaminationFraction): distinct
+    * per-doc 5-grams left-joined against the eval gram set; same planted
+    * corpus as [[decontamination]]. */
+  val contaminationFraction: String =
+    raw"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 200 = 0),
+         |corpus AS (SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % 97 = 0 THEN d.text || ' ' || substr(e.text, 1, 120)
+         |       ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN ev e ON e.doc_id = (d.doc_id % 3) * 200
+         |  WHERE d.doc_id % 200 <> 0),
+         |gev AS (SELECT DISTINCT gram FROM (
+         |  SELECT unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS gram
+         |  FROM (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+         |        FROM ev))),
+         |gc AS (SELECT DISTINCT doc_id, gram FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS gram
+         |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+         |        FROM corpus)))
+         |SELECT gc.doc_id, count(*) AS n_grams, count(gev.gram) AS n_hit,
+         |  CAST(count(gev.gram) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac
+         |FROM gc LEFT JOIN gev USING (gram)
+         |GROUP BY gc.doc_id""".stripMargin
+
   /** Luhn-validated card scan (TextFunctions.luhnValid on the planted
     * corpus): same integer fold — double every second digit from the
     * right, subtract 9 above 9, sum % 10. */

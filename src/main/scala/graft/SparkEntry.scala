@@ -197,6 +197,23 @@ object SparkEntry {
       TextOps.contaminatedDocs(corpus, evalSet, "doc_id", "text", n = 5)
     },
 
+    // Graded contamination on the same planted corpus: per-doc fraction
+    // of distinct 5-grams shared with the eval set — the thresholdable
+    // signal (drop at frac >= x) instead of the binary flag.
+    "contamination_fraction" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 200 === 0)
+      val corpus = docs.filter(col("doc_id") % 200 =!= 0)
+        .withColumn("__ek", (col("doc_id") % 3) * 200)
+        .join(evalSet.select(col("doc_id").as("__eid"), col("text").as("__etext")),
+          col("__ek") === col("__eid"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 97 === 0,
+            concat(col("text"), lit(" "), substring(col("__etext"), 1, 120)))
+            .otherwise(col("text")).as("text"))
+      TextOps.contaminationFraction(corpus, evalSet, "doc_id", "text", n = 5)
+    },
+
     // Gopher-style repetition quality signal: the most frequent bigram's
     // share of each document's bigrams.
     "repetition_scores" -> ((s, dir) =>
@@ -2824,6 +2841,7 @@ object SparkEntry {
     "mixture_temperature" -> Oracles.mixtureTemperature,
     "dedup_simhash" -> Oracles.simhash,
     "decontamination" -> Oracles.decontamination,
+    "contamination_fraction" -> Oracles.contaminationFraction,
     "repetition_scores" -> Oracles.repetitionScores,
     "boilerplate_scrub" ->
       Oracles.boilerplateScrub(BoilerFooter, BoilerTileWidth, BoilerMinDf),

@@ -350,4 +350,25 @@ object TextOps {
       .join(evalGrams, Seq("gh"), "left_semi")
       .select(col(id)).distinct()
   }
+
+  /** Graded contamination: per corpus document, the FRACTION of its
+    * distinct word n-grams appearing in the eval set — the thresholdable
+    * form of [[contaminatedDocs]]'s binary flag (pipelines drop at, say,
+    * frac ≥ 0.05 rather than on any single shared gram, which
+    * boilerplate can trigger). Same inverted-index shape: eval grams
+    * broadcast, corpus exploded once; docs shorter than n tokens have no
+    * grams and drop out (no denominator). */
+  def contaminationFraction(corpus: DataFrame, evalSet: DataFrame,
+      id: String, text: String, n: Int): DataFrame = {
+    val evalGrams = wordNgramHashes(evalSet, id, text, n)
+      .select(explode(col("gram_hashes")).as("gh")).distinct()
+      .withColumn("__hit", lit(1))
+    wordNgramHashes(corpus, id, text, n)
+      .select(col(id), explode(array_distinct(col("gram_hashes"))).as("gh"))
+      .join(evalGrams, Seq("gh"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+      .withColumn("frac",
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+  }
 }

@@ -835,6 +835,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(mean >= 0.4, s"mean recall vs ivf_trained too low: $mean ($recalls)")
   }
 
+  test("contamination fraction grades planted docs > 0, clean docs exactly 0") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("contamination_fraction")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val planted = rows.keySet.filter(id => id % 97 == 0 && id % 200 != 0)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(rows(id)._2 > 0.0, s"planted doc $id graded clean") }
+    (rows.keySet -- planted).foreach { id =>
+      assert(rows(id)._1 == 0L, s"clean doc $id graded contaminated") }
+    // The graded signal agrees with the binary flag: flagged == frac > 0.
+    val flagged = SparkEntry.queries("decontamination")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.filter(_._2._1 > 0).keySet == flagged)
+  }
+
   test("log-idf BM25 ranks single-term queries identically to the rational form") {
     val dir = "/root/testdata/sf0.01"
     val docs = Tables(spark, dir, "documents")
