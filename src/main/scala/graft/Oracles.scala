@@ -529,6 +529,32 @@ object Oracles {
          |        FROM corpus))
          |SELECT DISTINCT doc_id FROM gc JOIN gev USING (gram)""".stripMargin
 
+  /** Hybrid retrieval, reciprocal-rank fusion (SparkEntry
+    * `hybrid_search_rrf`): BM25 ranking nested as a CTE, cosine ranking
+    * vs the vec_id=0 probe over the lexical universe, fused with the
+    * same two exact divisions. */
+  def hybridSearchRrf(terms: Seq[String], k1: Double, b: Double,
+      topN: Int): String = {
+    def dot(a: String, x: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $x[i]), (a, b) -> a + b)"
+    s"""WITH bm AS (${bm25Scores(terms, k1, b)}),
+       |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+       |  AS lex_rank FROM bm),
+       |pv AS (SELECT embedding::DOUBLE[] AS pvec FROM embeddings WHERE vec_id = 0),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |sim AS (SELECT e.vec_id,
+       |    ${dot("e.vec", "pv.pvec")} /
+       |      (sqrt(${dot("e.vec", "e.vec")}) * sqrt(${dot("pv.pvec", "pv.pvec")})) AS sim
+       |  FROM ev e JOIN lex l ON e.vec_id = l.doc_id, pv),
+       |sem AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id)
+       |  AS sem_rank FROM sim)
+       |SELECT l.doc_id, l.lex_rank, s.sem_rank,
+       |  CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + lex_rank)
+       |    + CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + sem_rank) AS rrf
+       |FROM lex l JOIN sem s ON s.vec_id = l.doc_id
+       |ORDER BY rrf DESC, l.doc_id LIMIT $topN""".stripMargin
+  }
+
   /** Graded contamination (TextOps.contaminationFraction): distinct
     * per-doc 5-grams left-joined against the eval gram set; same planted
     * corpus as [[decontamination]]. */

@@ -197,6 +197,41 @@ object SparkEntry {
       TextOps.contaminatedDocs(corpus, evalSet, "doc_id", "text", n = 5)
     },
 
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009)
+    // — the RAG-curation pattern: rank the corpus lexically (BM25 on the
+    // query terms) and semantically (cosine to a probe embedding), fuse
+    // as 1/(60+r_lex) + 1/(60+r_sem), keep the top 20. Both global
+    // rankings use the DISTRIBUTED row number (range repartition +
+    // zipWithIndex), not a single-partition window; the final top-N is
+    // TakeOrdered. Exact: ranks are integers, the fusion is two exact
+    // IEEE divisions summed in fixed order.
+    "hybrid_search_rrf" -> { (s, dir) =>
+      val bm = TextOps.bm25Scores(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms)
+      val lex = AnalyticOps.globalRowNumber(
+        bm.select(col("doc_id"), col("bm25")),
+        Seq(col("bm25").desc, col("doc_id")), "lex_rank")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val probe = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("__pvec")))
+      val sim = emb
+        .join(lex.select(col("doc_id")), col("vec_id") === col("doc_id"))
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          (SimilarityOps.dot(col("embedding"), col("__pvec")) /
+            (SimilarityOps.norm(col("embedding")) *
+              SimilarityOps.norm(col("__pvec")))).as("sim"))
+      val sem = AnalyticOps.globalRowNumber(sim,
+        Seq(col("sim").desc, col("vec_id")), "sem_rank")
+      lex.join(sem.select(col("vec_id").as("doc_id"), col("sem_rank")),
+          "doc_id")
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+          (lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")) +
+            lit(1.0) / (lit(60.0) + col("sem_rank").cast("double")))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    },
+
     // Graded contamination on the same planted corpus: per-doc fraction
     // of distinct 5-grams shared with the eval set — the thresholdable
     // signal (drop at frac >= x) instead of the binary flag.
@@ -2842,6 +2877,7 @@ object SparkEntry {
     "dedup_simhash" -> Oracles.simhash,
     "decontamination" -> Oracles.decontamination,
     "contamination_fraction" -> Oracles.contaminationFraction,
+    "hybrid_search_rrf" -> Oracles.hybridSearchRrf(Bm25Terms, 1.2, 0.75, 20),
     "repetition_scores" -> Oracles.repetitionScores,
     "boilerplate_scrub" ->
       Oracles.boilerplateScrub(BoilerFooter, BoilerTileWidth, BoilerMinDf),
