@@ -169,6 +169,19 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     setVersion(t, prev)
   }
 
+  /** VACUUM (the `VACUUM ... RETAIN 0` analog): immediately delete every
+    * retained version EXCEPT current, reclaiming the previous
+    * generation's storage at the cost of the rollback/time-travel
+    * horizon. The write path already bounds retention at one generation
+    * ([[commitNewVersion]]); this is the explicit storage-reclaim hook
+    * for tables whose previous version is large and no longer needed. */
+  def vacuum(t: TableRef): Unit = {
+    val cur = currentVersion(t).getOrElse(
+      throw new IllegalArgumentException(s"no such table: ${t.qualified}"))
+    versions(t).filter(_ != cur)
+      .foreach(o => fs.delete(new Path(s"${tableDir(t)}/$o"), true))
+  }
+
   def compact(t: TableRef, nFiles: Int): Unit =
     commitNewVersion(t, table(t).repartition(nFiles))
 

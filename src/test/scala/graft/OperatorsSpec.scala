@@ -988,6 +988,13 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       .map(_.getLong(0)).toSeq == Seq(1L, 2L))
     // Unknown version ids are refused.
     intercept[IllegalArgumentException](wh.tableAt(tbl, "v_nope"))
+    // VACUUM reclaims every non-current version: time travel is gone,
+    // the current read is untouched.
+    wh.vacuum(tbl)
+    assert(wh.versions(tbl).size == 1)
+    assert(wh.table(tbl).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    intercept[IllegalStateException](wh.rollback(tbl))
   }
 
   test("change feed between warehouse versions via snapshotDiff") {
