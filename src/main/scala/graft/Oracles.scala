@@ -278,8 +278,8 @@ object Oracles {
     * PostgreSQL semantic DuckDB follows); the CASE guard mirrors the
     * Spark side's lazy CaseWhen keeping list_slice off non-positive
     * starts. */
-  def dedupSubstring(t0Sql: String, window: Int, divisor: Int): String =
-    s"""WITH t0 AS ($t0Sql),
+  private def cdcChunkCtes(t0Sql: String, window: Int, divisor: Int): String =
+    s"""t0 AS ($t0Sql),
        |t AS (SELECT doc_id, string_split($norm, ' ') AS toks
        |  FROM (SELECT doc_id, text FROM t0)),
        |b AS (SELECT doc_id, toks, len(toks) AS n,
@@ -297,11 +297,36 @@ object Oracles {
        |ch AS (SELECT doc_id, s AS start_tok, (e - s) + 1 AS chunk_len,
        |    ('0x' || substr(md5(array_to_string(
        |      list_slice(toks, s, e), ' ')), 1, 15))::BIGINT AS chash
-       |  FROM c WHERE e >= s),
+       |  FROM c WHERE e >= s)""".stripMargin
+
+  def dedupSubstring(t0Sql: String, window: Int, divisor: Int): String =
+    s"""WITH ${cdcChunkCtes(t0Sql, window, divisor)},
        |d AS (SELECT chash, count(DISTINCT doc_id) AS n_docs
        |  FROM ch GROUP BY chash HAVING count(DISTINCT doc_id) >= 2)
        |SELECT ch.doc_id, ch.start_tok, ch.chunk_len, ch.chash, d.n_docs
        |FROM ch JOIN d USING (chash)""".stripMargin
+
+  /** Substring REMOVAL (DedupOps.scrubDuplicateSpans): reconstruct each
+    * document from its non-duplicated chunks in start order — the Lee
+    * et al. span-removal step, chunk-granular. The CASE yields an empty
+    * list for dup chunks, so flatten skips them with no null handling. */
+  def scrubSubstring(t0Sql: String, window: Int, divisor: Int,
+      minDocs: Int): String =
+    s"""WITH ${cdcChunkCtes(t0Sql, window, divisor)},
+       |d AS (SELECT chash FROM ch GROUP BY chash
+       |  HAVING count(DISTINCT doc_id) >= $minDocs),
+       |fl AS (SELECT ch.doc_id, ch.start_tok, ch.chunk_len,
+       |    (d.chash IS NOT NULL) AS dup
+       |  FROM ch LEFT JOIN d USING (chash))
+       |SELECT fl.doc_id, count(*) AS n_chunks,
+       |  CAST(count(CASE WHEN NOT dup THEN 1 END) AS BIGINT) AS n_kept,
+       |  md5(COALESCE(array_to_string(flatten(list(
+       |      CASE WHEN NOT dup
+       |        THEN list_slice(t.toks, start_tok, start_tok + chunk_len - 1)
+       |        ELSE [] END
+       |      ORDER BY start_tok)), ' '), '')) AS clean_md5
+       |FROM fl JOIN t ON fl.doc_id = t.doc_id
+       |GROUP BY fl.doc_id""".stripMargin
 
   def dedupNearKeep(t0Sql: String, minEst: Double): String =
     s"""SELECT doc_id FROM ($t0Sql) d

@@ -407,6 +407,14 @@ object SparkEntry {
         CdcWindow, CdcDivisor)
     },
 
+    // The REMOVAL half of the Lee-et-al. recipe: cut every cross-doc
+    // duplicated chunk and reconstruct each document from its surviving
+    // spans in order (digest + counts leave the scan, not the text).
+    "substring_scrub" -> { (s, dir) =>
+      DedupOps.scrubDuplicateSpans(plantedDocs(s, dir), "doc_id", "text",
+        CdcWindow, CdcDivisor)
+    },
+
     // Cluster-minimum keep list: exactly one survivor per component.
     "dedup_cc_keep" -> { (s, dir) =>
       val docs = plantedDocs(s, dir)
@@ -2704,6 +2712,8 @@ object SparkEntry {
     "dedup_exact_docs" -> Oracles.dedupExactDocs,
     "dedup_minhash_lsh" -> Oracles.minhashPairs(Oracles.plantedDocs, MinhashMinEst),
     "dedup_substring" -> Oracles.dedupSubstring(Oracles.plantedDocs, CdcWindow, CdcDivisor),
+    "substring_scrub" -> Oracles.scrubSubstring(Oracles.plantedDocs,
+      CdcWindow, CdcDivisor, 2),
     "dedup_ngram_jaccard" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_cc_components" -> Oracles.ccComponents(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_cc_keep" -> Oracles.ccKeep(Oracles.plantedDocs, NgramMinJaccard),

@@ -609,4 +609,37 @@ object DedupOps {
       .select(col(idCol), col("start_tok"), col("chunk_len"),
         col("chash"), col("n_docs"))
   }
+
+  /** Exact-substring REMOVAL — the second half of the Lee et al. recipe
+    * ([[duplicateSpans]] finds the spans; this drops them): every chunk
+    * whose text appears in ≥ `minDocs` distinct documents is cut, and
+    * each document is reconstructed from its surviving chunks in order.
+    * Returns `(id, n_chunks, n_kept, clean_md5)` (digest, not the text —
+    * only narrow rows shuffle).
+    *
+    * Scale: chunking is a projection; the duplicated-chunk dictionary is
+    * small (chunks crossing `minDocs` docs) and broadcast; the single
+    * groupBy carries (start, len) spans, not chunk text; the token
+    * arrays join back once for the slice-reconstruction projection. */
+  def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 5, divisor: Int = 8, minDocs: Int = 2): DataFrame = {
+    val ch = cdcChunks(docs, idCol, textCol, window, divisor)
+    val dup = ch.groupBy(col("chash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("chash"), lit(true).as("__dup"))
+    val spans = ch.join(dup, Seq("chash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("__dup").isNull, 1)).as("n_kept"),
+        array_sort(collect_list(when(col("__dup").isNull,
+          struct(col("start_tok"), col("chunk_len"))))).as("__spans"))
+    spans.join(docs.select(col(idCol),
+        split(graft.functions.TextFunctions.normalized(col(textCol)), " ")
+          .as("__toks")), idCol)
+      .select(col(idCol), col("n_chunks"), col("n_kept"),
+        md5(array_join(flatten(transform(col("__spans"),
+          sp => slice(col("__toks"), sp.getField("start_tok"),
+            sp.getField("chunk_len")))), " ")).as("clean_md5"))
+  }
 }

@@ -835,6 +835,43 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(mean >= 0.4, s"mean recall vs ivf_trained too low: $mean ($recalls)")
   }
 
+  test("substring scrub cuts shared chunks, reconstructs untouched docs losslessly") {
+    val dir = "/root/testdata/sf0.001"
+    val base = Tables(spark, dir, "documents").filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val planted = base.unionByName(base.select(
+      (col("doc_id") + 10000000L).as("doc_id"),
+      expr("substring(text, 1, (length(text) * 4) div 5)").as("text")))
+    val out = DedupOps.scrubDuplicateSpans(planted, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val copies = out.keySet.filter(_ >= 10000000L)
+    assert(copies.nonEmpty)
+    // A multi-chunk copy's interior boundaries are content-defined from
+    // the same prefix text, so its leading chunks equal the original's:
+    // BOTH members lose chunks (the cut applies to every occurrence). A
+    // single-chunk copy spans its whole truncated text and may match
+    // nothing — no assertion there.
+    val multi = copies.filter(c => out(c)._1 > 1)
+    assert(multi.nonEmpty, "expected some multi-chunk copies")
+    multi.foreach { c =>
+      assert(out(c)._2 < out(c)._1, s"copy $c kept all chunks")
+      val orig = c - 10000000L
+      assert(out(orig)._2 < out(orig)._1, s"original $orig kept all chunks")
+    }
+    // A doc with nothing duplicated reconstructs to its EXACT normalized
+    // text (chunks tile the token stream losslessly).
+    val full = out.filter { case (_, (n, k, _)) => n == k }
+    assert(full.nonEmpty, "expected some untouched docs")
+    val expected = planted.select(col("doc_id"),
+        md5(array_join(graft.functions.TextFunctions.tokens(
+          graft.functions.TextFunctions.normalized(col("text"))), " "))
+          .as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    full.foreach { case (id, (_, _, m)) =>
+      assert(m == expected(id), s"doc $id reconstruction not lossless") }
+  }
+
   test("contamination fraction grades planted docs > 0, clean docs exactly 0") {
     val dir = "/root/testdata/sf0.01"
     val rows = SparkEntry.queries("contamination_fraction")(spark, dir)
