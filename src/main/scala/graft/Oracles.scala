@@ -554,6 +554,45 @@ object Oracles {
          |        FROM corpus))
          |SELECT DISTINCT doc_id FROM gc JOIN gev USING (gram)""".stripMargin
 
+  /** Mixture epoch planning (SparkEntry `mixture_epochs`): per-source
+    * BPE token inventory over the trained dict, weights `idx % 4 + 1`
+    * normalized, repeat = ((w/sw)·total)/src_tokens in that op order. */
+  def mixtureEpochs(merges: Int): String =
+    s"""WITH ${bpeDictCtes(merges)},
+       |dict AS (SELECT word,
+       |  length(s) - length(replace(s, ' ', '')) - 1 AS n_sym FROM w$merges),
+       |dw AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS word
+       |  FROM documents),
+       |tok AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+       |  FROM dw JOIN dict USING (word) GROUP BY doc_id),
+       |src AS (SELECT d.source, count(*) AS n_docs,
+       |    CAST(SUM(t.n_bpe_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(CAST(substr(d.source, 4) AS INTEGER) % 4 + 1 AS BIGINT) AS w
+       |  FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+       |  GROUP BY d.source),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+       |  CAST(SUM(w) AS BIGINT) AS sw FROM src)
+       |SELECT source, n_docs, n_tokens,
+       |  ((CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)) * CAST(t AS DOUBLE))
+       |    / CAST(n_tokens AS DOUBLE) AS repeat_factor
+       |FROM src, tot""".stripMargin
+
+  /** Robust median/MAD anomaly stats (SparkEntry `anomaly_mad_stats`):
+    * exact interpolated medians, same 3·1.4826 threshold literal. */
+  val anomalyMadStats: String =
+    s"""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY event_type),
+       |j AS (SELECT e.event_type, e.value, m.med
+       |  FROM events e JOIN m USING (event_type)),
+       |d AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+       |  FROM j GROUP BY event_type)
+       |SELECT j.event_type, count(*) AS n,
+       |  count(CASE WHEN abs(j.value - j.med) > ${3.0 * 1.4826} * d.mad
+       |    THEN 1 END) AS n_anomalies,
+       |  min(j.med) AS med, min(d.mad) AS mad
+       |FROM j JOIN d ON j.event_type = d.event_type
+       |GROUP BY j.event_type""".stripMargin
+
   /** Hybrid retrieval, reciprocal-rank fusion (SparkEntry
     * `hybrid_search_rrf`): BM25 ranking nested as a CTE, cosine ranking
     * vs the vec_id=0 probe over the lexical universe, fused with the

@@ -197,6 +197,51 @@ object SparkEntry {
       TextOps.contaminatedDocs(corpus, evalSet, "doc_id", "text", n = 5)
     },
 
+    // Mixture EPOCH planning — the data-mixing arithmetic (DoReMi-style):
+    // given per-source trained-BPE token inventories and target weights
+    // (derived deterministically from the source id), the repeat factor
+    // is how many epochs of each source fill its share of the total
+    // budget. Two tiny aggregations + one broadcast; the corpus is
+    // scanned once for counts.
+    "mixture_epochs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val perSrc = docs.select(col("doc_id"), col("source"))
+        .join(TextOps.bpeTokenCountsWith(docs, "doc_id", "text",
+            bpeDict(s, dir))
+          .select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe_tokens")).as("n_tokens"))
+        .withColumn("__w",
+          expr("CAST(substring(source, 4) AS INT) % 4 + 1").cast("long"))
+      val tot = perSrc.agg(sum(col("n_tokens")).as("__tot"),
+        sum(col("__w")).as("__sw"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (((col("__w").cast("double") / col("__sw").cast("double")) *
+            col("__tot").cast("double")) / col("n_tokens").cast("double"))
+            .as("repeat_factor"))
+    },
+
+    // Robust anomaly statistics: median/MAD per group (the outlier
+    // detector that, unlike mean/stddev, is not dragged by the outliers
+    // it hunts). Exact interpolated medians (bit-identical engines), two
+    // grouped passes + broadcast joins — the fact table never shuffles.
+    "anomaly_mad_stats" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val med = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val withMed = ev.join(broadcast(med), "event_type")
+      val mad = withMed.groupBy(col("event_type"))
+        .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+      withMed.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(abs(col("value") - col("med")) >
+            lit(3.0 * 1.4826) * col("mad"), 1)).as("n_anomalies"),
+          min(col("med")).as("med"), min(col("mad")).as("mad"))
+    },
+
     // Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009)
     // — the RAG-curation pattern: rank the corpus lexically (BM25 on the
     // query terms) and semantically (cosine to a probe embedding), fuse
@@ -2888,6 +2933,8 @@ object SparkEntry {
     "decontamination" -> Oracles.decontamination,
     "contamination_fraction" -> Oracles.contaminationFraction,
     "hybrid_search_rrf" -> Oracles.hybridSearchRrf(Bm25Terms, 1.2, 0.75, 20),
+    "mixture_epochs" -> Oracles.mixtureEpochs(BpeMerges),
+    "anomaly_mad_stats" -> Oracles.anomalyMadStats,
     "repetition_scores" -> Oracles.repetitionScores,
     "boilerplate_scrub" ->
       Oracles.boilerplateScrub(BoilerFooter, BoilerTileWidth, BoilerMinDf),
