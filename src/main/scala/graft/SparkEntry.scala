@@ -2557,9 +2557,14 @@ object SparkEntry {
       val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
         .select(col("cent_id"),
           transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+      // Trained quantizers are persisted artifacts in a real pipeline;
+      // materialize them once here (centroid/codebook tables are tiny)
+      // instead of re-deriving the Lloyd chains in every plan branch
+      // that references them (corpus buckets, probe buckets, LUTs).
       val coarse = ClusterOps.kmeans(corpus, initial, KmeansIters)
+        .localCheckpoint(true)
       val books = SimilarityOps.pqCodebooks(corpus, PqM, PqSubDim, PqKs,
-        PqIters)
+        PqIters).localCheckpoint(true)
       SimilarityOps.ivfPqKnn(probes, corpus, KnnK, coarse, books, PqSubDim,
           nprobe = IvfNprobe, rerank = PqRerank)
         .select(col("probe_id"), col("vec_id"),
