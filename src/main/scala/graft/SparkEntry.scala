@@ -786,7 +786,11 @@ object SparkEntry {
     "binary_file_ingest" -> { (s, dir) =>
       val sample = MultimodalOps.withToyRaster(
         t(s, dir, "documents").filter(col("doc_id") % 50 === 0), "text")
-      val stage = s"/tmp/graft_grb1_stage_${Integer.toHexString(dir.hashCode)}"
+      // Stage dir scoped to (corpus, process): concurrent gates on one
+      // machine each stage their own copy — no truncate-vs-lazy-read race
+      // across JVMs, no hashCode cross-contamination between corpora.
+      val stage = s"/tmp/graft_grb1_stage_${Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
       graft.io.Ingest.writeBinaryFiles(sample, "doc_id", "payload", stage, ".grb")
       val back = graft.io.Ingest.binaryFiles(s, stage, Some("*.grb"))
         .select(

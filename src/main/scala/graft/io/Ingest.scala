@@ -74,15 +74,27 @@ object Ingest {
   def writeBinaryFiles(df: DataFrame, idCol: String, payloadCol: String,
       dir: String, ext: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
+    val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
     // Truncate-stage semantics: clear the target dir first so a stale
     // file from an earlier (differently-sampled) staging run can't
     // pollute the listing a reader sees.
-    val driverFs = path.getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
+    val driverFs = path.getFileSystem(hadoopConf)
     if (driverFs.exists(path)) driverFs.delete(path, true)
+    // Ship the SESSION's Hadoop settings to the executors (Configuration
+    // isn't serializable; spark.hadoop.* overrides like s3a credentials
+    // or endpoints would otherwise be silently dropped and executors
+    // would resolve the filesystem from classpath defaults only).
+    val confEntries = {
+      val it = hadoopConf.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
     df.select(col(idCol).cast("string"), col(payloadCol))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val fs = path.getFileSystem(conf)
         fs.mkdirs(path)
         rows.foreach { r =>
           val out = fs.create(

@@ -283,8 +283,13 @@ object DedupOps {
     * corpus or this batch). Returns the updated (`id`, component). */
   def incrementalComponents(prevLabels: DataFrame, newVertices: DataFrame,
       newEdges: DataFrame, id: String, maxIter: Int = 20): DataFrame = {
+    // A re-arriving vertex (replay, duplicate send) must keep its
+    // EXISTING label, not seed a second self-labeled row — two rows per
+    // id would survive the remap and fan out every downstream join.
+    val freshOnly = newVertices.select(col(id))
+      .join(prevLabels.select(col(id)), Seq(id), "left_anti")
     val seeded = prevLabels.select(col(id), col("component"))
-      .unionByName(newVertices.select(col(id), col(id).as("component")))
+      .unionByName(freshOnly.select(col(id), col(id).as("component")))
     val labelEdges = newEdges.select(col("id_a"), col("id_b"))
       .join(seeded.select(col(id).as("id_a"), col("component").as("__la")),
         "id_a")

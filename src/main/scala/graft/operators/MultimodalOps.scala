@@ -104,16 +104,19 @@ object MultimodalOps {
             s"row $id: payload is not GRB1 (${bytes.take(4).mkString(",")})")
           val w = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
           val h = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
-          val nPx = w * h
-          require(bytes.length >= 8 + nPx,
+          // Long, not Int: 65535 x 65535 would overflow Int negative and
+          // sail past the truncation guard with an empty histogram.
+          val nPx = w.toLong * h
+          require(bytes.length.toLong >= 8L + nPx,
             s"row $id: truncated raster (${bytes.length} bytes for $w x $h)")
           val hist = new Array[Long](FeatureDim)
           var i = 0
-          while (i < nPx) {
+          val n = nPx.toInt // safe: bounded by bytes.length above
+          while (i < n) {
             hist((bytes(8 + i) & 0xff) / (256 / FeatureDim)) += 1L
             i += 1
           }
-          Row(id, w, h, nPx.toLong, hist.toIndexedSeq)
+          Row(id, w, h, nPx, hist.toIndexedSeq)
         }
       }
     }

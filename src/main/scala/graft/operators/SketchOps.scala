@@ -42,7 +42,11 @@ object SketchOps {
     * KMV sketch state. */
   def kmvBottomK(df: DataFrame, group: Seq[Column], value: Column,
       k: Int): DataFrame = {
-    val hashed = df.select(group :+ hash60(value).as("hkey"): _*).distinct()
+    // NULL values don't count as distinct (count-distinct semantics in
+    // both engines) — and must not reach the rank window, where Spark's
+    // NULLS FIRST would burn a sketch slot DuckDB's NULLS LAST wouldn't.
+    val hashed = df.where(value.isNotNull)
+      .select(group :+ hash60(value).as("hkey"): _*).distinct()
     // Partition by the PROJECTED names: a group expression (e.g. a
     // date_trunc) no longer resolves against the post-select schema.
     val names = hashed.columns.dropRight(1).map(col).toIndexedSeq
@@ -60,7 +64,8 @@ object SketchOps {
     * truncate toward zero), so no float ever enters the oracle hash. */
   def kmvEstimate(nKept: Column, kth: Column, k: Int): Column =
     when(nKept < k, nKept)
-      .otherwise(lit(k - 1L) * expr(s"$HashDomain div kth"))
+      .otherwise(lit(k - 1L) *
+        call_function("div", lit(HashDomain), kth))
 
   /** KMV MERGE in sketch-row form: dedup a (possibly oversized) union of
     * partial sketches `(group*, hkey)` and re-take bottom-k per group —
@@ -84,16 +89,15 @@ object SketchOps {
       .select(group :+ kmvEstimate(col("__n_kept"), col("kth"), k)
         .as("users_est"): _*)
 
-  /** Distinct-count estimate per group: groups + `users_est`. */
+  /** Distinct-count estimate per group: groups + `users_est`. One
+    * estimator body ([[kmvEstimateSketch]]) serves both the direct and
+    * the merge path; the extra dedup/rank inside it is a no-op on an
+    * already-bottom-k sketch (≤ k·groups rows). */
   def kmvDistinct(df: DataFrame, group: Seq[Column], value: Column,
       k: Int): DataFrame = {
     val sketch = kmvBottomK(df, group, value, k)
-    val names = sketch.columns.dropRight(1).map(col).toIndexedSeq
-    sketch
-      .groupBy(names: _*)
-      .agg(count(lit(1)).as("__n_kept"), max(col("hkey")).as("kth"))
-      .select(names :+ kmvEstimate(col("__n_kept"), col("kth"), k)
-        .as("users_est"): _*)
+    kmvEstimateSketch(sketch,
+      sketch.columns.dropRight(1).map(col).toIndexedSeq, k)
   }
 
   /** Mergeable-sketch rollup — THE re-aggregation pattern at 100 TB:

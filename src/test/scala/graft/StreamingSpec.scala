@@ -112,13 +112,19 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     run()
     // Batch 3: 12~stored-10 — a CHAINED merge (12 never saw doc 1's
     // text directly... it does share the base; the component min must
-    // still resolve to 1 through the label-space merge).
+    // still resolve to 1 through the label-space merge). Doc 2 is a
+    // RE-ARRIVAL (replay): it must keep its existing label, not mint a
+    // duplicate self-labeled row.
     writeFile(src, "c.json",
-      s"""{"doc_id":12,"text":"$base four"}""".stripMargin)
+      s"""{"doc_id":12,"text":"$base four"}
+         |{"doc_id":2,"text":"totally different tiny document about nothing else at all"}""".stripMargin)
     run()
 
-    val inc = wh.table(lab).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labelRows = wh.table(lab).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(labelRows.map(_._1).distinct.length == labelRows.length,
+      s"duplicate label rows after replay: ${labelRows.toSeq.sorted}")
+    val inc = labelRows.toMap
     // Ground truth: full-corpus candidate edges + batch CC.
     val corpus = wh.table(tbl)
     val edges = DedupOps.minhashCandidates(corpus, "doc_id", "text")
