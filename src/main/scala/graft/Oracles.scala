@@ -554,6 +554,32 @@ object Oracles {
          |        FROM corpus))
          |SELECT DISTINCT doc_id FROM gc JOIN gev USING (gram)""".stripMargin
 
+  /** Per-language quality gate (SparkEntry `quality_gate_by_lang`):
+    * textStats' quality expression, per-language p40 threshold. */
+  val qualityGateByLang: String =
+    s"""WITH t AS (SELECT doc_id, lang, ${toks("text")} AS tk FROM documents),
+       |q AS (SELECT doc_id, lang,
+       |  ((0.4 * (CAST(${hits("tk", StopEn)} AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
+       |    + (0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 200.0)))
+       |    + (0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))) AS q
+       |  FROM t),
+       |thr AS (SELECT lang, quantile_cont(q, 0.4) AS q40 FROM q GROUP BY lang)
+       |SELECT q.doc_id, q.lang FROM q JOIN thr ON q.lang = thr.lang
+       |WHERE q.q >= thr.q40""".stripMargin
+
+  /** Dedup token yield (SparkEntry `dedup_token_yield`): whitespace
+    * token counts before/after the cluster-minimum keep list. */
+  def dedupTokenYield(t0Sql: String, minJaccard: Double): String =
+    s"""WITH tok AS (SELECT doc_id, CAST(len(string_split($norm, ' ')) AS BIGINT) AS nt
+       |  FROM (SELECT doc_id, text FROM ($t0Sql))),
+       |keep AS (${ccKeep(t0Sql, minJaccard)}),
+       |b AS (SELECT count(*) AS n_docs_before,
+       |  CAST(SUM(nt) AS BIGINT) AS tokens_before FROM tok),
+       |a AS (SELECT count(*) AS n_docs_after,
+       |  CAST(SUM(nt) AS BIGINT) AS tokens_after
+       |  FROM tok JOIN keep USING (doc_id))
+       |SELECT * FROM b, a""".stripMargin
+
   /** Mixture epoch planning (SparkEntry `mixture_epochs`): per-source
     * BPE token inventory over the trained dict, weights `idx % 4 + 1`
     * normalized, repeat = ((w/sw)·total)/src_tokens in that op order. */

@@ -197,6 +197,43 @@ object SparkEntry {
       TextOps.contaminatedDocs(corpus, evalSet, "doc_id", "text", n = 5)
     },
 
+    // Per-LANGUAGE quality gating: each language keeps its docs above its
+    // OWN p40 quality threshold — quality distributions differ across
+    // languages, so one global cutoff over- or under-prunes (the standard
+    // per-language calibration). Exact interpolated percentile, broadcast
+    // thresholds, corpus scanned once.
+    "quality_gate_by_lang" -> { (s, dir) =>
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      val thr = scored.groupBy(col("lang"))
+        .agg(percentile(col("q"), lit(0.4)).as("q40"))
+      scored.join(broadcast(thr), "lang")
+        .filter(col("q") >= col("q40"))
+        .select(col("doc_id"), col("lang"))
+    },
+
+    // Dedup token-yield accounting: how many documents/tokens survive
+    // the cluster-minimum near-dedup keep list — the before/after line
+    // every curation report leads with. One CC pass + two scalar
+    // aggregates over whitespace token counts.
+    "dedup_token_yield" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val tok = docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(
+          graft.functions.TextFunctions.normalized(col("text"))))
+          .cast("long").as("nt"))
+      val pairs = DedupOps.ngramJaccardDense(docs, "doc_id", "text",
+        NgramMinJaccard)
+      val kept = DedupOps.keepClusterMin(docs, pairs, "doc_id")
+        .select(col("doc_id"))
+      val before = tok.agg(count(lit(1)).as("n_docs_before"),
+        sum(col("nt")).as("tokens_before"))
+      val after = tok.join(kept, "doc_id")
+        .agg(count(lit(1)).as("n_docs_after"),
+          sum(col("nt")).as("tokens_after"))
+      before.crossJoin(after)
+    },
+
     // Mixture EPOCH planning — the data-mixing arithmetic (DoReMi-style):
     // given per-source trained-BPE token inventories and target weights
     // (derived deterministically from the source id), the repeat factor
@@ -2944,6 +2981,9 @@ object SparkEntry {
     "hybrid_search_rrf" -> Oracles.hybridSearchRrf(Bm25Terms, 1.2, 0.75, 20),
     "mixture_epochs" -> Oracles.mixtureEpochs(BpeMerges),
     "anomaly_mad_stats" -> Oracles.anomalyMadStats,
+    "quality_gate_by_lang" -> Oracles.qualityGateByLang,
+    "dedup_token_yield" ->
+      Oracles.dedupTokenYield(Oracles.plantedDocs, NgramMinJaccard),
     "repetition_scores" -> Oracles.repetitionScores,
     "boilerplate_scrub" ->
       Oracles.boilerplateScrub(BoilerFooter, BoilerTileWidth, BoilerMinDf),
