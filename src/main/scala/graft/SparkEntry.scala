@@ -716,6 +716,31 @@ object SparkEntry {
       SketchOps.kmvDistinct(t(s, dir, "events"), Seq(col("event_type")),
         col("user_id"), KmvK)),
 
+    // KMV distinct as a ONE-PASS typed aggregate (BottomKDistinct): the
+    // window form above first shuffles the full distinct hash set; here
+    // partial k-bounded buffers merge map-side and the shuffle carries
+    // only O(groups·k·partitions) longs — the aggregation form of the
+    // sketch, sharing the window form's oracle (same estimate by
+    // construction; the spec also pins partition invariance).
+    "kmv_distinct_users_agg" -> { (s, dir) =>
+      import s.implicits._
+      val k = KmvK
+      t(s, dir, "events")
+        .select(col("event_type"),
+          SketchOps.hash60(col("user_id")).as("hkey"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.functions.BottomKAgg.bottomKDistinct(k).name("sk"))
+        .map { case (t0, buf) =>
+          val n = buf.keys.length
+          val est = if (n < k) n.toLong
+            else (k - 1L) * (SketchOps.HashDomain / buf.keys.last)
+          (t0, est)
+        }
+        .toDF("event_type", "users_est")
+    },
+
     // ---- corpus statistics ----
     "vocab_doc_freq" -> ((s, dir) =>
       // Vocabulary table: document frequency + total term frequency per
@@ -3380,6 +3405,7 @@ object SparkEntry {
       BpePackBudget),
 
     "kmv_distinct_users" -> Oracles.kmvDistinctUsers(KmvK),
+    "kmv_distinct_users_agg" -> Oracles.kmvDistinctUsers(KmvK),
     "kmv_sketch_rollup" -> Oracles.kmvSketchRollup(KmvK),
     "sampled_percentiles_value" -> Oracles.sampledPercentilesValue(SampleMod),
 

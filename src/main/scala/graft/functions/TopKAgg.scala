@@ -47,3 +47,47 @@ object TopKAgg {
   def topKLargest(k: Int): TypedColumn[TopKItem, TopKBuf] =
     new TopKLargest(k).toColumn
 }
+
+/** Buffer for [[BottomKDistinct]]: the k smallest DISTINCT keys seen so
+  * far, kept sorted ascending (so `last` is the current cutoff). */
+case class BottomKBuf(keys: List[Long])
+
+/** One-pass bottom-k-distinct aggregate — the KMV sketch builder in
+  * aggregation form ([[graft.operators.SketchOps]] derives the same
+  * sketch via distinct + rank window). Why this beats the window form at
+  * scale: the window path first shuffles the full DISTINCT (group, hash)
+  * set, while this aggregate's partial buffers cap map-side state at k
+  * longs per (partition, group) and the shuffle carries ONLY those —
+  * the distinct-count sketch over 100 TB moves O(groups·k·partitions)
+  * longs, nothing else. Fully mergeable (KMV merge is lossless), so the
+  * same buffers serve rollups and streamed stores. */
+class BottomKDistinct(k: Int)
+    extends Aggregator[Long, BottomKBuf, BottomKBuf] {
+  require(k > 0)
+
+  override def zero: BottomKBuf = BottomKBuf(Nil)
+
+  override def reduce(buf: BottomKBuf, key: Long): BottomKBuf = {
+    val ks = buf.keys
+    // Sorted invariant: the last element is the current k-th minimum.
+    if (ks.length >= k && key >= ks.last) buf
+    else if (ks.contains(key)) buf
+    else BottomKBuf((key :: ks).sorted.take(k))
+  }
+
+  override def merge(a: BottomKBuf, b: BottomKBuf): BottomKBuf =
+    BottomKBuf((a.keys ++ b.keys).distinct.sorted.take(k))
+
+  override def finish(buf: BottomKBuf): BottomKBuf = buf
+
+  override def bufferEncoder: Encoder[BottomKBuf] =
+    Encoders.product[BottomKBuf]
+
+  override def outputEncoder: Encoder[BottomKBuf] =
+    Encoders.product[BottomKBuf]
+}
+
+object BottomKAgg {
+  def bottomKDistinct(k: Int): TypedColumn[Long, BottomKBuf] =
+    new BottomKDistinct(k).toColumn
+}

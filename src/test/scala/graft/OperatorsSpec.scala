@@ -1533,6 +1533,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("BottomKDistinct aggregator is partition-invariant and matches the window KMV") {
+    val dir = "/root/testdata/sf0.01"
+    def run(parts: Int): Map[String, Long] = {
+      import spark.implicits._
+      val k = SparkEntry.KmvK
+      Tables(spark, dir, "events").repartition(parts)
+        .select(col("event_type"),
+          operators.SketchOps.hash60(col("user_id")).as("hkey"))
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.BottomKAgg.bottomKDistinct(k).name("sk"))
+        .map { case (t, buf) =>
+          val n = buf.keys.length
+          (t, if (n < k) n.toLong
+            else (k - 1L) * (operators.SketchOps.HashDomain / buf.keys.last))
+        }.collect().toMap
+    }
+    val got = run(4)
+    assert(got == run(13), "merge() must be associative across partitionings")
+    val window = SparkEntry.queries("kmv_distinct_users")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == window, "aggregate and window KMV must agree exactly")
+  }
+
   test("KMV rollup merge is exactly lossless: partials rollup == one pass") {
     val dir = "/root/testdata/sf0.01"
     val ev = Tables(spark, dir, "events")
