@@ -2637,6 +2637,27 @@ object SparkEntry {
           round(col("sim"), 9).as("sim"), col("rank"))
     },
 
+    // RESIDUAL IVF-PQ — the full FAISS IVFPQ: codes quantize
+    // vec − coarse_centroid (tighter quantized distribution at equal
+    // code budget), probe LUTs are per probed cell. Same oracle family
+    // and scale shape as knn_ivf_pq.
+    "knn_ivf_pq_residual" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
+        .select(col("cent_id"),
+          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+      val coarse = ClusterOps.kmeans(corpus, initial, KmeansIters)
+        .localCheckpoint(true)
+      SimilarityOps.ivfPqResidualKnn(probes, corpus, KnnK, coarse,
+          PqM, PqSubDim, PqKs, PqIters, nprobe = IvfNprobe,
+          rerank = PqRerank)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("sim"), 9).as("sim"), col("rank"))
+    },
+
     // Per-vector cluster map against the refined centroids — the output
     // downstream curation consumes (buckets, postings, quotas).
     "kmeans_assignments" -> { (s, dir) =>
@@ -3095,6 +3116,9 @@ object SparkEntry {
       KnnProbeEvery, KnnK, KmeansK, KmeansIters, IvfNprobe),
     "knn_ivf_pq" -> Oracles.knnIvfPq(KnnProbeEvery, KnnK, KmeansK,
       KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters, PqRerank),
+    "knn_ivf_pq_residual" -> Oracles.knnIvfPqResidual(KnnProbeEvery, KnnK,
+      KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
+      PqRerank),
     "label_centroid_norms" -> Oracles.labelCentroidNorms,
     "salted_agg_events" -> Oracles.saltedAggEvents,
     "salted_join_customer_orders" -> Oracles.joinCustomerOrders,

@@ -296,6 +296,98 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** RESIDUAL IVF-PQ — the full FAISS IVFPQ construction: sub-codebooks
+    * quantize the residual `vec − coarse_centroid` instead of the raw
+    * vector, which concentrates the quantized distribution around the
+    * origin and buys accuracy at equal code budget; the probe's lookup
+    * table is therefore PER COARSE BUCKET (the probe residual differs in
+    * each probed cell). Same scale shape as [[ivfPqKnn]]: candidates
+    * travel as codes, LUTs are (probes·nprobe·m·ks) doubles broadcast,
+    * exact re-rank only on the ADC shortlist.
+    *
+    * Returns `(probe_id, corpus_id, sim, rank)`. Residuals are exact
+    * IEEE subtractions of exactly-cast doubles, so the whole pipeline
+    * stays oracle-hashable. */
+  def ivfPqResidualKnn(
+      probes: DataFrame, corpus: DataFrame, k: Int,
+      coarseCentroids: DataFrame, m: Int, subDim: Int, ks: Int,
+      subIters: Int, nprobe: Int = 3, rerank: Int = 15,
+      probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
+    val cents = coarseCentroids.select(col("cent_id"), col("cent_vec"))
+    def buckets(df: DataFrame, idc: String, vecc: String, n: Int): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .select(df.columns.map(col) :+ col("cent_id") :+
+          graft.expressions.GraftFunctions.l2DistSq(
+            col(vecc), col("cent_vec")).as("__d2"): _*)
+        .withColumn("__cr", rank().over(
+          Window.partitionBy(col(idc)).orderBy(col("__d2"), col("cent_id"))))
+        .filter(col("__cr") <= n)
+        .drop("__d2", "__cr")
+    def residual(vecc: String) =
+      zip_with(col(vecc), col("cent_vec"),
+        (x, c) => x.cast("double") - c)
+
+    // Corpus residuals w.r.t. their rank-1 cell; sub-codebooks train on
+    // and codes quantize THESE, not the raw vectors.
+    val corpusRes = buckets(corpus, corpusId, "vec", 1)
+      .join(broadcast(cents), "cent_id")
+      .select(col(corpusId), col("cent_id"), residual("vec").as("vec"))
+    val books = pqCodebooks(
+      corpusRes.select(col(corpusId), col("vec")), m, subDim, ks, subIters,
+      corpusId)
+    val corpusCoded = corpusRes.select(col(corpusId), col("cent_id"))
+      .join(pqCodes(corpusRes.select(col(corpusId), col("vec")), books,
+        subDim, corpusId), corpusId)
+
+    // Probe residual PER PROBED CELL, then the per-(probe, cell) LUT.
+    val probeRes = buckets(
+        probes.select(col(probeId), col("probe_vec")), probeId, "probe_vec",
+        nprobe)
+      .join(broadcast(cents), "cent_id")
+      .select(col(probeId), col("cent_id"), residual("probe_vec").as("prvec"))
+    val lut = probeRes.crossJoin(broadcast(
+        books.select(col("sub"), col("cent_id").as("code"), col("cent_vec")
+          .as("sub_vec"))))
+      .select(col(probeId), col("cent_id"), col("sub"), col("code"),
+        graft.expressions.GraftFunctions.l2DistSq(
+          slice(col("prvec"), col("sub") * subDim + 1, lit(subDim)),
+          col("sub_vec")).as("d2c"))
+      .groupBy(col(probeId), col("cent_id"), col("sub"))
+      .agg(map_from_entries(collect_list(struct(col("code"), col("d2c"))))
+        .as("mp"))
+      .groupBy(col(probeId), col("cent_id"))
+      .agg(collect_list(struct(col("sub"), col("mp"))).as("__lst"))
+      .select(col(probeId), col("cent_id"), expr(
+        """transform(array_sort(__lst, (l, r) ->
+          |  case when l.sub < r.sub then -1
+          |       when l.sub > r.sub then 1 else 0 end), x -> x.mp)"""
+          .stripMargin).as("luts"))
+
+    val shortlist = corpusCoded.join(broadcast(lut), Seq("cent_id"))
+      .filter(col(probeId) =!= col(corpusId))
+      .select(col(probeId), col(corpusId),
+        aggregate(
+          zip_with(col("codes"), col("luts"), (c, mp) => element_at(mp, c)),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+      .withColumn("__ar", rank().over(
+        Window.partitionBy(col(probeId)).orderBy(col("adc"), col(corpusId))))
+      .filter(col("__ar") <= rerank)
+      .select(col(probeId), col(corpusId))
+
+    val c = corpus.select(col(corpusId), col("vec"),
+      norm(col("vec")).as("__nrm"))
+    val p = probes.select(col(probeId), col("probe_vec"),
+      norm(col("probe_vec")).as("__pnrm"))
+    c.join(broadcast(shortlist), corpusId)
+      .join(broadcast(p), probeId)
+      .select(col(probeId), col(corpusId),
+        (dot(col("probe_vec"), col("vec")) /
+          (col("__pnrm") * col("__nrm"))).as("sim"))
+      .withColumn("rank", rank().over(
+        Window.partitionBy(col(probeId)).orderBy(col("sim").desc, col(corpusId))))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact all-pairs cosine near-duplicates over a (bounded) corpus:
     * the O(n²) ground-truth baseline that [[embeddingNearDup]]'s bucketed
     * candidates are measured against. Broadcast one side; only

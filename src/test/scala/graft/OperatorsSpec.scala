@@ -922,6 +922,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       s"negative log-idf should invert the '$common' ranking")
   }
 
+  test("residual IVF-PQ recall tracks knn_ivf_trained at the same budget") {
+    val dir = "/root/testdata/sf0.01"
+    def hits(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .map { case (p, a) => p -> a.map(_._2).toSet }
+    val pq = hits("knn_ivf_pq_residual")
+    val ivf = hits("knn_ivf_trained")
+    assert(pq.keySet == ivf.keySet)
+    val recalls = pq.keys.toSeq.map { p =>
+      (pq(p) intersect ivf(p)).size.toDouble / ivf(p).size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean residual-PQ recall too low: $mean ($recalls)")
+  }
+
   test("KMV bottom-k estimate lands within tolerance of exact distinct") {
     val dir = "/root/testdata/sf0.01"
     val ev = Tables(spark, dir, "events")
