@@ -1924,6 +1924,76 @@ object Oracles {
        |  FROM s) WHERE rank <= $k""".stripMargin
   }
 
+  /** Trained-BPE dictionary itself (TextOps.bpeTrain / SparkEntry
+    * `bpe_train_dict`): the persisted model-store artifact, compared at
+    * full string fidelity — word, corpus count, and the space-delimited
+    * symbolization after `merges` rounds. */
+  def bpeTrainDict(merges: Int): String =
+    s"""WITH ${bpeDictCtes(merges)}
+       |SELECT word, cnt, s FROM w$merges""".stripMargin
+
+  private def codeNormSelect(subDim: Int): String =
+    s"""SELECT sub, cent_id, sqrt(list_reduce(list_transform(
+       |    generate_series(1, $subDim), i -> cent_vec[i] * cent_vec[i]),
+       |    (a, b) -> a + b)) AS code_norm
+       |FROM books""".stripMargin
+
+  /** PQ sub-codebook TRAINING (SimilarityOps.pqCodebooks / SparkEntry
+    * `pq_train_codebooks`): one kmeans sub-chain per raw-vector
+    * subspace; the artifact's oracle fingerprint is the per-(sub, code)
+    * centroid norm. */
+  def pqTrainCodebooks(m: Int, subDim: Int, ks: Int,
+      subIters: Int): String = {
+    val subChains = (0 until m).map { s0 =>
+      s"""vs$s0 AS (SELECT vec_id,
+         |  list_slice(vec, ${s0 * subDim + 1}, ${(s0 + 1) * subDim}) AS vec
+         |  FROM v),
+         |${kmeansChain(s"s$s0", subDim, ks, subIters)}""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until m).map(s0 =>
+      s"SELECT $s0 AS sub, cent_id, cent_vec FROM c${subIters}s$s0")
+      .mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |$subChains,
+       |books AS ($union)
+       |${codeNormSelect(subDim)}""".stripMargin
+  }
+
+  /** Residual PQ sub-codebook TRAINING (SimilarityOps
+    * .pqResidualCodebooks / SparkEntry `pq_train_codebooks_residual`):
+    * the sub-chains train on `vec − coarse_centroid` residuals (exact
+    * IEEE subtractions) against the SAME coarse kmeans chain the search
+    * queries read. */
+  def pqTrainCodebooksResidual(targetC: Int, iters: Int, m: Int,
+      subDim: Int, ks: Int, subIters: Int): String = {
+    def d2(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (a, b) -> a + b)"
+    val subChains = (0 until m).map { s0 =>
+      s"""vs$s0 AS (SELECT vec_id,
+         |  list_slice(rvec, ${s0 * subDim + 1}, ${(s0 + 1) * subDim}) AS vec
+         |  FROM car),
+         |${kmeansChain(s"s$s0", subDim, ks, subIters)}""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until m).map(s0 =>
+      s"SELECT $s0 AS sub, cent_id, cent_vec FROM c${subIters}s$s0")
+      .mkString(" UNION ALL ")
+    s"""WITH ${kmeansCtePrefix(targetC, iters)},
+       |caw AS (SELECT v.vec_id, c.cent_id,
+       |    ${d2("v.vec", "c.cent_vec")} AS cd2
+       |  FROM v, c$iters c),
+       |ca AS (SELECT vec_id, cent_id FROM (
+       |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY cd2, cent_id) AS cr
+       |  FROM caw) WHERE cr = 1),
+       |car AS (SELECT ca.vec_id, ca.cent_id,
+       |    list_transform(generate_series(1, 64),
+       |      i -> v.vec[i] - c.cent_vec[i]) AS rvec
+       |  FROM ca JOIN v ON v.vec_id = ca.vec_id
+       |  JOIN c$iters c ON c.cent_id = ca.cent_id),
+       |$subChains,
+       |books AS ($union)
+       |${codeNormSelect(subDim)}""".stripMargin
+  }
+
   /** SCD2 merge over a freshly-versioned orders target: replaced
     * current rows close at the effective timestamp; staged rows open
     * there. */

@@ -22,17 +22,73 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Memoized trained-BPE dictionary per corpus dir: training is
-    * deterministic and the result is a localCheckpoint'ed vocabulary-
-    * sized frame, so queries sharing a session (Verify, Bench) train
-    * ONCE and reuse — the production "train once, persist the merge
-    * table, apply everywhere" shape. Keyed by dir only: all callers in
-    * one JVM share one SparkSession. */
-  private val bpeDictCache =
+  // --- persisted trained artifacts (graft.io.ModelStore) ----------------
+  //
+  // Train-once / search-many: every trained artifact (BPE dictionary,
+  // k-means coarse quantizer, PQ codebooks, the coded ANN indexes) is a
+  // versioned ParquetWarehouse table keyed by a metadata fingerprint of
+  // the corpus it was trained on. Queries read the artifact — a small
+  // parquet scan, not a training lineage; training runs exactly once per
+  // (corpus, params) and is itself surfaced as oracle-checked queries
+  // (kmeans_centroids, pq_train_codebooks, bpe_train_dict). The in-JVM
+  // memo below only skips repeated store lookups within one session.
+  private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def model(s: SparkSession, dir: String, name: String,
+      corpus: String)(train: => DataFrame): DataFrame =
+    modelCache.computeIfAbsent(s"$dir|$name", _ =>
+      graft.io.ModelStore(s).getOrTrain(name,
+        graft.io.ModelStore.fingerprint(s, Seq(s"$dir/$corpus.parquet")))(
+        train))
+
+  /** Trained-BPE dictionary artifact (word, cnt, symbolization). */
   private def bpeDict(s: SparkSession, dir: String): DataFrame =
-    bpeDictCache.computeIfAbsent(dir,
-      _ => TextOps.bpeTrain(t(s, dir, "documents"), "text", BpeMerges))
+    model(s, dir, s"bpe_dict_m$BpeMerges", "documents")(
+      TextOps.bpeTrain(t(s, dir, "documents"), "text", BpeMerges))
+
+  private def embCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("vec"))
+
+  /** Lloyd-refined coarse quantizer artifact (cent_id, cent_vec,
+    * n_members) — shared by every trained-quantizer query. */
+  private def coarseCentroids(s: SparkSession, dir: String): DataFrame =
+    model(s, dir, s"kmeans_coarse_k${KmeansK}_i$KmeansIters", "embeddings") {
+      val corpus = embCorpus(s, dir)
+      val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
+        .select(col("cent_id"),
+          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+      ClusterOps.kmeans(corpus, initial, KmeansIters)
+    }
+
+  /** Raw-vector PQ sub-codebooks artifact (sub, cent_id, cent_vec). */
+  private def pqBooks(s: SparkSession, dir: String): DataFrame =
+    model(s, dir, s"pq_books_m${PqM}_ks${PqKs}_i$PqIters", "embeddings")(
+      SimilarityOps.pqCodebooks(embCorpus(s, dir), PqM, PqSubDim, PqKs,
+        PqIters))
+
+  /** IVF-PQ coded index artifact (vec_id, cent_id, codes) — FAISS's add
+    * phase as a table; search never touches the raw vectors until the
+    * exact re-rank. */
+  private def pqIndex(s: SparkSession, dir: String): DataFrame =
+    model(s, dir,
+        s"ivfpq_index_k${KmeansK}_m${PqM}_ks${PqKs}", "embeddings")(
+      SimilarityOps.ivfPqIndex(embCorpus(s, dir), coarseCentroids(s, dir),
+        pqBooks(s, dir), PqSubDim))
+
+  /** Residual PQ sub-codebooks artifact (trained on vec − coarse cell). */
+  private def pqResBooks(s: SparkSession, dir: String): DataFrame =
+    model(s, dir,
+        s"pq_res_books_k${KmeansK}_m${PqM}_ks${PqKs}_i$PqIters",
+        "embeddings")(
+      SimilarityOps.pqResidualCodebooks(embCorpus(s, dir),
+        coarseCentroids(s, dir), PqM, PqSubDim, PqKs, PqIters))
+
+  /** Residual IVF-PQ coded index artifact. */
+  private def pqResIndex(s: SparkSession, dir: String): DataFrame =
+    model(s, dir,
+        s"ivfpq_res_index_k${KmeansK}_m${PqM}_ks${PqKs}", "embeddings")(
+      SimilarityOps.ivfPqResidualIndex(embCorpus(s, dir),
+        coarseCentroids(s, dir), pqResBooks(s, dir), PqSubDim))
 
   /** Planted near-duplicate corpus for the dedup demonstrations: every
     * 10th document plus an 80%-prefix truncated copy at doc_id+10000000 —
@@ -2576,98 +2632,101 @@ object SparkEntry {
       SimilarityOps.exactNearDup(planted, EmbNearDupMin)
     },
 
-    // Deterministic distributed k-means: hash-sample seeds refined by
-    // Lloyd iterations (broadcast assign + fixed-point per-dimension
-    // means — no corpus shuffle per iteration). This is the IVF coarse-
-    // quantizer trainer; output is the refined centroid table.
+    // Deterministic distributed k-means — the TRAINING query of the
+    // quantizer family: trains (once) and persists the coarse-quantizer
+    // artifact in the model store, returning its summary. Every other
+    // trained-quantizer query below READS this artifact.
     "kmeans_centroids" -> { (s, dir) =>
-      val corpus = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").as("vec"))
-      val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
-        .select(col("cent_id"),
-          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
-      ClusterOps.kmeans(corpus, initial, KmeansIters)
+      coarseCentroids(s, dir)
         .select(col("cent_id"), col("n_members"),
           sqrt(SimilarityOps.dotFold(col("cent_vec"), col("cent_vec")))
             .as("centroid_norm"))
     },
 
+    // PQ TRAINING query: trains (once) and persists the per-subspace
+    // sub-codebooks; returns per-(sub, code) norms — the artifact's
+    // oracle-checkable fingerprint.
+    "pq_train_codebooks" -> { (s, dir) =>
+      pqBooks(s, dir)
+        .select(col("sub"), col("cent_id"),
+          sqrt(SimilarityOps.dotFold(col("cent_vec"), col("cent_vec")))
+            .as("code_norm"))
+    },
+
+    // Residual-PQ TRAINING query: sub-codebooks over vec − coarse cell
+    // (reads the persisted coarse quantizer, trains+persists the
+    // residual books).
+    "pq_train_codebooks_residual" -> { (s, dir) =>
+      pqResBooks(s, dir)
+        .select(col("sub"), col("cent_id"),
+          sqrt(SimilarityOps.dotFold(col("cent_vec"), col("cent_vec")))
+            .as("code_norm"))
+    },
+
+    // BPE TRAINING query: the trained merge dictionary itself (word,
+    // count, symbolization) — persisted once per corpus; the tokenizer
+    // queries read it.
+    "bpe_train_dict" -> { (s, dir) =>
+      bpeDict(s, dir).select(col("word"), col("cnt"), col("s"))
+    },
+
     // IVF search over the TRAINED quantizer (FAISS-style): L2
-    // nearest-centroid buckets from the Lloyd-refined centroids, cosine
-    // re-rank inside nprobe buckets.
+    // nearest-centroid buckets from the PERSISTED Lloyd-refined
+    // centroids, cosine re-rank inside nprobe buckets. Search-only: the
+    // quantizer comes from the model store.
     "knn_ivf_trained" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
       val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
-        .select(col("cent_id"),
-          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
       SimilarityOps.ivfKnnTrained(probes, corpus, KnnK,
-          ClusterOps.kmeans(corpus, initial, KmeansIters), nprobe = IvfNprobe)
+          coarseCentroids(s, dir), nprobe = IvfNprobe)
         .select(col("probe_id"), col("vec_id"),
           round(col("sim"), 9).as("sim"), col("rank"))
     },
 
     // IVF-PQ (Jégou et al. 2011) — the memory/IO companion of
-    // knn_ivf_trained: per-subspace k-means codebooks (reusing the
-    // ClusterOps trainer), candidate scoring by asymmetric distance over
-    // broadcast probe LUTs — the candidate stream carries m small codes,
-    // never the 64 floats — and exact cosine re-rank on the ADC-best
+    // knn_ivf_trained, SEARCH PHASE ONLY: coarse centroids, sub-codebooks
+    // and the coded index are persisted model-store artifacts; at query
+    // time only the probes are quantized (nprobe buckets + broadcast
+    // ADC LUTs), candidates travel as m small codes — never the 64
+    // floats — and the exact cosine re-rank touches the ADC-best
     // shortlist only.
     "knn_ivf_pq" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
       val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
-        .select(col("cent_id"),
-          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
-      // Trained quantizers are persisted artifacts in a real pipeline;
-      // materialize them once here (centroid/codebook tables are tiny)
-      // instead of re-deriving the Lloyd chains in every plan branch
-      // that references them (corpus buckets, probe buckets, LUTs).
-      val coarse = ClusterOps.kmeans(corpus, initial, KmeansIters)
-        .localCheckpoint(true)
-      val books = SimilarityOps.pqCodebooks(corpus, PqM, PqSubDim, PqKs,
-        PqIters).localCheckpoint(true)
-      SimilarityOps.ivfPqKnn(probes, corpus, KnnK, coarse, books, PqSubDim,
+      SimilarityOps.ivfPqSearch(probes, corpus, pqIndex(s, dir), KnnK,
+          coarseCentroids(s, dir), pqBooks(s, dir), PqSubDim,
           nprobe = IvfNprobe, rerank = PqRerank)
         .select(col("probe_id"), col("vec_id"),
           round(col("sim"), 9).as("sim"), col("rank"))
     },
 
-    // RESIDUAL IVF-PQ — the full FAISS IVFPQ: codes quantize
-    // vec − coarse_centroid (tighter quantized distribution at equal
-    // code budget), probe LUTs are per probed cell. Same oracle family
-    // and scale shape as knn_ivf_pq.
+    // RESIDUAL IVF-PQ — the full FAISS IVFPQ, search phase only: codes
+    // quantize vec − coarse_centroid (tighter quantized distribution at
+    // equal code budget), probe LUTs are per probed cell; books + coded
+    // index read from the model store.
     "knn_ivf_pq_residual" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
       val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
-        .select(col("cent_id"),
-          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
-      val coarse = ClusterOps.kmeans(corpus, initial, KmeansIters)
-        .localCheckpoint(true)
-      SimilarityOps.ivfPqResidualKnn(probes, corpus, KnnK, coarse,
-          PqM, PqSubDim, PqKs, PqIters, nprobe = IvfNprobe,
-          rerank = PqRerank)
+      SimilarityOps.ivfPqResidualSearch(probes, corpus, pqResIndex(s, dir),
+          KnnK, coarseCentroids(s, dir), pqResBooks(s, dir), PqSubDim,
+          nprobe = IvfNprobe, rerank = PqRerank)
         .select(col("probe_id"), col("vec_id"),
           round(col("sim"), 9).as("sim"), col("rank"))
     },
 
-    // Per-vector cluster map against the refined centroids — the output
-    // downstream curation consumes (buckets, postings, quotas).
+    // Per-vector cluster map against the persisted refined centroids —
+    // the output downstream curation consumes (buckets, postings,
+    // quotas).
     "kmeans_assignments" -> { (s, dir) =>
       val corpus = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("vec"))
-      val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
-        .select(col("cent_id"),
-          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
-      ClusterOps.kmeansAssign(corpus,
-        ClusterOps.kmeans(corpus, initial, KmeansIters))
+      ClusterOps.kmeansAssign(corpus, coarseCentroids(s, dir))
     },
 
     // SemDeDup (semantic dedup, arXiv:2303.09540) on the same planted
@@ -3119,6 +3178,11 @@ object SparkEntry {
     "knn_ivf_pq_residual" -> Oracles.knnIvfPqResidual(KnnProbeEvery, KnnK,
       KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
       PqRerank),
+    "pq_train_codebooks" -> Oracles.pqTrainCodebooks(
+      PqM, PqSubDim, PqKs, PqIters),
+    "pq_train_codebooks_residual" -> Oracles.pqTrainCodebooksResidual(
+      KmeansK, KmeansIters, PqM, PqSubDim, PqKs, PqIters),
+    "bpe_train_dict" -> Oracles.bpeTrainDict(BpeMerges),
     "label_centroid_norms" -> Oracles.labelCentroidNorms,
     "salted_agg_events" -> Oracles.saltedAggEvents,
     "salted_join_customer_orders" -> Oracles.joinCustomerOrders,

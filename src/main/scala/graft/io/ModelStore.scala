@@ -1,0 +1,119 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{LoadMode, TableRef}
+
+/** Persisted trained-artifact store — the train-once / search-many split a
+  * 100 TB pipeline needs: BPE merge dictionaries, k-means coarse
+  * quantizers, PQ codebooks and the coded ANN index are TRAINED STATE, not
+  * query-time derivations. Each artifact lives as a versioned
+  * [[ParquetWarehouse]] table (atomic pointer swap, one-generation
+  * time-travel, vacuum), keyed by a metadata fingerprint of the corpus
+  * files it was trained on — retrain happens exactly when the corpus
+  * actually changed, never because a new session started.
+  *
+  * Scale notes:
+  *   - Artifacts are broadcast-sized by construction (vocabulary /
+  *     centroid / codebook tables) or corpus-projections (the PQ coded
+  *     index: m small codes per vector, the whole memory point of PQ) —
+  *     reading them back is a metadata-scale or columnar-scan cost,
+  *     never a retraining cost.
+  *   - The fingerprint is Hadoop FS `listStatus` metadata (path, length,
+  *     mtime) — no data pass. Immutable-file stores (S3, HDFS append-only
+  *     layouts) make this exact; a rewritten file changes length/mtime.
+  *   - Training is serialized per (corpus, artifact) key within the JVM;
+  *     cross-JVM racers both produce the same deterministic artifact, so
+  *     last-writer-wins is benign (the reference's X2 retry owns true
+  *     multi-writer serialization on the target warehouse).
+  *
+  * The reference has no model state at all (it is a load orchestrator —
+  * SURVEY.md §2.7); this is north-star extension surface.
+  */
+final class ModelStore(spark: SparkSession, val root: String) {
+
+  private val wh = new ParquetWarehouse(spark, root)
+
+  private def ref(name: String, corpusFp: String): TableRef =
+    TableRef("models", s"${name}__$corpusFp")
+
+  /** Read-or-train: returns the persisted artifact, training and
+    * committing it first iff absent for this corpus fingerprint. The
+    * returned frame is a plain parquet read — downstream plans see a
+    * small scan, not the training lineage. */
+  def getOrTrain(name: String, corpusFp: String)(train: => DataFrame): DataFrame = {
+    val r = ref(name, corpusFp)
+    ModelStore.keyLock(s"$root/${r.qualified}").synchronized {
+      if (!wh.exists(r)) wh.create(r, train)
+    }
+    wh.table(r)
+  }
+
+  /** Explicit retrain: commits a NEW version of the artifact (previous
+    * generation stays readable via [[ParquetWarehouse.tableAt]] until the
+    * next commit's retention pass — model rollback for free). */
+  def retrain(name: String, corpusFp: String)(train: => DataFrame): DataFrame = {
+    val r = ref(name, corpusFp)
+    ModelStore.keyLock(s"$root/${r.qualified}").synchronized {
+      if (wh.exists(r)) wh.load(LoadMode.TruncateInsert, r, train)
+      else wh.create(r, train)
+    }
+    wh.table(r)
+  }
+
+  def exists(name: String, corpusFp: String): Boolean = exists0(ref(name, corpusFp))
+  private def exists0(r: TableRef): Boolean = wh.exists(r)
+
+  /** Retained version ids of an artifact (oldest first). */
+  def versions(name: String, corpusFp: String): Seq[String] =
+    wh.versions(ref(name, corpusFp))
+
+  def drop(name: String, corpusFp: String): Unit = wh.drop(ref(name, corpusFp))
+}
+
+object ModelStore {
+
+  /** Bump when the TRAINING semantics of any stored artifact change:
+    * fingerprints key on corpus bytes only, so a semantic change to a
+    * trainer must invalidate previously-persisted artifacts or stale
+    * models would silently serve old results. */
+  val FormatVersion = 1
+
+  /** Default artifact warehouse root: override with GRAFT_MODEL_ROOT
+    * (e.g. an object-store URI on a real cluster). Format-versioned —
+    * see [[FormatVersion]]. */
+  def defaultRoot: String = sys.env.getOrElse("GRAFT_MODEL_ROOT",
+    s"${System.getProperty("java.io.tmpdir")}/graft_model_warehouse/v$FormatVersion")
+
+  def apply(spark: SparkSession, root: String = defaultRoot): ModelStore =
+    new ModelStore(spark, root)
+
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def keyLock(k: String): Object =
+    locks.computeIfAbsent(k, _ => new Object)
+
+  /** Metadata fingerprint of the corpus files an artifact is trained on:
+    * md5 over the sorted (path, length, mtime) triples of every data file
+    * under the given paths. Listing-only — no data is read. */
+  def fingerprint(spark: SparkSession, paths: Seq[String]): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val entries = Seq.newBuilder[String]
+    paths.sorted.foreach { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      if (fs.exists(path)) {
+        val it = fs.listFiles(path, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val n = st.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith("."))
+            entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+        }
+      } else entries += s"$p|absent"
+    }
+    org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(entries.result().sorted.mkString("\n")).take(16)
+  }
+}

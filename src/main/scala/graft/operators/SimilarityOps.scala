@@ -127,6 +127,23 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** L2 rank-≤n nearest-centroid bucketing against a broadcast (trained)
+    * centroid table — the shared coarse-quantization pass of every
+    * trained-quantizer search ([[ivfKnnTrained]], [[ivfPqKnn]],
+    * [[ivfPqResidualKnn]]): codegen [[graft.expressions.L2DistSq]]
+    * kernel, (d2, cent_id) tie-break, rank-1 plans as partial
+    * WindowGroupLimit. Keeps every input column plus `cent_id`. */
+  private def l2Buckets(cents: DataFrame)(
+      df: DataFrame, idc: String, vecc: String, n: Int): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .select(df.columns.map(col) :+ col("cent_id") :+
+        graft.expressions.GraftFunctions.l2DistSq(
+          col(vecc), col("cent_vec")).as("__d2"): _*)
+      .withColumn("__cr", rank().over(
+        Window.partitionBy(col(idc)).orderBy(col("__d2"), col("cent_id"))))
+      .filter(col("__cr") <= n)
+      .drop("__d2", "__cr")
+
   /** IVF ANN over a TRAINED coarse quantizer ([[graft.operators
     * .ClusterOps.kmeans]] centroids) — the FAISS-style pairing: L2
     * nearest-centroid bucketing (the quantizer's own metric, via the
@@ -140,15 +157,7 @@ object SimilarityOps {
       centroids: DataFrame, nprobe: Int = 3,
       probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
     val cents = centroids.select(col("cent_id"), col("cent_vec"))
-    def buckets(df: DataFrame, idc: String, vecc: String, n: Int): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .select(df.columns.map(col) :+ col("cent_id") :+
-          graft.expressions.GraftFunctions.l2DistSq(
-            col(vecc), col("cent_vec")).as("__d2"): _*)
-        .withColumn("__cr", rank().over(
-          Window.partitionBy(col(idc)).orderBy(col("__d2"), col("cent_id"))))
-        .filter(col("__cr") <= n)
-        .drop("__d2", "__cr")
+    val buckets = l2Buckets(cents) _
     val bucketed = buckets(
       corpus.withColumn("__nrm", norm(col("vec"))), corpusId, "vec", 1)
     val probeBuckets = buckets(
@@ -208,6 +217,20 @@ object SimilarityOps {
         array_sort(collect_list(struct(col("sub"), col("cent_id")))),
         x => x.getField("cent_id")).as("codes"))
 
+  /** The IVF-PQ coded INDEX — FAISS's "add" phase as a table:
+    * `(id, cent_id, codes)` for every corpus vector. This is the
+    * persisted-artifact half of PQ search ([[graft.io.ModelStore]]):
+    * built once per corpus (one broadcast-quantizer pass), stored
+    * columnar, and every later search touches only these m-code rows —
+    * the full float vectors stay at rest until the final re-rank. */
+  def ivfPqIndex(corpus: DataFrame, coarseCentroids: DataFrame,
+      codebooks: DataFrame, subDim: Int,
+      corpusId: String = "vec_id"): DataFrame =
+    l2Buckets(coarseCentroids.select(col("cent_id"), col("cent_vec")))(
+        corpus, corpusId, "vec", 1)
+      .select(col(corpusId), col("cent_id"))
+      .join(pqCodes(corpus, codebooks, subDim, corpusId), corpusId)
+
   /** IVF-PQ ANN — the FAISS companion of [[ivfKnnTrained]]: coarse
     * buckets from the trained quantizer, candidate scoring by ASYMMETRIC
     * DISTANCE (per-probe lookup tables of probe-subvector→code
@@ -222,27 +245,18 @@ object SimilarityOps {
     *
     * Determinism: ADC folds subspace distances in subspace order from a
     * 0.0 seed (the oracle folds `list(d2c ORDER BY sub)` identically);
-    * shortlist ties break (adc, id), final ties (sim desc, id). */
-  def ivfPqKnn(
-      probes: DataFrame, corpus: DataFrame, k: Int,
+    * shortlist ties break (adc, id), final ties (sim desc, id).
+    *
+    * This entry point trains nothing and codes nothing: `corpusCoded` is
+    * the prebuilt [[ivfPqIndex]] (read from the model store in
+    * production); only the probe side is quantized at query time. */
+  def ivfPqSearch(
+      probes: DataFrame, corpus: DataFrame, corpusCoded: DataFrame, k: Int,
       coarseCentroids: DataFrame, codebooks: DataFrame,
       subDim: Int, nprobe: Int = 3, rerank: Int = 15,
       probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
     val cents = coarseCentroids.select(col("cent_id"), col("cent_vec"))
-    def buckets(df: DataFrame, idc: String, vecc: String, n: Int): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .select(df.columns.map(col) :+ col("cent_id") :+
-          graft.expressions.GraftFunctions.l2DistSq(
-            col(vecc), col("cent_vec")).as("__d2"): _*)
-        .withColumn("__cr", rank().over(
-          Window.partitionBy(col(idc)).orderBy(col("__d2"), col("cent_id"))))
-        .filter(col("__cr") <= n)
-        .drop("__d2", "__cr")
-
-    // Corpus side of the candidate join: bucket + codes, NO vectors.
-    val corpusCoded = buckets(corpus, corpusId, "vec", 1)
-      .select(col(corpusId), col("cent_id"))
-      .join(pqCodes(corpus, codebooks, subDim, corpusId), corpusId)
+    val buckets = l2Buckets(cents) _
 
     // Probe side: nprobe buckets + the per-subspace distance LUT
     // (map cent_id -> d2, ordered into an array by subspace).
@@ -296,6 +310,54 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Self-contained IVF-PQ (index built inline): [[ivfPqIndex]] +
+    * [[ivfPqSearch]] composed — the spec/baseline form; production reads
+    * the index from the model store instead. */
+  def ivfPqKnn(
+      probes: DataFrame, corpus: DataFrame, k: Int,
+      coarseCentroids: DataFrame, codebooks: DataFrame,
+      subDim: Int, nprobe: Int = 3, rerank: Int = 15,
+      probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame =
+    ivfPqSearch(probes, corpus,
+      ivfPqIndex(corpus, coarseCentroids, codebooks, subDim, corpusId),
+      k, coarseCentroids, codebooks, subDim, nprobe, rerank, probeId, corpusId)
+
+  /** Residual corpus w.r.t. the trained coarse quantizer:
+    * `(id, cent_id, vec = raw − cent_vec)` — what residual sub-codebooks
+    * train on and residual codes quantize (exact IEEE subtractions of
+    * exactly-cast doubles, so the whole family stays oracle-hashable). */
+  def residualCorpus(corpus: DataFrame, coarseCentroids: DataFrame,
+      corpusId: String = "vec_id"): DataFrame = {
+    val cents = coarseCentroids.select(col("cent_id"), col("cent_vec"))
+    l2Buckets(cents)(corpus, corpusId, "vec", 1)
+      .join(broadcast(cents), "cent_id")
+      .select(col(corpusId), col("cent_id"),
+        zip_with(col("vec"), col("cent_vec"),
+          (x, c) => x.cast("double") - c).as("vec"))
+  }
+
+  /** Residual PQ sub-codebooks: [[pqCodebooks]] trained on
+    * [[residualCorpus]] — the trained half of the residual IVFPQ
+    * artifact pair (store with the coarse centroids they depend on). */
+  def pqResidualCodebooks(corpus: DataFrame, coarseCentroids: DataFrame,
+      m: Int, subDim: Int, ks: Int, iters: Int,
+      corpusId: String = "vec_id"): DataFrame =
+    pqCodebooks(
+      residualCorpus(corpus, coarseCentroids, corpusId)
+        .select(col(corpusId), col("vec")),
+      m, subDim, ks, iters, corpusId)
+
+  /** The residual IVF-PQ coded index: `(id, cent_id, codes)` where codes
+    * quantize the residual — FAISS IVFPQ's add phase as a table. */
+  def ivfPqResidualIndex(corpus: DataFrame, coarseCentroids: DataFrame,
+      codebooks: DataFrame, subDim: Int,
+      corpusId: String = "vec_id"): DataFrame = {
+    val res = residualCorpus(corpus, coarseCentroids, corpusId)
+    res.select(col(corpusId), col("cent_id"))
+      .join(pqCodes(res.select(col(corpusId), col("vec")), codebooks,
+        subDim, corpusId), corpusId)
+  }
+
   /** RESIDUAL IVF-PQ — the full FAISS IVFPQ construction: sub-codebooks
     * quantize the residual `vec − coarse_centroid` instead of the raw
     * vector, which concentrates the quantized distribution around the
@@ -307,37 +369,24 @@ object SimilarityOps {
     *
     * Returns `(probe_id, corpus_id, sim, rank)`. Residuals are exact
     * IEEE subtractions of exactly-cast doubles, so the whole pipeline
-    * stays oracle-hashable. */
-  def ivfPqResidualKnn(
-      probes: DataFrame, corpus: DataFrame, k: Int,
-      coarseCentroids: DataFrame, m: Int, subDim: Int, ks: Int,
-      subIters: Int, nprobe: Int = 3, rerank: Int = 15,
+    * stays oracle-hashable.
+    *
+    * Search-only (FAISS's query phase): `corpusCoded` is the prebuilt
+    * [[ivfPqResidualIndex]] and `codebooks` the trained
+    * [[pqResidualCodebooks]] — both model-store artifacts in production;
+    * only the probe residuals and their per-cell LUTs are computed at
+    * query time (probes are small). */
+  def ivfPqResidualSearch(
+      probes: DataFrame, corpus: DataFrame, corpusCoded: DataFrame, k: Int,
+      coarseCentroids: DataFrame, codebooks: DataFrame,
+      subDim: Int, nprobe: Int = 3, rerank: Int = 15,
       probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
     val cents = coarseCentroids.select(col("cent_id"), col("cent_vec"))
-    def buckets(df: DataFrame, idc: String, vecc: String, n: Int): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .select(df.columns.map(col) :+ col("cent_id") :+
-          graft.expressions.GraftFunctions.l2DistSq(
-            col(vecc), col("cent_vec")).as("__d2"): _*)
-        .withColumn("__cr", rank().over(
-          Window.partitionBy(col(idc)).orderBy(col("__d2"), col("cent_id"))))
-        .filter(col("__cr") <= n)
-        .drop("__d2", "__cr")
+    val buckets = l2Buckets(cents) _
     def residual(vecc: String) =
       zip_with(col(vecc), col("cent_vec"),
         (x, c) => x.cast("double") - c)
-
-    // Corpus residuals w.r.t. their rank-1 cell; sub-codebooks train on
-    // and codes quantize THESE, not the raw vectors.
-    val corpusRes = buckets(corpus, corpusId, "vec", 1)
-      .join(broadcast(cents), "cent_id")
-      .select(col(corpusId), col("cent_id"), residual("vec").as("vec"))
-    val books = pqCodebooks(
-      corpusRes.select(col(corpusId), col("vec")), m, subDim, ks, subIters,
-      corpusId)
-    val corpusCoded = corpusRes.select(col(corpusId), col("cent_id"))
-      .join(pqCodes(corpusRes.select(col(corpusId), col("vec")), books,
-        subDim, corpusId), corpusId)
+    val books = codebooks
 
     // Probe residual PER PROBED CELL, then the per-(probe, cell) LUT.
     val probeRes = buckets(
@@ -386,6 +435,22 @@ object SimilarityOps {
       .withColumn("rank", rank().over(
         Window.partitionBy(col(probeId)).orderBy(col("sim").desc, col(corpusId))))
       .filter(col("rank") <= k)
+  }
+
+  /** Self-contained residual IVF-PQ (codebooks trained and index coded
+    * inline): [[pqResidualCodebooks]] + [[ivfPqResidualIndex]] +
+    * [[ivfPqResidualSearch]] composed — the spec/baseline form;
+    * production reads both artifacts from the model store instead. */
+  def ivfPqResidualKnn(
+      probes: DataFrame, corpus: DataFrame, k: Int,
+      coarseCentroids: DataFrame, m: Int, subDim: Int, ks: Int,
+      subIters: Int, nprobe: Int = 3, rerank: Int = 15,
+      probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
+    val books = pqResidualCodebooks(corpus, coarseCentroids, m, subDim, ks,
+      subIters, corpusId)
+    ivfPqResidualSearch(probes, corpus,
+      ivfPqResidualIndex(corpus, coarseCentroids, books, subDim, corpusId),
+      k, coarseCentroids, books, subDim, nprobe, rerank, probeId, corpusId)
   }
 
   /** Exact all-pairs cosine near-duplicates over a (bounded) corpus:
