@@ -165,7 +165,8 @@ object Oracles {
     * the hashed output. */
   def kmvDistinctUsers(k: Int): String =
     s"""WITH h AS (SELECT DISTINCT event_type,
-       |  ${hash60("CAST(user_id AS VARCHAR)")} AS hkey FROM events),
+       |  ${hash60("CAST(user_id AS VARCHAR)")} AS hkey FROM events
+       |  WHERE user_id IS NOT NULL),
        |r AS (SELECT event_type, hkey,
        |  rank() OVER (PARTITION BY event_type ORDER BY hkey) AS rk FROM h),
        |b AS (SELECT event_type, count(*) AS n_kept, max(hkey) AS kth
@@ -180,7 +181,8 @@ object Oracles {
     * the lossless KMV merge. */
   def kmvSketchRollup(k: Int): String =
     s"""WITH h AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS day,
-       |  ${hash60("CAST(user_id AS VARCHAR)")} AS hkey FROM events),
+       |  ${hash60("CAST(user_id AS VARCHAR)")} AS hkey FROM events
+       |  WHERE user_id IS NOT NULL),
        |d AS (SELECT event_type, day, hkey, rank() OVER (
        |  PARTITION BY event_type, day ORDER BY hkey) AS rk FROM h),
        |daily AS (SELECT event_type, day, hkey FROM d WHERE rk <= $k),

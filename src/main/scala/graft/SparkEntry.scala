@@ -781,7 +781,10 @@ object SparkEntry {
     "kmv_distinct_users_agg" -> { (s, dir) =>
       import s.implicits._
       val k = KmvK
+      // NULL guard matches SketchOps.kmvBottomK's sketch domain (a null
+      // user_id would hash to a null hkey and break the Long encoder).
       t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
         .select(col("event_type"),
           SketchOps.hash60(col("user_id")).as("hkey"))
         .as[(String, Long)]

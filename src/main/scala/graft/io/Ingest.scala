@@ -75,6 +75,18 @@ object Ingest {
       dir: String, ext: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
+    // File-per-id layout requires UNIQUE ids: a duplicate would collapse
+    // to one file with nondeterministic last-writer-wins across
+    // concurrently-writing partitions. Checked up front with one
+    // column-pruned aggregate (ids only) — the write itself stays
+    // overwrite-idempotent so Spark task retries/speculation can safely
+    // re-create files from a failed attempt.
+    val Array(nRows, nIds) = df.select(
+        count(col(idCol)), countDistinct(col(idCol)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nRows == nIds,
+      s"writeBinaryFiles: $idCol must be unique (got $nRows rows, " +
+        s"$nIds distinct ids) — duplicates would silently drop payloads")
     // Truncate-stage semantics: clear the target dir first so a stale
     // file from an earlier (differently-sampled) staging run can't
     // pollute the listing a reader sees.

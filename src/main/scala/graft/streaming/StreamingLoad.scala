@@ -231,9 +231,18 @@ object StreamingLoad {
             prev, batch.select(col(idField)),
             vsStore.unionByName(within), idField)
           .localCheckpoint(true)
-        warehouse.load(LoadMode.Insert, table, batch, idField)
+        // At-least-once replay guard for the APPEND stores (the label
+        // table's left_anti seed already has one): a re-delivered batch
+        // must not accumulate duplicate corpus rows / signatures, which
+        // would fan out every future candidate-edge join. Materialized
+        // before the insert so the anti-join reads the PRE-append store.
+        val fresh = (if (warehouse.exists(table))
+            batch.join(warehouse.table(table).select(col(idField)),
+              Seq(idField), "left_anti")
+          else batch).localCheckpoint(true)
+        warehouse.load(LoadMode.Insert, table, fresh, idField)
         warehouse.load(LoadMode.Insert, sigTable,
-          ops.minhashSignatureArr(batch, idField, textField), idField)
+          ops.minhashSignatureArr(fresh, idField, textField), idField)
         warehouse.load(LoadMode.TruncateInsert, labelTable, labels, idField)
       }
       .start()

@@ -124,6 +124,12 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(labelRows.map(_._1).distinct.length == labelRows.length,
       s"duplicate label rows after replay: ${labelRows.toSeq.sorted}")
+    // Replay guard: the re-delivered doc 2 must not accumulate duplicate
+    // corpus rows or signatures (6 distinct docs across the 3 batches).
+    assert(wh.table(tbl).count() == 6,
+      s"corpus grew on replay: ${wh.table(tbl).count()} rows")
+    assert(wh.table(sig).count() == 6,
+      s"signature store grew on replay: ${wh.table(sig).count()} rows")
     val inc = labelRows.toMap
     // Ground truth: full-corpus candidate edges + batch CC.
     val corpus = wh.table(tbl)
