@@ -61,6 +61,17 @@ object GraftFunctions {
   def ngramHashes(tokens: Column, n: Int): Column =
     GraftColumns.column(NgramHashes(GraftColumns.expression(tokens), n))
 
+  /** Codegen'd count of tokens in a static word set
+    * (see [[StringSetHitCount]]). */
+  def hitCount(tokens: Column, words: Seq[String]): Column =
+    GraftColumns.column(StringSetHitCount(
+      GraftColumns.expression(tokens), words))
+
+  /** Codegen'd count of non-overlapping matches of a static regex
+    * (see [[RegexpCountAll]]). */
+  def regexpCount(text: Column, regex: String): Column =
+    GraftColumns.column(RegexpCountAll(GraftColumns.expression(text), regex))
+
   /** Register graft's SQL functions on a live session (the
     * `spark.sql.extensions` path only applies at session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -28,15 +28,19 @@ object TextFunctions {
   val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** Token count under the BPE-ish pre-tokenizer (LLM-budget estimator:
-    * counts subword units rather than whitespace words). */
+    * counts subword units rather than whitespace words). Codegen'd
+    * match counting ([[graft.expressions.RegexpCountAll]]) — the
+    * `size(regexp_extract_all(...))` form materializes every match just
+    * to take the list's length. */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeTokenRe), lit(0)))
+    graft.expressions.GraftFunctions.regexpCount(text, BpeTokenRe)
 
-  /** Count of tokens that appear in `words` (a small reference list). */
-  def hitCount(toks: Column, words: Seq[String]): Column = {
-    val dict = array(words.map(lit): _*)
-    size(filter(toks, t => array_contains(dict, t)))
-  }
+  /** Count of tokens that appear in `words` (a small reference list).
+    * Codegen'd set probe ([[graft.expressions.StringSetHitCount]]) —
+    * the `size(filter(toks, t -> array_contains(dict, t)))` form runs
+    * an interpreted lambda per token. */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    graft.expressions.GraftFunctions.hitCount(toks, words)
 
   /** Small per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic. Deliberately tiny: language ID at 100 TB must

@@ -146,6 +146,54 @@ class ExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(rev != rows.find(_._1 == 2L).get._2)
   }
 
+  test("StringSetHitCount matches the filter-HOF form on real documents") {
+    import graft.functions.TextFunctions
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val toks = TextFunctions.tokens(lower(col("text")))
+    val dict = array(TextFunctions.StopEn.map(lit): _*)
+    val reference = size(filter(toks, t => array_contains(dict, t)))
+    val rows = docs.select(col("doc_id"),
+        graft.expressions.GraftFunctions
+          .hitCount(toks, TextFunctions.StopEn).as("fast"),
+        reference.as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"doc ${r.getLong(0)}: ${r.getInt(1)} != ${r.getInt(2)}"))
+    assert(rows.exists(_.getInt(1) > 0), "no stopword hits in the corpus?")
+    // Null semantics: null array -> null; null elements not counted
+    // (the HOF's array_contains(dict, null) is null == filter-false).
+    import spark.implicits._
+    val edge = Seq((1L, Seq("the", null, "zzz")), (2L, null))
+      .toDF("id", "toks")
+      .select(col("id"), graft.expressions.GraftFunctions
+        .hitCount(col("toks"), TextFunctions.StopEn).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(edge(1L) == 1 && edge(2L) == -1)
+  }
+
+  test("RegexpCountAll matches size(regexp_extract_all) on real documents") {
+    import graft.functions.TextFunctions
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val reference = size(regexp_extract_all(col("text"),
+      lit(TextFunctions.BpeTokenRe), lit(0)))
+    val rows = docs.select(col("doc_id"),
+        graft.expressions.GraftFunctions
+          .regexpCount(col("text"), TextFunctions.BpeTokenRe).as("fast"),
+        reference.as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"doc ${r.getLong(0)}: ${r.getInt(1)} != ${r.getInt(2)}"))
+    assert(rows.exists(_.getInt(1) > 0))
+    // Null text -> null; empty text -> 0 matches.
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, null), (3L, "ab1 2c!"))
+      .toDF("id", "s")
+      .select(col("id"), graft.expressions.GraftFunctions
+        .regexpCount(col("s"), TextFunctions.BpeTokenRe).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(edge(1L) == 0 && edge(2L) == -1 && edge(3L) == 5)
+  }
+
   test("graft_dot is usable from SQL after registration") {
     graft.expressions.GraftFunctions.register(spark)
     val out = spark.sql(
