@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate: diff the fresh BENCH_LOCAL.json
+against a reference per-query map (default: the archived previous run)
+and emit BENCH_DELTA.json with a `regressions` list.
+
+A query regresses when BOTH hold (kills sub-second noise chatter):
+  new >= 1.5x ref   AND   new - ref >= 0.3 s
+
+Usage: scripts/bench_delta.py [new.json] [ref.json]
+Exit 0 always (the gate reports; the human decides) — the list is the
+artifact the round writeup has to either empty or explain.
+"""
+import json
+import sys
+
+
+def per_query(path):
+    with open(path) as f:
+        d = json.load(f)
+    # Accept both the Bench output shape {"queries": {...}} and the
+    # driver archive shape {"parsed": {"queries": {...}}}.
+    if isinstance(d.get("queries"), dict):
+        return d["queries"], d.get("value")
+    p = d.get("parsed") or {}
+    return p.get("queries", {}), p.get("value")
+
+
+def main():
+    new_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_LOCAL.json"
+    ref_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_PREV.json"
+    new_q, new_total = per_query(new_path)
+    try:
+        ref_q, ref_total = per_query(ref_path)
+    except FileNotFoundError:
+        ref_q, ref_total = {}, None
+
+    regressions, improvements = [], []
+    for name, t in sorted(new_q.items()):
+        r = ref_q.get(name)
+        if r is None or r <= 0:
+            continue
+        if t >= 1.5 * r and t - r >= 0.3:
+            regressions.append(
+                {"query": name, "ref": r, "new": t, "ratio": round(t / r, 2)})
+        elif r >= 1.5 * t and r - t >= 0.3:
+            improvements.append(
+                {"query": name, "ref": r, "new": t, "ratio": round(t / r, 2)})
+
+    out = {
+        "ref": ref_path, "new": new_path,
+        "ref_total": ref_total, "new_total": new_total,
+        "n_compared": sum(1 for q in new_q if q in ref_q),
+        "n_new_queries": sum(1 for q in new_q if q not in ref_q),
+        "regressions": regressions,
+        "improvements": improvements,
+    }
+    with open("BENCH_DELTA.json", "w") as f:
+        json.dump(out, f, indent=1)
+    if regressions:
+        print(f"[bench-delta] {len(regressions)} regression(s) "
+              f"(>=1.5x and >=0.3s):", file=sys.stderr)
+        for e in regressions:
+            print(f"  {e['query']}: {e['ref']:.2f}s -> {e['new']:.2f}s "
+                  f"({e['ratio']}x)", file=sys.stderr)
+    else:
+        print(f"[bench-delta] no regressions across {out['n_compared']} "
+              f"compared queries", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,16 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS -Xmx16g \
+# Archive the previous per-query map so the regression gate below has a
+# reference even though Bench overwrites BENCH_LOCAL.json.
+[ -f BENCH_LOCAL.json ] && cp BENCH_LOCAL.json BENCH_PREV.json
+java $ADD_OPENS -Xmx16g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Bench
+rc=$?
+# Per-query regression gate (>=1.5x AND >=0.3s abs) -> BENCH_DELTA.json;
+# report-only (stderr), never fails the bench.
+[ -f BENCH_PREV.json ] && python3 scripts/bench_delta.py \
+  BENCH_LOCAL.json BENCH_PREV.json || true
+exit $rc
