@@ -1,0 +1,205 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic-data generator for SCALE testing beyond the
+  * driver-provided sf0.1 (TESTDATA.md): same schemas, same value
+  * domains and similar distributions, any target scale factor —
+  * `runMain graft.tools.GenData <outDir> <mult>` writes `mult`x the
+  * sf0.1 row counts (mult=10 == "sf1").
+  *
+  * Everything is a pure column function of `spark.range` ids
+  * (xxhash64-seeded) — no driver-side RNG state, so generation is
+  * distributed, reproducible, and independent of partitioning. The
+  * document vocabulary is lifted from the real sf0.1 corpus so text
+  * statistics (token frequencies, tile dictionaries, shingle space)
+  * stay comparable.
+  *
+  * NOT a replacement for the driver's testdata (the oracle gate keys on
+  * those exact bytes) — this exists for SCALING.md's sf0.1 -> sf1
+  * runtime-ratio measurements. */
+object GenData {
+
+  /** Uniform double in [0, 1) from (id, seed) — 20 bits of hash. */
+  private def u(id: Column, seed: Int): Column =
+    pmod(xxhash64(id, lit(seed)), lit(1048576L)).cast("double") / 1048576.0
+
+  private def uniform(id: Column, seed: Int, lo: Double, hi: Double): Column =
+    round(u(id, seed) * (hi - lo) + lo, 2)
+
+  private def pick(id: Column, seed: Int, choices: Seq[String]): Column =
+    element_at(array(choices.map(lit): _*),
+      (pmod(xxhash64(id, lit(seed)), lit(choices.size.toLong)) + 1).cast("int"))
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_testdata/sf1")
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val src = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try generate(spark, src, out, mult) finally spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, out: String, mult: Int): Unit = {
+    def w(df: DataFrame, name: String, parts: Int): Unit = {
+      df.repartition(parts)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[gendata] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+    val nCust = 15000L * mult
+    val nSupp = 1000L * mult
+    val nPart = 20000L * mult
+    val nOrd = 150000L * mult
+    val nLine = 600000L * mult
+    val nEvt = 100000L * mult
+    val nDoc = 5000L * mult
+    val nEmb = 2000L * mult
+
+    // Fixed-cardinality dims: copy verbatim (region/nation don't scale).
+    spark.read.parquet(s"$src/region.parquet")
+      .write.mode("overwrite").parquet(s"$out/region.parquet")
+    spark.read.parquet(s"$src/nation.parquet")
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
+
+    val cust = spark.range(nCust).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      pmod(xxhash64(col("id"), lit(1)), lit(25L)).cast("int").as("c_nationkey"),
+      uniform(col("id"), 2, -999.99, 9999.99).as("c_acctbal"),
+      pick(col("id"), 3, Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+        "HOUSEHOLD", "MACHINERY")).as("c_mktsegment"))
+    w(cust, "customer", 4 * mult / 10 + 1)
+
+    val supp = spark.range(nSupp).select(
+      col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      pmod(xxhash64(col("id"), lit(4)), lit(25L)).cast("int").as("s_nationkey"),
+      uniform(col("id"), 5, -999.99, 9999.99).as("s_acctbal"))
+    w(supp, "supplier", 1)
+
+    val adjectives = Seq("large", "small", "hot", "cold", "blue", "red",
+      "green", "dark", "light", "heavy")
+    val nouns = Seq("ring", "bolt", "screw", "plate", "gear", "wheel",
+      "pipe", "valve", "wire", "rod")
+    val part = spark.range(nPart).select(
+      col("id").as("p_partkey"),
+      concat_ws(" ", pick(col("id"), 6, adjectives),
+        pick(col("id"), 7, nouns)).as("p_name"),
+      concat(lit("Brand#"),
+        (pmod(xxhash64(col("id"), lit(8)), lit(25L)) + 1).cast("string"))
+        .as("p_brand"),
+      pick(col("id"), 9, Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO",
+        "SMALL", "STANDARD")).as("p_type"),
+      (pmod(xxhash64(col("id"), lit(10)), lit(50L)) + 1).cast("int")
+        .as("p_size"),
+      round(lit(900.0) + col("id") % 1000 * 0.1 +
+        pmod(xxhash64(col("id"), lit(11)), lit(100000L)) / 100.0, 2)
+        .as("p_retailprice"))
+    w(part, "part", 4 * mult / 10 + 1)
+
+    // Orders over the 1995-01-01 .. 2001-08-01 day range (date-granular).
+    val ordBase = to_timestamp(lit("1995-01-01"))
+    val ord = spark.range(nOrd).select(
+      col("id").as("o_orderkey"),
+      pmod(xxhash64(col("id"), lit(12)), lit(nCust)).as("o_custkey"),
+      pick(col("id"), 13, Seq("O", "O", "F", "F", "P")).as("o_orderstatus"),
+      uniform(col("id"), 14, 1000.0, 500000.0).as("o_totalprice"),
+      timestamp_add("DAY",
+        pmod(xxhash64(col("id"), lit(15)), lit(2404L)).cast("int"), ordBase)
+        .as("o_orderdate"),
+      pick(col("id"), 16, Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority"))
+    w(ord, "orders", 8 * mult / 10 + 2)
+
+    // Lineitem: ~4 lines/order via orderkey = id div 4 + spread, shipdate
+    // = orderdate + 1..95 days (re-derived from the same day hash).
+    val li0 = spark.range(nLine).select(
+      col("id"),
+      pmod(xxhash64(col("id"), lit(17)), lit(nOrd)).as("l_orderkey"),
+      pmod(xxhash64(col("id"), lit(18)), lit(nPart)).as("l_partkey"),
+      pmod(xxhash64(col("id"), lit(19)), lit(nSupp)).as("l_suppkey"),
+      (pmod(xxhash64(col("id"), lit(20)), lit(7L)) + 1).cast("int")
+        .as("l_linenumber"),
+      (pmod(xxhash64(col("id"), lit(21)), lit(50L)) + 1).cast("double")
+        .as("l_quantity"),
+      uniform(col("id"), 22, 900.0, 105000.0).as("l_extendedprice"),
+      (pmod(xxhash64(col("id"), lit(23)), lit(11L)).cast("double") / 100.0)
+        .as("l_discount"),
+      (pmod(xxhash64(col("id"), lit(24)), lit(9L)).cast("double") / 100.0)
+        .as("l_tax"),
+      pick(col("id"), 25, Seq("N", "N", "A", "R")).as("l_returnflag"),
+      pick(col("id"), 26, Seq("O", "F")).as("l_linestatus"))
+    val li = li0.select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"),
+      timestamp_add("DAY",
+        (pmod(xxhash64(col("l_orderkey"), lit(15)), lit(2404L)) +
+          pmod(xxhash64(col("id"), lit(27)), lit(95L)) + 1).cast("int"),
+        ordBase).as("l_shipdate"))
+    w(li, "lineitem", 16 * mult / 10 + 2)
+
+    // Events: 30 days of 2024-01 at microsecond granularity, users are
+    // a tenth of the customer count, value ~ |N(50, ~50)|-ish skew via
+    // a squared uniform, props a tiny JSON.
+    val evtBase = to_timestamp(lit("2024-01-01"))
+    val evt = spark.range(nEvt).select(
+      col("id").as("event_id"),
+      timestamp_add("SECOND",
+        pmod(xxhash64(col("id"), lit(28)), lit(2592000L)).cast("int"),
+        evtBase).as("ts"),
+      pmod(xxhash64(col("id"), lit(29)), lit(nCust / 10)).as("user_id"),
+      pick(col("id"), 30, Seq("view", "click", "purchase", "signup",
+        "error")).as("event_type"),
+      round(u(col("id"), 31) * u(col("id"), 32) * 560.0, 4).as("value"),
+      format_string("{\"k\": %d}",
+        pmod(xxhash64(col("id"), lit(33)), lit(100L))).as("props"))
+    w(evt, "events", 4 * mult / 10 + 1)
+
+    // Documents: word salads drawn from the REAL sf0.1 vocabulary so
+    // token/tile/shingle statistics match the driver corpus.
+    val vocab = spark.read.parquet(s"$src/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct().orderBy(col("w"))
+      .collect().map(_.getString(0))
+    require(vocab.nonEmpty, "sf0.1 documents vocabulary is empty?")
+    val vocabArr = array(vocab.map(lit).toIndexedSeq: _*)
+    val nWords = (pmod(xxhash64(col("id"), lit(34)), lit(41L)) + 30L)
+    val doc = spark.range(nDoc).select(
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(1L), nWords), j =>
+        element_at(vocabArr,
+          (pmod(xxhash64(col("id"), j, lit(35)), lit(vocab.length.toLong)) + 1)
+            .cast("int"))), " ").as("text"),
+      pick(col("id"), 36, Seq("en", "en", "en", "de", "fr", "es", "zh"))
+        .as("lang"),
+      concat(lit("src"),
+        pmod(xxhash64(col("id"), lit(37)), lit(20L)).cast("string"))
+        .as("source"))
+    w(doc.withColumn("n_chars", length(col("text")).cast("long")),
+      "documents", 2 * mult / 10 + 1)
+
+    // Embeddings: 64-dim float vectors clustered around 10 label
+    // centers (center +- noise), domain ~ [-0.58, 0.58] like sf0.1.
+    val dims = sequence(lit(1), lit(64))
+    val label = pmod(xxhash64(col("id"), lit(38)), lit(10L))
+    val emb = spark.range(nEmb).select(
+      col("id").as("vec_id"),
+      transform(dims, d =>
+        ((pmod(xxhash64(label, d, lit(39)), lit(1048576L)).cast("double")
+            / 1048576.0 - 0.5) * 0.6 +
+          (pmod(xxhash64(col("id"), d, lit(40)), lit(1048576L)).cast("double")
+            / 1048576.0 - 0.5) * 0.5).cast("float")).as("embedding"),
+      label.cast("int").as("label"))
+    w(emb, "embeddings", 2 * mult / 10 + 1)
+    println(s"[gendata] wrote ${out} at ${mult}x sf0.1")
+  }
+}
