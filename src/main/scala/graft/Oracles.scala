@@ -151,11 +151,29 @@ object Oracles {
        |tok AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
        |  FROM dw JOIN dict USING (word) GROUP BY doc_id)
        |SELECT d.doc_id, d.source, t.n_bpe_tokens,
-       |  CAST(COALESCE(SUM(t.n_bpe_tokens) OVER (
+       |  CAST(COALESCE(SUM(t.n_bpe_tokens + 1) OVER (
        |    PARTITION BY d.source ORDER BY d.doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $budget
        |    AS BIGINT) AS pack_id
        |FROM documents d JOIN tok t ON d.doc_id = t.doc_id""".stripMargin
+
+  /** Byte-fallback token counts (TextOps.bpeTokenCountsWith's left-join
+    * path, SparkEntry `bpe_token_counts_oov`): the corpus-trained dict
+    * applied to a planted-OOV corpus — unknown words charge one token
+    * per UTF-8 byte (`strlen` = Spark `octet_length`). */
+  def bpeTokenCountsOov(merges: Int): String =
+    s"""WITH ${bpeDictCtes(merges)},
+       |dict AS (SELECT word,
+       |  length(s) - length(replace(s, ' ', '')) - 1 AS n_sym FROM w$merges),
+       |pd AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' naïve café zürich' ELSE '' END
+       |    AS text
+       |  FROM documents),
+       |dw AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS word
+       |  FROM pd)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(SUM(COALESCE(n_sym, strlen(word))) AS BIGINT) AS n_bpe_tokens
+       |FROM dw LEFT JOIN dict USING (word) GROUP BY doc_id""".stripMargin
 
   // ---- KMV / sampled sketches (SketchOps) -------------------------------
 

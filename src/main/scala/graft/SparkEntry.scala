@@ -1294,12 +1294,29 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, -1)
       val counts = TextOps.bpeTokenCountsWith(t(s, dir, "documents"),
         "doc_id", "text", bpeDict(s, dir))
+      // Every packed document is terminated by an <|endoftext|> special
+      // token, so its budget cost is n_bpe_tokens + 1 — the separator
+      // convention GPT-style packing charges per document boundary.
       t(s, dir, "documents").select(col("doc_id"), col("source"))
         .join(counts.select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
         .withColumn("tokens_before",
-          coalesce(sum(col("n_bpe_tokens")).over(w), lit(0L)))
+          coalesce(sum(col("n_bpe_tokens") + 1).over(w), lit(0L)))
         .select(col("doc_id"), col("source"), col("n_bpe_tokens"),
           expr(s"tokens_before div $BpePackBudget").as("pack_id"))
+    },
+
+    // Byte-fallback tokenization: the sf-corpus-trained dictionary
+    // applied to a corpus with PLANTED out-of-vocabulary words (every
+    // 7th doc gets lowercase multibyte tokens the training corpus never
+    // saw) — OOV words degrade to one token per UTF-8 byte instead of
+    // vanishing from the budget.
+    "bpe_token_counts_oov" -> { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" naïve café zürich")).otherwise(lit("")))
+          .as("text"))
+      TextOps.bpeTokenCountsWith(planted, "doc_id", "text", bpeDict(s, dir))
     },
 
     // Dataset mixture sampling: per-source keep rates applied via a
@@ -3491,6 +3508,7 @@ object SparkEntry {
         |FROM events e JOIN q ON e.event_type = q.event_type""".stripMargin,
 
     "bpe_token_counts" -> Oracles.bpeTokenCounts(BpeMerges),
+    "bpe_token_counts_oov" -> Oracles.bpeTokenCountsOov(BpeMerges),
     "token_budget_head" -> Oracles.tokenBudgetHead(BpeMerges, TokenBudget),
     "bpe_sequence_packing" -> Oracles.bpeSequencePacking(BpeMerges,
       BpePackBudget),

@@ -245,7 +245,14 @@ object TextOps {
   /** [[bpeTokenCounts]] against an ALREADY-TRAINED dictionary — the
     * production shape: train once, persist the (tiny) merge dictionary,
     * apply everywhere (several queries sharing one trained dict is the
-    * same pattern as sharing a persisted signature store). */
+    * same pattern as sharing a persisted signature store).
+    *
+    * BYTE FALLBACK (GPT-2-style floor): a word OUTSIDE the trained
+    * vocabulary can't ride the merge table — it degrades to one token
+    * per UTF-8 BYTE (`octet_length`) instead of silently vanishing from
+    * the count, the conservative budget a byte-level BPE would charge
+    * before any merges apply. On the training corpus itself every word
+    * is in the dictionary, so counts are unchanged there. */
   def bpeTokenCountsWith(docs: DataFrame, id: String, text: String,
       trainedDict: DataFrame): DataFrame = {
     val dict = trainedDict
@@ -253,10 +260,11 @@ object TextOps {
         (length(col("s")) - length(expr("replace(s, ' ', '')")) - 1)
           .as("n_sym"))
     docs.select(col(id), explode(tokens(normalized(col(text)))).as("word"))
-      .join(broadcast(dict), "word")
+      .join(broadcast(dict), Seq("word"), "left")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_words"),
-        sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
+        sum(coalesce(col("n_sym"), octet_length(col("word")).cast("int")))
+          .cast("long").as("n_bpe_tokens"))
   }
 
   /** BM25 relevance scoring of the corpus against a fixed query-term

@@ -817,6 +817,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(m2 <= m1)
   }
 
+  test("BPE byte fallback: OOV words charge UTF-8 bytes, never vanish") {
+    import spark.implicits._
+    val train = Seq((1L, "aa ab"), (2L, "ab ab")).toDF("doc_id", "text")
+    val dict = TextOps.bpeTrain(train, "text", 2)
+    // 'zz' is out of vocabulary (2 ASCII bytes); 'é' is an OOV multibyte
+    // char (2 UTF-8 bytes); in-vocab words keep their trained counts.
+    val apply = Seq((1L, "aa zz"), (2L, "é"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val counts = TextOps.bpeTokenCountsWith(apply, "doc_id", "text", dict)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(counts(1L) == (2L, 1L + 2L), s"got ${counts(1L)}") // aa=1 sym, zz=2 bytes
+    assert(counts(2L) == (1L, 2L), s"got ${counts(2L)}")      // é = 2 UTF-8 bytes
+    assert(counts(3L) == (1L, 1L))                            // in-vocab unchanged
+    // On the training corpus itself the fallback path never fires: the
+    // counts equal the inner-join (pre-fallback) semantics.
+    val self = TextOps.bpeTokenCountsWith(train, "doc_id", "text", dict)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(self == Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("IVF-PQ recall: ADC shortlist + exact re-rank tracks knn_ivf_trained") {
     val dir = "/root/testdata/sf0.01"
     def hits(name: String): Map[Long, Set[Long]] =
