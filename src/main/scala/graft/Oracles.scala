@@ -2014,6 +2014,65 @@ object Oracles {
        |${codeNormSelect(subDim)}""".stripMargin
   }
 
+  /** Shared CTE prefix of the trained-quality-model oracles
+    * (QualityModelOps): spam-planted corpus + labels, hashed 1-/2-gram
+    * features, and the unrolled Q16 hard-sigmoid logistic-regression
+    * chain w0..w`steps` — the SAME integer recurrence as
+    * QualityModelOps.train, stage by stage (truncating `//` == Spark
+    * `div`; every SUM cast to BIGINT so DuckDB's HUGEINT promotion
+    * can't leak into the hash). */
+  private def qualityModelCtes(spam: String, buckets: Int,
+      steps: Int): String = {
+    val stages = (1 to steps).map { t =>
+      s"""z$t AS (SELECT f.doc_id, CAST(SUM(f.x * w.w) AS BIGINT) AS z
+         |  FROM f JOIN w${t - 1} w USING (bucket) GROUP BY f.doc_id),
+         |r$t AS (SELECT l.doc_id,
+         |    LEAST(GREATEST(32768 + z // 4, 0), 65536) - l.y * 65536 AS r
+         |  FROM z$t JOIN l USING (doc_id)),
+         |g$t AS (SELECT bucket, CAST(SUM(f.x * r.r) AS BIGINT) AS g
+         |  FROM f JOIN r$t r USING (doc_id) GROUP BY bucket),
+         |w$t AS MATERIALIZED (SELECT w.bucket,
+         |    w.w - COALESCE(g.g, 0) // (4 * (SELECT count(*) FROM l)) AS w
+         |  FROM w${t - 1} w LEFT JOIN g$t g USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    s"""pc AS (SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 20000000, text || ' ${q(spam)}' FROM documents),
+       |l AS (SELECT doc_id,
+       |  CASE WHEN doc_id >= 20000000 THEN 0 ELSE 1 END AS y FROM pc),
+       |s0 AS (SELECT doc_id,
+       |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+       |    AS tk FROM pc),
+       |gr AS (SELECT doc_id, unnest(tk) AS g FROM s0
+       |  UNION ALL
+       |  SELECT doc_id, unnest(CASE WHEN len(tk) <= 1 THEN tk
+       |    ELSE list_transform(generate_series(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i + 1]) END) AS g FROM s0),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id, ${hash60("g")} % $buckets AS bucket,
+       |    CAST(count(*) AS BIGINT) AS x FROM gr GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT doc_id, -1 AS bucket, CAST(1 AS BIGINT) AS x FROM pc),
+       |w0 AS (SELECT i AS bucket, CAST(0 AS BIGINT) AS w FROM
+       |  (SELECT unnest(generate_series(-1, ${buckets - 1})) AS i)),
+       |$stages""".stripMargin
+  }
+
+  /** Trained quality-model weights (SparkEntry `quality_train_model`). */
+  def qualityTrainModel(spam: String, buckets: Int, steps: Int): String =
+    s"""WITH ${qualityModelCtes(spam, buckets, steps)}
+       |SELECT bucket, w FROM w$steps""".stripMargin
+
+  /** Trained gate applied to the planted corpus (SparkEntry
+    * `quality_model_filter`): Q16 score + kept flag. */
+  def qualityModelFilter(spam: String, buckets: Int, steps: Int): String =
+    s"""WITH ${qualityModelCtes(spam, buckets, steps)},
+       |sc AS (SELECT f.doc_id, CAST(SUM(f.x * w.w) AS BIGINT) AS score
+       |  FROM f JOIN w$steps w USING (bucket) GROUP BY f.doc_id)
+       |SELECT doc_id, score,
+       |  CASE WHEN score >= 0 THEN 1 ELSE 0 END AS kept
+       |FROM sc""".stripMargin
+
   /** SCD2 merge over a freshly-versioned orders target: replaced
     * current rows close at the effective timestamp; staged rows open
     * there. */

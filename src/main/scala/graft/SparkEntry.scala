@@ -90,6 +90,34 @@ object SparkEntry {
       SimilarityOps.ivfPqResidualIndex(embCorpus(s, dir),
         coarseCentroids(s, dir), pqResBooks(s, dir), PqSubDim))
 
+  /** Spam-planted training corpus for the trained quality model: every
+    * document (label 1) paired with a junk-suffixed copy at
+    * doc_id + 20000000 (label 0) — balanced classes, and the clean/spam
+    * twins share their base text so non-spam feature buckets cancel
+    * exactly in the first gradient step. */
+  private def spamPlantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    base.unionByName(base.select(
+      (col("doc_id") + 20000000L).as("doc_id"),
+      concat(col("text"), lit(" " + SpamTokens)).as("text")))
+  }
+
+  private def spamLabels(s: SparkSession, dir: String): DataFrame =
+    spamPlantedDocs(s, dir).select(col("doc_id"),
+      when(col("doc_id") >= 20000000L, 0L).otherwise(1L).as("y"))
+
+  /** Trained quality-gate weights artifact (bucket, w) — Q16 longs.
+    * The planted spam lexicon is part of the training definition, so
+    * its digest is part of the artifact key. */
+  private def qualityWeights(s: SparkSession, dir: String): DataFrame =
+    model(s, dir,
+        s"quality_lr_d${QualityModelOps.NumBuckets}_s${QmSteps}_" +
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(SpamTokens)
+            .take(8), "documents")(
+      QualityModelOps.train(s,
+        QualityModelOps.hashedFeatures(spamPlantedDocs(s, dir), "doc_id", "text"),
+        spamLabels(s, dir), "doc_id", QmSteps))
+
   /** Planted near-duplicate corpus for the dedup demonstrations: every
     * 10th document plus an 80%-prefix truncated copy at doc_id+10000000 —
     * the Spark side of [[Oracles.plantedDocs]]. */
@@ -832,6 +860,27 @@ object SparkEntry {
       t(s, dir, "documents")
         .filter(graft.functions.TextFunctions.qualityScore(col("text")) >= QualityMin)
         .select(col("doc_id"), col("lang"), col("source"))),
+
+    // TRAINED quality model (fastText-shaped: hashed 1-/2-gram bag +
+    // hard-sigmoid logistic regression, Q16 integer training — see
+    // QualityModelOps): trains once on the spam-planted corpus (every
+    // doc paired with a junk-appended copy at +20000000, label 0),
+    // persists the weight table in the model store, returns it.
+    "quality_train_model" -> { (s, dir) =>
+      qualityWeights(s, dir).orderBy(col("bucket"))
+    },
+
+    // The trained gate applied to the planted corpus: per-doc Q16 score
+    // under the persisted weights, kept = score >= 0. Label recovery is
+    // the planted-spec contract; this query is the production shape
+    // (read artifact, one feature join, one aggregation).
+    "quality_model_filter" -> { (s, dir) =>
+      val scored = QualityModelOps.scores(
+        QualityModelOps.hashedFeatures(spamPlantedDocs(s, dir), "doc_id", "text"),
+        qualityWeights(s, dir), "doc_id")
+      scored.select(col("doc_id"), col("score"),
+        when(col("score") >= 0, 1).otherwise(0).as("kept"))
+    },
 
     // Corpus quality deciles — the "train on the top-N quality buckets"
     // primitive, via the distributed global ntile (no single-partition
@@ -2788,6 +2837,12 @@ object SparkEntry {
   // ~0.253): 0.26 keeps a nonempty ~30% subset, so the filter predicate
   // is genuinely exercised by the oracle gate (round-1 ADVICE).
   val QualityMin = 0.26
+  // Trained quality model: gradient steps + the spam lexicon the bad
+  // twins get suffixed with (lowercase ASCII — normalization-stable).
+  val QmSteps = 6
+  val SpamTokens = Seq.fill(4)(
+    "buy cheap pills casino winner click free bonus prize deal")
+    .mkString(" ")
   // Planted embedding copies (last component zeroed) score ~0.992;
   // unrelated pairs in this corpus top out ~0.51.
   val EmbNearDupMin = 0.9
@@ -3144,6 +3199,10 @@ object SparkEntry {
     "multimodal_decode" -> Oracles.multimodalDecode,
     "binary_file_ingest" -> Oracles.binaryFileIngest,
     "quality_filter" -> Oracles.qualityFilter(QualityMin),
+    "quality_train_model" -> Oracles.qualityTrainModel(SpamTokens,
+      QualityModelOps.NumBuckets, QmSteps),
+    "quality_model_filter" -> Oracles.qualityModelFilter(SpamTokens,
+      QualityModelOps.NumBuckets, QmSteps),
     "quality_deciles" -> Oracles.qualityDeciles,
     "standardized_values" -> Oracles.standardizedValues,
     "vocab_doc_freq" -> Oracles.vocabDocFreq,

@@ -817,6 +817,42 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(m2 <= m1)
   }
 
+  test("trained quality model recovers planted spam labels") {
+    import graft.operators.QualityModelOps
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(docs.select(
+      (col("doc_id") + 20000000L).as("doc_id"),
+      concat(col("text"), lit(" " + SparkEntry.SpamTokens)).as("text")))
+    val labels = planted.select(col("doc_id"),
+      when(col("doc_id") >= 20000000L, 0L).otherwise(1L).as("y"))
+    val feats = QualityModelOps.hashedFeatures(planted, "doc_id", "text")
+    val w = QualityModelOps.train(spark, feats, labels, "doc_id",
+      SparkEntry.QmSteps)
+    // Weight table shape: one intercept row + one row per bucket.
+    assert(w.count() == QualityModelOps.NumBuckets + 1)
+    val scored = QualityModelOps.scores(feats, w, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val (spam, good) = scored.partition(_._1 >= 20000000L)
+    assert(spam.nonEmpty && good.nonEmpty)
+    val spamRejected = spam.count(_._2 < 0).toDouble / spam.length
+    val goodKept = good.count(_._2 >= 0).toDouble / good.length
+    assert(spamRejected >= 0.95,
+      f"spam rejection $spamRejected%.3f < 0.95")
+    assert(goodKept >= 0.95, f"good retention $goodKept%.3f < 0.95")
+    // The spam lexicon's buckets carry strongly negative weights.
+    import graft.functions.TextFunctions.hash60
+    val spamBuckets = spark.createDataFrame(
+        SparkEntry.SpamTokens.split(" ").distinct.toSeq.map(Tuple1(_)))
+      .toDF("g")
+      .select(pmod(hash60(col("g")),
+        lit(QualityModelOps.NumBuckets.toLong)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val wm = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spamBuckets.forall(b => wm(b) < 0),
+      s"expected negative weights on spam buckets $spamBuckets")
+  }
+
   test("BPE byte fallback: OOV words charge UTF-8 bytes, never vanish") {
     import spark.implicits._
     val train = Seq((1L, "aa ab"), (2L, "ab ab")).toDF("doc_id", "text")
