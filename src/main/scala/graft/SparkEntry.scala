@@ -956,13 +956,18 @@ object SparkEntry {
     "binary_file_ingest" -> { (s, dir) =>
       val sample = MultimodalOps.withToyRaster(
         t(s, dir, "documents").filter(col("doc_id") % 50 === 0), "text")
-      // Stage dir scoped to (corpus, process): concurrent gates on one
-      // machine each stage their own copy — no truncate-vs-lazy-read race
-      // across JVMs, no hashCode cross-contamination between corpora.
-      val stage = s"/tmp/graft_grb1_stage_${Integer.toHexString(dir.hashCode)}" +
-        s"_p${ProcessHandle.current().pid()}"
-      graft.io.Ingest.writeBinaryFiles(sample, "doc_id", "payload", stage, ".grb")
-      val back = graft.io.Ingest.binaryFiles(s, stage, Some("*.grb"))
+      // Staged through the SAME job-scoped layout (and so the same C1-C5
+      // cleanup policies) as every other staged body: jobTime scoped to
+      // the corpus, uuid to the process — concurrent gates on one
+      // machine each stage their own copy, no truncate-vs-lazy-read race
+      // across JVMs, no cross-contamination between corpora.
+      val writer = new graft.io.StagingWriter(
+        s"${System.getProperty("java.io.tmpdir")}/graft_stage",
+        graft.core.LoaderConfig(filePrefix = "graft/grb1"),
+        jobTime = Integer.toHexString(dir.hashCode),
+        uuid = s"p${ProcessHandle.current().pid()}")
+      val staged = writer.writeBinaryBody(sample, "doc_id", "payload", 0, ".grb")
+      val back = graft.io.Ingest.binaryFiles(s, staged.dir, Some("*.grb"))
         .select(
           regexp_extract(col("path"), "(\\d+)\\.grb$", 1).cast("long")
             .as("doc_id"),

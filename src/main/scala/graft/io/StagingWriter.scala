@@ -62,6 +62,20 @@ final class StagingWriter(root: String, cfg: LoaderConfig, jobTime: String, uuid
       .toSeq
   }
 
+  /** Stage one BINARY body: each row's payload as its own object
+    * `<id><ext>` under `<jobDir>/bin_<index>/` — media assets ride the
+    * same job-scoped staging layout (and therefore the same C1-C5
+    * cleanup policies and abort path) as the row-oriented bodies,
+    * instead of ad-hoc temp dirs the OS has to remember to reap.
+    * Executor-side writes via [[Ingest.writeBinaryFiles]] (unique-id
+    * precondition checked there; driver never touches payloads). */
+  def writeBinaryBody(df: DataFrame, idCol: String, payloadCol: String,
+      index: Int, ext: String): StagedUpload = {
+    val dir = s"$jobDir/bin_$index"
+    Ingest.writeBinaryFiles(df, idCol, payloadCol, dir, ext)
+    StagedUpload(index, dir, listDataFiles(df, dir))
+  }
+
   /** Emit the manifest listing every staged file, `mandatory:true` each —
     * the atomic-visibility contract (L5). Unlike the reference, a manifest
     * write failure propagates: quirk C6 (swallowed failure,

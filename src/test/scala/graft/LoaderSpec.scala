@@ -173,6 +173,32 @@ class LoaderSpec extends AnyFunSuite with SparkSuite {
     assert(recN.progress.count(_ == "deleteObjects") == 0)
   }
 
+  test("binary bodies stage under the job dir and ride the same cleanup") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stg = tmp()
+    val writer = new graft.io.StagingWriter(stg,
+      LoaderConfig(filePrefix = "graft/bin"), "jt", "uu")
+    val bin = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](4, 5)))
+      .toDF("id", "payload")
+    val up = writer.writeBinaryBody(bin, "id", "payload", 0, ".bin")
+    assert(up.dir == s"${writer.jobDir}/bin_0")
+    assert(up.files.map(_.split('/').last).sorted == Seq("1.bin", "2.bin"))
+    // A row body and the binary body share the job dir -> one deleteAll
+    // (the C1-C5 policies' primitive) reaps both.
+    writer.writeBody(Ingest.ndjsonString(spark, body1), 1)
+    assert(writer.deleteAll(bin))
+    val left = Files.walk(java.nio.file.Paths.get(stg))
+      .filter(p => Files.isRegularFile(p)).count()
+    assert(left == 0, s"staging not cleaned: $left files left")
+    // Duplicate ids fail loudly up front (unique-id precondition).
+    val dup = Seq((1L, Array[Byte](1)), (1L, Array[Byte](2)))
+      .toDF("id", "payload")
+    val e = intercept[IllegalArgumentException](
+      writer.writeBinaryBody(dup, "id", "payload", 2, ".bin"))
+    assert(e.getMessage.contains("unique"))
+  }
+
   test("single-shot latch: addBody after start is dropped (X5, spec:143-150)") {
     val (whDir, stg) = (tmp(), tmp())
     val wh = new ParquetWarehouse(spark, whDir)
