@@ -57,6 +57,23 @@ final case class CopySettings(
     truncateCols: Boolean = true,
     maxError: Int = 0)
 
+/** Auto-compaction policy for the load lifecycle (north-star extension —
+  * the reference has no warehouse of its own): after a successful load
+  * leaves the target's LIVE version with more than `maxFiles` data
+  * files, `Loader.wrapUp` rewrites it to `targetFiles` (plain
+  * repartition, or z-order-clustered when `zorderBy` names two
+  * columns). Small incremental appends are the normal 100 TB ingest
+  * shape; without a compaction hook the file count grows per load and
+  * scan planning degrades. Same atomic version swap as any other
+  * commit — readers never see a half-written layout. */
+final case class AutoCompact(
+    maxFiles: Int,
+    targetFiles: Int,
+    zorderBy: Option[(String, String)] = None) {
+  require(maxFiles >= 1 && targetFiles >= 1 && targetFiles <= maxFiles,
+    s"need 1 <= targetFiles <= maxFiles, got $targetFiles/$maxFiles")
+}
+
 /** Full loader configuration with the reference's three-layer merge:
   * hard defaults <- factory defaults <- per-call options
   * (reference utils.ts:119-138 `mergeOptions`, utils.ts:99-117
@@ -80,6 +97,7 @@ final case class LoaderConfig(
     filePrefixFn: Option[LoaderConfig => String] = None,
     cleanup: CleanupPolicy = CleanupPolicy.OnSuccess, // utils.ts:105
     copySettings: CopySettings = CopySettings(),      // utils.ts:106-115
+    autoCompact: Option[AutoCompact] = None,          // ours (no ref analog)
     debug: Boolean = false) {
 
   /** The staging ("loading") table: configured one, else the target itself
@@ -100,6 +118,7 @@ final case class LoaderConfig(
     filePrefixFn = p.filePrefixFn.orElse(filePrefixFn),
     cleanup = p.cleanup.getOrElse(cleanup),
     copySettings = p.copy.applyTo(copySettings), // one-level-deep merge
+    autoCompact = p.autoCompact.orElse(autoCompact),
     debug = p.debug.getOrElse(debug))
 }
 
@@ -115,6 +134,7 @@ object LoaderConfig {
       filePrefixFn: Option[LoaderConfig => String] = None,
       cleanup: Option[CleanupPolicy] = None,
       copy: CopyPatch = CopyPatch(),
+      autoCompact: Option[AutoCompact] = None,
       debug: Option[Boolean] = None)
 
   final case class CopyPatch(

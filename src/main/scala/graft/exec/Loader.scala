@@ -174,7 +174,13 @@ final class Loader(
   // same upload-at-add semantics and events.
   initialBodies.foreach(addBody(_))
 
-  /** Staging cleanup per policy (C1: ALWAYS / SUCCESS / NEVER). */
+  /** Staging cleanup per policy (C1: ALWAYS / SUCCESS / NEVER), then the
+    * optional auto-compaction hook: after a SUCCESSFUL load leaves the
+    * live version fragmented past `maxFiles`, rewrite it to
+    * `targetFiles` (z-order-clustered when configured) — small
+    * incremental appends are the normal ingest shape, and without this
+    * the file count grows per load until scan planning degrades. Same
+    * atomic version swap as the load itself. */
   private def wrapUp(success: Boolean): Unit = {
     val doClean = cfg.cleanup match {
       case CleanupPolicy.Always    => true
@@ -184,6 +190,19 @@ final class Loader(
     if (doClean) {
       staging.deleteAll(sampleDf)
       listener.onProgress("deleteObjects", Map("dir" -> staging.jobDir))
+    }
+    if (success) cfg.autoCompact.foreach { ac =>
+      val before = warehouse.dataFiles(cfg.table).size
+      if (before > ac.maxFiles) {
+        ac.zorderBy match {
+          case Some((x, y)) => warehouse.compactZorder(cfg.table, x, y, ac.targetFiles)
+          case None         => warehouse.compact(cfg.table, ac.targetFiles)
+        }
+        listener.onProgress("compacted", Map(
+          "table" -> cfg.table.qualified,
+          "filesBefore" -> before.toString,
+          "filesAfter" -> warehouse.dataFiles(cfg.table).size.toString))
+      }
     }
   }
 }

@@ -173,6 +173,37 @@ class LoaderSpec extends AnyFunSuite with SparkSuite {
     assert(recN.progress.count(_ == "deleteObjects") == 0)
   }
 
+  test("auto-compaction hook: fragmented table rewritten in wrapUp, rows intact") {
+    val (whDir, stg) = (tmp(), tmp())
+    val wh = new ParquetWarehouse(spark, whDir)
+    val tbl = TableRef("", "t")
+    val cfg = LoaderConfig(table = tbl,
+      autoCompact = Some(graft.core.AutoCompact(maxFiles = 4, targetFiles = 2)))
+    def loadOnce(rec: Recorder, i: Int): Unit = {
+      val loader = mkLoader(cfg, wh, stg, rec)
+      val lines = (1 to 3).map(j => s"""{"id":${i * 10 + j},"v":"x"}""")
+        .mkString("\n")
+      loader.addBody(Ingest.ndjsonString(spark, lines).repartition(3))
+      loader.insert()
+    }
+    val rec = new Recorder
+    loadOnce(rec, 1) // 3 files <= maxFiles: no compaction
+    assert(!rec.progress.contains("compacted"))
+    loadOnce(rec, 2) // 6 files > maxFiles: compacts to 2
+    assert(rec.progress.count(_ == "compacted") == 1)
+    assert(wh.dataFiles(tbl).size == 2)
+    val rows = wh.table(tbl).collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(11L, 12L, 13L, 21L, 22L, 23L),
+      s"rows changed: ${rows.toSeq}")
+    val info = rec.infos.find(_._1 == "compacted").get._2
+    assert(info("filesBefore").toInt > 4 && info("filesAfter").toInt == 2)
+    // A failed load never compacts (hook is success-only).
+    val recF = new Recorder
+    val bad = mkLoader(cfg, wh, stg, recF)
+    intercept[IllegalArgumentException](bad.insert()) // no staged bodies
+    assert(!recF.progress.contains("compacted"))
+  }
+
   test("binary bodies stage under the job dir and ride the same cleanup") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
