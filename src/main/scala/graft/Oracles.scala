@@ -157,6 +157,22 @@ object Oracles {
        |    AS BIGINT) AS pack_id
        |FROM documents d JOIN tok t ON d.doc_id = t.doc_id""".stripMargin
 
+  /** Full BPE token SEQUENCE per document (TextOps.bpeTokenizeWith,
+    * SparkEntry `bpe_tokenize`): per-word trained symbolizations joined
+    * back in word order (ordinality index), space-joined, md5'd. */
+  def bpeTokenize(merges: Int): String =
+    s"""WITH ${bpeDictCtes(merges)},
+       |dict AS (SELECT word, trim(s) AS syms FROM w$merges),
+       |sw AS (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents),
+       |dw AS (SELECT doc_id, i AS pos, tk[i] AS word
+       |  FROM sw, unnest(generate_series(1, len(tk))) AS t(i)),
+       |ws AS (SELECT doc_id, pos, syms,
+       |    len(string_split(syms, ' ')) AS n_sym
+       |  FROM dw JOIN dict USING (word))
+       |SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  md5(string_agg(syms, ' ' ORDER BY pos)) AS toks_md5
+       |FROM ws GROUP BY doc_id""".stripMargin
+
   /** Byte-fallback token counts (TextOps.bpeTokenCountsWith's left-join
     * path, SparkEntry `bpe_token_counts_oov`): the corpus-trained dict
     * applied to a planted-OOV corpus — unknown words charge one token

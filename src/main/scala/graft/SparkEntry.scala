@@ -1359,6 +1359,17 @@ object SparkEntry {
           expr(s"tokens_before div $BpePackBudget").as("pack_id"))
     },
 
+    // The tokenization ITSELF (not just counts): each doc's full BPE
+    // token sequence under the persisted trained dictionary, word order
+    // preserved — what a training-data writer emits. Output carries the
+    // md5 of the sequence (driver-hash-friendly) plus its length.
+    "bpe_tokenize" -> { (s, dir) =>
+      TextOps.bpeTokenizeWith(t(s, dir, "documents"), "doc_id", "text",
+          bpeDict(s, dir))
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          md5(col("toks")).as("toks_md5"))
+    },
+
     // Byte-fallback tokenization: the sf-corpus-trained dictionary
     // applied to a corpus with PLANTED out-of-vocabulary words (every
     // 7th doc gets lowercase multibyte tokens the training corpus never
@@ -3573,6 +3584,7 @@ object SparkEntry {
 
     "bpe_token_counts" -> Oracles.bpeTokenCounts(BpeMerges),
     "bpe_token_counts_oov" -> Oracles.bpeTokenCountsOov(BpeMerges),
+    "bpe_tokenize" -> Oracles.bpeTokenize(BpeMerges),
     "token_budget_head" -> Oracles.tokenBudgetHead(BpeMerges, TokenBudget),
     "bpe_sequence_packing" -> Oracles.bpeSequencePacking(BpeMerges,
       BpePackBudget),

@@ -267,6 +267,40 @@ object TextOps {
           .cast("long").as("n_bpe_tokens"))
   }
 
+  /** The TOKENIZATION itself under a trained dictionary (not just the
+    * counts): each document's full BPE token SEQUENCE, word order
+    * preserved — what a training-data writer actually emits. Returns
+    * `(id, n_bpe_tokens, toks)` with `toks` the space-joined token
+    * sequence (subword units after all trained merges).
+    *
+    * OOV words fall back to their per-CHARACTER symbolization (the
+    * untrained `w0` form — no merges can apply to unseen words); the
+    * count twin [[bpeTokenCountsWith]] charges UTF-8 bytes, the
+    * conservative budget bound, so on OOV-bearing corpora the sequence
+    * length here can undercount the budget (multibyte chars are one
+    * SYMBOL but several bytes) — document-level token text is the
+    * contract here, budget is the contract there.
+    *
+    * Scale: the dictionary join is a vocabulary-sized broadcast; word
+    * order rides a posexplode index through one per-doc regroup — one
+    * corpus scan, one shuffle. */
+  def bpeTokenizeWith(docs: DataFrame, id: String, text: String,
+      trainedDict: DataFrame): DataFrame = {
+    val dict = trainedDict.select(col("word"), trim(col("s")).as("syms"))
+    docs.select(col(id),
+        posexplode(tokens(normalized(col(text)))).as(Seq("pos", "word")))
+      .join(broadcast(dict), Seq("word"), "left")
+      .select(col(id), col("pos"),
+        coalesce(col("syms"),
+          trim(expr("regexp_replace(word, '(.)', '$1 ')"))).as("syms"))
+      .groupBy(col(id))
+      .agg(
+        sum(size(split(col("syms"), " "))).cast("long").as("n_bpe_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          x => x.getField("syms"))).as("toks"))
+  }
+
   /** BM25 relevance scoring of the corpus against a fixed query-term
     * set — the retrieval ranking behind corpus search / targeted
     * curation. Classic BM25 with one determinism substitution: the idf

@@ -288,6 +288,82 @@ object StreamingLoad {
       }
       .start()
 
+  /** Continuously-maintained IVF-PQ coded index — FAISS's "add" phase
+    * as a stream: each micro-batch of new vectors is coarse-bucketed and
+    * PQ-coded against the PERSISTED trained quantizers (coarse centroids
+    * + sub-codebooks, both model-store artifacts — training never reruns
+    * here) and the `(id, cent_id, codes)` rows are appended to the index
+    * table. The raw floats stay in the batch; the store grows by m small
+    * codes per vector — the PQ memory contract, maintained incrementally.
+    * Replay-safe: at-least-once redelivery is anti-joined away against
+    * the stored ids, so the index never holds duplicate codings (the
+    * ccLabelStream guard). Streamed index == batch [[graft.operators
+    * .SimilarityOps.ivfPqIndex]] over all vectors ever seen (coding is a
+    * pure per-row projection against frozen quantizers — batch identity
+    * is exact, the parity spec's contract). */
+  def pqIndexStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      warehouse: ParquetWarehouse,
+      indexTable: TableRef,
+      coarseCentroids: DataFrame,
+      codebooks: DataFrame,
+      subDim: Int,
+      idField: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        val coded = graft.operators.SimilarityOps.ivfPqIndex(
+          batch.select(col(idField), col("vec")), coarseCentroids,
+          codebooks, subDim, idField)
+        val fresh = (if (warehouse.exists(indexTable))
+            coded.join(warehouse.table(indexTable).select(col(idField)),
+              Seq(idField), "left_anti")
+          else coded).localCheckpoint(true)
+        warehouse.load(LoadMode.Insert, indexTable, fresh, idField)
+      }
+      .start()
+
+  /** Quality-gated ingest: each micro-batch of documents is scored by
+    * the PERSISTED trained quality model ([[graft.operators
+    * .QualityModelOps]] weights from the model store — a 65-row frozen
+    * broadcast; training never reruns here) and only docs with
+    * `score >= 0` land in the corpus table. The trained-classifier
+    * upgrade of a heuristic-thresholded ingest gate; scoring is one
+    * feature projection + one aggregation per batch. Streamed kept set
+    * == the batch filter over the same docs (frozen weights make the
+    * gate a pure per-doc function — the parity spec's contract). */
+  def qualityGateStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      warehouse: ParquetWarehouse,
+      table: TableRef,
+      weights: DataFrame,
+      idField: String,
+      textField: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        val ops = graft.operators.QualityModelOps
+        val kept = ops.scores(
+            ops.hashedFeatures(batch, idField, textField), weights, idField)
+          .filter(col("score") >= 0)
+          .select(col(idField))
+        warehouse.load(LoadMode.Upsert, table,
+          batch.join(kept, idField).localCheckpoint(true), idField)
+      }
+      .start()
+
   /** Event-time windowed aggregation with a watermark — the streaming
     * form of [[graft.operators.AnalyticOps.tumblingAgg]] (same expression
     * tree; late rows beyond the watermark are dropped instead of

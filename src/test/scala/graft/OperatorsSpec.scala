@@ -817,6 +817,40 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(m2 <= m1)
   }
 
+  test("bpeTokenize: sequence length matches counts; order-sensitive; OOV chars") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val dict = TextOps.bpeTrain(docs, "text", 4)
+    val seqs = TextOps.bpeTokenizeWith(docs, "doc_id", "text", dict)
+    val counts = TextOps.bpeTokenCountsWith(docs, "doc_id", "text", dict)
+    // Clean corpus: the emitted sequence length IS the budget count.
+    val joined = seqs.as("a").join(counts.as("b"), "doc_id")
+      .select(col("doc_id"), col("a.n_bpe_tokens").as("ns"),
+        col("b.n_bpe_tokens").as("nc"),
+        (size(split(col("toks"), " ")).cast("long") === col("a.n_bpe_tokens"))
+          .as("len_ok"))
+      .collect()
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)} count drift")
+      assert(r.getBoolean(3), s"doc ${r.getLong(0)} toks length mismatch")
+    }
+    // Word order is preserved: swapped text tokenizes to a different
+    // sequence with the same multiset of symbols.
+    val two = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
+    val d2 = TextOps.bpeTrain(two, "text", 1)
+    val t2 = TextOps.bpeTokenizeWith(two, "doc_id", "text", d2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(t2(1L) != t2(2L))
+    assert(t2(1L).split(" ").sorted.toSeq == t2(2L).split(" ").sorted.toSeq)
+    // OOV word falls back to its per-character symbolization.
+    val oov = TextOps.bpeTokenizeWith(
+        Seq((9L, "zzq")).toDF("doc_id", "text"), "doc_id", "text", d2)
+      .collect()(0)
+    assert(oov.getString(2) == "z z q" && oov.getLong(1) == 3L)
+  }
+
   test("trained quality model recovers planted spam labels") {
     import graft.operators.QualityModelOps
     val docs = Tables(spark, sf("sf0.001"), "documents")

@@ -83,6 +83,100 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .map(_.getLong(0)).toSet == Set(1L, 2L, 11L))
   }
 
+  test("pqIndexStream: streamed coded index == batch ivfPqIndex, replay-safe") {
+    import graft.operators.{ClusterOps, SimilarityOps}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_pqidx").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val idx = TableRef("", "pq_index")
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("vec", ArrayType(FloatType))))
+    val dim = 8; val subDim = 4
+    // Dyadic-rational components: exact through JSON text, float parse,
+    // and double widening — parity cannot hinge on repr round-trips.
+    def vec(id: Long): Seq[Float] =
+      (0 until dim).map(d => (((id * 7 + d * 3) % 33) - 16) / 16.0f)
+    def line(id: Long): String =
+      s"""{"vec_id":$id,"vec":[${vec(id).mkString(",")}]}"""
+    val all = (0L until 24L).toSeq
+    val corpus = all.map(i => (i, vec(i))).toDF("vec_id", "vec")
+    // Quantizers trained ONCE on the full corpus and frozen (the model-
+    // store artifacts of the production path).
+    val initial = SimilarityOps.ivfCentroids(corpus, 4)
+      .select(col("cent_id"),
+        transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+    val coarse = ClusterOps.kmeans(corpus, initial, 2).localCheckpoint(true)
+    val books = SimilarityOps.pqCodebooks(corpus, dim / subDim, subDim, 3, 2)
+      .localCheckpoint(true)
+    def run(): Unit = StreamingLoad.pqIndexStream(spark, src, vecSchema, wh,
+      idx, coarse, books, subDim, "vec_id", s"$root/ckpt").awaitTermination()
+    writeFile(src, "a.json", all.take(10).map(line).mkString("\n"))
+    run()
+    assert(wh.table(idx).count() == 10)
+    // Second batch includes REPLAYED ids 8-9: index must not duplicate.
+    writeFile(src, "b.json", all.drop(8).map(line).mkString("\n"))
+    run()
+    val streamed = wh.table(idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSet
+    assert(streamed.size == 24, s"index has ${streamed.size} rows, want 24")
+    val batch = SimilarityOps.ivfPqIndex(corpus, coarse, books, subDim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSet
+    assert(streamed == batch,
+      s"streamed/batch drift: ${streamed.diff(batch)} | ${batch.diff(streamed)}")
+  }
+
+  test("qualityGateStream: frozen trained gate == batch filter; spam rejected") {
+    import graft.operators.QualityModelOps
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_qgate").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val tbl = TableRef("", "gated_corpus")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // Train once on a spam-planted split of the real corpus; freeze.
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(docs.select(
+      (col("doc_id") + 20000000L).as("doc_id"),
+      concat(col("text"), lit(" " + SparkEntry.SpamTokens)).as("text")))
+    val labels = planted.select(col("doc_id"),
+      when(col("doc_id") >= 20000000L, 0L).otherwise(1L).as("y"))
+    val w = QualityModelOps.train(spark,
+      QualityModelOps.hashedFeatures(planted, "doc_id", "text"),
+      labels, "doc_id", SparkEntry.QmSteps).localCheckpoint(true)
+    // Stream 2 batches: clean docs + spam-suffixed arrivals.
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val rows = docs.limit(6).collect().map(r => r.getLong(0) -> r.getString(1))
+    def line(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"${esc(text)}"}"""
+    writeFile(src, "a.json",
+      rows.take(3).map { case (i, t) => line(i, t) }.mkString("\n"))
+    writeFile(src, "b.json",
+      rows.drop(3).map { case (i, t) =>
+        line(i + 500, t + " " + SparkEntry.SpamTokens) }.mkString("\n"))
+    StreamingLoad.qualityGateStream(spark, src, docSchema, wh, tbl, w,
+      "doc_id", "text", s"$root/ckpt").awaitTermination()
+    val landed = wh.table(tbl).collect().map(_.getLong(0)).toSet
+    // Batch ground truth over the same 6 arrivals.
+    val arrivals = rows.take(3).map { case (i, t) => (i, t) } ++
+      rows.drop(3).map { case (i, t) => (i + 500, t + " " + SparkEntry.SpamTokens) }
+    val batchKept = QualityModelOps.scores(
+        QualityModelOps.hashedFeatures(
+          arrivals.toSeq.toDF("doc_id", "text"), "doc_id", "text"),
+        w, "doc_id")
+      .filter(col("score") >= 0).collect().map(_.getLong(0)).toSet
+    assert(landed == batchKept, s"streamed $landed vs batch $batchKept")
+    // The gate actually discriminates: no spam arrival landed, and at
+    // least one clean doc did.
+    assert(landed.forall(_ < 500000L))
+    assert(landed.nonEmpty)
+  }
+
   test("ccLabelStream: incremental labels == batch connectedComponents after N batches") {
     import graft.operators.DedupOps
     val root = Files.createTempDirectory("graft_inccc").toString
