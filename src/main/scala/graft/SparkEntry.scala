@@ -1390,8 +1390,8 @@ object SparkEntry {
     "mixture_sample" -> { (s, dir) =>
       val rate = typedLit(Map("src0" -> 300L, "src2" -> 800L,
         "src3" -> 500L, "src4" -> 0L))
-      val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-        16, 10).cast("long"), lit(1000L))
+      val h = pmod(graft.expressions.GraftFunctions.md5PrefixLong(
+        col("doc_id").cast("string"), 15), lit(1000L))
       t(s, dir, "documents")
         .filter(h < coalesce(element_at(rate, col("source")), lit(1000L)))
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
@@ -1421,8 +1421,8 @@ object SparkEntry {
               sqrt(col("n_src").cast("double"))) /
             (col("z") * col("n_src").cast("double"))) * lit(1048576.0))
             .cast("long").as("thr"))
-      val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-        16, 10).cast("long"), lit(1048576L))
+      val h = pmod(graft.expressions.GraftFunctions.md5PrefixLong(
+        col("doc_id").cast("string"), 15), lit(1048576L))
       docs.join(broadcast(rates), "source")
         .filter(h < col("thr"))
         .groupBy(col("source"))
@@ -1629,8 +1629,8 @@ object SparkEntry {
     "corpus_pipeline" -> { (s, dir) =>
       val rate = typedLit(Map("src0" -> 300L, "src2" -> 800L,
         "src3" -> 500L, "src4" -> 0L))
-      val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-        16, 10).cast("long"), lit(1000L))
+      val h = pmod(graft.expressions.GraftFunctions.md5PrefixLong(
+        col("doc_id").cast("string"), 15), lit(1000L))
       val kept = t(s, dir, "documents")
         .filter(h < coalesce(element_at(rate, col("source")), lit(1000L)))
       val dedup = kept.groupBy(md5(col("text")).as("__fp"))
@@ -2459,8 +2459,8 @@ object SparkEntry {
     // per group). The LLM-pipeline "cap examples per source" op.
     "sample_k_per_group" -> { (s, dir) =>
       val hashed = t(s, dir, "events").select(col("event_type"), col("event_id"),
-        conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("hkey"))
+        graft.expressions.GraftFunctions.md5PrefixLong(
+            col("event_id").cast("string"), 15).as("hkey"))
       AnalyticOps.topKPerGroup(hashed, Seq(col("event_type")),
           Seq(col("hkey"), col("event_id")), 5)
         .select(col("event_type"), col("event_id"))

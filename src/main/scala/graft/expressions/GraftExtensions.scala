@@ -72,6 +72,15 @@ object GraftFunctions {
   def regexpCount(text: Column, regex: String): Column =
     GraftColumns.column(RegexpCountAll(GraftColumns.expression(text), regex))
 
+  /** Codegen'd token array → word-bigram strings
+    * (see [[WordBigramStrings]]). */
+  def wordBigramStrings(tokens: Column): Column =
+    GraftColumns.column(WordBigramStrings(GraftColumns.expression(tokens)))
+
+  /** Codegen'd md5-prefix long hash (see [[Md5PrefixLong]]). */
+  def md5PrefixLong(s: Column, hexDigits: Int): Column =
+    GraftColumns.column(Md5PrefixLong(GraftColumns.expression(s), hexDigits))
+
   /** Register graft's SQL functions on a live session (the
     * `spark.sql.extensions` path only applies at session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -125,12 +125,15 @@ object TextFunctions {
   /** 60-bit integer hash of a string via md5 (first 15 hex digits).
     * DuckDB equivalent: `('0x' || substr(md5(s), 1, 15))::BIGINT`. */
   def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    // Codegen digest-byte read ([[graft.expressions.Md5PrefixLong]]) —
+    // the conv(substring(md5(s), 1, 15), 16, 10) composition built and
+    // re-parsed the 32-char hex string per row.
+    graft.expressions.GraftFunctions.md5PrefixLong(s, 15)
 
   /** 48-bit variant (12 hex digits) — used by SimHash so per-bit shifts
     * stay clear of the sign bit. */
   def hash48(s: Column): Column =
-    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+    graft.expressions.GraftFunctions.md5PrefixLong(s, 12)
 
   /** Adjacent word-bigram shingles ("w1 w2") of the normalized text —
     * the shingling unit for MinHash/Jaccard dedup. Single-token docs
@@ -140,13 +143,11 @@ object TextFunctions {
     * the tokenization ONCE per row — the earlier
     * `transform(sequence, i -> element_at(toks, i))` form re-evaluated
     * the whole normalize+split per element (2n regex splits per doc). */
-  def wordBigrams(text: Column): Column = {
-    val toks = tokens(normalized(text))
-    val n = size(toks)
-    when(n <= 1, toks).otherwise(
-      zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
-        (a, b) => concat(a, lit(" "), b)))
-  }
+  def wordBigrams(text: Column): Column =
+    // Codegen'd pair walk ([[graft.expressions.WordBigramStrings]]) —
+    // the composed zip_with(slice, slice, concat) form ran an
+    // interpreted lambda per pair at 2.6x the tokenization cost.
+    graft.expressions.GraftFunctions.wordBigramStrings(tokens(normalized(text)))
 
   /** Winnowing-style content fingerprint: minimum hash60 over the doc's
     * bigram shingles — one 60-bit "representative shingle" per document

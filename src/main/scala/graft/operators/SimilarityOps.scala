@@ -82,8 +82,8 @@ object SimilarityOps {
     val n = corpus.agg(count(lit(1)).as("__n"))
     corpus.crossJoin(broadcast(n))
       .filter(
-        conv(substring(md5(col(corpusId).cast("string")), 1, 15), 16, 10)
-          .cast("long") % greatest(expr(s"__n div $targetC"), lit(1L)) === 0L)
+        graft.expressions.GraftFunctions.md5PrefixLong(
+            col(corpusId).cast("string"), 15) % greatest(expr(s"__n div $targetC"), lit(1L)) === 0L)
       .select(col(corpusId).as("cent_id"), col("vec").as("cent_vec"))
   }
 

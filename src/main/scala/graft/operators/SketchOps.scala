@@ -34,7 +34,7 @@ object SketchOps {
 
   /** 60-bit uniform hash of any column, identical in Spark and DuckDB. */
   def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.expressions.GraftFunctions.md5PrefixLong(c.cast("string"), 15)
 
   /** Per-group bottom-k distinct hashes of `value`: (group*, hkey) with
     * ≤ k rows per group. The distinct collapses duplicate values before

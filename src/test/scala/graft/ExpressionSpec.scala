@@ -194,6 +194,63 @@ class ExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(edge(1L) == 0 && edge(2L) == -1 && edge(3L) == 5)
   }
 
+  test("WordBigramStrings matches the zip_with form on real documents") {
+    import graft.functions.TextFunctions.{normalized, tokens}
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val toks = tokens(normalized(col("text")))
+    val n = size(toks)
+    val reference = when(n <= 1, toks).otherwise(
+      zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val rows = docs.select(col("doc_id"),
+        graft.expressions.GraftFunctions.wordBigramStrings(toks).as("fast"),
+        reference.as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2),
+      s"doc ${r.getLong(0)} bigram drift"))
+    assert(rows.exists(_.getSeq[String](1).length > 1))
+    // Degenerate + null semantics: <=1 token returns the tokens; null
+    // neighbors null the pair; null array -> null.
+    import spark.implicits._
+    val edge = Seq(
+        (1L, Seq("only")), (2L, Seq.empty[String]),
+        (3L, Seq("a", null, "c")), (4L, null))
+      .toDF("id", "toks")
+      .select(col("id"), graft.expressions.GraftFunctions
+        .wordBigramStrings(col("toks")).as("bg"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(edge(1L) == Seq("only"))
+    assert(edge(2L) == Seq.empty[String])
+    assert(edge(3L) == Seq(null, null))
+    assert(edge(4L) == null)
+  }
+
+  test("Md5PrefixLong is bit-identical to conv(substring(md5)) — both widths") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    for (n <- Seq(12, 15)) {
+      val rows = docs.select(col("doc_id"),
+          graft.expressions.GraftFunctions
+            .md5PrefixLong(col("text"), n).as("fast"),
+          conv(substring(md5(col("text")), 1, n), 16, 10).cast("long")
+            .as("ref"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)} width $n: ${r.getLong(1)} != ${r.getLong(2)}"))
+    }
+    // Null in, null out; empty string hashes like md5('').
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, null)).toDF("id", "s")
+      .select(col("id"),
+        graft.expressions.GraftFunctions.md5PrefixLong(col("s"), 15).as("h"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("r"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2))
+      if (!r.isNullAt(1)) assert(r.getLong(1) == r.getLong(2))
+    }
+  }
+
   test("graft_dot is usable from SQL after registration") {
     graft.expressions.GraftFunctions.register(spark)
     val out = spark.sql(
