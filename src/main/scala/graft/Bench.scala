@@ -23,6 +23,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
+    // Dev-only subset filter (comma-separated names); the driver never
+    // sets it, so round benches always cover the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,7 +38,9 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     val results: Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val times = (1 to repeats).flatMap { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

@@ -775,6 +775,21 @@ object Oracles {
        |  md5(COALESCE(clean, '')) AS clean_md5
        |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id""".stripMargin
 
+  /** Boilerplate-dictionary training (TextOps.boilerplateDict on the
+    * planted-footer corpus): the document-frequency half of
+    * [[boilerplateScrub]], surfaced as its own artifact table. */
+  def boilerplateDictTrain(footer: String, width: Int, minDf: Int): String =
+    s"""WITH d AS (SELECT doc_id, text || ' ' || '${q(footer)}' AS text FROM documents),
+       |t AS (SELECT doc_id, $norm AS nrm FROM d),
+       |s AS (SELECT doc_id, string_split(nrm, ' ') AS tk FROM t),
+       |tl AS (SELECT doc_id,
+       |    array_to_string(list_slice(tk, i * $width + 1, i * $width + $width), ' ') AS seg_text
+       |  FROM s, LATERAL (SELECT unnest(range(0, (len(tk) + ${width - 1}) // $width)) AS i) g),
+       |h AS (SELECT doc_id, ${hash60("seg_text")} AS tile_hash FROM tl)
+       |SELECT tile_hash, count(*) AS df
+       |FROM (SELECT DISTINCT tile_hash, doc_id FROM h)
+       |GROUP BY tile_hash HAVING count(*) >= $minDf""".stripMargin
+
   /** Add-one-smoothed bigram LM score per document
     * (TextOps.bigramLmScores): 2^30 fixed-point transition
     * probabilities, one final double division. */

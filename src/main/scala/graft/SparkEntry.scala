@@ -46,6 +46,39 @@ object SparkEntry {
     model(s, dir, s"bpe_dict_m$BpeMerges", "documents")(
       TextOps.bpeTrain(t(s, dir, "documents"), "text", BpeMerges))
 
+  /** The web-pipeline crawl corpus after HTML strip (shared by the
+    * pipeline query and its boilerplate-dictionary trainer). */
+  private def webCleaned(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val raw = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      concat_ws(" ",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<div class=\"post\"><p>"), col("text"),
+            lit("</p>&nbsp;<a href=\"#\">Read&amp;more</a></div>")))
+          .otherwise(col("text")),
+        lit(BoilerFooter)).as("html"))
+    raw.select(col("doc_id"), col("source"),
+      TextFunctions.cleanHtml(col("html")).as("text"))
+  }
+
+  /** Corpus-frequency boilerplate dictionary artifacts (tile_hash, df) —
+    * trained once per corpus snapshot, scrubbed-against many times
+    * ([[TextOps.boilerplateDict]]); deterministic projections of
+    * documents.parquet, so the corpus fingerprint keys them exactly. */
+  private def webBoilerDict(s: SparkSession, dir: String): DataFrame =
+    model(s, dir, s"boiler_dict_web_w${BoilerTileWidth}_df$BoilerMinDf",
+      "documents")(TextOps.boilerplateDict(webCleaned(s, dir),
+      "doc_id", "text", BoilerTileWidth, BoilerMinDf))
+
+  private def plantedBoilerCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat_ws(" ", col("text"), lit(BoilerFooter)).as("text"))
+
+  private def plantedBoilerDict(s: SparkSession, dir: String): DataFrame =
+    model(s, dir, s"boiler_dict_planted_w${BoilerTileWidth}_df$BoilerMinDf",
+      "documents")(TextOps.boilerplateDict(plantedBoilerCorpus(s, dir),
+      "doc_id", "text", BoilerTileWidth, BoilerMinDf))
+
   private def embCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("vec"))
 
@@ -442,17 +475,9 @@ object SparkEntry {
     // way a crawl-ingest job runs them.
     "web_pipeline" -> { (s, dir) =>
       import graft.functions.TextFunctions
-      val raw = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        concat_ws(" ",
-          when(col("doc_id") % 2 === 0,
-            concat(lit("<div class=\"post\"><p>"), col("text"),
-              lit("</p>&nbsp;<a href=\"#\">Read&amp;more</a></div>")))
-            .otherwise(col("text")),
-          lit(BoilerFooter)).as("html"))
-      val cleaned = raw.select(col("doc_id"), col("source"),
-        TextFunctions.cleanHtml(col("html")).as("text"))
+      val cleaned = webCleaned(s, dir)
       val scrubbed = TextOps.boilerplateScrubText(cleaned, "doc_id", "text",
-          BoilerTileWidth, BoilerMinDf)
+          BoilerTileWidth, BoilerMinDf, Some(webBoilerDict(s, dir)))
         .select(col("doc_id"), col("clean_text").as("text"))
       scrubbed
         .filter(TextFunctions.qualityScore(col("text")) >= WebQualityMin)
@@ -510,9 +535,16 @@ object SparkEntry {
     // scrub detects tiles shared by >= minDf docs and reconstructs each
     // document from its surviving tiles.
     "boilerplate_scrub" -> { (s, dir) =>
-      val planted = t(s, dir, "documents").select(col("doc_id"),
-        concat_ws(" ", col("text"), lit(BoilerFooter)).as("text"))
-      TextOps.boilerplateScrub(planted, "doc_id", "text",
+      TextOps.boilerplateScrub(plantedBoilerCorpus(s, dir), "doc_id", "text",
+        BoilerTileWidth, BoilerMinDf, Some(plantedBoilerDict(s, dir)))
+    },
+
+    // The dictionary-training half of the scrub as its own oracle-checked
+    // query (the bpe_train_dict / pq_train_codebooks pattern): every tile
+    // of the planted footer crosses minDf, nothing organic does at
+    // df >= 20, and the oracle replays the identical tile construction.
+    "boilerplate_dict_train" -> { (s, dir) =>
+      TextOps.boilerplateDict(plantedBoilerCorpus(s, dir), "doc_id", "text",
         BoilerTileWidth, BoilerMinDf)
     },
 
@@ -3183,6 +3215,8 @@ object SparkEntry {
     "repetition_scores" -> Oracles.repetitionScores,
     "boilerplate_scrub" ->
       Oracles.boilerplateScrub(BoilerFooter, BoilerTileWidth, BoilerMinDf),
+    "boilerplate_dict_train" ->
+      Oracles.boilerplateDictTrain(BoilerFooter, BoilerTileWidth, BoilerMinDf),
     "clean_html" -> Oracles.cleanHtml,
     "pii_luhn_cards" -> Oracles.piiLuhnCards,
     "multimodal_resize" -> Oracles.multimodalResize,

@@ -1,0 +1,80 @@
+package graft.expressions
+
+import java.util.Arrays
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd "drop array elements whose md5-prefix hash is in a (static,
+  * sorted) dictionary" — the boilerplate-tile removal kernel of
+  * [[graft.operators.TextOps.boilerplateScrubText]]. The composed
+  * `filter(tiles, t -> !array_contains(array(lit*), hash60(t)))` form
+  * runs an INTERPRETED lambda per tile (ArrayFilter is CodegenFallback),
+  * scans the literal dictionary linearly per tile, and — worse at scale —
+  * embeds the whole dictionary as plan literals, ballooning codegen when
+  * a real web corpus yields thousands of boilerplate lines. This is one
+  * binary search per tile against a plan-referenced sorted long[] that
+  * ships with the task binary like a broadcast.
+  *
+  * Semantics contract (oracle determinism): identical to the composed
+  * form — null array yields null; null elements are dropped (the HOF's
+  * `array_contains(dict, null)` is null, which `filter` treats as
+  * false); hashing is [[Md5PrefixLong.hashPrefix]], bit-identical to the
+  * DuckDB twin `('0x' || substr(md5(t), 1, hexDigits))::BIGINT`. */
+case class ArrayDropByMd5Prefix(child: Expression, hashes: Array[Long],
+    hexDigits: Int) extends UnaryExpression {
+  require(hexDigits >= 1 && hexDigits <= 15,
+    s"need 1 <= hexDigits <= 15, got $hexDigits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val sorted: Array[Long] = {
+    val s = hashes.clone(); Arrays.sort(s); s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayDropByMd5Prefix.dropMatching(input.asInstanceOf[ArrayData], sorted, hexDigits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val dictRef = ctx.addReferenceObj("boilerDict", sorted, "long[]")
+      s"""
+         |${ev.value} = graft.expressions.ArrayDropByMd5Prefix.dropMatching(
+         |  $a, $dictRef, $hexDigits);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ArrayDropByMd5Prefix {
+  /** Keep the non-null elements whose hash is absent from the sorted
+    * dictionary; allocation is one builder + the kept UTF8Strings. */
+  def dropMatching(arr: ArrayData, sorted: Array[Long], hexDigits: Int): ArrayData = {
+    val n = arr.numElements()
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (Arrays.binarySearch(sorted, Md5PrefixLong.hashPrefix(s, hexDigits)) < 0)
+          kept.add(s)
+      }
+      i += 1
+    }
+    new GenericArrayData(kept.toArray)
+  }
+}

@@ -39,6 +39,15 @@ case class DotProductFloat(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // Nullable even over non-null children: length mismatch or a null
+  // ELEMENT yields null. Without this, nullSafeCodeGen's non-nullable
+  // branch drops the `boolean isNull_N` declaration the result code
+  // assigns to, the generated class fails to COMPILE ("isNull_N is not
+  // an rvalue"), and every projection containing the kernel silently
+  // runs interpreted — the exact fallback this expression exists to
+  // avoid.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

@@ -81,6 +81,12 @@ object GraftFunctions {
   def md5PrefixLong(s: Column, hexDigits: Int): Column =
     GraftColumns.column(Md5PrefixLong(GraftColumns.expression(s), hexDigits))
 
+  /** Codegen'd dictionary-probe tile filter
+    * (see [[ArrayDropByMd5Prefix]]). */
+  def dropByMd5Prefix(arr: Column, hashes: Array[Long], hexDigits: Int): Column =
+    GraftColumns.column(ArrayDropByMd5Prefix(
+      GraftColumns.expression(arr), hashes, hexDigits))
+
   /** Register graft's SQL functions on a live session (the
     * `spark.sql.extensions` path only applies at session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -40,6 +40,10 @@ case class L2DistSq(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // Length mismatch / null element yield null even over non-null
+  // children — same codegen-compile rationale as [[DotProductFloat]].
+  override def nullable: Boolean = true
+
   private def leftIsFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 

@@ -34,11 +34,11 @@ case class Md5PrefixLong(child: Expression, hexDigits: Int)
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
-    Md5PrefixLong.eval(input.asInstanceOf[UTF8String], hexDigits)
+    Md5PrefixLong.hashPrefix(input.asInstanceOf[UTF8String], hexDigits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.expressions.Md5PrefixLong.eval($s, $hexDigits);")
+      s"${ev.value} = graft.expressions.Md5PrefixLong.hashPrefix($s, $hexDigits);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -51,7 +51,7 @@ object Md5PrefixLong {
   }
 
   /** First `hexDigits` nibbles of md5(utf8 bytes of s), big-endian. */
-  def eval(s: UTF8String, hexDigits: Int): Long = {
+  def hashPrefix(s: UTF8String, hexDigits: Int): Long = {
     val d = md5.get()
     d.reset()
     val digest = d.digest(s.getBytes)

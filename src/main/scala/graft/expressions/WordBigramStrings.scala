@@ -31,11 +31,11 @@ case class WordBigramStrings(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
-    WordBigramStrings.eval(input.asInstanceOf[ArrayData])
+    WordBigramStrings.bigrams(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      s"${ev.value} = graft.expressions.WordBigramStrings.eval($a);"
+      s"${ev.value} = graft.expressions.WordBigramStrings.bigrams($a);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -46,7 +46,7 @@ object WordBigramStrings {
   private val Space = UTF8String.fromString(" ")
 
   /** Shared by eval and generated code. */
-  def eval(toks: ArrayData): ArrayData = {
+  def bigrams(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     if (n <= 1) return toks.copy()
     val out = new Array[AnyRef](n - 1)

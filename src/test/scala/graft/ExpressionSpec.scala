@@ -251,6 +251,48 @@ class ExpressionSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("ArrayDropByMd5Prefix matches the filter/array_contains form") {
+    import graft.functions.TextFunctions.{hash60, normalized, tokens}
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    // Dictionary: hashes of a planted tile + some organic tokens, handed
+    // to the kernel UNSORTED (it must sort internally).
+    val dictWords = Seq("the", "data", "zz-never-present")
+    val dict = dictWords.map(w =>
+      graft.expressions.Md5PrefixLong.hashPrefix(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), 15)).reverse.toArray
+    val toks = tokens(normalized(col("text")))
+    val litDict = array(dict.map(lit).toIndexedSeq: _*)
+    val rows = docs.select(col("doc_id"),
+        graft.expressions.GraftFunctions
+          .dropByMd5Prefix(toks, dict, 15).as("fast"),
+        filter(toks, t => !array_contains(litDict, hash60(t))).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2),
+      s"doc ${r.getLong(0)} kernel drift"))
+    // The dictionary actually bites somewhere in the corpus.
+    val dropped = docs.select(
+      (size(toks) - size(graft.expressions.GraftFunctions
+        .dropByMd5Prefix(toks, dict, 15))).as("d"))
+      .agg(sum(col("d"))).collect()(0).getLong(0)
+    assert(dropped > 0, "dictionary never matched — test is vacuous")
+    // Edge semantics: null array -> null; null elements dropped (the
+    // HOF form's array_contains(dict, null) is null -> filtered out);
+    // empty dict keeps everything non-null.
+    import spark.implicits._
+    val edge = Seq((1L, Seq("the", null, "keep")), (2L, null))
+      .toDF("id", "toks")
+      .select(col("id"),
+        graft.expressions.GraftFunctions
+          .dropByMd5Prefix(col("toks"), dict, 15).as("kept"),
+        graft.expressions.GraftFunctions
+          .dropByMd5Prefix(col("toks"), Array.empty[Long], 15).as("all"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) (null, null)
+         else (r.getSeq[String](1), r.getSeq[String](2)))).toMap
+    assert(edge(1L) == (Seq("keep"), Seq("the", "keep")))
+    assert(edge(2L) == ((null, null)))
+  }
+
   test("graft_dot is usable from SQL after registration") {
     graft.expressions.GraftFunctions.register(spark)
     val out = spark.sql(
