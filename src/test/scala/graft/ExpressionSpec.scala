@@ -293,6 +293,58 @@ class ExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(edge(2L) == ((null, null)))
   }
 
+  test("every kernel codegen-COMPILES over non-nullable children (no silent fallback)") {
+    import graft.expressions.GraftFunctions._
+    // Codegen compile failures normally DEGRADE silently (interpreted
+    // fallback, correctness intact, kernel perf gone) — CODEGEN_ONLY +
+    // fallback=false make them throw. Non-nullable children matter:
+    // nullSafeCodeGen then omits the `boolean isNull_N` declaration, so
+    // a kernel whose result code assigns ev.isNull must declare itself
+    // nullable or the generated class does not compile (the
+    // DotProductFloat/L2DistSq bug this spec pins).
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // Children must be NON-NULLABLE but NOT foldable — all-literal
+      // arrays constant-fold at optimization time (interpreted eval) and
+      // codegen never sees the kernel, making the gate vacuous. Deriving
+      // every value from range's non-nullable `id` keeps the branch under
+      // test (no isNull declaration) while forcing real code generation.
+      val idf = col("id").cast("float")
+      val ids = concat(lit("a"), col("id"))
+      val fv = array(idf + 1.0f, idf + 2.0f)
+      val dv = array(col("id").cast("double") + 1.0, col("id").cast("double") + 2.0)
+      val lv = array(col("id") + 3L, col("id") + 5L)
+      val sv = array(lit("a"), ids, concat(ids, lit(" b")))
+      val out = spark.range(1).select(
+          dotF(fv, fv).as("dot"),
+          l2DistSq(fv, dv).as("l2"),
+          sortedIntersectCount(lv, lv).as("ic"),
+          delNeighborhood(ids).as("dn"),
+          opaque(ids).as("op"),
+          ngramHashes(sv, 2).as("ng"),
+          hitCount(sv, Seq("a", "zz")).as("hc"),
+          regexpCount(concat(ids, lit(" bb a")), "a").as("rc"),
+          wordBigramStrings(sv).as("bg"),
+          md5PrefixLong(ids, 15).as("h60"),
+          dropByMd5Prefix(sv, Array(graft.expressions.Md5PrefixLong.hashPrefix(
+            org.apache.spark.unsafe.types.UTF8String.fromString("a"), 15)), 15)
+            .as("drop"))
+        .collect()(0)
+      assert(out.getDouble(0) == 5.0)       // id=0: 1*1 + 2*2
+      assert(out.getDouble(1) == 0.0)
+      assert(out.getLong(2) == 2L)
+      assert(out.getSeq[String](10) == Seq("a0", "a0 b"))  // "a" dropped
+    } finally {
+      def restore(k: String, v: Option[String]) =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.codegen.factoryMode", prevFactory)
+      restore("spark.sql.codegen.fallback", prevFallback)
+    }
+  }
+
   test("graft_dot is usable from SQL after registration") {
     graft.expressions.GraftFunctions.register(spark)
     val out = spark.sql(
