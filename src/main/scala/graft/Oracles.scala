@@ -790,6 +790,69 @@ object Oracles {
        |FROM (SELECT DISTINCT tile_hash, doc_id FROM h)
        |GROUP BY tile_hash HAVING count(*) >= $minDf""".stripMargin
 
+  /** Messy-URL synthesis + canonicalization CTE chain shared by
+    * [[urlCanonicalize]]/[[urlDedup]] — byte-identical URL strings to
+    * SparkEntry.docsWithUrls, then the same no-lookaround regex steps as
+    * CurationOps.canonicalizeUrl (RE2 here, Java regex there; DuckDB
+    * regexp_replace needs the explicit 'g' Spark applies by default). */
+  private val urlCtes: String =
+    raw"""g AS (SELECT doc_id, doc_id // 4 AS p, (doc_id // 4) % 20 AS h,
+       |    doc_id % 4 AS v FROM documents),
+       |k AS (SELECT doc_id, p, h, v,
+       |    CASE WHEN p % 5 = 0 THEN '?q=w' || CAST(p % 7 AS VARCHAR) ELSE '' END AS keep,
+       |    'https://www.src' || CAST(h AS VARCHAR) || '.example.com/page/' ||
+       |      CAST(p AS VARCHAR) AS base FROM g),
+       |u AS (SELECT doc_id, CASE
+       |    WHEN v = 0 THEN base || keep
+       |    WHEN v = 1 THEN 'HTTPS://WWW.Src' || CAST(h AS VARCHAR) ||
+       |      '.Example.COM:443/page/' || CAST(p AS VARCHAR) || keep
+       |    WHEN v = 2 THEN 'https://src' || CAST(h AS VARCHAR) ||
+       |      '.example.com/page/' || CAST(p AS VARCHAR) || '/' || keep
+       |    ELSE base || CASE WHEN keep = '' THEN '?utm_source=feed&fbclid=f'
+       |      ELSE keep || '&utm_source=feed&fbclid=f' END ||
+       |      CAST(p AS VARCHAR) || '#sec' END AS url FROM k),
+       |c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag FROM u),
+       |c2 AS (SELECT doc_id, url,
+       |    lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+       |    lower(regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+       |    regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
+       |  FROM c1),
+       |c3 AS (SELECT doc_id, url, scheme,
+       |    regexp_replace(regexp_replace(auth, '^www\.', ''), '(:443|:80)$$', '') AS host,
+       |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '') AS path,
+       |    regexp_extract(rest, '(\?.*)$$', 1) AS query FROM c2),
+       |c4 AS (SELECT doc_id, url, scheme, host, path,
+       |    regexp_replace(regexp_replace(
+       |      regexp_replace(query, '&(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&]*', '', 'g'),
+       |      '\?(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&]*', '?', 'g'),
+       |    '\?&', '?', 'g') AS q3 FROM c3),
+       |canon AS (SELECT doc_id, url, scheme || '://' || host || path ||
+       |    CASE WHEN q3 IN ('?', '') THEN '' ELSE q3 END AS canonical_url
+       |  FROM c4)""".stripMargin
+
+  val urlCanonicalize: String =
+    s"""WITH $urlCtes
+       |SELECT doc_id, url, canonical_url FROM canon""".stripMargin
+
+  val urlDedup: String =
+    s"""WITH $urlCtes
+       |SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS keep_id
+       |FROM canon GROUP BY canonical_url""".stripMargin
+
+  /** Per-domain cap (CurationOps.domainCap over source, quality-ordered,
+    * doc_id ties): textStats' quality expression verbatim. */
+  def domainCapSample(cap: Int): String =
+    s"""WITH t AS (SELECT doc_id, source, ${toks("text")} AS tk FROM documents),
+       |q AS (SELECT doc_id, source,
+       |    ((0.4 * (CAST(${hits("tk", StopEn)} AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
+       |      + (0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 200.0)))
+       |      + (0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))) AS quality
+       |  FROM t),
+       |r AS (SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank_in_domain
+       |  FROM q)
+       |SELECT doc_id, source, rank_in_domain FROM r WHERE rank_in_domain <= $cap""".stripMargin
+
   /** Add-one-smoothed bigram LM score per document
     * (TextOps.bigramLmScores): 2^30 fixed-point transition
     * probabilities, one final double division. */

@@ -79,6 +79,33 @@ object SparkEntry {
       "documents")(TextOps.boilerplateDict(plantedBoilerCorpus(s, dir),
       "doc_id", "text", BoilerTileWidth, BoilerMinDf))
 
+  /** Messy-URL synthesis shared by url_canonicalize / url_dedup: four
+    * surface variants per logical page (doc_id div 4) — mixed-case
+    * scheme/host with default port, missing www, trailing slash,
+    * tracking params + fragment — and 1-in-5 pages carry a meaningful
+    * `?q=` param that must SURVIVE canonicalization while the tracking
+    * noise around it is stripped. The oracle rebuilds the identical
+    * strings, so hash agreement proves the whole canonicalizer. */
+  private def docsWithUrls(s: SparkSession, dir: String): DataFrame = {
+    val p = expr("doc_id div 4")
+    val hs = (p % 20).cast("string")
+    val ps = p.cast("string")
+    val keep = when(p % 5 === 0, concat(lit("?q=w"), (p % 7).cast("string")))
+      .otherwise(lit(""))
+    val base = concat(lit("https://www.src"), hs, lit(".example.com/page/"), ps)
+    val v = col("doc_id") % 4
+    val url = when(v === 0, concat(base, keep))
+      .when(v === 1, concat(lit("HTTPS://WWW.Src"), hs,
+        lit(".Example.COM:443/page/"), ps, keep))
+      .when(v === 2, concat(lit("https://src"), hs,
+        lit(".example.com/page/"), ps, lit("/"), keep))
+      .otherwise(concat(base,
+        when(keep === "", lit("?utm_source=feed&fbclid=f"))
+          .otherwise(concat(keep, lit("&utm_source=feed&fbclid=f"))),
+        ps, lit("#sec")))
+    t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+  }
+
   private def embCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("vec"))
 
@@ -546,6 +573,36 @@ object SparkEntry {
     "boilerplate_dict_train" -> { (s, dir) =>
       TextOps.boilerplateDict(plantedBoilerCorpus(s, dir), "doc_id", "text",
         BoilerTileWidth, BoilerMinDf)
+    },
+
+    // URL canonicalization — the key derivation for URL-level exact
+    // dedup (every crawl pipeline's first pass). Pure regexp projection.
+    "url_canonicalize" -> { (s, dir) =>
+      docsWithUrls(s, dir).select(col("doc_id"), col("url"),
+        operators.CurationOps.canonicalizeUrl(col("url")).as("canonical_url"))
+    },
+
+    // URL-level exact dedup over the canonical form: the four surface
+    // variants of every logical page converge to one canonical URL;
+    // meaningful ?q= params survive and stay part of the key.
+    "url_dedup" -> { (s, dir) =>
+      docsWithUrls(s, dir)
+        .select(col("doc_id"),
+          operators.CurationOps.canonicalizeUrl(col("url")).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_id"))
+    },
+
+    // Per-domain cap (RefinedWeb source balancing): each source keeps
+    // its DomainCap best docs by quality (ties by doc_id). The
+    // rank-limit filter runs as WindowGroupLimit(Partial) below the
+    // exchange — map-side pruning to O(domains * cap) per partition.
+    "domain_cap_sample" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      operators.CurationOps.domainCap(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "source", TextFunctions.qualityScore(col("text")), DomainCap)
+        .select(col("doc_id"), col("source"), col("rank_in_domain"))
     },
 
     // KenLM-style corpus LM quality score: mean add-one-smoothed bigram
@@ -2937,6 +2994,8 @@ object SparkEntry {
   val WebQualityMin = 0.25
   val BoilerFooter = "all rights reserved contact us at example dot com " +
     "terms of service apply subscribe to our newsletter for updates today"
+  // Per-domain document cap (RefinedWeb-style source balancing).
+  val DomainCap = 25
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -3217,6 +3276,9 @@ object SparkEntry {
       Oracles.boilerplateScrub(BoilerFooter, BoilerTileWidth, BoilerMinDf),
     "boilerplate_dict_train" ->
       Oracles.boilerplateDictTrain(BoilerFooter, BoilerTileWidth, BoilerMinDf),
+    "url_canonicalize" -> Oracles.urlCanonicalize,
+    "url_dedup" -> Oracles.urlDedup,
+    "domain_cap_sample" -> Oracles.domainCapSample(DomainCap),
     "clean_html" -> Oracles.cleanHtml,
     "pii_luhn_cards" -> Oracles.piiLuhnCards,
     "multimodal_resize" -> Oracles.multimodalResize,

@@ -1731,4 +1731,82 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       assert(math.abs(approx(k)._2 - p95) <= 1.0, s"$k p95")
     }
   }
+
+  test("canonicalizeUrl: case/port/www/slash/tracking/fragment forms") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://www.src3.example.com/page/12" -> "https://src3.example.com/page/12",
+      "HTTPS://WWW.Src3.Example.COM:443/page/12" -> "https://src3.example.com/page/12",
+      "https://src3.example.com/page/12/" -> "https://src3.example.com/page/12",
+      "https://www.src3.example.com/page/12?utm_source=x&fbclid=abc#frag" ->
+        "https://src3.example.com/page/12",
+      // path case preserved; meaningful params survive, order kept
+      "http://src5.example.com:80/a/B/?q=Term&utm_medium=email&page=2" ->
+        "http://src5.example.com/a/B?q=Term&page=2",
+      // all params are tracking -> bare ? dropped too
+      "https://host.com/?utm_a=1&utm_b=2" -> "https://host.com",
+      "https://host.com" -> "https://host.com",
+      "https://host.com/#frag" -> "https://host.com",
+      // tracking in the middle; ref is tracking, q isn't
+      "https://host.com/p?utm_c=1&q=2&ref=x" -> "https://host.com/p?q=2")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), operators.CurationOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"url $in") }
+  }
+
+  test("domainCap: cap respected best-first, rank-limit prunes map-side") {
+    import graft.functions.TextFunctions
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val capped = operators.CurationOps.domainCap(
+      docs, "doc_id", "source", TextFunctions.qualityScore(col("text")), 3)
+    val rows = capped.select(col("source"), col("doc_id"), col("rank_in_domain"))
+      .collect()
+    val perDomain = rows.groupBy(_.getString(0))
+    assert(perDomain.values.forall(_.length <= 3))
+    perDomain.values.foreach(g =>
+      assert(g.map(_.getLong(2)).sorted.toSeq == (1L to g.length).toSeq,
+        "ranks not contiguous from 1"))
+    // best-first: every kept doc's quality >= any dropped doc of the
+    // same domain (ties broken by doc_id make the check exact).
+    val q = docs.select(col("source"), col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    perDomain.foreach { case (dom, kept) =>
+      val keptIds = kept.map(_.getLong(1)).toSet
+      val dropped = q.keys.filter(k => k._1 == dom && !keptIds.contains(k._2))
+      if (dropped.nonEmpty && keptIds.nonEmpty) {
+        // order key: quality DESC, doc_id ASC — kept must all precede
+        // dropped under it, i.e. (-q, id) of every kept < every dropped.
+        val worstKept = kept.map(r => (-q((dom, r.getLong(1))), r.getLong(1)))
+          .max(Ordering.Tuple2[Double, Long])
+        dropped.foreach { d =>
+          assert(Ordering.Tuple2[Double, Long].lt(worstKept, (-q(d), d._2)),
+            s"dropped $d beats kept in $dom")
+        }
+      }
+    }
+    // Scale shape: the rank<=cap filter must compile to a PARTIAL
+    // WindowGroupLimit below the exchange (map-side per-domain top-cap).
+    capped.collect()
+    val p = capped.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(p.contains("Partial"), s"no map-side rank-limit prune:\n${p.take(1200)}")
+  }
+
+  test("url variants converge: 4 surfaces per page, ?q= params survive") {
+    val urls = SparkEntry.queries("url_canonicalize")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byPage = urls.groupBy(_._1 / 4)
+    byPage.foreach { case (p, vs) =>
+      assert(vs.map(_._3).distinct.length == 1, s"page $p did not converge")
+      assert(vs.map(_._2).distinct.length == vs.length, s"page $p surfaces equal")
+      val canon = vs.head._3
+      assert(!canon.contains("utm_") && !canon.contains("fbclid") &&
+        !canon.contains("#") && !canon.contains("www."), canon)
+      if (p % 5 == 0) assert(canon.endsWith(s"?q=w${p % 7}"), canon)
+      else assert(!canon.contains("?"), canon)
+    }
+  }
 }
