@@ -179,6 +179,57 @@ object StreamingLoad {
       }
       .start()
 
+  /** URL-level exact-dedup ingest — the cheapest first-pass filter of a
+    * crawl pipeline, run BEFORE any content hashing: each arriving
+    * document's URL is canonicalized
+    * ([[graft.operators.CurationOps.canonicalizeUrl]]) and rejected if
+    * the canonical key is already in the PERSISTED key store, or if a
+    * lower-id arrival in the same batch claims it (keep-lowest rule).
+    * Survivors append together with their keys, so later batches — and
+    * later runs — dedup against them too. At 100 TB this stays
+    * O(new-batch): one equi-join per batch against a key table that
+    * holds one short string per corpus document (no shingling, no
+    * banding — that's [[nearDupRejectStream]]'s job, downstream). */
+  def urlKeyRejectStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      warehouse: ParquetWarehouse,
+      table: TableRef,
+      keyTable: TableRef,
+      idField: String,
+      urlField: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keyed = batch.withColumn("canonical_url",
+          graft.operators.CurationOps.canonicalizeUrl(col(urlField)))
+        // Claimed by the persisted store…
+        val vsStore =
+          if (warehouse.exists(keyTable))
+            keyed.join(warehouse.table(keyTable).select(col("canonical_url")),
+              Seq("canonical_url"), "left_semi").select(col(idField))
+          else keyed.select(col(idField)).limit(0)
+        // …or by a lower-id member of the same batch: rank within the
+        // batch per canonical key, keep only rank 1 — arrivals 2..n of a
+        // key are within-batch rejects even when the key is new.
+        val withinKeep = keyed
+          .withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("canonical_url"))
+              .orderBy(col(idField))))
+        val survivors = withinKeep.filter(col("__rk") === 1).drop("__rk")
+          .join(vsStore, Seq(idField), "left_anti")
+        warehouse.load(LoadMode.Insert, table,
+          survivors.drop("canonical_url"), idField)
+        warehouse.load(LoadMode.Insert, keyTable,
+          survivors.select(col("canonical_url"), col(idField)), idField)
+      }
+      .start()
+
   /** Continuous cluster labeling — the incremental twin of the batch
     * `dedup_cc_*` family: every micro-batch of arriving documents is
     * MinHash-signed, candidate edges are generated against the persisted

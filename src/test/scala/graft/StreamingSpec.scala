@@ -83,6 +83,41 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .map(_.getLong(0)).toSet == Set(1L, 2L, 11L))
   }
 
+  test("urlKeyRejectStream: canonical-key dedup within batch and vs store") {
+    val root = Files.createTempDirectory("graft_urlkey").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val (tbl, keys) = (TableRef("", "pages"), TableRef("", "page_keys"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType)))
+
+    // Run 1: ids 1/2 are surface variants of the SAME canonical URL
+    // (keep-lowest within batch); id 3 is distinct.
+    writeFile(src, "a.json",
+      """{"doc_id":1,"url":"https://www.a.com/x?utm_source=f"}
+        |{"doc_id":2,"url":"HTTPS://A.COM:443/x/"}
+        |{"doc_id":3,"url":"https://a.com/y?q=1"}""".stripMargin)
+    StreamingLoad.urlKeyRejectStream(spark, src, docSchema, wh, tbl, keys,
+      "doc_id", "url", s"$root/ckpt").awaitTermination()
+    assert(wh.table(tbl).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L))
+
+    // Run 2: id 10 re-claims the stored /x key (rejected via the
+    // persisted store), id 11 is genuinely new.
+    writeFile(src, "b.json",
+      """{"doc_id":10,"url":"https://a.com/x#frag"}
+        |{"doc_id":11,"url":"https://b.org/z"}""".stripMargin)
+    StreamingLoad.urlKeyRejectStream(spark, src, docSchema, wh, tbl, keys,
+      "doc_id", "url", s"$root/ckpt").awaitTermination()
+    assert(wh.table(tbl).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L, 11L))
+    // The key store tracks exactly the survivors' canonical keys.
+    assert(wh.table(keys).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("https://a.com/x", 1L), ("https://a.com/y?q=1", 3L),
+        ("https://b.org/z", 11L)))
+  }
+
   test("pqIndexStream: streamed coded index == batch ivfPqIndex, replay-safe") {
     import graft.operators.{ClusterOps, SimilarityOps}
     import spark.implicits._
