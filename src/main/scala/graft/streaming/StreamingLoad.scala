@@ -380,6 +380,53 @@ object StreamingLoad {
       }
       .start()
 
+  /** Incremental boilerplate-dictionary maintenance — keeps the
+    * [[graft.operators.TextOps.boilerplateDict]] artifact fresh as the
+    * corpus grows, without ever re-tiling old documents: each batch's
+    * NEW docs (replay anti-joined via the processed-ids table) are
+    * tiled once, their per-tile distinct-doc counts are summed into the
+    * persisted `(tile_hash, df)` table, and the scrub dictionary is the
+    * `df >= minDf` filter of that table at read time. Counts below the
+    * threshold must be KEPT (they may cross it later), so the store is
+    * tile-vocabulary-sized; the per-batch merge is one sum-groupBy over
+    * store ∪ batch-counts. Disjointness of processed docs makes the
+    * incremental sum exact: a doc contributes its distinct tiles to
+    * exactly one batch, so summed per-batch df == corpus df (the parity
+    * spec's contract). */
+  def boilerDictStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      warehouse: ParquetWarehouse,
+      dfTable: TableRef,
+      docsTable: TableRef,
+      idField: String,
+      textField: String,
+      width: Int,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = (if (warehouse.exists(docsTable))
+            batch.join(warehouse.table(docsTable).select(col(idField)),
+              Seq(idField), "left_anti")
+          else batch).localCheckpoint(true)
+        // minDf=1: per-batch counts for EVERY tile of the fresh docs.
+        val counts = graft.operators.TextOps.boilerplateDict(
+          fresh, idField, textField, width, minDf = 1)
+        val merged =
+          if (warehouse.exists(dfTable))
+            warehouse.table(dfTable).unionByName(counts)
+              .groupBy(col("tile_hash")).agg(sum(col("df")).as("df"))
+          else counts
+        warehouse.load(LoadMode.TruncateInsert, dfTable, merged, "tile_hash")
+        warehouse.load(LoadMode.Insert, docsTable,
+          fresh.select(col(idField)), idField)
+      }
+      .start()
+
   /** Quality-gated ingest: each micro-batch of documents is scored by
     * the PERSISTED trained quality model ([[graft.operators
     * .QualityModelOps]] weights from the model store — a 65-row frozen

@@ -118,6 +118,51 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
         ("https://b.org/z", 11L)))
   }
 
+  test("boilerDictStream: incremental df == batch dict, threshold crossing, replay-safe") {
+    import graft.operators.TextOps
+    val root = Files.createTempDirectory("graft_boilerdict").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val (dfT, docsT) = (TableRef("", "tile_df"), TableRef("", "tile_docs"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    // width=2 tiles; "footer alpha" is tile-aligned in every doc.
+    writeFile(src, "a.json",
+      """{"doc_id":1,"text":"unique one footer alpha"}
+        |{"doc_id":2,"text":"other words footer alpha"}""".stripMargin)
+    StreamingLoad.boilerDictStream(spark, src, docSchema, wh, dfT, docsT,
+      "doc_id", "text", width = 2, s"$root/ckpt").awaitTermination()
+    def dfMap() = wh.table(dfT).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after1 = dfMap()
+    // Footer tile df=2, each doc's one unique tile df=1; nothing >= 3 yet.
+    assert(after1.values.toSeq.sorted == Seq(1L, 1L, 2L), s"$after1")
+
+    // Run 2: doc 3 pushes the footer over minDf=3; doc 1 is a REPLAY
+    // and must not double-count its tiles.
+    writeFile(src, "b.json",
+      """{"doc_id":3,"text":"third thing footer alpha"}
+        |{"doc_id":1,"text":"unique one footer alpha"}""".stripMargin)
+    StreamingLoad.boilerDictStream(spark, src, docSchema, wh, dfT, docsT,
+      "doc_id", "text", width = 2, s"$root/ckpt").awaitTermination()
+
+    // Incremental counts == one-shot batch counts over the unique docs…
+    import spark.implicits._
+    val allDocs = Seq((1L, "unique one footer alpha"),
+      (2L, "other words footer alpha"),
+      (3L, "third thing footer alpha")).toDF("doc_id", "text")
+    val batchCounts = TextOps.boilerplateDict(allDocs, "doc_id", "text", 2, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dfMap() == batchCounts)
+    // …and the >= minDf view is exactly the batch dictionary.
+    val streamedDict = wh.table(dfT).filter(col("df") >= 3)
+      .collect().map(_.getLong(0)).toSet
+    val batchDict = TextOps.boilerplateDict(allDocs, "doc_id", "text", 2, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamedDict == batchDict && streamedDict.size == 1)
+  }
+
   test("pqIndexStream: streamed coded index == batch ivfPqIndex, replay-safe") {
     import graft.operators.{ClusterOps, SimilarityOps}
     import spark.implicits._
