@@ -81,6 +81,12 @@ object GraftFunctions {
   def md5PrefixLong(s: Column, hexDigits: Int): Column =
     GraftColumns.column(Md5PrefixLong(GraftColumns.expression(s), hexDigits))
 
+  /** Codegen'd hashed bag-of-grams bucket counts
+    * (see [[BucketCountsMd5]]). */
+  def bucketCounts(grams: Column, numBuckets: Int): Column =
+    GraftColumns.column(BucketCountsMd5(
+      GraftColumns.expression(grams), numBuckets))
+
   /** Codegen'd dictionary-probe tile filter
     * (see [[ArrayDropByMd5Prefix]]). */
   def dropByMd5Prefix(arr: Column, hashes: Array[Long], hexDigits: Int): Column =

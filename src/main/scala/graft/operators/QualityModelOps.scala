@@ -46,19 +46,20 @@ object QualityModelOps {
     * recalibrate away from the hash-collision noise floor. Pure
     * projection + two-level aggregation. */
   def hashedFeatures(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(col(id),
-        explode(concat(tokens(normalized(col(text))),
-          wordBigrams(col(text)))).as("g"))
-      // Count per (doc, gram) FIRST, hash after: the md5-based bucket
-      // hash runs once per distinct (doc, gram) instead of once per
-      // occurrence (measured 2x fewer hashes on repetitive corpora), and
-      // no vocabulary-sized broadcast is assumed anywhere.
-      .groupBy(col(id), col("g"))
-      .agg(count(lit(1)).as("x0"))
-      .select(col(id), pmod(hash60(col("g")), lit(NumBuckets.toLong))
-        .as("bucket"), col("x0"))
-      .groupBy(col(id), col("bucket"))
-      .agg(sum(col("x0")).as("x"))
+    // The whole bag collapses per document BEFORE any shuffle: one
+    // codegen pass over the gram array ([[graft.expressions
+    // .BucketCountsMd5]] — bucket = pmod(hash60(g), NumBuckets)
+    // bit-identically), so the exchange carries <= NumBuckets rows per
+    // doc instead of one row per gram OCCURRENCE. The earlier two-level
+    // groupBy form shuffled the exploded grams — the single biggest
+    // shuffle of the quality pipeline (1.37 s -> the bench delta on
+    // quality_model_filter).
+    docs.select(col(id), posexplode(graft.expressions.GraftFunctions
+        .bucketCounts(concat(tokens(normalized(col(text))),
+          wordBigrams(col(text))), NumBuckets)))
+      .filter(col("col") > 0)
+      .select(col(id), col("pos").cast("long").as("bucket"),
+        col("col").as("x"))
       .unionByName(docs.select(col(id), lit(-1L).as("bucket"),
         lit(1L).as("x")))
 

@@ -329,6 +329,7 @@ class ExpressionSpec extends AnyFunSuite with SparkSuite {
           regexpCount(concat(ids, lit(" bb a")), "a").as("rc"),
           wordBigramStrings(sv).as("bg"),
           md5PrefixLong(ids, 15).as("h60"),
+          bucketCounts(sv, 16).as("bc"),
           dropByMd5Prefix(sv, Array(graft.expressions.Md5PrefixLong.hashPrefix(
             org.apache.spark.unsafe.types.UTF8String.fromString("a"), 15)), 15)
             .as("drop"))
@@ -336,13 +337,38 @@ class ExpressionSpec extends AnyFunSuite with SparkSuite {
       assert(out.getDouble(0) == 5.0)       // id=0: 1*1 + 2*2
       assert(out.getDouble(1) == 0.0)
       assert(out.getLong(2) == 2L)
-      assert(out.getSeq[String](10) == Seq("a0", "a0 b"))  // "a" dropped
+      assert(out.getSeq[Long](10).sum == 3L)               // 3 grams bucketed
+      assert(out.getSeq[String](11) == Seq("a0", "a0 b"))  // "a" dropped
     } finally {
       def restore(k: String, v: Option[String]) =
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
       restore("spark.sql.codegen.factoryMode", prevFactory)
       restore("spark.sql.codegen.fallback", prevFallback)
     }
+  }
+
+  test("BucketCountsMd5 matches the explode/groupBy composed form") {
+    import graft.expressions.GraftFunctions
+    import graft.functions.TextFunctions.{hash60, normalized, tokens, wordBigrams}
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val grams = concat(tokens(normalized(col("text"))), wordBigrams(col("text")))
+    val composed = docs.select(col("doc_id"), explode(grams).as("g"))
+      .groupBy(col("doc_id"), pmod(hash60(col("g")), lit(64L)).as("bucket"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val kernel = docs.select(col("doc_id"),
+        posexplode(GraftFunctions.bucketCounts(grams, 64)))
+      .filter(col("col") > 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
+    assert(kernel == composed)
+    // Null array -> null (posexplode drops it); null ELEMENTS skipped.
+    import spark.implicits._
+    val edge = Seq((1L, Seq("a", null, "a")), (2L, null))
+      .toDF("id", "toks")
+      .select(col("id"), GraftFunctions.bucketCounts(col("toks"), 4).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1).sum)).toMap
+    assert(edge(1L) == 2L && edge(2L) == null)
   }
 
   test("graft_dot is usable from SQL after registration") {
