@@ -817,17 +817,18 @@ object Oracles {
        |    lower(regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS auth,
        |    regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
        |  FROM c1),
-       |c3 AS (SELECT doc_id, url, scheme,
+       |c3 AS (SELECT doc_id, url, scheme, auth AS host_raw,
        |    regexp_replace(regexp_replace(auth, '^www\.', ''), '(:443|:80)$$', '') AS host,
        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '') AS path,
        |    regexp_extract(rest, '(\?.*)$$', 1) AS query FROM c2),
-       |c4 AS (SELECT doc_id, url, scheme, host, path,
+       |c4 AS (SELECT doc_id, url, scheme, host_raw, host, path,
        |    regexp_replace(regexp_replace(
        |      regexp_replace(query, '&(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&]*', '', 'g'),
        |      '\?(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&]*', '?', 'g'),
        |    '\?&', '?', 'g') AS q3 FROM c3),
-       |canon AS (SELECT doc_id, url, scheme || '://' || host || path ||
-       |    CASE WHEN q3 IN ('?', '') THEN '' ELSE q3 END AS canonical_url
+       |canon AS (SELECT doc_id, url, CASE WHEN scheme = '' OR host_raw = ''
+       |    THEN url ELSE scheme || '://' || host || path ||
+       |      CASE WHEN q3 IN ('?', '') THEN '' ELSE q3 END END AS canonical_url
        |  FROM c4)""".stripMargin
 
   val urlCanonicalize: String =

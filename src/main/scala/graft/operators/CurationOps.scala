@@ -56,8 +56,14 @@ object CurationOps {
     val q2 = regexp_replace(q1,
       "\\?(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&]*", "?")
     val q3 = regexp_replace(q2, "\\?&", "?")
-    concat(scheme, lit("://"), host, path,
-      when(q3 === "?" || q3 === "", lit("")).otherwise(q3))
+    // Crawl frontiers contain relative refs, mailto:, data:, bare hosts,
+    // and garbage; anything that doesn't parse as scheme://authority
+    // passes through UNCHANGED (still a usable dedup key) instead of
+    // collapsing to a "://"-prefixed artifact that would alias all
+    // malformed inputs with the same tail.
+    when(scheme === "" || auth === "", url)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(q3 === "?" || q3 === "", lit("")).otherwise(q3)))
   }
 
   /** Keep at most `cap` documents per domain, best-first by `order`

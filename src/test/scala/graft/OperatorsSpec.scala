@@ -1748,7 +1748,12 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       "https://host.com" -> "https://host.com",
       "https://host.com/#frag" -> "https://host.com",
       // tracking in the middle; ref is tracking, q isn't
-      "https://host.com/p?utm_c=1&q=2&ref=x" -> "https://host.com/p?q=2")
+      "https://host.com/p?utm_c=1&q=2&ref=x" -> "https://host.com/p?q=2",
+      // malformed / non-absolute inputs pass through unchanged
+      "/relative/path?x=1" -> "/relative/path?x=1",
+      "mailto:someone@example.com" -> "mailto:someone@example.com",
+      "not a url at all" -> "not a url at all",
+      "http:///path-no-host" -> "http:///path-no-host")
     val got = cases.map(_._1).toDF("url")
       .select(col("url"), operators.CurationOps.canonicalizeUrl(col("url")).as("c"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
