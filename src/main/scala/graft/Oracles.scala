@@ -305,6 +305,38 @@ object Oracles {
        |GROUP BY p.id_a, p.id_b
        |HAVING est_jaccard >= $minEst""".stripMargin
 
+  /** MinHash candidate-generation recall vs exact Jaccard truth at
+    * `minJaccard` (SparkEntry `dedup_minhash_recall`): the two green
+    * chains ([[minhashPairs]]' banding, [[ngramJaccard]]'s exact pairs)
+    * share one shingle prefix; counts only, so the measurement is
+    * integer-exact. */
+  def dedupMinhashRecall(t0Sql: String, minJaccard: Double): String =
+    s"""WITH t0 AS ($t0Sql),
+       |${bigramsCte.replace("FROM documents", "FROM t0")},
+       |$shingleHashCte,
+       |c(i, a, b) AS (SELECT * FROM (VALUES $coeffValues)),
+       |sig AS (SELECT doc_id, i, min((a * h + b) % ${DedupOps.P}) AS mh
+       |  FROM sh, c GROUP BY doc_id, i),
+       |bk AS (SELECT doc_id, (i // ${DedupOps.R}) AS band,
+       |    string_agg(mh::VARCHAR, '_' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.doc_id < y.doc_id),
+       |shd AS (SELECT DISTINCT doc_id, x AS s
+       |  FROM (SELECT doc_id, unnest(list_distinct(sh)) AS x FROM bg)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |truth AS (SELECT id_a, id_b FROM common
+       |  JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+       |  WHERE CAST(c AS DOUBLE) / CAST((na.n + nb.n) - c AS DOUBLE) >= $minJaccard),
+       |hit AS (SELECT t.id_a FROM truth t JOIN cand USING (id_a, id_b))
+       |SELECT (SELECT count(*) FROM truth) AS n_true,
+       |  (SELECT count(*) FROM cand) AS n_candidates,
+       |  (SELECT count(*) FROM hit) AS n_hit""".stripMargin
+
   /** Keep list after near-dedup: corpus minus every id_b of a
     * thresholded candidate pair (lowest-id representative survives). */
   /** Exact substring dedup (DedupOps.duplicateSpans): content-defined

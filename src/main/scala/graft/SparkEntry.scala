@@ -637,6 +637,25 @@ object SparkEntry {
       DedupOps.ngramJaccardDense(plantedDocs(s, dir), "doc_id", "text",
         NgramMinJaccard)),
 
+    // The MinHash recall CONTRACT, measured in-gate: banding is a
+    // recall/cost trade (SCALING.md documents 45% at t=0.5 on this
+    // degenerate ~40-word vocabulary), so the gate pins the exact
+    // numbers — true pairs at the Jaccard threshold, banded candidate
+    // pairs, and their overlap — rather than trusting the S-curve math
+    // blindly. Composes the two already-oracle-green chains; 1-row
+    // aggregate crossJoins are broadcast-bounded by construction.
+    "dedup_minhash_recall" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val truth = DedupOps.ngramJaccardDense(docs, "doc_id", "text",
+        NgramMinJaccard).select(col("id_a"), col("id_b"))
+      val cand = DedupOps.minhashCandidates(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    },
+
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -3093,6 +3112,8 @@ object SparkEntry {
     "substring_scrub" -> Oracles.scrubSubstring(Oracles.plantedDocs,
       CdcWindow, CdcDivisor, 2),
     "dedup_ngram_jaccard" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
+    "dedup_minhash_recall" ->
+      Oracles.dedupMinhashRecall(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_cc_components" -> Oracles.ccComponents(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_cc_keep" -> Oracles.ccKeep(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_keep_best" ->
