@@ -310,14 +310,15 @@ object Oracles {
     * chains ([[minhashPairs]]' banding, [[ngramJaccard]]'s exact pairs)
     * share one shingle prefix; counts only, so the measurement is
     * integer-exact. */
-  def dedupMinhashRecall(t0Sql: String, minJaccard: Double): String =
+  def dedupMinhashRecall(t0Sql: String, minJaccard: Double,
+      r: Int = DedupOps.R): String =
     s"""WITH t0 AS ($t0Sql),
        |${bigramsCte.replace("FROM documents", "FROM t0")},
        |$shingleHashCte,
        |c(i, a, b) AS (SELECT * FROM (VALUES $coeffValues)),
        |sig AS (SELECT doc_id, i, min((a * h + b) % ${DedupOps.P}) AS mh
        |  FROM sh, c GROUP BY doc_id, i),
-       |bk AS (SELECT doc_id, (i // ${DedupOps.R}) AS band,
+       |bk AS (SELECT doc_id, (i // $r) AS band,
        |    string_agg(mh::VARCHAR, '_' ORDER BY i) AS bkey
        |  FROM sig GROUP BY doc_id, band),
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b

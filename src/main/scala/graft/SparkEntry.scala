@@ -656,6 +656,23 @@ object SparkEntry {
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
     },
 
+    // Same measurement at the recall-TUNED banding (8 bands of r=4:
+    // per-band collision sim^4, so the planted J~0.8 pairs collide with
+    // prob ~1-(1-0.41)^8 ~ 0.985 vs ~0.32 at the default r=8). The
+    // operator takes any bands | K; the gate pins BOTH configs so the
+    // trade is a measured table, not a docstring claim.
+    "dedup_minhash_recall_tuned" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val truth = DedupOps.ngramJaccardDense(docs, "doc_id", "text",
+        NgramMinJaccard).select(col("id_a"), col("id_b"))
+      val cand = DedupOps.minhashCandidates(docs, "doc_id", "text", bands = 8)
+        .select(col("id_a"), col("id_b"))
+      val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    },
+
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -3114,6 +3131,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_minhash_recall" ->
       Oracles.dedupMinhashRecall(Oracles.plantedDocs, NgramMinJaccard),
+    "dedup_minhash_recall_tuned" ->
+      Oracles.dedupMinhashRecall(Oracles.plantedDocs, NgramMinJaccard, r = 4),
     "dedup_cc_components" -> Oracles.ccComponents(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_cc_keep" -> Oracles.ccKeep(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_keep_best" ->

@@ -99,26 +99,31 @@ object DedupOps {
     * comparing longs, not ~90-char strings; a cross-bucket hash
     * collision (≈ rows²/2⁶⁵) only adds a candidate pair, which the
     * est-jaccard filter then judges on the real signatures. */
-  def lshBuckets(sigArr: DataFrame, id: String): DataFrame =
-    sigArr.select(col(id), explode(array((0 until Bands).map { b =>
+  def lshBuckets(sigArr: DataFrame, id: String,
+      bands: Int = Bands): DataFrame = {
+    require(bands >= 1 && K % bands == 0, s"bands must divide K=$K, got $bands")
+    val r = K / bands
+    sigArr.select(col(id), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(array_join(transform(slice(col("sig"), b * R + 1, R),
+        xxhash64(array_join(transform(slice(col("sig"), b * r + 1, r),
           x => x.cast("string")), "_")).as("bkey"))
     }: _*)).as("bb"))
       .select(col(id), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
 
   /** Candidate near-duplicate pairs (id_a < id_b) that share ≥1 LSH bucket,
     * with the estimated Jaccard = fraction of equal signature components
     * (computed by zipping the two signature arrays — no re-aggregation).
     * Self-join is on (band, bkey) — co-partitioned, no cross product. */
-  def minhashCandidates(df: DataFrame, id: String, text: String): DataFrame = {
+  def minhashCandidates(df: DataFrame, id: String, text: String,
+      bands: Int = Bands): DataFrame = {
     // The signature projection feeds FOUR plan branches (two bucket-join
     // sides, two est-jaccard joins). One repartition of the compact
     // (id, sig) rows materializes it as a reusable exchange
     // (ReusedExchange) instead of recomputing the shingling 4x, and
     // co-partitions the id joins.
     val sigArr = minhashSignatureArr(df, id, text).repartition(col(id))
-    val bk = lshBuckets(sigArr, id)
+    val bk = lshBuckets(sigArr, id, bands)
     // Explode-derived size estimates tempt Catalyst into broadcasting the
     // bucket index — wrong at corpus scale and parallelism-capping here.
     val pairs = bk.hint("merge").as("x").join(bk.hint("merge").as("y"),
