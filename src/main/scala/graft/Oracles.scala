@@ -851,7 +851,7 @@ object Oracles {
        |    regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
        |  FROM c1),
        |c3 AS (SELECT doc_id, url, scheme, auth AS host_raw,
-       |    regexp_replace(regexp_replace(auth, '^www\.', ''), '(:443|:80)$$', '') AS host,
+       |    regexp_replace(regexp_replace(auth, '^(www\.)+', ''), '(:443|:80)$$', '') AS host,
        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '') AS path,
        |    regexp_extract(rest, '(\?.*)$$', 1) AS query FROM c2),
        |c4 AS (SELECT doc_id, url, scheme, host_raw, host, path,

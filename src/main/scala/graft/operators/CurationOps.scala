@@ -45,7 +45,10 @@ object CurationOps {
     val scheme = lower(regexp_extract(nofrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val auth = lower(regexp_extract(nofrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
     val rest = regexp_replace(nofrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
-    val host = regexp_replace(regexp_replace(auth, "^www\\.", ""), "(:443|:80)$", "")
+    // ALL leading www. segments (not one): makes canonicalization
+    // idempotent — canon(canon(u)) == canon(u), so stored canonical
+    // keys can be re-canonicalized safely (spec property).
+    val host = regexp_replace(regexp_replace(auth, "^(www\\.)+", ""), "(:443|:80)$", "")
     val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
     val query = regexp_extract(rest, "(\\?.*)$", 1)
     // Drop tracking params in two passes (separator-prefixed, then

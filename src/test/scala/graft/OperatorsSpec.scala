@@ -1760,6 +1760,40 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     cases.foreach { case (in, want) => assert(got(in) == want, s"url $in") }
   }
 
+  test("canonicalizeUrl is idempotent over randomized messy URLs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def rcase(s: String) =
+      s.map(c => if (rnd.nextBoolean()) c.toUpper else c).mkString
+    val urls = Seq.fill(400) {
+      val scheme = if (rnd.nextBoolean()) "https" else "http"
+      val www = "www." * rnd.nextInt(3)
+      val host = rcase(s"${www}h${rnd.nextInt(20)}.example.com")
+      val port = Seq("", ":443", ":80", ":8080")(rnd.nextInt(4))
+      val path = Seq("", "/A/b", "/x", "/x/")(rnd.nextInt(4))
+      val params = rnd.shuffle(Seq(
+        s"utm_source=s${rnd.nextInt(5)}", s"q=w${rnd.nextInt(5)}",
+        "fbclid=zz", s"page=${rnd.nextInt(3)}", "ref=r")).take(rnd.nextInt(5))
+      val query = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val frag = if (rnd.nextBoolean()) "#sec" else ""
+      s"${rcase(scheme)}://$host$port$path$query$frag"
+    } ++ Seq("not a url", "/rel/x?a=1", "mailto:x@y.z")
+    val out = urls.toDF("url").select(
+        operators.CurationOps.canonicalizeUrl(col("url")).as("c1"))
+      .select(col("c1"),
+        operators.CurationOps.canonicalizeUrl(col("c1")).as("c2"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}")
+      val c = r.getString(0)
+      if (c.startsWith("http")) {
+        assert(!c.contains("utm_") && !c.contains("fbclid") &&
+          !c.contains("#") && !c.toLowerCase.contains("://www."), c)
+      }
+    }
+  }
+
   test("domainCap: cap respected best-first, rank-limit prunes map-side") {
     import graft.functions.TextFunctions
     val docs = Tables(spark, sf("sf0.001"), "documents")
