@@ -205,8 +205,16 @@ object StreamingLoad {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val keyed = batch.withColumn("canonical_url",
+        val all = batch.withColumn("canonical_url",
           graft.operators.CurationOps.canonicalizeUrl(col(urlField)))
+          .localCheckpoint(true)
+        // A doc with no URL has no key to dedup on: it always survives
+        // and contributes nothing to the key store. (Without the split,
+        // the window would collapse every null-key doc of a batch into
+        // one survivor while cross-batch nulls always survive —
+        // inconsistent, and either way not URL dedup.)
+        val keyed = all.filter(col("canonical_url").isNotNull)
+        val keyless = all.filter(col("canonical_url").isNull)
         // Claimed by the persisted store…
         val vsStore =
           if (warehouse.exists(keyTable))
@@ -224,7 +232,7 @@ object StreamingLoad {
         val survivors = withinKeep.filter(col("__rk") === 1).drop("__rk")
           .join(vsStore, Seq(idField), "left_anti")
         warehouse.load(LoadMode.Insert, table,
-          survivors.drop("canonical_url"), idField)
+          survivors.unionByName(keyless).drop("canonical_url"), idField)
         warehouse.load(LoadMode.Insert, keyTable,
           survivors.select(col("canonical_url"), col(idField)), idField)
       }

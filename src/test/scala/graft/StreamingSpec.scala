@@ -103,14 +103,18 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       == Set(1L, 3L))
 
     // Run 2: id 10 re-claims the stored /x key (rejected via the
-    // persisted store), id 11 is genuinely new.
+    // persisted store), id 11 is genuinely new, and ids 12/13 have no
+    // URL — keyless docs are NOT URL-deduped (both survive, no key
+    // stored).
     writeFile(src, "b.json",
       """{"doc_id":10,"url":"https://a.com/x#frag"}
-        |{"doc_id":11,"url":"https://b.org/z"}""".stripMargin)
+        |{"doc_id":11,"url":"https://b.org/z"}
+        |{"doc_id":12,"url":null}
+        |{"doc_id":13,"url":null}""".stripMargin)
     StreamingLoad.urlKeyRejectStream(spark, src, docSchema, wh, tbl, keys,
       "doc_id", "url", s"$root/ckpt").awaitTermination()
     assert(wh.table(tbl).select("doc_id").collect().map(_.getLong(0)).toSet
-      == Set(1L, 3L, 11L))
+      == Set(1L, 3L, 11L, 12L, 13L))
     // The key store tracks exactly the survivors' canonical keys.
     assert(wh.table(keys).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet ==
