@@ -12,15 +12,24 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 # Archive the previous per-query map so the regression gate below has a
-# reference even though Bench overwrites BENCH_LOCAL.json.
-[ -f BENCH_LOCAL.json ] && cp BENCH_LOCAL.json BENCH_PREV.json
+# reference even though Bench overwrites BENCH_LOCAL.json — but never
+# replace a full-suite reference with a SPARK_GRAFT_BENCH_ONLY subset
+# run (the gate would then "pass" comparing only the subset), and never
+# archive when this run itself is a subset (its output must not become
+# the next full run's reference either).
+if [ -z "${SPARK_GRAFT_BENCH_ONLY:-}" ] && [ -f BENCH_LOCAL.json ]; then
+  cp BENCH_LOCAL.json BENCH_PREV.json
+fi
+# Capture rc without tripping set -e (a bare failing command would exit
+# the script before the regression gate runs).
+rc=0
 java $ADD_OPENS -Xmx16g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Bench
-rc=$?
+  graft.Bench || rc=$?
 # Per-query regression gate (>=1.5x AND >=0.3s abs) -> BENCH_DELTA.json;
-# report-only (stderr), never fails the bench.
-[ -f BENCH_PREV.json ] && python3 scripts/bench_delta.py \
-  BENCH_LOCAL.json BENCH_PREV.json || true
+# report-only (stderr), never fails the bench; skipped for subset runs.
+if [ -z "${SPARK_GRAFT_BENCH_ONLY:-}" ] && [ -f BENCH_PREV.json ]; then
+  python3 scripts/bench_delta.py BENCH_LOCAL.json BENCH_PREV.json || true
+fi
 exit $rc

@@ -69,7 +69,10 @@ object Bench {
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"queries":$qsAll,"failed":$fails,"sf":"$sfDir"}"""
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // Subset runs must not overwrite the full-suite map the regression
+    // gate diffs against.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       line.getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -81,9 +81,17 @@ object Ingest {
     // column-pruned aggregate (ids only) — the write itself stays
     // overwrite-idempotent so Spark task retries/speculation can safely
     // re-create files from a failed attempt.
-    val Array(nRows, nIds) = df.select(
-        count(col(idCol)), countDistinct(col(idCol)))
+    // count(lit(1)), not count(idCol): count(col) skips NULLs, so two
+    // null-id rows would pass the equality and both write to
+    // "null<ext>" — the exact silent payload collapse this guard
+    // exists to prevent. countDistinct also ignores nulls, so nulls
+    // surface as nRows > nIds + nNulls check below.
+    val Array(nRows, nIds, nNullIds) = df.select(count(lit(1)),
+        countDistinct(col(idCol)), count(when(col(idCol).isNull, 1)))
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nNullIds == 0,
+      s"writeBinaryFiles: $nNullIds rows have a null $idCol — every " +
+        "payload needs its own file name")
     require(nRows == nIds,
       s"writeBinaryFiles: $idCol must be unique (got $nRows rows, " +
         s"$nIds distinct ids) — duplicates would silently drop payloads")

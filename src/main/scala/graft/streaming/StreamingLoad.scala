@@ -172,10 +172,23 @@ object StreamingLoad {
             "left_anti")
           .select(col("id_b").as(idField))
         val survivors = batch.join(
-          vsStore.unionByName(within).distinct(), Seq(idField), "left_anti")
-        warehouse.load(LoadMode.Insert, table, survivors, idField)
-        val sigs = ops.minhashSignatureArr(survivors, idField, textField)
-        warehouse.load(LoadMode.Insert, sigTable, sigs, idField)
+            vsStore.unionByName(within).distinct(), Seq(idField), "left_anti")
+          .localCheckpoint(true)
+        // Per-table replay guards (at-least-once): a fully-committed
+        // replayed batch is already self-healing (a survivor is a
+        // near-dup of its own stored signature and re-rejects), but a
+        // crash BETWEEN the two inserts leaves survivors in the corpus
+        // with no signatures — on replay nothing rejects them and the
+        // corpus insert would duplicate. Guarding each store against its
+        // own ids makes both inserts individually idempotent.
+        def notIn(t: TableRef) =
+          (if (warehouse.exists(t))
+              survivors.join(warehouse.table(t).select(col(idField)),
+                Seq(idField), "left_anti")
+            else survivors).localCheckpoint(true)
+        warehouse.load(LoadMode.Insert, table, notIn(table), idField)
+        warehouse.load(LoadMode.Insert, sigTable,
+          ops.minhashSignatureArr(notIn(sigTable), idField, textField), idField)
       }
       .start()
 
@@ -231,10 +244,24 @@ object StreamingLoad {
               .orderBy(col(idField))))
         val survivors = withinKeep.filter(col("__rk") === 1).drop("__rk")
           .join(vsStore, Seq(idField), "left_anti")
+          .unionByName(keyless)
+          .localCheckpoint(true) // one evaluation feeds both inserts
+        // Per-table at-least-once guards: keyless docs have no key in
+        // the store to re-reject them on replay, and a crash between the
+        // two inserts leaves survivors in the corpus with unstored keys
+        // (later arrivals of the same URL would pass). Guarding each
+        // store against its own ids makes both inserts individually
+        // idempotent, so full or partial replays heal.
+        def notIn(t: TableRef) =
+          (if (warehouse.exists(t))
+              survivors.join(warehouse.table(t).select(col(idField)),
+                Seq(idField), "left_anti")
+            else survivors).localCheckpoint(true)
         warehouse.load(LoadMode.Insert, table,
-          survivors.unionByName(keyless).drop("canonical_url"), idField)
+          notIn(table).drop("canonical_url"), idField)
         warehouse.load(LoadMode.Insert, keyTable,
-          survivors.select(col("canonical_url"), col(idField)), idField)
+          notIn(keyTable).filter(col("canonical_url").isNotNull)
+            .select(col("canonical_url"), col(idField)), idField)
       }
       .start()
 
@@ -293,15 +320,23 @@ object StreamingLoad {
         // At-least-once replay guard for the APPEND stores (the label
         // table's left_anti seed already has one): a re-delivered batch
         // must not accumulate duplicate corpus rows / signatures, which
-        // would fan out every future candidate-edge join. Materialized
-        // before the insert so the anti-join reads the PRE-append store.
-        val fresh = (if (warehouse.exists(table))
-            batch.join(warehouse.table(table).select(col(idField)),
-              Seq(idField), "left_anti")
-          else batch).localCheckpoint(true)
-        warehouse.load(LoadMode.Insert, table, fresh, idField)
+        // would fan out every future candidate-edge join. Each store is
+        // guarded against ITS OWN ids — a single shared guard would turn
+        // a crash between the two inserts into permanent silent
+        // signature loss (corpus-guarded replay finds nothing "fresh",
+        // so the docs that made it into the corpus never get signatures
+        // and all their future near-dups pass undetected). Per-table
+        // guards make each insert individually idempotent, so a partial
+        // commit heals on replay. Materialized before the insert so the
+        // anti-join reads the PRE-append store.
+        def notIn(t: TableRef) =
+          (if (warehouse.exists(t))
+              batch.join(warehouse.table(t).select(col(idField)),
+                Seq(idField), "left_anti")
+            else batch).localCheckpoint(true)
+        warehouse.load(LoadMode.Insert, table, notIn(table), idField)
         warehouse.load(LoadMode.Insert, sigTable,
-          ops.minhashSignatureArr(fresh, idField, textField), idField)
+          ops.minhashSignatureArr(notIn(sigTable), idField, textField), idField)
         warehouse.load(LoadMode.TruncateInsert, labelTable, labels, idField)
       }
       .start()
@@ -391,23 +426,30 @@ object StreamingLoad {
   /** Incremental boilerplate-dictionary maintenance — keeps the
     * [[graft.operators.TextOps.boilerplateDict]] artifact fresh as the
     * corpus grows, without ever re-tiling old documents: each batch's
-    * NEW docs (replay anti-joined via the processed-ids table) are
-    * tiled once, their per-tile distinct-doc counts are summed into the
-    * persisted `(tile_hash, df)` table, and the scrub dictionary is the
-    * `df >= minDf` filter of that table at read time. Counts below the
-    * threshold must be KEPT (they may cross it later), so the store is
-    * tile-vocabulary-sized; the per-batch merge is one sum-groupBy over
-    * store ∪ batch-counts. Disjointness of processed docs makes the
-    * incremental sum exact: a doc contributes its distinct tiles to
-    * exactly one batch, so summed per-batch df == corpus df (the parity
-    * spec's contract). */
+    * NEW docs are tiled once, their per-tile distinct-doc counts are
+    * summed into the persisted counts, and the scrub dictionary is the
+    * `kind='tile' AND df >= minDf` view of the state at read time.
+    * Counts below the threshold must be KEPT (they may cross it later),
+    * so the state is tile-vocabulary + processed-ids sized.
+    *
+    * Crash-safety: tile counts and the processed-ids replay guard live
+    * in ONE state table committed by ONE TruncateInsert (an atomic
+    * version-pointer swap) — with two tables, a crash between the two
+    * commits either double-counts the batch's tiles on replay (counts
+    * first) or permanently under-counts them (guard first); both
+    * silently corrupt df and therefore what the scrub deletes. Rows are
+    * `(kind='tile', k=tile_hash, df)` ∪ `(kind='doc', k=doc_id, df=0)`.
+    *
+    * Disjointness of processed docs makes the incremental sum exact: a
+    * doc contributes its distinct tiles to exactly one committed batch,
+    * so summed per-batch df == corpus df (the parity spec's
+    * contract). */
   def boilerDictStream(
       spark: SparkSession,
       srcDir: String,
       schema: StructType,
       warehouse: ParquetWarehouse,
-      dfTable: TableRef,
-      docsTable: TableRef,
+      stateTable: TableRef,
       idField: String,
       textField: String,
       width: Int,
@@ -417,21 +459,25 @@ object StreamingLoad {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val fresh = (if (warehouse.exists(docsTable))
-            batch.join(warehouse.table(docsTable).select(col(idField)),
-              Seq(idField), "left_anti")
-          else batch).localCheckpoint(true)
+        val state =
+          if (warehouse.exists(stateTable)) warehouse.table(stateTable)
+          else batch.select(lit("tile").as("kind"), col(idField).as("k"),
+            lit(0L).as("df")).limit(0)
+        val fresh = batch.join(
+            state.filter(col("kind") === "doc").select(col("k").as(idField)),
+            Seq(idField), "left_anti")
+          .localCheckpoint(true) // derived from the table we overwrite
         // minDf=1: per-batch counts for EVERY tile of the fresh docs.
         val counts = graft.operators.TextOps.boilerplateDict(
-          fresh, idField, textField, width, minDf = 1)
-        val merged =
-          if (warehouse.exists(dfTable))
-            warehouse.table(dfTable).unionByName(counts)
-              .groupBy(col("tile_hash")).agg(sum(col("df")).as("df"))
-          else counts
-        warehouse.load(LoadMode.TruncateInsert, dfTable, merged, "tile_hash")
-        warehouse.load(LoadMode.Insert, docsTable,
-          fresh.select(col(idField)), idField)
+            fresh, idField, textField, width, minDf = 1)
+          .select(lit("tile").as("kind"), col("tile_hash").as("k"), col("df"))
+        val tiles = state.filter(col("kind") === "tile").unionByName(counts)
+          .groupBy(col("kind"), col("k")).agg(sum(col("df")).as("df"))
+        val docs = state.filter(col("kind") === "doc").unionByName(
+          fresh.select(lit("doc").as("kind"), col(idField).as("k"),
+            lit(0L).as("df")))
+        warehouse.load(LoadMode.TruncateInsert, stateTable,
+          tiles.unionByName(docs).localCheckpoint(true), "k")
       }
       .start()
 

@@ -127,7 +127,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val root = Files.createTempDirectory("graft_boilerdict").toString
     val src = s"$root/src"; Files.createDirectories(Paths.get(src))
     val wh = new ParquetWarehouse(spark, s"$root/wh")
-    val (dfT, docsT) = (TableRef("", "tile_df"), TableRef("", "tile_docs"))
+    val st = TableRef("", "boiler_state")
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
 
@@ -135,10 +135,10 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     writeFile(src, "a.json",
       """{"doc_id":1,"text":"unique one footer alpha"}
         |{"doc_id":2,"text":"other words footer alpha"}""".stripMargin)
-    StreamingLoad.boilerDictStream(spark, src, docSchema, wh, dfT, docsT,
+    StreamingLoad.boilerDictStream(spark, src, docSchema, wh, st,
       "doc_id", "text", width = 2, s"$root/ckpt").awaitTermination()
-    def dfMap() = wh.table(dfT).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dfMap() = wh.table(st).filter(col("kind") === "tile").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
     val after1 = dfMap()
     // Footer tile df=2, each doc's one unique tile df=1; nothing >= 3 yet.
     assert(after1.values.toSeq.sorted == Seq(1L, 1L, 2L), s"$after1")
@@ -148,7 +148,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     writeFile(src, "b.json",
       """{"doc_id":3,"text":"third thing footer alpha"}
         |{"doc_id":1,"text":"unique one footer alpha"}""".stripMargin)
-    StreamingLoad.boilerDictStream(spark, src, docSchema, wh, dfT, docsT,
+    StreamingLoad.boilerDictStream(spark, src, docSchema, wh, st,
       "doc_id", "text", width = 2, s"$root/ckpt").awaitTermination()
 
     // Incremental counts == one-shot batch counts over the unique docs…
@@ -160,8 +160,9 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dfMap() == batchCounts)
     // …and the >= minDf view is exactly the batch dictionary.
-    val streamedDict = wh.table(dfT).filter(col("df") >= 3)
-      .collect().map(_.getLong(0)).toSet
+    val streamedDict = wh.table(st)
+      .filter(col("kind") === "tile" && col("df") >= 3)
+      .collect().map(_.getLong(1)).toSet
     val batchDict = TextOps.boilerplateDict(allDocs, "doc_id", "text", 2, 3)
       .collect().map(_.getLong(0)).toSet
     assert(streamedDict == batchDict && streamedDict.size == 1)
