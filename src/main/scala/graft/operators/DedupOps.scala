@@ -208,9 +208,12 @@ object DedupOps {
     // invariant — equal sums between rounds ⟺ no label changed. One
     // cheap partial-agg action per round instead of a shuffle join +
     // count against the previous labels.
+    // sum() over ZERO rows is null — an empty vertex set (e.g. a quiet
+    // micro-batch whose incremental frontier has no edges) must
+    // converge immediately, not NPE in the comparison.
     def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast(DecimalType(38, 0))))
-        .head.getDecimal(0)
+      Option(df.agg(sum(col("component").cast(DecimalType(38, 0))))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var labels = vertices.select(col(id).as("v"))
       .withColumn("component", col("v"))
       .localCheckpoint(true)

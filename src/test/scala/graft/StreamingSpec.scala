@@ -122,6 +122,63 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
         ("https://b.org/z", 11L)))
   }
 
+  test("urlKeyRejectStream heals a partial commit: corpus row without stored key") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_urlheal").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val (tbl, keys) = (TableRef("", "pages"), TableRef("", "page_keys"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType)))
+    // Simulate a crash BETWEEN the two inserts of a previous run: doc 1
+    // made it into the corpus, but its canonical key was never stored.
+    wh.create(tbl, Seq((1L, "https://a.com/x")).toDF("doc_id", "url"))
+    // The replayed batch redelivers doc 1.
+    writeFile(src, "a.json", """{"doc_id":1,"url":"https://a.com/x"}""")
+    StreamingLoad.urlKeyRejectStream(spark, src, docSchema, wh, tbl, keys,
+      "doc_id", "url", s"$root/ckpt").awaitTermination()
+    // Healed: no duplicate corpus row, and the key is now stored.
+    assert(wh.table(tbl).count() == 1)
+    assert(wh.table(keys).collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq == Seq(("https://a.com/x", 1L)))
+    // A later arrival of the same URL is now rejected via the store.
+    writeFile(src, "b.json", """{"doc_id":9,"url":"https://a.com/x/"}""")
+    StreamingLoad.urlKeyRejectStream(spark, src, docSchema, wh, tbl, keys,
+      "doc_id", "url", s"$root/ckpt").awaitTermination()
+    assert(wh.table(tbl).count() == 1)
+  }
+
+  test("ccLabelStream heals a partial commit: corpus row without stored signature") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ccheal").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val (tbl, sig, lbl) = (TableRef("", "corpus"), TableRef("", "sigs"),
+      TableRef("", "labels"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val base = "spark filter merge join window batch stream hash sort " +
+      "group order value column row table part key data line agg"
+    // Crash simulation: doc 1 is in the corpus but has NO signature row
+    // (the pre-fix shared guard would leave it blind forever).
+    wh.create(tbl, Seq((1L, s"$base one")).toDF("doc_id", "text"))
+    writeFile(src, "a.json", s"""{"doc_id":1,"text":"$base one"}""")
+    StreamingLoad.ccLabelStream(spark, src, docSchema, wh, tbl, sig, lbl,
+      "doc_id", "text", minEst = 0.5, s"$root/ckpt").awaitTermination()
+    assert(wh.table(tbl).count() == 1, "corpus must not duplicate")
+    assert(wh.table(sig).select("doc_id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L), "signature must be healed on replay")
+    // With the signature healed, a later near-copy is detected: it joins
+    // doc 1's component.
+    writeFile(src, "b.json", s"""{"doc_id":7,"text":"$base two"}""")
+    StreamingLoad.ccLabelStream(spark, src, docSchema, wh, tbl, sig, lbl,
+      "doc_id", "text", minEst = 0.5, s"$root/ckpt").awaitTermination()
+    val labels = wh.table(lbl).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(7L) == labels(1L),
+      s"healed signature must let the near-copy cluster: $labels")
+  }
+
   test("boilerDictStream: incremental df == batch dict, threshold crossing, replay-safe") {
     import graft.operators.TextOps
     val root = Files.createTempDirectory("graft_boilerdict").toString
