@@ -305,6 +305,46 @@ object Oracles {
        |GROUP BY p.id_a, p.id_b
        |HAVING est_jaccard >= $minEst""".stripMargin
 
+  /** MinHash signature + banding CTE chain over `srcCte`, every CTE
+    * name prefixed so two corpora can coexist in one WITH (the
+    * incremental against-corpus oracle). Same construction as
+    * [[minhashPairs]]' chain; requires the shared `c(i, a, b)`
+    * coefficient CTE in scope. */
+  private def sigCtes(p: String, srcCte: String): String =
+    s"""${p}t AS (SELECT doc_id, $norm AS nrm FROM $srcCte),
+       |${p}s AS (SELECT doc_id, string_split(nrm, ' ') AS tk FROM ${p}t),
+       |${p}bg AS (SELECT doc_id, CASE WHEN len(tk) <= 1 THEN tk
+       |  ELSE list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1]) END AS sh
+       |  FROM ${p}s),
+       |${p}sh AS (SELECT DISTINCT doc_id, (${hash60("x")} % ${DedupOps.P}) AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(sh)) AS x FROM ${p}bg)),
+       |${p}sig AS (SELECT doc_id, i, min((a * h + b) % ${DedupOps.P}) AS mh
+       |  FROM ${p}sh, c GROUP BY doc_id, i),
+       |${p}bk AS (SELECT doc_id, (i // ${DedupOps.R}) AS band,
+       |    string_agg(mh::VARCHAR, '_' ORDER BY i) AS bkey
+       |  FROM ${p}sig GROUP BY doc_id, band)""".stripMargin
+
+  /** Incremental against-corpus candidates (SparkEntry
+    * `dedup_incremental_candidates`): arrivals banded against the
+    * corpus signatures; est_jaccard from the two signature chains. */
+  def dedupIncrementalCandidates(minEst: Double): String =
+    s"""WITH corpus0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |arriv0 AS (SELECT doc_id + 10000000 AS doc_id,
+       |  substr(text, 1, (length(text) * 4) // 5) AS text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |c(i, a, b) AS (SELECT * FROM (VALUES $coeffValues)),
+       |${sigCtes("cc_", "corpus0")},
+       |${sigCtes("nn_", "arriv0")},
+       |pairs AS (SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS new_id
+       |  FROM cc_bk x JOIN nn_bk y ON x.band = y.band AND x.bkey = y.bkey)
+       |SELECT p.corpus_id, p.new_id,
+       |  CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / ${DedupOps.K}.0 AS est_jaccard
+       |FROM pairs p
+       |JOIN cc_sig sa ON sa.doc_id = p.corpus_id
+       |JOIN nn_sig sb ON sb.doc_id = p.new_id AND sb.i = sa.i
+       |GROUP BY p.corpus_id, p.new_id
+       |HAVING est_jaccard >= $minEst""".stripMargin
+
   /** MinHash candidate-generation recall vs exact Jaccard truth at
     * `minJaccard` (SparkEntry `dedup_minhash_recall`): the two green
     * chains ([[minhashPairs]]' banding, [[ngramJaccard]]'s exact pairs)

@@ -637,6 +637,20 @@ object SparkEntry {
       DedupOps.ngramJaccardDense(plantedDocs(s, dir), "doc_id", "text",
         NgramMinJaccard)),
 
+    // Incremental dedup's core join, batch-oracle-checked: arrivals
+    // banded against a PERSISTED corpus signature table (the corpus is
+    // never re-shingled — what nearDupRejectStream/ccLabelStream run
+    // per micro-batch, here as the one-shot batch form).
+    "dedup_incremental_candidates" -> { (s, dir) =>
+      val base = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      val corpusSig = DedupOps.minhashSignatureArr(base, "doc_id", "text")
+      val arrivals = base.select((col("doc_id") + 10000000L).as("doc_id"),
+        expr("substring(text, 1, (length(text) * 4) div 5)").as("text"))
+      DedupOps.minhashCandidatesAgainst(corpusSig, arrivals, "doc_id", "text")
+        .filter(col("est_jaccard") >= MinhashMinEst)
+    },
+
     // The MinHash recall CONTRACT, measured in-gate: banding is a
     // recall/cost trade (SCALING.md documents 45% at t=0.5 on this
     // degenerate ~40-word vocabulary), so the gate pins the exact
@@ -3129,6 +3143,8 @@ object SparkEntry {
     "substring_scrub" -> Oracles.scrubSubstring(Oracles.plantedDocs,
       CdcWindow, CdcDivisor, 2),
     "dedup_ngram_jaccard" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
+    "dedup_incremental_candidates" ->
+      Oracles.dedupIncrementalCandidates(MinhashMinEst),
     "dedup_minhash_recall" ->
       Oracles.dedupMinhashRecall(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_minhash_recall_tuned" ->
