@@ -127,10 +127,18 @@ object TextOps {
     // The dictionary collapses to the driver like the footer stats /
     // per-file Bloom collects: a metadata-sized action at plan
     // construction, probed from the rebuild as a plan-referenced sorted
-    // long[] (ships with the task binary like a broadcast).
+    // long[] (ships with the task binary like a broadcast). Vocabulary-
+    // bounded by construction (tiles repeated across >= minDf docs:
+    // chrome, footers, banners) — but an adversarial corpus (minDf-fold
+    // duplicated bulk text) could blow that assumption, so fail loudly
+    // at 16M entries (128 MB of longs) instead of silently OOMing the
+    // driver; such a corpus needs exact dedup BEFORE boilerplate scrub.
     val boilerHashes = dict.getOrElse(
         boilerplateDict(docs, id, text, width, minDf))
-      .select(col("tile_hash")).collect().map(_.getLong(0)).sorted
+      .select(col("tile_hash")).limit(16777217).collect().map(_.getLong(0)).sorted
+    require(boilerHashes.length <= 16777216,
+      s"boilerplate dictionary exceeds 16M tiles — the corpus is " +
+        "bulk-duplicated, not boilerplate-laden; run exact/near dedup first")
     // Rebuild WITHOUT a regroup: tiles stay a per-doc ARRAY (order is
     // the array order — no seg_idx sort, no collect_list shuffle), each
     // doc filtered against the dictionary in place by one codegen'd
