@@ -599,9 +599,14 @@ object SparkEntry {
     // exchange — map-side pruning to O(domains * cap) per partition.
     "domain_cap_sample" -> { (s, dir) =>
       import graft.functions.TextFunctions
+      // Score BEFORE ranking: with qualityScore(text) as the window
+      // order expression the full text column would travel through the
+      // domain exchange; projected to (id, domain, score) the shuffle
+      // carries ~24 bytes/doc and column pruning reaches the scan.
       operators.CurationOps.domainCap(
-          t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
-          "doc_id", "source", TextFunctions.qualityScore(col("text")), DomainCap)
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            TextFunctions.qualityScore(col("text")).as("__q")),
+          "doc_id", "source", col("__q"), DomainCap)
         .select(col("doc_id"), col("source"), col("rank_in_domain"))
     },
 
