@@ -927,6 +927,49 @@ object Oracles {
        |  FROM q)
        |SELECT doc_id, source, rank_in_domain FROM r WHERE rank_in_domain <= $cap""".stripMargin
 
+  /** End-to-end crawl curation (SparkEntry `crawl_curation_pipeline`):
+    * URL-canonical keep list → footer corpus → full-corpus boilerplate
+    * dictionary (the artifact, trained on ALL docs) → scrub the KEPT
+    * subset against it → quality gate → per-source rank cap → yield. */
+  def crawlCurationPipeline(footer: String, width: Int, minDf: Int,
+      qMin: Double, cap: Int): String =
+    s"""WITH $urlCtes,
+       |keep AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canonical_url),
+       |ad AS (SELECT doc_id, text || ' ' || '${q(footer)}' AS text FROM documents),
+       |anrm AS (SELECT doc_id, $norm AS nrm FROM ad),
+       |asp AS (SELECT doc_id, string_split(nrm, ' ') AS tk FROM anrm),
+       |atl AS (SELECT doc_id,
+       |    array_to_string(list_slice(tk, i * $width + 1, i * $width + $width), ' ') AS seg_text
+       |  FROM asp, LATERAL (SELECT unnest(range(0, (len(tk) + ${width - 1}) // $width)) AS i) g2),
+       |ah AS (SELECT doc_id, ${hash60("seg_text")} AS hh FROM atl),
+       |boiler AS (SELECT hh FROM (SELECT DISTINCT hh, doc_id FROM ah)
+       |  GROUP BY hh HAVING count(*) >= $minDf),
+       |bd AS (SELECT ad.doc_id, d0.source, ad.text
+       |  FROM ad JOIN keep USING (doc_id) JOIN documents d0 ON d0.doc_id = ad.doc_id),
+       |bt AS (SELECT doc_id, $norm AS nrm FROM bd),
+       |bs AS (SELECT doc_id, string_split(nrm, ' ') AS tk FROM bt),
+       |btl AS (SELECT doc_id, i AS seg_idx,
+       |    array_to_string(list_slice(tk, i * $width + 1, i * $width + $width), ' ') AS seg_text
+       |  FROM bs, LATERAL (SELECT unnest(range(0, (len(tk) + ${width - 1}) // $width)) AS i) g3),
+       |bh AS (SELECT doc_id, seg_idx, seg_text, ${hash60("seg_text")} AS hh FROM btl),
+       |bkept AS (SELECT * FROM bh WHERE hh NOT IN (SELECT hh FROM boiler)),
+       |bka AS (SELECT doc_id, string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean
+       |  FROM bkept GROUP BY doc_id),
+       |cl AS (SELECT bd.doc_id, bd.source, COALESCE(bka.clean, '') AS clean
+       |  FROM bd LEFT JOIN bka ON bd.doc_id = bka.doc_id),
+       |qx AS (SELECT doc_id, source, ${toks("clean")} AS tk2, clean FROM cl),
+       |qq AS (SELECT doc_id, source, len(tk2) AS ntok,
+       |    ((0.4 * (CAST(${hits("tk2", StopEn)} AS DOUBLE) / CAST(len(tk2) AS DOUBLE)))
+       |      + (0.3 * least(1.0, CAST(len(tk2) AS DOUBLE) / 200.0)))
+       |      + (0.3 * (CAST(len(list_distinct(tk2)) AS DOUBLE) / CAST(len(tk2) AS DOUBLE))) AS qv
+       |  FROM qx),
+       |gated AS (SELECT * FROM qq WHERE qv >= $qMin),
+       |rk AS (SELECT doc_id, source, ntok,
+       |    row_number() OVER (PARTITION BY source ORDER BY qv DESC, doc_id) AS r
+       |  FROM gated)
+       |SELECT source, count(*) AS n_docs, sum(ntok) AS n_tokens
+       |FROM rk WHERE r <= $cap GROUP BY source""".stripMargin
+
   /** Add-one-smoothed bigram LM score per document
     * (TextOps.bigramLmScores): 2^30 fixed-point transition
     * probabilities, one final double division. */

@@ -610,6 +610,41 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("rank_in_domain"))
     },
 
+    // The full crawl-curation pipeline as ONE DAG — the RefinedWeb
+    // recipe end-to-end: URL-canonical dedup (cheapest filter first) →
+    // boilerplate scrub against the PERSISTED dictionary artifact
+    // (trained on the full corpus snapshot, applied to the kept subset —
+    // the train-once/scrub-many split) → heuristic quality gate on the
+    // scrubbed text → per-domain cap → per-source doc/token yield.
+    // Token counts are computed per-doc BEFORE the domain window so the
+    // rank exchange carries (id, source, q, n_toks), never text.
+    "crawl_curation_pipeline" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val keep = docsWithUrls(s, dir)
+        .select(col("doc_id"),
+          operators.CurationOps.canonicalizeUrl(col("url")).as("cu"))
+        .groupBy(col("cu")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val kept = t(s, dir, "documents").join(keep, "doc_id")
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ", col("text"), lit(BoilerFooter)).as("text"))
+      val scrubbed = TextOps.boilerplateScrubText(
+          kept.select(col("doc_id"), col("text")), "doc_id", "text",
+          BoilerTileWidth, BoilerMinDf, Some(plantedBoilerDict(s, dir)))
+        .select(col("doc_id"), col("clean_text"))
+      val gated = scrubbed
+        .join(kept.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("clean_text")).as("__q"),
+          size(TextFunctions.tokens(col("clean_text"))).cast("long")
+            .as("__ntok"))
+        .filter(col("__q") >= WebQualityMin)
+      operators.CurationOps.domainCap(gated, "doc_id", "source",
+          col("__q"), DomainCap)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"))
+    },
+
     // KenLM-style corpus LM quality score: mean add-one-smoothed bigram
     // transition probability per document (fixed-point exact).
     "bigram_lm_scores" -> ((s, dir) =>
@@ -3340,6 +3375,8 @@ object SparkEntry {
     "url_canonicalize" -> Oracles.urlCanonicalize,
     "url_dedup" -> Oracles.urlDedup,
     "domain_cap_sample" -> Oracles.domainCapSample(DomainCap),
+    "crawl_curation_pipeline" -> Oracles.crawlCurationPipeline(BoilerFooter,
+      BoilerTileWidth, BoilerMinDf, WebQualityMin, DomainCap),
     "clean_html" -> Oracles.cleanHtml,
     "pii_luhn_cards" -> Oracles.piiLuhnCards,
     "multimodal_resize" -> Oracles.multimodalResize,
