@@ -24,9 +24,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
     // Dev-only subset filter (comma-separated names); the driver never
-    // sets it, so round benches always cover the full suite.
+    // sets it, so round benches always cover the full suite. Set-but-
+    // EMPTY counts as unset (matching run_bench.sh's `-z` check) — an
+    // empty set would silently run zero queries while the shell treats
+    // the run as full-suite and archives/diffs the stale reference.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -266,11 +266,6 @@ object Oracles {
        |    PARTITION BY md5($norm) ORDER BY doc_id) AS rn
        |  FROM documents) WHERE rn = 1""".stripMargin
 
-  /** Distinct-shingle hash rows (doc_id, h) — shared by minhash. */
-  private val shingleHashCte =
-    s"""sh AS (SELECT DISTINCT doc_id, (${hash60("x")} % ${DedupOps.P}) AS h
-       |  FROM (SELECT doc_id, unnest(list_distinct(sh)) AS x FROM bg))""".stripMargin
-
   private val coeffValues = DedupOps.HashCoeffs.zipWithIndex
     .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
     .mkString(", ")
@@ -287,14 +282,8 @@ object Oracles {
 
   def minhashPairs(t0Sql: String, minEst: Double): String =
     s"""WITH t0 AS ($t0Sql),
-       |${bigramsCte.replace("FROM documents", "FROM t0")},
-       |$shingleHashCte,
        |c(i, a, b) AS (SELECT * FROM (VALUES $coeffValues)),
-       |sig AS (SELECT doc_id, i, min((a * h + b) % ${DedupOps.P}) AS mh
-       |  FROM sh, c GROUP BY doc_id, i),
-       |bk AS (SELECT doc_id, (i // ${DedupOps.R}) AS band,
-       |    string_agg(mh::VARCHAR, '_' ORDER BY i) AS bkey
-       |  FROM sig GROUP BY doc_id, band),
+       |${sigCtes("", "t0")},
        |pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
        |SELECT p.id_a, p.id_b,
@@ -310,7 +299,8 @@ object Oracles {
     * incremental against-corpus oracle). Same construction as
     * [[minhashPairs]]' chain; requires the shared `c(i, a, b)`
     * coefficient CTE in scope. */
-  private def sigCtes(p: String, srcCte: String): String =
+  private def sigCtes(p: String, srcCte: String,
+      r: Int = DedupOps.R): String =
     s"""${p}t AS (SELECT doc_id, $norm AS nrm FROM $srcCte),
        |${p}s AS (SELECT doc_id, string_split(nrm, ' ') AS tk FROM ${p}t),
        |${p}bg AS (SELECT doc_id, CASE WHEN len(tk) <= 1 THEN tk
@@ -320,7 +310,7 @@ object Oracles {
        |  FROM (SELECT doc_id, unnest(list_distinct(sh)) AS x FROM ${p}bg)),
        |${p}sig AS (SELECT doc_id, i, min((a * h + b) % ${DedupOps.P}) AS mh
        |  FROM ${p}sh, c GROUP BY doc_id, i),
-       |${p}bk AS (SELECT doc_id, (i // ${DedupOps.R}) AS band,
+       |${p}bk AS (SELECT doc_id, (i // $r) AS band,
        |    string_agg(mh::VARCHAR, '_' ORDER BY i) AS bkey
        |  FROM ${p}sig GROUP BY doc_id, band)""".stripMargin
 
@@ -353,14 +343,8 @@ object Oracles {
   def dedupMinhashRecall(t0Sql: String, minJaccard: Double,
       r: Int = DedupOps.R): String =
     s"""WITH t0 AS ($t0Sql),
-       |${bigramsCte.replace("FROM documents", "FROM t0")},
-       |$shingleHashCte,
        |c(i, a, b) AS (SELECT * FROM (VALUES $coeffValues)),
-       |sig AS (SELECT doc_id, i, min((a * h + b) % ${DedupOps.P}) AS mh
-       |  FROM sh, c GROUP BY doc_id, i),
-       |bk AS (SELECT doc_id, (i // $r) AS band,
-       |    string_agg(mh::VARCHAR, '_' ORDER BY i) AS bkey
-       |  FROM sig GROUP BY doc_id, band),
+       |${sigCtes("", "t0", r)},
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
        |    AND x.doc_id < y.doc_id),

@@ -181,6 +181,26 @@ object SparkEntry {
   /** Planted near-duplicate corpus for the dedup demonstrations: every
     * 10th document plus an 80%-prefix truncated copy at doc_id+10000000 —
     * the Spark side of [[Oracles.plantedDocs]]. */
+  /** Recall-contract counts at a given banding. The exact-Jaccard truth
+    * (Θ(n²) by construction — the measurement's price) and the banded
+    * candidate set each feed TWO plan branches (their count and the
+    * overlap semi-join); localCheckpoint materializes each once —
+    * Catalyst reuses exchanges, not join results, so without it the
+    * quadratic truth join would execute twice per run. */
+  private def minhashRecallCounts(s: SparkSession, dir: String,
+      bands: Int): DataFrame = {
+    val docs = plantedDocs(s, dir)
+    val truth = DedupOps.ngramJaccardDense(docs, "doc_id", "text",
+        NgramMinJaccard).select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val cand = DedupOps.minhashCandidates(docs, "doc_id", "text", bands)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+  }
+
   private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))
@@ -620,11 +640,14 @@ object SparkEntry {
     // rank exchange carries (id, source, q, n_toks), never text.
     "crawl_curation_pipeline" -> { (s, dir) =>
       import graft.functions.TextFunctions
+      // keep is ids-only and feeds TWO branches (scrub input + the
+      // source re-join) — materialize it once or the canonicalization
+      // and keep-list aggregation run twice.
       val keep = docsWithUrls(s, dir)
         .select(col("doc_id"),
           operators.CurationOps.canonicalizeUrl(col("url")).as("cu"))
         .groupBy(col("cu")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
+        .select(col("doc_id")).localCheckpoint(true)
       val kept = t(s, dir, "documents").join(keep, "doc_id")
         .select(col("doc_id"), col("source"),
           concat_ws(" ", col("text"), lit(BoilerFooter)).as("text"))
@@ -698,34 +721,16 @@ object SparkEntry {
     // pairs, and their overlap — rather than trusting the S-curve math
     // blindly. Composes the two already-oracle-green chains; 1-row
     // aggregate crossJoins are broadcast-bounded by construction.
-    "dedup_minhash_recall" -> { (s, dir) =>
-      val docs = plantedDocs(s, dir)
-      val truth = DedupOps.ngramJaccardDense(docs, "doc_id", "text",
-        NgramMinJaccard).select(col("id_a"), col("id_b"))
-      val cand = DedupOps.minhashCandidates(docs, "doc_id", "text")
-        .select(col("id_a"), col("id_b"))
-      val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
-      truth.agg(count(lit(1)).as("n_true"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-    },
+    "dedup_minhash_recall" -> ((s, dir) => minhashRecallCounts(s, dir,
+      DedupOps.Bands)),
 
     // Same measurement at the recall-TUNED banding (8 bands of r=4:
     // per-band collision sim^4, so the planted J~0.8 pairs collide with
     // prob ~1-(1-0.41)^8 ~ 0.985 vs ~0.32 at the default r=8). The
     // operator takes any bands | K; the gate pins BOTH configs so the
     // trade is a measured table, not a docstring claim.
-    "dedup_minhash_recall_tuned" -> { (s, dir) =>
-      val docs = plantedDocs(s, dir)
-      val truth = DedupOps.ngramJaccardDense(docs, "doc_id", "text",
-        NgramMinJaccard).select(col("id_a"), col("id_b"))
-      val cand = DedupOps.minhashCandidates(docs, "doc_id", "text", bands = 8)
-        .select(col("id_a"), col("id_b"))
-      val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
-      truth.agg(count(lit(1)).as("n_true"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-    },
+    "dedup_minhash_recall_tuned" -> ((s, dir) => minhashRecallCounts(s, dir,
+      bands = 8)),
 
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")),

@@ -66,6 +66,22 @@ class RunningCountProcessor
   */
 object StreamingLoad {
 
+  /** One row per id within a micro-batch, chosen DETERMINISTICALLY
+    * (lexicographically-least full row): a producer retry can land the
+    * same document in two files drained by one AvailableNow trigger,
+    * and the per-table replay guards only see the PERSISTED stores —
+    * within-batch id duplicates would insert twice (and, for content
+    * dedup, two same-id rows form no id_a < id_b candidate pair, so
+    * nothing rejects them). dropDuplicates would pick an arbitrary row;
+    * ordering by the full row keeps replays byte-stable. */
+  private def onePerId(batch: DataFrame, idField: String): DataFrame = {
+    val others = batch.columns.filter(_ != idField).map(col).toSeq
+    batch.withColumn("__one",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idField)).orderBy(struct(others: _*))))
+      .filter(col("__one") === 1).drop("__one")
+  }
+
   /** Stream NDJSON files from `srcDir` into `table` with upsert semantics
     * per micro-batch. Runs until no more files are available, then stops
     * (AvailableNow). */
@@ -147,8 +163,9 @@ object StreamingLoad {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
         import org.apache.spark.sql.functions._
+        val batch = onePerId(batch0, idField)
         val ops = graft.operators.DedupOps
         // Rejected for matching the persisted store…
         val vsStore =
@@ -217,17 +234,23 @@ object StreamingLoad {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val all = batch.withColumn("canonical_url",
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val all = onePerId(batch0, idField).withColumn("canonical_url",
           graft.operators.CurationOps.canonicalizeUrl(col(urlField)))
           .localCheckpoint(true)
         // A doc with no URL has no key to dedup on: it always survives
-        // and contributes nothing to the key store. (Without the split,
-        // the window would collapse every null-key doc of a batch into
-        // one survivor while cross-batch nulls always survive —
-        // inconsistent, and either way not URL dedup.)
-        val keyed = all.filter(col("canonical_url").isNotNull)
-        val keyless = all.filter(col("canonical_url").isNull)
+        // and contributes nothing to the key store. "No URL" includes
+        // the empty/blank string (crawl JSON encodes missing as "" as
+        // often as null; the canonicalizer passes "" through, and one
+        // shared "" key would silently collapse every url-less doc
+        // corpus-wide onto the first arrival). Without the split, the
+        // window would collapse every null-key doc of a batch into one
+        // survivor while cross-batch nulls always survive —
+        // inconsistent, and either way not URL dedup.
+        val blank = col("canonical_url").isNull ||
+          trim(col("canonical_url")) === ""
+        val keyed = all.filter(!blank)
+        val keyless = all.filter(blank)
         // Claimed by the persisted store…
         val vsStore =
           if (warehouse.exists(keyTable))
@@ -260,7 +283,8 @@ object StreamingLoad {
         warehouse.load(LoadMode.Insert, table,
           notIn(table).drop("canonical_url"), idField)
         warehouse.load(LoadMode.Insert, keyTable,
-          notIn(keyTable).filter(col("canonical_url").isNotNull)
+          notIn(keyTable).filter(col("canonical_url").isNotNull &&
+              trim(col("canonical_url")) =!= "")
             .select(col("canonical_url"), col(idField)), idField)
       }
       .start()
@@ -292,8 +316,9 @@ object StreamingLoad {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
         import org.apache.spark.sql.functions._
+        val batch = onePerId(batch0, idField)
         val ops = graft.operators.DedupOps
         val vsStore =
           if (warehouse.exists(sigTable))
@@ -458,7 +483,8 @@ object StreamingLoad {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val batch = onePerId(batch0, idField)
         val state =
           if (warehouse.exists(stateTable)) warehouse.table(stateTable)
           else batch.select(lit("tile").as("kind"), col(idField).as("k"),

@@ -103,23 +103,48 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       == Set(1L, 3L))
 
     // Run 2: id 10 re-claims the stored /x key (rejected via the
-    // persisted store), id 11 is genuinely new, and ids 12/13 have no
-    // URL — keyless docs are NOT URL-deduped (both survive, no key
-    // stored).
+    // persisted store), id 11 is genuinely new, and ids 12-14 have no
+    // URL (null AND empty-string forms) — keyless docs are NOT
+    // URL-deduped (all survive, no key stored, no shared "" key).
     writeFile(src, "b.json",
       """{"doc_id":10,"url":"https://a.com/x#frag"}
         |{"doc_id":11,"url":"https://b.org/z"}
         |{"doc_id":12,"url":null}
-        |{"doc_id":13,"url":null}""".stripMargin)
+        |{"doc_id":13,"url":null}
+        |{"doc_id":14,"url":""}""".stripMargin)
     StreamingLoad.urlKeyRejectStream(spark, src, docSchema, wh, tbl, keys,
       "doc_id", "url", s"$root/ckpt").awaitTermination()
     assert(wh.table(tbl).select("doc_id").collect().map(_.getLong(0)).toSet
-      == Set(1L, 3L, 11L, 12L, 13L))
+      == Set(1L, 3L, 11L, 12L, 13L, 14L))
     // The key store tracks exactly the survivors' canonical keys.
     assert(wh.table(keys).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet ==
       Set(("https://a.com/x", 1L), ("https://a.com/y?q=1", 3L),
         ("https://b.org/z", 11L)))
+  }
+
+  test("ingest streams keep one row per id when a batch spans duplicate files") {
+    // Producer retry: the same doc lands in two files drained by ONE
+    // AvailableNow trigger. Same-id rows form no id_a < id_b candidate
+    // pair and the stores don't contain the id yet, so without the
+    // deterministic per-id pick both rows would insert.
+    val root = Files.createTempDirectory("graft_dupid").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val (tbl, sig) = (TableRef("", "corpus"), TableRef("", "sigs"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    writeFile(src, "a.json",
+      """{"doc_id":42,"text":"alpha beta gamma delta words here"}""")
+    writeFile(src, "a_retry.json",
+      """{"doc_id":42,"text":"alpha beta gamma delta words here"}
+        |{"doc_id":43,"text":"совершенно другой текст без общих слов"}""".stripMargin)
+    StreamingLoad.nearDupRejectStream(spark, src, docSchema, wh, tbl, sig,
+      "doc_id", "text", minEst = 0.5, s"$root/ckpt").awaitTermination()
+    val ids = wh.table(tbl).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(42L, 43L), s"got $ids")
+    assert(wh.table(sig).select("doc_id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(42L, 43L))
   }
 
   test("urlKeyRejectStream heals a partial commit: corpus row without stored key") {
