@@ -190,15 +190,21 @@ object SparkEntry {
   private def minhashRecallCounts(s: SparkSession, dir: String,
       bands: Int): DataFrame = {
     val docs = plantedDocs(s, dir)
+    // The quadratic truth set flows through EXACTLY ONE aggregation:
+    // n_true and n_hit come from the same left join (count of all rows
+    // vs count of candidate-flagged rows), so the all-pairs join is
+    // neither executed twice (Catalyst reuses exchanges, not join
+    // results) nor materialized (checkpointing the pair set measured
+    // SLOWER than one clean pass at sf1). Only the far smaller banded
+    // candidate set, which feeds two branches, is checkpointed.
     val truth = DedupOps.ngramJaccardDense(docs, "doc_id", "text",
-        NgramMinJaccard).select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
+      NgramMinJaccard).select(col("id_a"), col("id_b"))
     val cand = DedupOps.minhashCandidates(docs, "doc_id", "text", bands)
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
-    truth.agg(count(lit(1)).as("n_true"))
+    truth.join(cand.withColumn("__c", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true"), count(col("__c")).as("n_hit"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_candidates"), col("n_hit"))
   }
 
   private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
