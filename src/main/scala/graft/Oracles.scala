@@ -911,6 +911,20 @@ object Oracles {
        |  FROM q)
        |SELECT doc_id, source, rank_in_domain FROM r WHERE rank_in_domain <= $cap""".stripMargin
 
+  /** Reproducible shuffle-and-shard export plan (SparkEntry
+    * `shuffled_shard_plan`): seeded md5 order key, global rank, equal
+    * document shards with token budgets. */
+  def shuffledShardPlan(shardSize: Int): String =
+    s"""WITH k AS (SELECT doc_id,
+       |    ${hash60("'shard-seed-7:' || CAST(doc_id AS VARCHAR)")} AS hk,
+       |    len(${toks("text")}) AS ntok
+       |  FROM documents),
+       |r AS (SELECT doc_id, ntok,
+       |    row_number() OVER (ORDER BY hk, doc_id) AS rnk FROM k)
+       |SELECT (rnk - 1) // $shardSize AS shard_id,
+       |  count(*) AS n_docs, sum(ntok) AS n_tokens
+       |FROM r GROUP BY shard_id""".stripMargin
+
   /** End-to-end crawl curation (SparkEntry `crawl_curation_pipeline`):
     * URL-canonical keep list → footer corpus → full-corpus boilerplate
     * dictionary (the artifact, trained on ALL docs) → scrub the KEPT

@@ -2058,6 +2058,28 @@ object SparkEntry {
         min(col("o_orderdate")).as("min_date"),
         max(col("o_orderdate")).as("max_date"))),
 
+    // Reproducible global shuffle + fixed-size sharding — the export
+    // step of every pretraining pipeline (shuffle the corpus into a
+    // deterministic pseudorandom order, cut into equal document
+    // shards). Order key = seeded md5 hash, so the permutation is
+    // stable across runs, engines, and partitionings; the global rank
+    // is the range-partitioned distributed row number (no
+    // single-partition window); per-shard token totals are what the
+    // writer needs to budget output files.
+    "shuffled_shard_plan" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val keyed = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.hash60(concat(lit("shard-seed-7:"),
+          col("doc_id").cast("string"))).as("__k"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("__ntok"))
+      AnalyticOps.globalRowNumber(keyed,
+          Seq(col("__k"), col("doc_id")), "rank")
+        .select(expr(s"(rank - 1) div $ShardSize").as("shard_id"),
+          col("__ntok"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"))
+    },
+
     "deterministic_sample" -> ((s, dir) =>
       // Hash-bucket sampling: reproducible across runs, engines, and
       // partitionings (unlike df.sample) — the train/eval-split
@@ -3097,6 +3119,8 @@ object SparkEntry {
     "terms of service apply subscribe to our newsletter for updates today"
   // Per-domain document cap (RefinedWeb-style source balancing).
   val DomainCap = 25
+  // Documents per export shard (shuffled_shard_plan).
+  val ShardSize = 256
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -3922,6 +3946,7 @@ object SparkEntry {
     "tfidf_top_terms" -> Oracles.tfidfTopTerms,
     "profile_orders" -> Oracles.profileOrders,
     "deterministic_sample" -> Oracles.deterministicSample,
+    "shuffled_shard_plan" -> Oracles.shuffledShardPlan(ShardSize),
     "trailing_7d_revenue" -> Oracles.trailing7dRevenue,
   )
 }
