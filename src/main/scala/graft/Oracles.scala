@@ -113,6 +113,23 @@ object Oracles {
        |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
        |FROM dw JOIN dict USING (word) GROUP BY doc_id""".stripMargin
 
+  /** Tokenizer fertility per source (SparkEntry
+    * `bpe_compression_by_source`): trained-BPE token totals vs utf-8
+    * byte totals, exact integers. */
+  def bpeCompressionBySource(merges: Int): String =
+    s"""WITH ${bpeDictCtes(merges)},
+       |dict AS (SELECT word,
+       |  length(s) - length(replace(s, ' ', '')) - 1 AS n_sym FROM w$merges),
+       |dw AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS word
+       |  FROM documents),
+       |tok AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+       |  FROM dw JOIN dict USING (word) GROUP BY doc_id),
+       |b AS (SELECT doc_id, source,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents)
+       |SELECT source, CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(nb) AS BIGINT) AS n_bytes
+       |FROM tok JOIN b USING (doc_id) GROUP BY source""".stripMargin
+
   /** Token-budget head (SparkEntry `token_budget_head`): the quality
     * expression is textStats', the token counts are the trained-BPE
     * dict's, the cumsum is a plain window (the Spark side's distributed

@@ -1528,6 +1528,20 @@ object SparkEntry {
       TextOps.bpeTokenCountsWith(t(s, dir, "documents"), "doc_id", "text",
         bpeDict(s, dir))),
 
+    // Tokenizer fertility per source — tokens-per-byte is THE tokenizer
+    // quality metric (a domain whose text explodes into symbols wastes
+    // budget); reported as exact integer sums so the ratio is computed
+    // by the consumer, not hashed as a float.
+    "bpe_compression_by_source" -> { (s, dir) =>
+      val counts = TextOps.bpeTokenCountsWith(t(s, dir, "documents"),
+        "doc_id", "text", bpeDict(s, dir))
+      counts.join(t(s, dir, "documents").select(col("doc_id"), col("source"),
+          octet_length(col("text")).cast("long").as("__b")), "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("n_bpe_tokens")).as("n_tokens"),
+          sum(col("__b")).as("n_bytes"))
+    },
+
     // Sequence packing re-expressed over TRUE trained-BPE budgets (the
     // packing twin of sequence_packing, which uses the regex proxy):
     // token budgets are the currency of corpus assembly, so the bin
@@ -3812,6 +3826,7 @@ object SparkEntry {
         |FROM events e JOIN q ON e.event_type = q.event_type""".stripMargin,
 
     "bpe_token_counts" -> Oracles.bpeTokenCounts(BpeMerges),
+    "bpe_compression_by_source" -> Oracles.bpeCompressionBySource(BpeMerges),
     "bpe_token_counts_oov" -> Oracles.bpeTokenCountsOov(BpeMerges),
     "bpe_tokenize" -> Oracles.bpeTokenize(BpeMerges),
     "token_budget_head" -> Oracles.tokenBudgetHead(BpeMerges, TokenBudget),
