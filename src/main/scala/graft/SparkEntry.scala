@@ -178,15 +178,10 @@ object SparkEntry {
         QualityModelOps.hashedFeatures(spamPlantedDocs(s, dir), "doc_id", "text"),
         spamLabels(s, dir), "doc_id", QmSteps))
 
-  /** Planted near-duplicate corpus for the dedup demonstrations: every
-    * 10th document plus an 80%-prefix truncated copy at doc_id+10000000 —
-    * the Spark side of [[Oracles.plantedDocs]]. */
-  /** Recall-contract counts at a given banding. The exact-Jaccard truth
-    * (Θ(n²) by construction — the measurement's price) and the banded
-    * candidate set each feed TWO plan branches (their count and the
-    * overlap semi-join); localCheckpoint materializes each once —
-    * Catalyst reuses exchanges, not join results, so without it the
-    * quadratic truth join would execute twice per run. */
+  /** Recall-contract counts at a given banding: exact-Jaccard truth
+    * pairs (Θ(n²) by construction — the measurement's price), banded
+    * candidate pairs, and their overlap, as one row of integer counts.
+    * See the in-body comment for why only `cand` is checkpointed. */
   private def minhashRecallCounts(s: SparkSession, dir: String,
       bands: Int): DataFrame = {
     val docs = plantedDocs(s, dir)
@@ -207,6 +202,9 @@ object SparkEntry {
       .select(col("n_true"), col("n_candidates"), col("n_hit"))
   }
 
+  /** Planted near-duplicate corpus for the dedup demonstrations: every
+    * 10th document plus an 80%-prefix truncated copy at doc_id+10000000 —
+    * the Spark side of [[Oracles.plantedDocs]]. */
   private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))

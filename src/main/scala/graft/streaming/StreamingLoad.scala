@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -240,17 +240,17 @@ object StreamingLoad {
           .localCheckpoint(true)
         // A doc with no URL has no key to dedup on: it always survives
         // and contributes nothing to the key store. "No URL" includes
-        // the empty/blank string (crawl JSON encodes missing as "" as
-        // often as null; the canonicalizer passes "" through, and one
-        // shared "" key would silently collapse every url-less doc
-        // corpus-wide onto the first arrival). Without the split, the
-        // window would collapse every null-key doc of a batch into one
-        // survivor while cross-batch nulls always survive —
-        // inconsistent, and either way not URL dedup.
-        val blank = col("canonical_url").isNull ||
-          trim(col("canonical_url")) === ""
-        val keyed = all.filter(!blank)
-        val keyless = all.filter(blank)
+        // whitespace-only strings (crawl JSON encodes missing as "",
+        // "\t", or "\n" as often as null; the canonicalizer passes them
+        // through, and one shared blank key would silently collapse
+        // every url-less doc corpus-wide onto the first arrival — rlike
+        // over \s, because trim() strips only ASCII spaces). Without
+        // the split, the window would collapse every null-key doc of a
+        // batch into one survivor while cross-batch nulls always
+        // survive — inconsistent, and either way not URL dedup.
+        def blank(c: Column) = c.isNull || c.rlike("^\\s*$")
+        val keyed = all.filter(!blank(col("canonical_url")))
+        val keyless = all.filter(blank(col("canonical_url")))
         // Claimed by the persisted store…
         val vsStore =
           if (warehouse.exists(keyTable))
@@ -283,8 +283,7 @@ object StreamingLoad {
         warehouse.load(LoadMode.Insert, table,
           notIn(table).drop("canonical_url"), idField)
         warehouse.load(LoadMode.Insert, keyTable,
-          notIn(keyTable).filter(col("canonical_url").isNotNull &&
-              trim(col("canonical_url")) =!= "")
+          notIn(keyTable).filter(!blank(col("canonical_url")))
             .select(col("canonical_url"), col(idField)), idField)
       }
       .start()
@@ -435,8 +434,9 @@ object StreamingLoad {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
         import org.apache.spark.sql.functions._
+        val batch = onePerId(batch0, idField)
         val coded = graft.operators.SimilarityOps.ivfPqIndex(
           batch.select(col(idField), col("vec")), coarseCentroids,
           codebooks, subDim, idField)
@@ -530,8 +530,9 @@ object StreamingLoad {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
         import org.apache.spark.sql.functions._
+        val batch = onePerId(batch0, idField)
         val ops = graft.operators.QualityModelOps
         val kept = ops.scores(
             ops.hashedFeatures(batch, idField, textField), weights, idField)
