@@ -103,19 +103,20 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       == Set(1L, 3L))
 
     // Run 2: id 10 re-claims the stored /x key (rejected via the
-    // persisted store), id 11 is genuinely new, and ids 12-14 have no
-    // URL (null AND empty-string forms) — keyless docs are NOT
+    // persisted store), id 11 is genuinely new, and ids 12-15 have no
+    // URL (null, empty, and whitespace-only forms) — keyless docs are NOT
     // URL-deduped (all survive, no key stored, no shared "" key).
     writeFile(src, "b.json",
       """{"doc_id":10,"url":"https://a.com/x#frag"}
         |{"doc_id":11,"url":"https://b.org/z"}
         |{"doc_id":12,"url":null}
         |{"doc_id":13,"url":null}
-        |{"doc_id":14,"url":""}""".stripMargin)
+        |{"doc_id":14,"url":""}
+        |{"doc_id":15,"url":"\t"}""".stripMargin)
     StreamingLoad.urlKeyRejectStream(spark, src, docSchema, wh, tbl, keys,
       "doc_id", "url", s"$root/ckpt").awaitTermination()
     assert(wh.table(tbl).select("doc_id").collect().map(_.getLong(0)).toSet
-      == Set(1L, 3L, 11L, 12L, 13L, 14L))
+      == Set(1L, 3L, 11L, 12L, 13L, 14L, 15L))
     // The key store tracks exactly the survivors' canonical keys.
     assert(wh.table(keys).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet ==
