@@ -939,7 +939,7 @@ object Oracles {
        |r AS (SELECT doc_id, ntok,
        |    row_number() OVER (ORDER BY hk, doc_id) AS rnk FROM k)
        |SELECT (rnk - 1) // $shardSize AS shard_id,
-       |  count(*) AS n_docs, sum(ntok) AS n_tokens
+       |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
        |FROM r GROUP BY shard_id""".stripMargin
 
   /** End-to-end crawl curation (SparkEntry `crawl_curation_pipeline`):
@@ -982,7 +982,7 @@ object Oracles {
        |rk AS (SELECT doc_id, source, ntok,
        |    row_number() OVER (PARTITION BY source ORDER BY qv DESC, doc_id) AS r
        |  FROM gated)
-       |SELECT source, count(*) AS n_docs, sum(ntok) AS n_tokens
+       |SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
        |FROM rk WHERE r <= $cap GROUP BY source""".stripMargin
 
   /** Add-one-smoothed bigram LM score per document
