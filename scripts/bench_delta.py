@@ -7,8 +7,9 @@ A query regresses when BOTH hold (kills sub-second noise chatter):
   new >= 1.5x ref   AND   new - ref >= 0.3 s
 
 Usage: scripts/bench_delta.py [new.json] [ref.json]
-Exit 0 always (the gate reports; the human decides) — the list is the
-artifact the round writeup has to either empty or explain.
+Exit 1 when the regressions list is non-empty (run_bench.sh propagates
+it), so a regression can never ship silently — the list is the artifact
+the round writeup has to either empty or explain.
 """
 import json
 import sys
@@ -65,7 +66,8 @@ def main():
     else:
         print(f"[bench-delta] no regressions across {out['n_compared']} "
               f"compared queries", file=sys.stderr)
+    return 1 if regressions else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

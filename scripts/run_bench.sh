@@ -28,8 +28,11 @@ java $ADD_OPENS -Xmx16g \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Bench || rc=$?
 # Per-query regression gate (>=1.5x AND >=0.3s abs) -> BENCH_DELTA.json;
-# report-only (stderr), never fails the bench; skipped for subset runs.
+# FAILS the run (nonzero rc) on a non-empty regressions list so a
+# regression can never ship silently; skipped for subset runs.
 if [ -z "${SPARK_GRAFT_BENCH_ONLY:-}" ] && [ -f BENCH_PREV.json ]; then
-  python3 scripts/bench_delta.py BENCH_LOCAL.json BENCH_PREV.json || true
+  if ! python3 scripts/bench_delta.py BENCH_LOCAL.json BENCH_PREV.json; then
+    if [ "$rc" -eq 0 ]; then rc=3; fi
+  fi
 fi
 exit $rc
