@@ -898,8 +898,8 @@ object Oracles {
        |c4 AS (SELECT doc_id, url, scheme, host_raw, host, path,
        |    regexp_replace(regexp_replace(
        |      regexp_replace(query, '&(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&]*', '', 'g'),
-       |      '\?(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&]*', '?', 'g'),
-       |    '\?&', '?', 'g') AS q3 FROM c3),
+       |      '^\?(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&]*', '?', 'g'),
+       |    '^\?&', '?', 'g') AS q3 FROM c3),
        |canon AS (SELECT doc_id, url, CASE WHEN scheme = '' OR host_raw = ''
        |    THEN url ELSE scheme || '://' || host || path ||
        |      CASE WHEN q3 IN ('?', '') THEN '' ELSE q3 END END AS canonical_url

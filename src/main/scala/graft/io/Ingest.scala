@@ -70,7 +70,13 @@ object Ingest {
     * media ingestion expects (one object per asset). Executed per
     * partition through the Hadoop FileSystem API, so the same code
     * writes file://, hdfs:// or s3a:// and each executor writes only its
-    * partition's rows; nothing funnels through the driver. */
+    * partition's rows; nothing funnels through the driver.
+    *
+    * Cost note: the id-uniqueness guard below runs one EXTRA aggregate
+    * action (column-pruned to the id — payloads are not scanned) before
+    * every write, so each call reads its input listing twice. Accepted
+    * as a safety guard; callers on a hot staging path can pre-dedup and
+    * pass an already-unique frame. */
   def writeBinaryFiles(df: DataFrame, idCol: String, payloadCol: String,
       dir: String, ext: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)

@@ -53,12 +53,16 @@ object CurationOps {
     val query = regexp_extract(rest, "(\\?.*)$", 1)
     // Drop tracking params in two passes (separator-prefixed, then
     // leading-?-prefixed), then heal the `?&` seam the second pass can
-    // leave. No lookbehind: RE2 has none.
+    // leave. The heal is ANCHORED to the start of the query: the seam
+    // can only be the leading `?` meeting a surviving `&param`, and an
+    // unanchored replace would also rewrite a literal `?&` inside a
+    // retained parameter VALUE (`?a=b?&c=d`), conflating distinct URLs
+    // into one dedup key. No lookbehind: RE2 has none.
     val q1 = regexp_replace(query,
       "&(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&]*", "")
     val q2 = regexp_replace(q1,
-      "\\?(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&]*", "?")
-    val q3 = regexp_replace(q2, "\\?&", "?")
+      "^\\?(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&]*", "?")
+    val q3 = regexp_replace(q2, "^\\?&", "?")
     // Crawl frontiers contain relative refs, mailto:, data:, bare hosts,
     // and garbage; anything that doesn't parse as scheme://authority
     // passes through UNCHANGED (still a usable dedup key) instead of

@@ -77,6 +77,9 @@ object QualityModelOps {
       id: String, steps: Int): DataFrame = {
     require(steps >= 1, s"need steps >= 1, got $steps")
     val n = labels.count()
+    // n = 0 would make the weight update `g div 0` — NULL in Spark —
+    // and silently train an all-null weight table.
+    require(n > 0, "need at least one labeled document to train")
     val w0 = spark.range(-1L, NumBuckets.toLong)
       .select(col("id").as("bucket"), lit(0L).as("w"))
       .localCheckpoint(true)

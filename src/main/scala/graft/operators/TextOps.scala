@@ -150,7 +150,13 @@ object TextOps {
     val nt = expr(s"(size(__toks) + ${width - 1}) div $width")
     val tileArr = docs
       .select(col(id), toks.as("__toks"))
-      .select(col(id), when(size(col("__toks")) < 1, array(lit("")))
+      // Zero-token docs get ZERO tiles — exactly what tokenTiles (the
+      // dictionary side) emits — so the scrub and its dictionary can
+      // never disagree on n_tiles/clean_text. Unreachable while
+      // tokens("") returns [""], but load-bearing if the tokenizer
+      // ever filters empties.
+      .select(col(id), when(size(col("__toks")) < 1,
+          array().cast("array<string>"))
         .otherwise(transform(sequence(lit(0), greatest(nt - 1, lit(0))),
           i => array_join(slice(col("__toks"), i * width + 1, lit(width)), " ")))
         .as("__tiles"))

@@ -464,6 +464,10 @@ object StreamingLoad {
     * first) or permanently under-counts them (guard first); both
     * silently corrupt df and therefore what the scrub deletes. Rows are
     * `(kind='tile', k=tile_hash, df)` ∪ `(kind='doc', k=doc_id, df=0)`.
+    * `k` is stored as STRING on BOTH branches (explicit casts): the id
+    * column's type varies by caller, and relying on union type-coercion
+    * would silently widen the tile hashes along with it. Consumers
+    * recover tile hashes with `col("k").cast("long")`.
     *
     * Disjointness of processed docs makes the incremental sum exact: a
     * doc contributes its distinct tiles to exactly one committed batch,
@@ -487,21 +491,23 @@ object StreamingLoad {
         val batch = onePerId(batch0, idField)
         val state =
           if (warehouse.exists(stateTable)) warehouse.table(stateTable)
-          else batch.select(lit("tile").as("kind"), col(idField).as("k"),
-            lit(0L).as("df")).limit(0)
+          else batch.select(lit("tile").as("kind"),
+            col(idField).cast("string").as("k"), lit(0L).as("df")).limit(0)
         val fresh = batch.join(
-            state.filter(col("kind") === "doc").select(col("k").as(idField)),
+            state.filter(col("kind") === "doc")
+              .select(col("k").cast(batch.schema(idField).dataType).as(idField)),
             Seq(idField), "left_anti")
           .localCheckpoint(true) // derived from the table we overwrite
         // minDf=1: per-batch counts for EVERY tile of the fresh docs.
         val counts = graft.operators.TextOps.boilerplateDict(
             fresh, idField, textField, width, minDf = 1)
-          .select(lit("tile").as("kind"), col("tile_hash").as("k"), col("df"))
+          .select(lit("tile").as("kind"),
+            col("tile_hash").cast("string").as("k"), col("df"))
         val tiles = state.filter(col("kind") === "tile").unionByName(counts)
           .groupBy(col("kind"), col("k")).agg(sum(col("df")).as("df"))
         val docs = state.filter(col("kind") === "doc").unionByName(
-          fresh.select(lit("doc").as("kind"), col(idField).as("k"),
-            lit(0L).as("df")))
+          fresh.select(lit("doc").as("kind"),
+            col(idField).cast("string").as("k"), lit(0L).as("df")))
         warehouse.load(LoadMode.TruncateInsert, stateTable,
           tiles.unionByName(docs).localCheckpoint(true), "k")
       }

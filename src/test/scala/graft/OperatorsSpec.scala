@@ -1749,6 +1749,12 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       "https://host.com/#frag" -> "https://host.com",
       // tracking in the middle; ref is tracking, q isn't
       "https://host.com/p?utm_c=1&q=2&ref=x" -> "https://host.com/p?q=2",
+      // literal '?&' / '?utm_' INSIDE a retained value survives: the
+      // heal and the leading-tracking pass are anchored to the query
+      // start, so distinct URLs don't conflate onto one dedup key
+      "https://host.com/p?a=b?&c=d" -> "https://host.com/p?a=b?&c=d",
+      "https://host.com/p?utm_c=1&a=b?&c=d" -> "https://host.com/p?a=b?&c=d",
+      "https://host.com/p?q=1?utm_x=2" -> "https://host.com/p?q=1?utm_x=2",
       // malformed / non-absolute inputs pass through unchanged
       "/relative/path?x=1" -> "/relative/path?x=1",
       "mailto:someone@example.com" -> "mailto:someone@example.com",

@@ -221,7 +221,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     StreamingLoad.boilerDictStream(spark, src, docSchema, wh, st,
       "doc_id", "text", width = 2, s"$root/ckpt").awaitTermination()
     def dfMap() = wh.table(st).filter(col("kind") === "tile").collect()
-      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      .map(r => r.getString(1).toLong -> r.getLong(2)).toMap
     val after1 = dfMap()
     // Footer tile df=2, each doc's one unique tile df=1; nothing >= 3 yet.
     assert(after1.values.toSeq.sorted == Seq(1L, 1L, 2L), s"$after1")
@@ -245,10 +245,50 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     // …and the >= minDf view is exactly the batch dictionary.
     val streamedDict = wh.table(st)
       .filter(col("kind") === "tile" && col("df") >= 3)
-      .collect().map(_.getLong(1)).toSet
+      .collect().map(_.getString(1).toLong).toSet
     val batchDict = TextOps.boilerplateDict(allDocs, "doc_id", "text", 2, 3)
       .collect().map(_.getLong(0)).toSet
     assert(streamedDict == batchDict && streamedDict.size == 1)
+  }
+
+  test("boilerDictStream: string id column keeps tile hashes long-valued") {
+    import graft.operators.TextOps
+    val root = Files.createTempDirectory("graft_boilerdict_sid").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val st = TableRef("", "boiler_state_sid")
+    val docSchema = StructType(Seq(
+      StructField("url", StringType), StructField("text", StringType)))
+
+    writeFile(src, "a.json",
+      """{"url":"u1","text":"unique one footer alpha"}
+        |{"url":"u2","text":"other words footer alpha"}""".stripMargin)
+    StreamingLoad.boilerDictStream(spark, src, docSchema, wh, st,
+      "url", "text", width = 2, s"$root/ckpt").awaitTermination()
+    writeFile(src, "b.json",
+      """{"url":"u3","text":"third thing footer alpha"}
+        |{"url":"u1","text":"unique one footer alpha"}""".stripMargin)
+    StreamingLoad.boilerDictStream(spark, src, docSchema, wh, st,
+      "url", "text", width = 2, s"$root/ckpt").awaitTermination()
+
+    // Tile keys must round-trip to the SAME long hashes boilerplateDict
+    // computes — a union-coerced k column breaks exactly this.
+    import spark.implicits._
+    val allDocs = Seq(("u1", "unique one footer alpha"),
+      ("u2", "other words footer alpha"),
+      ("u3", "third thing footer alpha")).toDF("url", "text")
+    val streamed = wh.table(st).filter(col("kind") === "tile").collect()
+      .map(r => r.getString(1).toLong -> r.getLong(2)).toMap
+    val batchCounts = TextOps.boilerplateDict(allDocs, "url", "text", 2, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batchCounts)
+    // The >= minDf view feeds boilerplateScrubText's dict path typed.
+    val dict = wh.table(st).filter(col("kind") === "tile" && col("df") >= 3)
+      .select(col("k").cast("long").as("tile_hash"))
+    val scrubbed = TextOps.boilerplateScrubText(
+        allDocs, "url", "text", 2, 3, Some(dict))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(scrubbed("u1") == "unique one" && scrubbed("u3") == "third thing")
   }
 
   test("pqIndexStream: streamed coded index == batch ivfPqIndex, replay-safe") {
