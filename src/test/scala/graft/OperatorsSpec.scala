@@ -542,6 +542,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(bad == 0)
   }
 
+  test("boilerplateScrubText above-cap path degrades to the anti-join with identical values") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", col("text"), lit(SparkEntry.BoilerFooter)).as("text"))
+    val dictN = TextOps.boilerplateDict(docs, "doc_id", "text",
+      SparkEntry.BoilerTileWidth, SparkEntry.BoilerMinDf).count()
+    assert(dictN > 0, "dictionary empty — fallback test is vacuous")
+    val fast = TextOps.boilerplateScrubText(docs, "doc_id", "text",
+      SparkEntry.BoilerTileWidth, SparkEntry.BoilerMinDf)
+    // maxDictTiles = 0 forces the distributed anti-join degradation the
+    // broadcast cap would trigger at 16M tiles; values must be identical.
+    val slow = TextOps.boilerplateScrubText(docs, "doc_id", "text",
+      SparkEntry.BoilerTileWidth, SparkEntry.BoilerMinDf, maxDictTiles = 0)
+    assert(fast.exceptAll(slow).count() == 0 &&
+      slow.exceptAll(fast).count() == 0)
+  }
+
   test("boilerplateScrub with an unreachable threshold is the identity") {
     import graft.functions.TextFunctions
     val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
