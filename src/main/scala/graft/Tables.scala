@@ -6,20 +6,26 @@ import org.apache.spark.sql.functions._
 /** Testdata table access — one parquet per table under the sf dir
   * (/root/repo/TESTDATA.md).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-  * rejects (PARQUET_TYPE_ILLEGAL). We read nanos as long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild the µs timestamp
-  * with integer `div` (double division would lose precision above 2^53).
-  * The testdata has no sub-µs components, so this is lossless and matches
-  * what DuckDB sees.
+  * `events.ts` arrives in whatever physical type the fixture writer used:
+  * TIMESTAMP(NANOS) (rejected by the vectorized reader → read as long via
+  * `spark.sql.legacy.parquet.nanosAsLong` and rebuilt with integer `div`;
+  * double division would lose precision above 2^53) or timestamp[us] with no
+  * timezone (pandas), which Spark 4 infers as TIMESTAMP_NTZ. Every consumer
+  * expects one type, so we canonicalize `ts` to TIMESTAMP_LTZ here — the
+  * session timezone is pinned to UTC everywhere, so NTZ→LTZ is wall-clock
+  * lossless and matches what DuckDB sees for the naive parquet values.
   */
 object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 }
