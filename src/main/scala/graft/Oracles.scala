@@ -444,14 +444,16 @@ object Oracles {
        |${minhashPairs(t0Sql, minEst)}
        |) p)""".stripMargin
 
-  /** Connected components of the exact-Jaccard candidate graph as a
-    * recursive transitive closure: walk(v, lab) enumerates every vertex
-    * reachable from v, and the component label is the minimum (planted
-    * clusters are tiny, so the closure is bounded). Mirrors
-    * DedupOps.connectedComponents' min-label fixpoint. */
-  def ccComponents(t0Sql: String, minJaccard: Double): String =
+  /** Connected components of a candidate-pair graph as a recursive
+    * transitive closure: walk(v, lab) enumerates every vertex reachable
+    * from v, and the component label is the minimum (planted clusters
+    * are tiny, so the closure is bounded). Mirrors
+    * DedupOps.connectedComponents' min-label fixpoint. `pairsSql` must
+    * yield (id_a, id_b) — exact-Jaccard for the truth form, banded
+    * MinHash for the scale form the pipeline entries run. */
+  def ccComponentsFrom(t0Sql: String, pairsSql: String): String =
     s"""WITH RECURSIVE pairs AS (
-       |${ngramJaccard(t0Sql, minJaccard)}
+       |$pairsSql
        |),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs),
@@ -463,20 +465,34 @@ object Oracles {
        |)
        |SELECT v AS doc_id, MIN(lab) AS component FROM walk GROUP BY v""".stripMargin
 
+  def ccComponents(t0Sql: String, minJaccard: Double): String =
+    ccComponentsFrom(t0Sql, ngramJaccard(t0Sql, minJaccard))
+
+  /** Scale-path CC: components over the banded-MinHash candidate graph
+    * ([[minhashPairs]]), the same edges the Spark entries feed from
+    * DedupOps.minhashCandidates. */
+  def ccComponentsBanded(t0Sql: String, minEst: Double): String =
+    ccComponentsFrom(t0Sql, minhashPairs(t0Sql, minEst))
+
   def ccKeep(t0Sql: String, minJaccard: Double): String =
     s"""SELECT doc_id FROM (
        |${ccComponents(t0Sql, minJaccard)}
        |) c WHERE component = doc_id""".stripMargin
 
+  def ccKeepBanded(t0Sql: String, minEst: Double): String =
+    s"""SELECT doc_id FROM (
+       |${ccComponentsBanded(t0Sql, minEst)}
+       |) c WHERE component = doc_id""".stripMargin
+
   /** Quality-weighted cluster collapse (DedupOps.keepClusterBest): the
     * CC labels joined with the text_stats quality expression, one
     * row_number per component ordered (quality DESC, doc_id). */
-  def ccKeepBest(t0Sql: String, minJaccard: Double): String =
+  def ccKeepBestFrom(t0Sql: String, ccSql: String): String =
     s"""SELECT doc_id, component FROM (
        |  SELECT c.doc_id, c.component, row_number() OVER (
        |      PARTITION BY c.component ORDER BY q.q DESC, c.doc_id) AS r
        |  FROM (
-       |${ccComponents(t0Sql, minJaccard)}
+       |$ccSql
        |  ) c JOIN (
        |    SELECT doc_id,
        |      ((0.4 * (CAST(${hits("tk", StopEn)} AS DOUBLE) / CAST(len(tk) AS DOUBLE)))
@@ -484,6 +500,12 @@ object Oracles {
        |        + (0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))) AS q
        |    FROM (SELECT doc_id, ${toks("text")} AS tk FROM ($t0Sql))
        |  ) q USING (doc_id)) WHERE r = 1""".stripMargin
+
+  def ccKeepBest(t0Sql: String, minJaccard: Double): String =
+    ccKeepBestFrom(t0Sql, ccComponents(t0Sql, minJaccard))
+
+  def ccKeepBestBanded(t0Sql: String, minEst: Double): String =
+    ccKeepBestFrom(t0Sql, ccComponentsBanded(t0Sql, minEst))
 
   val docsWithEmbeddings: String =
     """SELECT doc_id, lang, n_chars, label,
@@ -678,11 +700,12 @@ object Oracles {
        |WHERE q.q >= thr.q40""".stripMargin
 
   /** Dedup token yield (SparkEntry `dedup_token_yield`): whitespace
-    * token counts before/after the cluster-minimum keep list. */
-  def dedupTokenYield(t0Sql: String, minJaccard: Double): String =
+    * token counts before/after the cluster-minimum keep list — over the
+    * banded-MinHash CC keep list, the form the pipeline runs at scale. */
+  def dedupTokenYieldBanded(t0Sql: String, minEst: Double): String =
     s"""WITH tok AS (SELECT doc_id, CAST(len(string_split($norm, ' ')) AS BIGINT) AS nt
        |  FROM (SELECT doc_id, text FROM ($t0Sql))),
-       |keep AS (${ccKeep(t0Sql, minJaccard)}),
+       |keep AS (${ccKeepBanded(t0Sql, minEst)}),
        |b AS (SELECT count(*) AS n_docs_before,
        |  CAST(SUM(nt) AS BIGINT) AS tokens_before FROM tok),
        |a AS (SELECT count(*) AS n_docs_after,
@@ -1692,11 +1715,17 @@ object Oracles {
        |FROM b JOIN c USING (bigram) GROUP BY doc_id""".stripMargin
 
   /** Duplicate-cluster size distribution over the CC components. */
-  def ccClusterSizes(t0Sql: String, minJaccard: Double): String =
+  def ccClusterSizesFrom(ccSql: String): String =
     s"""SELECT csize, count(*) AS n_clusters FROM (
        |  SELECT component, count(*) AS csize FROM (
-       |${ccComponents(t0Sql, minJaccard)}
+       |$ccSql
        |  ) GROUP BY component) GROUP BY csize""".stripMargin
+
+  def ccClusterSizes(t0Sql: String, minJaccard: Double): String =
+    ccClusterSizesFrom(ccComponents(t0Sql, minJaccard))
+
+  def ccClusterSizesBanded(t0Sql: String, minEst: Double): String =
+    ccClusterSizesFrom(ccComponentsBanded(t0Sql, minEst))
 
   /** SQL twin of the typed mapGroups digest. */
   val userDigestTyped: String =

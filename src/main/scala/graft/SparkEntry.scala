@@ -202,6 +202,16 @@ object SparkEntry {
       .select(col("n_true"), col("n_candidates"), col("n_hit"))
   }
 
+  /** Thresholded banded-MinHash candidate pairs — the sub-quadratic
+    * candidate stage the whole CC family feeds from (the same
+    * (band, bkey) bucket join as `dedup_minhash_lsh`; its DuckDB twin
+    * is [[Oracles.minhashPairs]]). All-pairs exact Jaccard stays
+    * available as the `_exact` truth entries only. */
+  private def bandedPairs(docs: DataFrame): DataFrame =
+    DedupOps.minhashCandidates(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= MinhashMinEst)
+      .select(col("id_a"), col("id_b"))
+
   /** Planted near-duplicate corpus for the dedup demonstrations: every
     * 10th document plus an 80%-prefix truncated copy at doc_id+10000000 —
     * the Spark side of [[Oracles.plantedDocs]]. */
@@ -390,9 +400,7 @@ object SparkEntry {
         size(graft.functions.TextFunctions.tokens(
           graft.functions.TextFunctions.normalized(col("text"))))
           .cast("long").as("nt"))
-      val pairs = DedupOps.ngramJaccardDense(docs, "doc_id", "text",
-        NgramMinJaccard)
-      val kept = DedupOps.keepClusterMin(docs, pairs, "doc_id")
+      val kept = DedupOps.keepClusterMin(docs, bandedPairs(docs), "doc_id")
         .select(col("doc_id"))
       val before = tok.agg(count(lit(1)).as("n_docs_before"),
         sum(col("nt")).as("tokens_before"))
@@ -743,10 +751,23 @@ object SparkEntry {
       DedupOps.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
         SimhashMaxHamming)),
 
-    // Transitive duplicate clusters: connected components of the exact-
-    // Jaccard candidate graph by distributed min-label propagation
+    // Transitive duplicate clusters: connected components of the BANDED
+    // MinHash candidate graph by distributed min-label propagation
     // (every doc labeled with the smallest id reachable through pairs).
+    // The candidate stage is the same sub-quadratic (band, bkey)
+    // bucket-join the lsh entry runs — at 100 TB all-pairs candidate
+    // generation is not an option, so the CC family rides banding; the
+    // exact-Jaccard form stays measured as dedup_cc_components_exact.
     "dedup_cc_components" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      DedupOps.connectedComponents(docs.select(col("doc_id")),
+        bandedPairs(docs), "doc_id")
+    },
+
+    // Exact-Jaccard truth twin of dedup_cc_components: all-pairs
+    // candidates (Θ(n²) by contract — the truth baseline, not the
+    // pipeline default).
+    "dedup_cc_components_exact" -> { (s, dir) =>
       val docs = plantedDocs(s, dir)
       val pairs = DedupOps.ngramJaccardDense(docs, "doc_id", "text", NgramMinJaccard)
       DedupOps.connectedComponents(docs.select(col("doc_id")), pairs, "doc_id")
@@ -769,21 +790,21 @@ object SparkEntry {
         CdcWindow, CdcDivisor)
     },
 
-    // Cluster-minimum keep list: exactly one survivor per component.
+    // Cluster-minimum keep list: exactly one survivor per component
+    // (banded candidates — see dedup_cc_components).
     "dedup_cc_keep" -> { (s, dir) =>
       val docs = plantedDocs(s, dir)
-      val pairs = DedupOps.ngramJaccardDense(docs, "doc_id", "text", NgramMinJaccard)
-      DedupOps.keepClusterMin(docs, pairs, "doc_id").select(col("doc_id"))
+      DedupOps.keepClusterMin(docs, bandedPairs(docs), "doc_id")
+        .select(col("doc_id"))
     },
 
     // Quality-weighted cluster collapse: keep each near-dup cluster's
     // BEST-quality member (not the arbitrary lowest id) — on the planted
     // corpus the truncated copies score differently from their originals,
-    // so the choice is exercised.
+    // so the choice is exercised. Banded candidates.
     "dedup_keep_best" -> { (s, dir) =>
       val docs = plantedDocs(s, dir)
-      val pairs = DedupOps.ngramJaccardDense(docs, "doc_id", "text", NgramMinJaccard)
-      DedupOps.keepClusterBest(docs, pairs, "doc_id",
+      DedupOps.keepClusterBest(docs, bandedPairs(docs), "doc_id",
         graft.functions.TextFunctions.qualityScore(col("text")))
     },
 
@@ -1869,8 +1890,8 @@ object SparkEntry {
     // families get) — derived from the CC labels.
     "dup_cluster_sizes" -> { (s, dir) =>
       val docs = plantedDocs(s, dir)
-      val pairs = DedupOps.ngramJaccardDense(docs, "doc_id", "text", NgramMinJaccard)
-      DedupOps.connectedComponents(docs.select(col("doc_id")), pairs, "doc_id")
+      DedupOps.connectedComponents(docs.select(col("doc_id")),
+          bandedPairs(docs), "doc_id")
         .groupBy(col("component")).agg(count(lit(1)).as("csize"))
         .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
     },
@@ -3236,11 +3257,15 @@ object SparkEntry {
       Oracles.dedupMinhashRecall(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_minhash_recall_tuned" ->
       Oracles.dedupMinhashRecall(Oracles.plantedDocs, NgramMinJaccard, r = 4),
-    "dedup_cc_components" -> Oracles.ccComponents(Oracles.plantedDocs, NgramMinJaccard),
-    "dedup_cc_keep" -> Oracles.ccKeep(Oracles.plantedDocs, NgramMinJaccard),
+    "dedup_cc_components" ->
+      Oracles.ccComponentsBanded(Oracles.plantedDocs, MinhashMinEst),
+    "dedup_cc_components_exact" ->
+      Oracles.ccComponents(Oracles.plantedDocs, NgramMinJaccard),
+    "dedup_cc_keep" -> Oracles.ccKeepBanded(Oracles.plantedDocs, MinhashMinEst),
     "dedup_keep_best" ->
-      Oracles.ccKeepBest(Oracles.plantedDocs, NgramMinJaccard),
-    "dup_cluster_sizes" -> Oracles.ccClusterSizes(Oracles.plantedDocs, NgramMinJaccard),
+      Oracles.ccKeepBestBanded(Oracles.plantedDocs, MinhashMinEst),
+    "dup_cluster_sizes" ->
+      Oracles.ccClusterSizesBanded(Oracles.plantedDocs, MinhashMinEst),
     "doc_commonness" -> Oracles.docCommonness,
     "corpus_pipeline" -> Oracles.corpusPipeline(QualityMin,
       graft.functions.TextFunctions.BpeTokenRe),
@@ -3413,7 +3438,7 @@ object SparkEntry {
     "anomaly_mad_stats" -> Oracles.anomalyMadStats,
     "quality_gate_by_lang" -> Oracles.qualityGateByLang,
     "dedup_token_yield" ->
-      Oracles.dedupTokenYield(Oracles.plantedDocs, NgramMinJaccard),
+      Oracles.dedupTokenYieldBanded(Oracles.plantedDocs, MinhashMinEst),
     "repetition_scores" -> Oracles.repetitionScores,
     "boilerplate_scrub" ->
       Oracles.boilerplateScrub(BoilerFooter, BoilerTileWidth, BoilerMinDf),
