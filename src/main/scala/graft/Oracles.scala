@@ -297,10 +297,11 @@ object Oracles {
       |  SELECT doc_id + 10000000, substr(text, 1, (length(text) * 4) // 5)
       |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
-  def minhashPairs(t0Sql: String, minEst: Double): String =
+  def minhashPairs(t0Sql: String, minEst: Double,
+      r: Int = DedupOps.R): String =
     s"""WITH t0 AS ($t0Sql),
        |c(i, a, b) AS (SELECT * FROM (VALUES $coeffValues)),
-       |${sigCtes("", "t0")},
+       |${sigCtes("", "t0", r)},
        |pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
        |SELECT p.id_a, p.id_b,
@@ -470,9 +471,14 @@ object Oracles {
 
   /** Scale-path CC: components over the banded-MinHash candidate graph
     * ([[minhashPairs]]), the same edges the Spark entries feed from
-    * DedupOps.minhashCandidates. */
+    * DedupOps.minhashCandidates. Banding is the recall-tuned r=4
+    * (8 bands of K=32): measured 96.4% recall / zero false candidates
+    * on the zipfian realistic-vocabulary fixture, vs 42% at the
+    * default r=8 — the est_jaccard >= minEst filter supplies the
+    * precision, so the wider banding costs only bucket-join fan-out. */
+  val CcR: Int = 4
   def ccComponentsBanded(t0Sql: String, minEst: Double): String =
-    ccComponentsFrom(t0Sql, minhashPairs(t0Sql, minEst))
+    ccComponentsFrom(t0Sql, minhashPairs(t0Sql, minEst, CcR))
 
   def ccKeep(t0Sql: String, minJaccard: Double): String =
     s"""SELECT doc_id FROM (

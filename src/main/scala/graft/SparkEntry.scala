@@ -208,7 +208,8 @@ object SparkEntry {
     * is [[Oracles.minhashPairs]]). All-pairs exact Jaccard stays
     * available as the `_exact` truth entries only. */
   private def bandedPairs(docs: DataFrame): DataFrame =
-    DedupOps.minhashCandidates(docs, "doc_id", "text")
+    DedupOps.minhashCandidates(docs, "doc_id", "text",
+        bands = DedupOps.K / Oracles.CcR, distinctPairs = false)
       .filter(col("est_jaccard") >= MinhashMinEst)
       .select(col("id_a"), col("id_b"))
 

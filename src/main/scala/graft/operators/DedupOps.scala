@@ -116,7 +116,7 @@ object DedupOps {
     * (computed by zipping the two signature arrays — no re-aggregation).
     * Self-join is on (band, bkey) — co-partitioned, no cross product. */
   def minhashCandidates(df: DataFrame, id: String, text: String,
-      bands: Int = Bands): DataFrame = {
+      bands: Int = Bands, distinctPairs: Boolean = true): DataFrame = {
     // The signature projection feeds FOUR plan branches (two bucket-join
     // sides, two est-jaccard joins). One repartition of the compact
     // (id, sig) rows materializes it as a reusable exchange
@@ -126,11 +126,16 @@ object DedupOps {
     val bk = lshBuckets(sigArr, id, bands)
     // Explode-derived size estimates tempt Catalyst into broadcasting the
     // bucket index — wrong at corpus scale and parallelism-capping here.
-    val pairs = bk.hint("merge").as("x").join(bk.hint("merge").as("y"),
+    // `distinctPairs = false` skips the dedup exchange: a pair sharing
+    // m bands appears m times (m <= bands). Consumers that dedup anyway
+    // (connectedComponents distincts its edge set) or only test
+    // membership (keep lists) save a full shuffle; anything that OUTPUTS
+    // the pair set keeps the default.
+    val pairs0 = bk.hint("merge").as("x").join(bk.hint("merge").as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"))
-      .distinct()
+    val pairs = if (distinctPairs) pairs0.distinct() else pairs0
     pairs
       .join(sigArr.select(col(id).as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigArr.select(col(id).as("id_b"), col("sig").as("sig_b")), "id_b")

@@ -36,6 +36,7 @@ object GenData {
     val out = args.headOption.getOrElse("/tmp/graft_testdata/sf1")
     val mult = if (args.length > 1) args(1).toInt else 10
     val src = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val zipfVocab = if (args.length > 3) args(3).toInt else 0
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -43,10 +44,11 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, src, out, mult) finally spark.stop()
+    try generate(spark, src, out, mult, zipfVocab) finally spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, mult: Int): Unit = {
+  def generate(spark: SparkSession, src: String, out: String, mult: Int,
+      zipfVocab: Int = 0): Unit = {
     def w(df: DataFrame, name: String, parts: Int): Unit = {
       df.repartition(parts)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -163,22 +165,38 @@ object GenData {
         pmod(xxhash64(col("id"), lit(33)), lit(100L))).as("props"))
     w(evt, "events", 4 * mult / 10 + 1)
 
-    // Documents: word salads drawn from the REAL sf0.1 vocabulary so
-    // token/tile/shingle statistics match the driver corpus.
-    val vocab = spark.read.parquet(s"$src/documents.parquet")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .distinct().orderBy(col("w"))
-      .collect().map(_.getString(0))
-    require(vocab.nonEmpty, "sf0.1 documents vocabulary is empty?")
-    val vocabArr = array(vocab.map(lit).toIndexedSeq: _*)
+    // Documents: word salads. Default mode draws from the REAL sf0.1
+    // vocabulary so token/tile/shingle statistics match the driver
+    // corpus. `zipfVocab > 0` switches to a SYNTHETIC zipfian
+    // vocabulary of that size: word rank r = V^u for hash-uniform
+    // u ∈ [0,1) inverts the zipf(s≈1) CDF (H_r/H_V ≈ ln r / ln V), so
+    // p(rank r) ∝ 1/r — the realistic-corpus regime (vocab ≫ docs,
+    // long tail of rare words) where sub-quadratic candidate schemes
+    // (shingle banding, posting lists) are honest rather than
+    // degenerate. Words are "w<rank>"; everything stays a pure column
+    // function of (id, position).
     val nWords = (pmod(xxhash64(col("id"), lit(34)), lit(41L)) + 30L)
+    def zipfWord(j: Column): Column =
+      concat(lit("w"), least(lit(zipfVocab.toLong),
+        ceil(pow(lit(zipfVocab.toDouble),
+          pmod(xxhash64(col("id"), j, lit(35)), lit(1048576L)).cast("double")
+            / 1048576.0)).cast("long")).cast("string"))
+    val wordAt: Column => Column = if (zipfVocab > 0) zipfWord else {
+      val vocab = spark.read.parquet(s"$src/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .distinct().orderBy(col("w"))
+        .collect().map(_.getString(0))
+      require(vocab.nonEmpty, "sf0.1 documents vocabulary is empty?")
+      val vocabArr = array(vocab.map(lit).toIndexedSeq: _*)
+      j => element_at(vocabArr,
+        (pmod(xxhash64(col("id"), j, lit(35)), lit(vocab.length.toLong)) + 1)
+          .cast("int"))
+    }
     val doc = spark.range(nDoc).select(
       col("id").as("doc_id"),
       array_join(transform(sequence(lit(1L), nWords), j =>
-        element_at(vocabArr,
-          (pmod(xxhash64(col("id"), j, lit(35)), lit(vocab.length.toLong)) + 1)
-            .cast("int"))), " ").as("text"),
+        wordAt(j)), " ").as("text"),
       pick(col("id"), 36, Seq("en", "en", "en", "de", "fr", "es", "zh"))
         .as("lang"),
       concat(lit("src"),
