@@ -359,8 +359,18 @@ object Oracles {
     * share one shingle prefix; counts only, so the measurement is
     * integer-exact. */
   def dedupMinhashRecall(t0Sql: String, minJaccard: Double,
-      r: Int = DedupOps.R): String =
-    s"""WITH t0 AS ($t0Sql),
+      r: Int = DedupOps.R, sampleMod: Int = 1): String = {
+    // The exact-Jaccard truth side is Θ(n²) by contract, so past sf1
+    // the measurement is taken on a deterministic 1-in-`sampleMod` doc
+    // sample. The sampling key is the PAIR-STABLE base id
+    // (doc_id % 10000000): a planted copy and its original share the
+    // key, so sampling keeps whole pairs and recall on the sample is
+    // unbiased for recall on the corpus (truth cost drops mod²).
+    val t0 = if (sampleMod <= 1) t0Sql
+    else s"""SELECT * FROM ($t0Sql)
+            |  WHERE ${hash60("CAST(doc_id % 10000000 AS VARCHAR)")}
+            |    % $sampleMod = 0""".stripMargin
+    s"""WITH t0 AS ($t0),
        |c(i, a, b) AS (SELECT * FROM (VALUES $coeffValues)),
        |${sigCtes("", "t0", r)},
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -379,6 +389,7 @@ object Oracles {
        |SELECT (SELECT count(*) FROM truth) AS n_true,
        |  (SELECT count(*) FROM cand) AS n_candidates,
        |  (SELECT count(*) FROM hit) AS n_hit""".stripMargin
+  }
 
   /** Keep list after near-dedup: corpus minus every id_b of a
     * thresholded candidate pair (lowest-id representative survives). */

@@ -184,7 +184,15 @@ object SparkEntry {
     * See the in-body comment for why only `cand` is checkpointed. */
   private def minhashRecallCounts(s: SparkSession, dir: String,
       bands: Int): DataFrame = {
-    val docs = plantedDocs(s, dir)
+    // The truth side is exact all-pairs Jaccard — Θ(n²) by contract —
+    // so the measurement runs on a deterministic 1-in-RecallSampleMod
+    // doc sample keyed on the PAIR-STABLE base id (a planted copy and
+    // its original share doc_id % 10000000, so sampling keeps whole
+    // pairs and recall on the sample estimates recall on the corpus
+    // while the truth cost drops mod²). Mirrors the oracle's sampled t0.
+    val docs = plantedDocs(s, dir).filter(
+      graft.functions.TextFunctions.hash60(
+        (col("doc_id") % 10000000L).cast("string")) % RecallSampleMod === 0)
     // The quadratic truth set flows through EXACTLY ONE aggregation:
     // n_true and n_hit come from the same left join (count of all rows
     // vs count of candidate-flagged rows), so the all-pairs join is
@@ -3080,6 +3088,10 @@ object SparkEntry {
   // Tunable thresholds shared by the Spark ops and their oracles.
   val MinhashMinEst = 0.35
   val NgramMinJaccard = 0.4
+  // 1-in-N pair-stable doc sample for the recall contract's quadratic
+  // truth side (see minhashRecallCounts) — keeps the gate runnable past
+  // sf1 (truth cost scales 1/N²).
+  val RecallSampleMod = 4
   val SimhashMaxHamming = 8
   // Content-defined chunking: boundary = hash of the 5-token window
   // ending here ≡ 0 (mod 8) → ~8-token expected chunks.
@@ -3255,9 +3267,11 @@ object SparkEntry {
     "dedup_incremental_candidates" ->
       Oracles.dedupIncrementalCandidates(MinhashMinEst),
     "dedup_minhash_recall" ->
-      Oracles.dedupMinhashRecall(Oracles.plantedDocs, NgramMinJaccard),
+      Oracles.dedupMinhashRecall(Oracles.plantedDocs, NgramMinJaccard,
+        sampleMod = RecallSampleMod),
     "dedup_minhash_recall_tuned" ->
-      Oracles.dedupMinhashRecall(Oracles.plantedDocs, NgramMinJaccard, r = 4),
+      Oracles.dedupMinhashRecall(Oracles.plantedDocs, NgramMinJaccard,
+        r = 4, sampleMod = RecallSampleMod),
     "dedup_cc_components" ->
       Oracles.ccComponentsBanded(Oracles.plantedDocs, MinhashMinEst),
     "dedup_cc_components_exact" ->
