@@ -2135,6 +2135,26 @@ object Oracles {
     * on `vec − coarse_centroid` residuals (exact IEEE subtractions of
     * exactly-cast doubles), probe LUTs are per (probe, probed cell),
     * ADC folds in subspace order, exact cosine on the shortlist. */
+  /** ANN recall contract (SparkEntry `knn_pq_recall`): recall@k of the
+    * IVF-PQ search vs the brute-force truth, as one row of integer
+    * counts — the quantizer's recall is MEASURED in-gate, not trusted.
+    * Composes the two independently-green chains ([[knnBruteForce]],
+    * [[knnIvfPq]]); same pattern as [[dedupMinhashRecall]]. */
+  def knnPqRecall(probeEvery: Int, k: Int, targetC: Int, iters: Int,
+      nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
+      rerank: Int): String =
+    s"""WITH truth AS (
+       |${knnBruteForce(probeEvery, k)}
+       |),
+       |cand AS (
+       |${knnIvfPq(probeEvery, k, targetC, iters, nprobe, m, subDim, ks, subIters, rerank)}
+       |),
+       |hit AS (SELECT t.probe_id FROM truth t
+       |  JOIN cand c USING (probe_id, vec_id))
+       |SELECT (SELECT count(*) FROM truth) AS n_true,
+       |  (SELECT count(*) FROM cand) AS n_pq,
+       |  (SELECT count(*) FROM hit) AS n_hit""".stripMargin
+
   def knnIvfPqResidual(probeEvery: Int, k: Int, targetC: Int, iters: Int,
       nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
       rerank: Int): String = {

@@ -3043,6 +3043,31 @@ object SparkEntry {
           round(col("sim"), 9).as("sim"), col("rank"))
     },
 
+    // The ANN recall CONTRACT, measured in-gate (the quantizer's recall
+    // is a number the gate pins, not a docstring claim — the MinHash
+    // family got this treatment in dedup_minhash_recall; this is the
+    // embedding-side twin): recall@k of the IVF-PQ search against the
+    // brute-force truth, as one row of integer counts. Truth flows
+    // through exactly one aggregation; only the small PQ result set,
+    // which feeds two branches, is checkpointed.
+    "knn_pq_recall" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val truth = SimilarityOps.bruteForceKnn(probes, corpus, KnnK)
+        .select(col("probe_id"), col("vec_id"))
+      val cand = SimilarityOps.ivfPqSearch(probes, corpus, pqIndex(s, dir),
+          KnnK, coarseCentroids(s, dir), pqBooks(s, dir), PqSubDim,
+          nprobe = IvfNprobe, rerank = PqRerank)
+        .select(col("probe_id"), col("vec_id")).localCheckpoint(true)
+      truth.join(cand.withColumn("__c", lit(1)),
+          Seq("probe_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__c")).as("n_hit"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_pq")))
+        .select(col("n_true"), col("n_pq"), col("n_hit"))
+    },
+
     // RESIDUAL IVF-PQ — the full FAISS IVFPQ, search phase only: codes
     // quantize vec − coarse_centroid (tighter quantized distribution at
     // equal code budget), probe LUTs are per probed cell; books + coded
@@ -3552,6 +3577,9 @@ object SparkEntry {
     "knn_ivf_pq" -> Oracles.knnIvfPq(KnnProbeEvery, KnnK, KmeansK,
       KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters, PqRerank),
     "knn_ivf_pq_residual" -> Oracles.knnIvfPqResidual(KnnProbeEvery, KnnK,
+      KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
+      PqRerank),
+    "knn_pq_recall" -> Oracles.knnPqRecall(KnnProbeEvery, KnnK,
       KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
       PqRerank),
     "pq_train_codebooks" -> Oracles.pqTrainCodebooks(
