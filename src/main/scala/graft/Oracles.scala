@@ -1134,6 +1134,15 @@ object Oracles {
     * `('0x'||substr(md5,1,15))::BIGINT % (N div C)` arithmetic), rank-1
     * nearest-centroid assignment, nprobe probe buckets, fold-ordered
     * cosine re-rank with the same (sim DESC, id) tie-break. */
+  /** IVF sampling step mirroring [[graft.operators.SimilarityOps
+    * .ivfCentroids]]: fixed targetC when positive, else the scale-aware
+    * C = max(4, ⌈√N⌉) (√/⌈⌉ are IEEE-exact in both engines, so the same
+    * count yields the same C). */
+  private def ivfStepSql(countSql: String, targetC: Int): String =
+    if (targetC > 0) s"greatest($countSql // $targetC, 1)"
+    else s"greatest($countSql // greatest(4, " +
+      s"CAST(ceil(sqrt(CAST($countSql AS DOUBLE))) AS BIGINT)), 1)"
+
   def knnIvf(probeEvery: Int, k: Int, targetC: Int, nprobe: Int): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (a, b) -> a + b)"
@@ -1143,7 +1152,7 @@ object Oracles {
        |  FROM v),
        |c AS (SELECT vec_id AS cent_id, vec AS cent_vec, nrm AS cnrm FROM n
        |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-       |    % greatest((SELECT count(*) FROM v) // $targetC, 1) = 0),
+       |    % ${ivfStepSql("(SELECT count(*) FROM v)", targetC)} = 0),
        |caw AS (SELECT n.vec_id, n.vec, n.nrm, c.cent_id,
        |    ${dot("n.vec", "c.cent_vec")} / (n.nrm * c.cnrm) AS csim
        |  FROM n, c),
@@ -1945,7 +1954,7 @@ object Oracles {
        |  FROM pl),
        |c AS (SELECT vec_id AS cent_id, vec AS cent_vec, nrm AS cnrm FROM n
        |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-       |    % greatest((SELECT count(*) FROM pl) // $targetC, 1) = 0),
+       |    % ${ivfStepSql("(SELECT count(*) FROM pl)", targetC)} = 0),
        |aw AS (SELECT n.vec_id, n.vec, n.nrm, c.cent_id,
        |    ${dot("n.vec", "c.cent_vec")} / (n.nrm * c.cnrm) AS csim
        |  FROM n, c),

@@ -1319,8 +1319,10 @@ object SparkEntry {
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
       val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      // centroidTarget 0 = scale-aware C = max(4, ceil(sqrt(N))) — K
+      // tracks the corpus so nprobe/C coverage holds at any scale.
       SimilarityOps.ivfKnn(probes, corpus, KnnK,
-          centroidTarget = IvfCentroidTarget, nprobe = IvfNprobe)
+          centroidTarget = IvfAutoC, nprobe = IvfNprobe)
         .select(col("probe_id"), col("vec_id"),
           round(col("sim"), 9).as("sim"), col("rank"))
     },
@@ -3106,7 +3108,7 @@ object SparkEntry {
         (col("vec_id") + 10000000L).as("vec_id"),
         concat(slice(col("vec"), 1, 63), array(lit(0.0f))).as("vec")))
       SimilarityOps.semDedup(planted, EmbNearDupMin,
-        centroidTarget = IvfCentroidTarget)
+        centroidTarget = IvfAutoC)
     },
   )
 
@@ -3130,6 +3132,11 @@ object SparkEntry {
   // recall tracks the scanned fraction — a real corpus with locality
   // would use a larger C and a smaller fraction.
   val IvfCentroidTarget = 4
+  // 0 = scale-aware coarse-cell count C = max(4, ceil(sqrt(N))) derived
+  // in-query from the corpus count (SimilarityOps.ivfCentroids) — the
+  // gate entries knn_ivf / semdedup_keep run with K varying by scale
+  // (sf0.01: C≈15, sf0.1: C≈45) and the oracle derives the same C.
+  val IvfAutoC = 0
   val IvfNprobe = 3
   val LshNPlanes = 8
   // Quality scores on the synthetic corpus span ~0.195-0.385 (median
@@ -3498,7 +3505,7 @@ object SparkEntry {
     "bm25_scores" -> Oracles.bm25Scores(Bm25Terms, 1.2, 0.75),
     "simhash_near_dup" -> Oracles.simhashNearDup(SimhashMaxHamming),
     "knn_bruteforce" -> Oracles.knnBruteForce(KnnProbeEvery, KnnK),
-    "knn_ivf" -> Oracles.knnIvf(KnnProbeEvery, KnnK, IvfCentroidTarget, IvfNprobe),
+    "knn_ivf" -> Oracles.knnIvf(KnnProbeEvery, KnnK, IvfAutoC, IvfNprobe),
     "knn_lsh" -> Oracles.knnLsh(KnnProbeEvery, KnnK, LshNPlanes),
     "events_tumbling_1h" -> Oracles.tumbling1h,
     "sessionize_30m" -> Oracles.sessionize(30),
@@ -3569,7 +3576,7 @@ object SparkEntry {
     "bitwise_functions" -> Oracles.bitwiseFunctions,
     "token_counts" -> Oracles.tokenCounts(graft.functions.TextFunctions.BpeTokenRe),
     "embedding_near_dup" -> Oracles.embeddingNearDup(EmbNearDupMin),
-    "semdedup_keep" -> Oracles.semdedupKeep(EmbNearDupMin, IvfCentroidTarget),
+    "semdedup_keep" -> Oracles.semdedupKeep(EmbNearDupMin, IvfAutoC),
     "kmeans_centroids" -> Oracles.kmeansCentroids(KmeansK, KmeansIters),
     "kmeans_assignments" -> Oracles.kmeansAssignments(KmeansK, KmeansIters),
     "knn_ivf_trained" -> Oracles.knnIvfTrained(

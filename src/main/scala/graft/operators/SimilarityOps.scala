@@ -75,15 +75,27 @@ object SimilarityOps {
     * a proportional sample (the old `id % 97`) makes assignment O(N²/97),
     * which at 100 TB broadcasts ~1% of the corpus. The corpus count is a
     * scalar subquery (broadcast single-row crossJoin), not a driver-side
-    * `.count()`, so the result stays a pure lazy DataFrame. */
+    * `.count()`, so the result stays a pure lazy DataFrame.
+    *
+    * `targetC <= 0` selects the SCALE-AWARE target C = max(4, ⌈√N⌉),
+    * derived from the same in-query count: IVF guidance is C ∝ √N so
+    * the per-probe scan (≈ N·nprobe/C) and the broadcast centroid table
+    * (C rows) grow together as √N instead of one of them exploding —
+    * a pinned C at 100× data means 100×-fatter cells and near-full
+    * scans per probe. √ and ⌈⌉ are IEEE-exact in both engines, so the
+    * oracle reproduces the same C from the same count. */
   def ivfCentroids(
       corpus: DataFrame, targetC: Int,
       corpusId: String = "vec_id"): DataFrame = {
     val n = corpus.agg(count(lit(1)).as("__n"))
+    val step =
+      if (targetC > 0) expr(s"__n div $targetC")
+      else expr("__n div greatest(cast(4 as bigint), " +
+        "cast(ceil(sqrt(cast(__n as double))) as bigint))")
     corpus.crossJoin(broadcast(n))
       .filter(
         graft.expressions.GraftFunctions.md5PrefixLong(
-            col(corpusId).cast("string"), 15) % greatest(expr(s"__n div $targetC"), lit(1L)) === 0L)
+            col(corpusId).cast("string"), 15) % greatest(step, lit(1L)) === 0L)
       .select(col(corpusId).as("cent_id"), col("vec").as("cent_vec"))
   }
 
@@ -96,7 +108,7 @@ object SimilarityOps {
     * reproduces the exact bucketing, so correctness is hash-checked too). */
   def ivfKnn(
       probes: DataFrame, corpus: DataFrame, k: Int,
-      centroidTarget: Int = 16, nprobe: Int = 3,
+      centroidTarget: Int = 0, nprobe: Int = 3,
       probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
     val centroids = ivfCentroids(corpus, centroidTarget, corpusId)
 
@@ -491,7 +503,7 @@ object SimilarityOps {
     * pairs from coarse-bucket cohabitation (same IVF assignment) —
     * the embedding analogue of MinHash candidate generation. */
   def embeddingNearDup(
-      corpus: DataFrame, threshold: Double, centroidTarget: Int = 16,
+      corpus: DataFrame, threshold: Double, centroidTarget: Int = 0,
       corpusId: String = "vec_id"): DataFrame = {
     val centroids = ivfCentroids(corpus, centroidTarget, corpusId)
     val assigned = assignToCentroids(corpus, centroids, corpusId)
@@ -522,7 +534,7 @@ object SimilarityOps {
     * a pathological mega-cluster is the skew knob to watch — mitigate
     * with a larger C (finer clusters), exactly as the paper tunes k. */
   def semDedup(
-      corpus: DataFrame, threshold: Double, centroidTarget: Int = 16,
+      corpus: DataFrame, threshold: Double, centroidTarget: Int = 0,
       corpusId: String = "vec_id"): DataFrame = {
     val centroids = ivfCentroids(corpus, centroidTarget, corpusId)
     val assigned = assignToCentroids(corpus, centroids, corpusId)
