@@ -70,6 +70,32 @@ final class ModelStore(spark: SparkSession, val root: String) {
     wh.versions(ref(name, corpusFp))
 
   def drop(name: String, corpusFp: String): Unit = wh.drop(ref(name, corpusFp))
+
+  /** Artifact GC: drop every stored artifact whose corpus fingerprint is
+    * not in `liveFps`. Fingerprints key the store, so every corpus
+    * change (a file added, compacted, rewritten) strands a full
+    * `<name>__<oldfp>` generation — at 100 TB the coded ANN index alone
+    * is a corpus-sized projection, so orphans are real storage. Callers
+    * pass the fingerprints of the corpora they still serve (e.g.
+    * `ModelStore.fingerprint(spark, paths)` per live corpus); everything
+    * else is reclaimed. Tables without the `__<fp>` suffix are left
+    * alone. Returns the dropped (name, fingerprint) pairs. */
+  def gc(liveFps: Set[String]): Seq[(String, String)] = {
+    val dropped = Seq.newBuilder[(String, String)]
+    wh.tables("models").foreach { t =>
+      val sep = t.table.lastIndexOf("__")
+      if (sep > 0) {
+        val (name, fp) = (t.table.substring(0, sep), t.table.substring(sep + 2))
+        if (!liveFps.contains(fp)) {
+          ModelStore.keyLock(s"$root/${t.qualified}").synchronized {
+            wh.drop(t)
+          }
+          dropped += ((name, fp))
+        }
+      }
+    }
+    dropped.result()
+  }
 }
 
 object ModelStore {

@@ -212,4 +212,16 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
   }
 
   def drop(t: TableRef): Unit = { fs.delete(new Path(tableDir(t)), true); () }
+
+  /** Tables of a schema: child directories holding a _VERSION pointer
+    * (half-created or foreign directories are ignored). Listing-only —
+    * one FS list plus one existence probe per child. */
+  def tables(schema: String): Seq[TableRef] = {
+    val dir = new Path(if (schema.isEmpty) root else s"$root/$schema")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(st => TableRef(schema, st.getPath.getName))
+      .filter(t => fs.exists(versionFile(t)))
+  }
 }

@@ -53,6 +53,28 @@ class ModelStoreSpec extends AnyFunSuite with SparkSuite {
     assert(fpAbsent.length == 16)
   }
 
+  test("gc sweeps artifacts of dead corpus fingerprints, keeps live ones") {
+    import spark.implicits._
+    val store = ModelStore(spark, freshRoot("gc"))
+    val (live, stale) = ("fp16liveeeeeeeee", "fp16staleeeeeeee")
+    def df = Seq((1, "a")).toDF("k", "v")
+    store.getOrTrain("dict", live)(df)
+    store.getOrTrain("dict", stale)(df)
+    store.getOrTrain("index", stale)(df)
+    val liveRows = store.getOrTrain("dict", live)(sys.error("trained")).collect().toSeq
+    val dropped = store.gc(Set(live))
+    assert(dropped.toSet == Set(("dict", stale), ("index", stale)),
+      s"gc must sweep exactly the stale fingerprint's artifacts, got $dropped")
+    assert(!store.exists("dict", stale) && !store.exists("index", stale))
+    // The live artifact is untouched: still present, same bytes, and
+    // getOrTrain still reads it instead of retraining.
+    assert(store.exists("dict", live))
+    assert(store.getOrTrain("dict", live)(sys.error("must not retrain"))
+      .collect().toSeq == liveRows)
+    // Idempotent: a second sweep with the same live set drops nothing.
+    assert(store.gc(Set(live)).isEmpty)
+  }
+
   test("retrain commits a new version; previous generation time-travels") {
     import spark.implicits._
     val store = ModelStore(spark, freshRoot("ver"))
