@@ -2164,6 +2164,24 @@ object Oracles {
        |  (SELECT count(*) FROM cand) AS n_pq,
        |  (SELECT count(*) FROM hit) AS n_hit""".stripMargin
 
+  /** Residual-PQ twin of [[knnPqRecall]]: same counts over the
+    * [[knnIvfPqResidual]] chain, so the gate pins BOTH quantizers'
+    * recall and the residual-coding gain is a measured delta. */
+  def knnPqResidualRecall(probeEvery: Int, k: Int, targetC: Int, iters: Int,
+      nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
+      rerank: Int): String =
+    s"""WITH truth AS (
+       |${knnBruteForce(probeEvery, k)}
+       |),
+       |cand AS (
+       |${knnIvfPqResidual(probeEvery, k, targetC, iters, nprobe, m, subDim, ks, subIters, rerank)}
+       |),
+       |hit AS (SELECT t.probe_id FROM truth t
+       |  JOIN cand c USING (probe_id, vec_id))
+       |SELECT (SELECT count(*) FROM truth) AS n_true,
+       |  (SELECT count(*) FROM cand) AS n_pq,
+       |  (SELECT count(*) FROM hit) AS n_hit""".stripMargin
+
   def knnIvfPqResidual(probeEvery: Int, k: Int, targetC: Int, iters: Int,
       nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
       rerank: Int): String = {

@@ -3070,6 +3070,27 @@ object SparkEntry {
         .select(col("n_true"), col("n_pq"), col("n_hit"))
     },
 
+    // Residual twin of knn_pq_recall: same contract over the residual
+    // coder, so the residual-coding gain is a measured in-gate delta,
+    // not a claim.
+    "knn_pq_residual_recall" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val truth = SimilarityOps.bruteForceKnn(probes, corpus, KnnK)
+        .select(col("probe_id"), col("vec_id"))
+      val cand = SimilarityOps.ivfPqResidualSearch(probes, corpus,
+          pqResIndex(s, dir), KnnK, coarseCentroids(s, dir),
+          pqResBooks(s, dir), PqSubDim, nprobe = IvfNprobe, rerank = PqRerank)
+        .select(col("probe_id"), col("vec_id")).localCheckpoint(true)
+      truth.join(cand.withColumn("__c", lit(1)),
+          Seq("probe_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__c")).as("n_hit"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_pq")))
+        .select(col("n_true"), col("n_pq"), col("n_hit"))
+    },
+
     // RESIDUAL IVF-PQ — the full FAISS IVFPQ, search phase only: codes
     // quantize vec − coarse_centroid (tighter quantized distribution at
     // equal code budget), probe LUTs are per probed cell; books + coded
@@ -3588,6 +3609,9 @@ object SparkEntry {
       PqRerank),
     "knn_pq_recall" -> Oracles.knnPqRecall(KnnProbeEvery, KnnK,
       KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
+      PqRerank),
+    "knn_pq_residual_recall" -> Oracles.knnPqResidualRecall(KnnProbeEvery,
+      KnnK, KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
       PqRerank),
     "pq_train_codebooks" -> Oracles.pqTrainCodebooks(
       PqM, PqSubDim, PqKs, PqIters),
