@@ -111,7 +111,7 @@ object SparkEntry {
 
   /** Lloyd-refined coarse quantizer artifact (cent_id, cent_vec,
     * n_members) — shared by every trained-quantizer query. */
-  private def coarseCentroids(s: SparkSession, dir: String): DataFrame =
+  private[graft] def coarseCentroids(s: SparkSession, dir: String): DataFrame =
     model(s, dir, s"kmeans_coarse_k${KmeansK}_i$KmeansIters", "embeddings") {
       val corpus = embCorpus(s, dir)
       val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
@@ -121,7 +121,7 @@ object SparkEntry {
     }
 
   /** Raw-vector PQ sub-codebooks artifact (sub, cent_id, cent_vec). */
-  private def pqBooks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqBooks(s: SparkSession, dir: String): DataFrame =
     model(s, dir, s"pq_books_m${PqM}_ks${PqKs}_i$PqIters", "embeddings")(
       SimilarityOps.pqCodebooks(embCorpus(s, dir), PqM, PqSubDim, PqKs,
         PqIters))
@@ -129,14 +129,14 @@ object SparkEntry {
   /** IVF-PQ coded index artifact (vec_id, cent_id, codes) — FAISS's add
     * phase as a table; search never touches the raw vectors until the
     * exact re-rank. */
-  private def pqIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqIndex(s: SparkSession, dir: String): DataFrame =
     model(s, dir,
         s"ivfpq_index_k${KmeansK}_m${PqM}_ks${PqKs}", "embeddings")(
       SimilarityOps.ivfPqIndex(embCorpus(s, dir), coarseCentroids(s, dir),
         pqBooks(s, dir), PqSubDim))
 
   /** Residual PQ sub-codebooks artifact (trained on vec − coarse cell). */
-  private def pqResBooks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqResBooks(s: SparkSession, dir: String): DataFrame =
     model(s, dir,
         s"pq_res_books_k${KmeansK}_m${PqM}_ks${PqKs}_i$PqIters",
         "embeddings")(
@@ -144,7 +144,7 @@ object SparkEntry {
         coarseCentroids(s, dir), PqM, PqSubDim, PqKs, PqIters))
 
   /** Residual IVF-PQ coded index artifact. */
-  private def pqResIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqResIndex(s: SparkSession, dir: String): DataFrame =
     model(s, dir,
         s"ivfpq_res_index_k${KmeansK}_m${PqM}_ks${PqKs}", "embeddings")(
       SimilarityOps.ivfPqResidualIndex(embCorpus(s, dir),
@@ -3188,7 +3188,12 @@ object SparkEntry {
   val PqM = 4
   val PqSubDim = 16
   val PqKs = 8
-  val PqRerank = 8 * KnnK
+  // Exact-rerank pool size. With 12-bit codes the ADC ordering is noisy,
+  // so the rerank budget is the dominant recall lever (measured at
+  // sf0.1, nprobe=3: recall@5 19%→35% plain / 26%→37% residual going
+  // 40→120, while nprobe beyond ~5 only dilutes the pool — SCALING.md
+  // round-11 table). 24·k costs one slightly wider per-probe top-N.
+  val PqRerank = 24 * KnnK
   // Sub-codebooks converge with one Lloyd pass from the hash seeds
   // (16-dim subspaces are easy); the coarse quantizer keeps KmeansIters.
   val PqIters = 1
