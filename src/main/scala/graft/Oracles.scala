@@ -2164,6 +2164,25 @@ object Oracles {
        |  (SELECT count(*) FROM cand) AS n_pq,
        |  (SELECT count(*) FROM hit) AS n_hit""".stripMargin
 
+  /** Untrained-IVF twin of [[knnPqRecall]]: recall@k of the
+    * sampled-centroid IVF search ([[knnIvf]]) vs brute force. With the
+    * scale-aware C = ⌈√N⌉ the probed fraction (nprobe/C) SHRINKS as the
+    * corpus grows, so this contract is what shows whether exact re-rank
+    * inside fewer, finer cells holds recall across scales. */
+  def knnIvfRecall(probeEvery: Int, k: Int, targetC: Int,
+      nprobe: Int): String =
+    s"""WITH truth AS (
+       |${knnBruteForce(probeEvery, k)}
+       |),
+       |cand AS (
+       |${knnIvf(probeEvery, k, targetC, nprobe)}
+       |),
+       |hit AS (SELECT t.probe_id FROM truth t
+       |  JOIN cand c USING (probe_id, vec_id))
+       |SELECT (SELECT count(*) FROM truth) AS n_true,
+       |  (SELECT count(*) FROM cand) AS n_ivf,
+       |  (SELECT count(*) FROM hit) AS n_hit""".stripMargin
+
   /** Residual-PQ twin of [[knnPqRecall]]: same counts over the
     * [[knnIvfPqResidual]] chain, so the gate pins BOTH quantizers'
     * recall and the residual-coding gain is a measured delta. */

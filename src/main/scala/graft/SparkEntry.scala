@@ -3070,6 +3070,27 @@ object SparkEntry {
         .select(col("n_true"), col("n_pq"), col("n_hit"))
     },
 
+    // Untrained-IVF recall contract: with scale-aware C = ceil(sqrt(N))
+    // the probed fraction nprobe/C shrinks as the corpus grows — this
+    // entry measures whether recall holds anyway (exact cosine inside
+    // finer cells), at both gate scales.
+    "knn_ivf_recall" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val truth = SimilarityOps.bruteForceKnn(probes, corpus, KnnK)
+        .select(col("probe_id"), col("vec_id"))
+      val cand = SimilarityOps.ivfKnn(probes, corpus, KnnK,
+          centroidTarget = IvfAutoC, nprobe = IvfNprobe)
+        .select(col("probe_id"), col("vec_id")).localCheckpoint(true)
+      truth.join(cand.withColumn("__c", lit(1)),
+          Seq("probe_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__c")).as("n_hit"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_ivf")))
+        .select(col("n_true"), col("n_ivf"), col("n_hit"))
+    },
+
     // Residual twin of knn_pq_recall: same contract over the residual
     // coder, so the residual-coding gain is a measured in-gate delta,
     // not a claim.
@@ -3618,6 +3639,8 @@ object SparkEntry {
     "knn_pq_residual_recall" -> Oracles.knnPqResidualRecall(KnnProbeEvery,
       KnnK, KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
       PqRerank),
+    "knn_ivf_recall" -> Oracles.knnIvfRecall(KnnProbeEvery, KnnK,
+      IvfAutoC, IvfNprobe),
     "pq_train_codebooks" -> Oracles.pqTrainCodebooks(
       PqM, PqSubDim, PqKs, PqIters),
     "pq_train_codebooks_residual" -> Oracles.pqTrainCodebooksResidual(
