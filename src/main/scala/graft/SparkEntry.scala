@@ -111,7 +111,7 @@ object SparkEntry {
 
   /** Lloyd-refined coarse quantizer artifact (cent_id, cent_vec,
     * n_members) — shared by every trained-quantizer query. */
-  private[graft] def coarseCentroids(s: SparkSession, dir: String): DataFrame =
+  private def coarseCentroids(s: SparkSession, dir: String): DataFrame =
     model(s, dir, s"kmeans_coarse_k${KmeansK}_i$KmeansIters", "embeddings") {
       val corpus = embCorpus(s, dir)
       val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
@@ -121,7 +121,7 @@ object SparkEntry {
     }
 
   /** Raw-vector PQ sub-codebooks artifact (sub, cent_id, cent_vec). */
-  private[graft] def pqBooks(s: SparkSession, dir: String): DataFrame =
+  private def pqBooks(s: SparkSession, dir: String): DataFrame =
     model(s, dir, s"pq_books_m${PqM}_ks${PqKs}_i$PqIters", "embeddings")(
       SimilarityOps.pqCodebooks(embCorpus(s, dir), PqM, PqSubDim, PqKs,
         PqIters))
@@ -129,14 +129,14 @@ object SparkEntry {
   /** IVF-PQ coded index artifact (vec_id, cent_id, codes) — FAISS's add
     * phase as a table; search never touches the raw vectors until the
     * exact re-rank. */
-  private[graft] def pqIndex(s: SparkSession, dir: String): DataFrame =
+  private def pqIndex(s: SparkSession, dir: String): DataFrame =
     model(s, dir,
         s"ivfpq_index_k${KmeansK}_m${PqM}_ks${PqKs}", "embeddings")(
       SimilarityOps.ivfPqIndex(embCorpus(s, dir), coarseCentroids(s, dir),
         pqBooks(s, dir), PqSubDim))
 
   /** Residual PQ sub-codebooks artifact (trained on vec − coarse cell). */
-  private[graft] def pqResBooks(s: SparkSession, dir: String): DataFrame =
+  private def pqResBooks(s: SparkSession, dir: String): DataFrame =
     model(s, dir,
         s"pq_res_books_k${KmeansK}_m${PqM}_ks${PqKs}_i$PqIters",
         "embeddings")(
@@ -144,7 +144,7 @@ object SparkEntry {
         coarseCentroids(s, dir), PqM, PqSubDim, PqKs, PqIters))
 
   /** Residual IVF-PQ coded index artifact. */
-  private[graft] def pqResIndex(s: SparkSession, dir: String): DataFrame =
+  private def pqResIndex(s: SparkSession, dir: String): DataFrame =
     model(s, dir,
         s"ivfpq_res_index_k${KmeansK}_m${PqM}_ks${PqKs}", "embeddings")(
       SimilarityOps.ivfPqResidualIndex(embCorpus(s, dir),
@@ -208,6 +208,30 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_true"), count(col("__c")).as("n_hit"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
       .select(col("n_true"), col("n_candidates"), col("n_hit"))
+  }
+
+  /** Recall-contract counts shared by the ANN recall entries: brute-force
+    * truth (probes vs full embeddings corpus) left-joined with an
+    * approximate candidate frame, one row of integer counts. Truth flows
+    * through exactly one aggregation; only the small candidate set,
+    * which feeds two branches, is checkpointed. `candCountCol` names the
+    * middle column (the approximate side's pair count). */
+  private def knnRecallCounts(s: SparkSession, dir: String,
+      candCountCol: String)(
+      cand: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+    val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val truth = SimilarityOps.bruteForceKnn(probes, corpus, KnnK)
+      .select(col("probe_id"), col("vec_id"))
+    val c = cand(probes, corpus)
+      .select(col("probe_id"), col("vec_id")).localCheckpoint(true)
+    truth.join(c.withColumn("__c", lit(1)),
+        Seq("probe_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_true"), count(col("__c")).as("n_hit"))
+      .crossJoin(c.agg(count(lit(1)).as(candCountCol)))
+      .select(col("n_true"), col(candCountCol), col("n_hit"))
   }
 
   /** Thresholded banded-MinHash candidate pairs — the sub-quadratic
@@ -3049,25 +3073,13 @@ object SparkEntry {
     // is a number the gate pins, not a docstring claim — the MinHash
     // family got this treatment in dedup_minhash_recall; this is the
     // embedding-side twin): recall@k of the IVF-PQ search against the
-    // brute-force truth, as one row of integer counts. Truth flows
-    // through exactly one aggregation; only the small PQ result set,
-    // which feeds two branches, is checkpointed.
+    // brute-force truth, as one row of integer counts.
     "knn_pq_recall" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
-      val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      val truth = SimilarityOps.bruteForceKnn(probes, corpus, KnnK)
-        .select(col("probe_id"), col("vec_id"))
-      val cand = SimilarityOps.ivfPqSearch(probes, corpus, pqIndex(s, dir),
+      knnRecallCounts(s, dir, "n_pq") { (probes, corpus) =>
+        SimilarityOps.ivfPqSearch(probes, corpus, pqIndex(s, dir),
           KnnK, coarseCentroids(s, dir), pqBooks(s, dir), PqSubDim,
           nprobe = IvfNprobe, rerank = PqRerank)
-        .select(col("probe_id"), col("vec_id")).localCheckpoint(true)
-      truth.join(cand.withColumn("__c", lit(1)),
-          Seq("probe_id", "vec_id"), "left")
-        .agg(count(lit(1)).as("n_true"), count(col("__c")).as("n_hit"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_pq")))
-        .select(col("n_true"), col("n_pq"), col("n_hit"))
+      }
     },
 
     // Untrained-IVF recall contract: with scale-aware C = ceil(sqrt(N))
@@ -3075,41 +3087,21 @@ object SparkEntry {
     // entry measures whether recall holds anyway (exact cosine inside
     // finer cells), at both gate scales.
     "knn_ivf_recall" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
-      val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      val truth = SimilarityOps.bruteForceKnn(probes, corpus, KnnK)
-        .select(col("probe_id"), col("vec_id"))
-      val cand = SimilarityOps.ivfKnn(probes, corpus, KnnK,
+      knnRecallCounts(s, dir, "n_ivf") { (probes, corpus) =>
+        SimilarityOps.ivfKnn(probes, corpus, KnnK,
           centroidTarget = IvfAutoC, nprobe = IvfNprobe)
-        .select(col("probe_id"), col("vec_id")).localCheckpoint(true)
-      truth.join(cand.withColumn("__c", lit(1)),
-          Seq("probe_id", "vec_id"), "left")
-        .agg(count(lit(1)).as("n_true"), count(col("__c")).as("n_hit"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_ivf")))
-        .select(col("n_true"), col("n_ivf"), col("n_hit"))
+      }
     },
 
     // Residual twin of knn_pq_recall: same contract over the residual
     // coder, so the residual-coding gain is a measured in-gate delta,
     // not a claim.
     "knn_pq_residual_recall" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
-      val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      val truth = SimilarityOps.bruteForceKnn(probes, corpus, KnnK)
-        .select(col("probe_id"), col("vec_id"))
-      val cand = SimilarityOps.ivfPqResidualSearch(probes, corpus,
+      knnRecallCounts(s, dir, "n_pq") { (probes, corpus) =>
+        SimilarityOps.ivfPqResidualSearch(probes, corpus,
           pqResIndex(s, dir), KnnK, coarseCentroids(s, dir),
           pqResBooks(s, dir), PqSubDim, nprobe = IvfNprobe, rerank = PqRerank)
-        .select(col("probe_id"), col("vec_id")).localCheckpoint(true)
-      truth.join(cand.withColumn("__c", lit(1)),
-          Seq("probe_id", "vec_id"), "left")
-        .agg(count(lit(1)).as("n_true"), count(col("__c")).as("n_hit"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_pq")))
-        .select(col("n_true"), col("n_pq"), col("n_hit"))
+      }
     },
 
     // RESIDUAL IVF-PQ — the full FAISS IVFPQ, search phase only: codes

@@ -78,13 +78,21 @@ final class ModelStore(spark: SparkSession, val root: String) {
     * is a corpus-sized projection, so orphans are real storage. Callers
     * pass the fingerprints of the corpora they still serve (e.g.
     * `ModelStore.fingerprint(spark, paths)` per live corpus); everything
-    * else is reclaimed. Tables without the `__<fp>` suffix are left
-    * alone. Returns the dropped (name, fingerprint) pairs. */
+    * else is reclaimed. Tables without a `__<16-hex-fp>` suffix are left
+    * alone (the shape check keeps foreign tables that merely contain
+    * `__` out of the sweep). Returns the dropped (name, fp) pairs.
+    *
+    * Concurrency contract: gc is an OFFLINE maintenance pass, like
+    * [[ParquetWarehouse.vacuum]] — run it when no trainer is mid-flight
+    * on a fingerprint outside `liveFps`. The per-key lock only prevents
+    * deleting a half-created directory; it cannot protect a reader that
+    * already holds a lazy frame over a table gc is about to drop. */
   def gc(liveFps: Set[String]): Seq[(String, String)] = {
     val dropped = Seq.newBuilder[(String, String)]
+    val hexFp = "[0-9a-f]{16}"
     wh.tables("models").foreach { t =>
       val sep = t.table.lastIndexOf("__")
-      if (sep > 0) {
+      if (sep > 0 && t.table.substring(sep + 2).matches(hexFp)) {
         val (name, fp) = (t.table.substring(0, sep), t.table.substring(sep + 2))
         if (!liveFps.contains(fp)) {
           ModelStore.keyLock(s"$root/${t.qualified}").synchronized {

@@ -56,16 +56,22 @@ class ModelStoreSpec extends AnyFunSuite with SparkSuite {
   test("gc sweeps artifacts of dead corpus fingerprints, keeps live ones") {
     import spark.implicits._
     val store = ModelStore(spark, freshRoot("gc"))
-    val (live, stale) = ("fp16liveeeeeeeee", "fp16staleeeeeeee")
+    // Real fingerprints are md5Hex.take(16) — 16 lowercase hex chars.
+    val (live, stale) = ("00a1b2c3d4e5f601", "ffeeddccbbaa9988")
     def df = Seq((1, "a")).toDF("k", "v")
     store.getOrTrain("dict", live)(df)
     store.getOrTrain("dict", stale)(df)
     store.getOrTrain("index", stale)(df)
+    // A table whose "fingerprint" is not 16-hex (e.g. created by foreign
+    // tooling under models/) must never be swept, whatever liveFps says.
+    store.getOrTrain("legacy", "snapshot")(df)
     val liveRows = store.getOrTrain("dict", live)(sys.error("trained")).collect().toSeq
     val dropped = store.gc(Set(live))
     assert(dropped.toSet == Set(("dict", stale), ("index", stale)),
       s"gc must sweep exactly the stale fingerprint's artifacts, got $dropped")
     assert(!store.exists("dict", stale) && !store.exists("index", stale))
+    assert(store.exists("legacy", "snapshot"),
+      "non-hex-fingerprint table must survive gc")
     // The live artifact is untouched: still present, same bytes, and
     // getOrTrain still reads it instead of retraining.
     assert(store.exists("dict", live))

@@ -403,6 +403,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("ivfCentroids auto mode targets C = max(4, ceil(sqrt(N)))") {
+    // The oracle mirrors the same formula, so a mirrored mistake would
+    // pass the gate — this spec pins the INTENDED count independently:
+    // the sampled centroid count must track ceil(sqrt(N)) (within the
+    // hash-sample's 3x band) and GROW between the two corpus sizes.
+    val counts = for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+      yield {
+        val corpus = Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("vec"))
+        val n = corpus.count()
+        val want = math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong)
+        val c = SimilarityOps.ivfCentroids(corpus, SparkEntry.IvfAutoC).count()
+        assert(c >= want / 3 && c <= want * 3,
+          s"$dir: $c centroids vs sqrt-target $want (N=$n)")
+        c
+      }
+    assert(counts(1) > counts(0),
+      s"auto C must grow with the corpus, got $counts")
+  }
+
   test("embeddingNearDup finds a planted duplicate vector") {
     val emb = Tables(spark, sf, "embeddings")
     val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
