@@ -982,6 +982,23 @@ object Oracles {
        |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
        |FROM r GROUP BY shard_id""".stripMargin
 
+  /** Token-granular sequence packing (SparkEntry `sequence_pack_plan`):
+    * seeded-order prefix sum of token counts, each doc's span located
+    * against the fixed S-token grid — integer-exact window sum. */
+  def sequencePackPlan(seqLen: Int): String =
+    s"""WITH k AS (SELECT doc_id,
+       |    ${hash60("'pack-seed-7:' || CAST(doc_id AS VARCHAR)")} AS hk,
+       |    CAST(len(${toks("text")}) AS BIGINT) AS nt
+       |  FROM documents),
+       |c AS (SELECT doc_id, nt, SUM(nt) OVER (
+       |    ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM k)
+       |SELECT doc_id, nt,
+       |  CAST((cum - nt) // $seqLen AS BIGINT) AS start_pack,
+       |  CAST((cum - nt) % $seqLen AS BIGINT) AS pack_off,
+       |  CAST(((cum - 1) // $seqLen) - ((cum - nt) // $seqLen) + 1 AS BIGINT)
+       |    AS n_spans
+       |FROM c""".stripMargin
+
   /** End-to-end crawl curation (SparkEntry `crawl_curation_pipeline`):
     * URL-canonical keep list → footer corpus → full-corpus boilerplate
     * dictionary (the artifact, trained on ALL docs) → scrub the KEPT

@@ -2148,6 +2148,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"))
     },
 
+    // Token-granular sequence packing — the GPT-style pretraining export
+    // step (concatenate the corpus in a seeded shuffled order, cut into
+    // fixed-seqLen chunks; documents may span pack boundaries). Each
+    // doc's token span [cum - nt, cum) is located against the S-token
+    // grid with pure integer arithmetic over ONE distributed prefix sum
+    // (range-partitioned, per-partition totals — no global window).
+    // Unlike shuffled_shard_plan (fixed DOC-count shards), boundaries
+    // here are token-exact: start pack, offset within it, and how many
+    // packs the doc spans — what a sequence-packing writer consumes.
+    "sequence_pack_plan" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val keyed = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.hash60(concat(lit("pack-seed-7:"),
+          col("doc_id").cast("string"))).as("__k"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+      AnalyticOps.globalRunningSum(keyed,
+          Seq(col("__k"), col("doc_id")), col("nt"), "cum")
+        .select(col("doc_id"), col("nt"),
+          expr(s"(cum - nt) div $PackSeqLen").as("start_pack"),
+          expr(s"(cum - nt) % $PackSeqLen").as("pack_off"),
+          (expr(s"(cum - 1) div $PackSeqLen") -
+            expr(s"(cum - nt) div $PackSeqLen") + lit(1L)).as("n_spans"))
+    },
+
     "deterministic_sample" -> ((s, dir) =>
       // Hash-bucket sampling: reproducible across runs, engines, and
       // partitionings (unlike df.sample) — the train/eval-split
@@ -3238,6 +3262,8 @@ object SparkEntry {
   val DomainCap = 25
   // Documents per export shard (shuffled_shard_plan).
   val ShardSize = 256
+  // Fixed token budget per packed training sequence (sequence_pack_plan).
+  val PackSeqLen = 512
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -4079,6 +4105,7 @@ object SparkEntry {
     "profile_orders" -> Oracles.profileOrders,
     "deterministic_sample" -> Oracles.deterministicSample,
     "shuffled_shard_plan" -> Oracles.shuffledShardPlan(ShardSize),
+    "sequence_pack_plan" -> Oracles.sequencePackPlan(PackSeqLen),
     "trailing_7d_revenue" -> Oracles.trailing7dRevenue,
   )
 }
