@@ -152,11 +152,11 @@ object DedupOps {
     * Returns (corpus_id, new_id, est_jaccard) for bucket-sharing pairs. */
   def minhashCandidatesAgainst(
       corpusSigArr: DataFrame, newDocs: DataFrame,
-      id: String, text: String): DataFrame = {
+      id: String, text: String, bands: Int = Bands): DataFrame = {
     val newSig = minhashSignatureArr(newDocs, id, text).repartition(col(id))
-    val bkC = lshBuckets(corpusSigArr, id)
+    val bkC = lshBuckets(corpusSigArr, id, bands)
       .select(col(id).as("corpus_id"), col("band"), col("bkey"))
-    val bkN = lshBuckets(newSig, id)
+    val bkN = lshBuckets(newSig, id, bands)
       .select(col(id).as("new_id"), col("band"), col("bkey"))
     val pairs = bkC.hint("merge").join(bkN.hint("merge"), Seq("band", "bkey"))
       .select(col("corpus_id"), col("new_id")).distinct()

@@ -158,7 +158,8 @@ object StreamingLoad {
       idField: String,
       textField: String,
       minEst: Double,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      bands: Int = graft.operators.DedupOps.Bands): StreamingQuery =
     spark.readStream.schema(schema).json(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -171,7 +172,7 @@ object StreamingLoad {
         val vsStore =
           if (warehouse.exists(sigTable))
             ops.minhashCandidatesAgainst(
-                warehouse.table(sigTable), batch, idField, textField)
+                warehouse.table(sigTable), batch, idField, textField, bands)
               .filter(col("est_jaccard") >= minEst)
               .select(col("new_id").as(idField))
           else batch.select(col(idField)).limit(0)
@@ -183,7 +184,7 @@ object StreamingLoad {
         // surviving set the rule stays pairwise (chains like
         // store-dup ← B ← C still drop C with B) — the same
         // transitivity caveat semDedup documents.
-        val within = ops.minhashCandidates(batch, idField, textField)
+        val within = ops.minhashCandidates(batch, idField, textField, bands)
           .filter(col("est_jaccard") >= minEst)
           .join(vsStore.select(col(idField).as("id_a")), Seq("id_a"),
             "left_anti")
@@ -310,7 +311,8 @@ object StreamingLoad {
       idField: String,
       textField: String,
       minEst: Double,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      bands: Int = graft.operators.DedupOps.Bands): StreamingQuery =
     spark.readStream.schema(schema).json(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -322,12 +324,12 @@ object StreamingLoad {
         val vsStore =
           if (warehouse.exists(sigTable))
             ops.minhashCandidatesAgainst(
-                warehouse.table(sigTable), batch, idField, textField)
+                warehouse.table(sigTable), batch, idField, textField, bands)
               .filter(col("est_jaccard") >= minEst)
               .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"))
           else batch.select(col(idField).as("id_a"), col(idField).as("id_b"))
             .limit(0)
-        val within = ops.minhashCandidates(batch, idField, textField)
+        val within = ops.minhashCandidates(batch, idField, textField, bands)
           .filter(col("est_jaccard") >= minEst)
           .select(col("id_a"), col("id_b"))
         val prev =
