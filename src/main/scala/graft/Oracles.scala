@@ -2200,6 +2200,20 @@ object Oracles {
        |  (SELECT count(*) FROM cand) AS n_ivf,
        |  (SELECT count(*) FROM hit) AS n_hit""".stripMargin
 
+  /** LSH twin of the recall contract over the [[knnLsh]] chain. */
+  def knnLshRecall(probeEvery: Int, k: Int, nPlanes: Int): String =
+    s"""WITH truth AS (
+       |${knnBruteForce(probeEvery, k)}
+       |),
+       |cand AS (
+       |${knnLsh(probeEvery, k, nPlanes)}
+       |),
+       |hit AS (SELECT t.probe_id FROM truth t
+       |  JOIN cand c USING (probe_id, vec_id))
+       |SELECT (SELECT count(*) FROM truth) AS n_true,
+       |  (SELECT count(*) FROM cand) AS n_lsh,
+       |  (SELECT count(*) FROM hit) AS n_hit""".stripMargin
+
   /** Residual-PQ twin of [[knnPqRecall]]: same counts over the
     * [[knnIvfPqResidual]] chain, so the gate pins BOTH quantizers'
     * recall and the residual-coding gain is a measured delta. */

@@ -3117,6 +3117,15 @@ object SparkEntry {
       }
     },
 
+    // Sign-hyperplane LSH twin of the recall contract — with this the
+    // whole approximate-kNN family (IVF, LSH, PQ, residual PQ) carries a
+    // pinned recall number against the one brute-force truth.
+    "knn_lsh_recall" -> { (s, dir) =>
+      knnRecallCounts(s, dir, "n_lsh") { (probes, corpus) =>
+        SimilarityOps.lshKnn(probes, corpus, KnnK, nPlanes = LshNPlanes)
+      }
+    },
+
     // Residual twin of knn_pq_recall: same contract over the residual
     // coder, so the residual-coding gain is a measured in-gate delta,
     // not a claim.
@@ -3659,6 +3668,8 @@ object SparkEntry {
       PqRerank),
     "knn_ivf_recall" -> Oracles.knnIvfRecall(KnnProbeEvery, KnnK,
       IvfAutoC, IvfNprobe),
+    "knn_lsh_recall" -> Oracles.knnLshRecall(KnnProbeEvery, KnnK,
+      LshNPlanes),
     "pq_train_codebooks" -> Oracles.pqTrainCodebooks(
       PqM, PqSubDim, PqKs, PqIters),
     "pq_train_codebooks_residual" -> Oracles.pqTrainCodebooksResidual(
