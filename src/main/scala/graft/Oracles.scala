@@ -999,6 +999,29 @@ object Oracles {
        |    AS n_spans
        |FROM c""".stripMargin
 
+  /** BPE-budget twin of [[sequencePackPlan]] (SparkEntry
+    * `sequence_pack_plan_bpe`): token counts from the trained merge
+    * dict chain, then the identical grid arithmetic. */
+  def sequencePackPlanBpe(merges: Int, seqLen: Int): String =
+    s"""WITH ${bpeDictCtes(merges)},
+       |dict AS (SELECT word,
+       |  length(s) - length(replace(s, ' ', '')) - 1 AS n_sym FROM w$merges),
+       |dw AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS word
+       |  FROM documents),
+       |tok AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS nt
+       |  FROM dw JOIN dict USING (word) GROUP BY doc_id),
+       |k AS (SELECT doc_id,
+       |    ${hash60("'pack-seed-7:' || CAST(doc_id AS VARCHAR)")} AS hk,
+       |    nt FROM tok),
+       |c AS (SELECT doc_id, nt, SUM(nt) OVER (
+       |    ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM k)
+       |SELECT doc_id, nt,
+       |  CAST((cum - nt) // $seqLen AS BIGINT) AS start_pack,
+       |  CAST((cum - nt) % $seqLen AS BIGINT) AS pack_off,
+       |  CAST(((cum - 1) // $seqLen) - ((cum - nt) // $seqLen) + 1 AS BIGINT)
+       |    AS n_spans
+       |FROM c""".stripMargin
+
   /** End-to-end crawl curation (SparkEntry `crawl_curation_pipeline`):
     * URL-canonical keep list → footer corpus → full-corpus boilerplate
     * dictionary (the artifact, trained on ALL docs) → scrub the KEPT

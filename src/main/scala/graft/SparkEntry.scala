@@ -2172,6 +2172,27 @@ object SparkEntry {
             expr(s"(cum - nt) div $PackSeqLen") + lit(1L)).as("n_spans"))
     },
 
+    // The same packing under the TRAINED BPE dictionary — what the
+    // export actually budgets with: token counts from the persisted
+    // merge dict (train-once artifact), then the identical grid
+    // arithmetic. Composes two independently-green chains.
+    "sequence_pack_plan_bpe" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val nt = TextOps.bpeTokenCountsWith(t(s, dir, "documents"),
+          "doc_id", "text", bpeDict(s, dir))
+        .select(col("doc_id"),
+          TextFunctions.hash60(concat(lit("pack-seed-7:"),
+            col("doc_id").cast("string"))).as("__k"),
+          col("n_bpe_tokens").as("nt"))
+      AnalyticOps.globalRunningSum(nt,
+          Seq(col("__k"), col("doc_id")), col("nt"), "cum")
+        .select(col("doc_id"), col("nt"),
+          expr(s"(cum - nt) div $PackSeqLen").as("start_pack"),
+          expr(s"(cum - nt) % $PackSeqLen").as("pack_off"),
+          (expr(s"(cum - 1) div $PackSeqLen") -
+            expr(s"(cum - nt) div $PackSeqLen") + lit(1L)).as("n_spans"))
+    },
+
     "deterministic_sample" -> ((s, dir) =>
       // Hash-bucket sampling: reproducible across runs, engines, and
       // partitionings (unlike df.sample) — the train/eval-split
@@ -4117,6 +4138,8 @@ object SparkEntry {
     "deterministic_sample" -> Oracles.deterministicSample,
     "shuffled_shard_plan" -> Oracles.shuffledShardPlan(ShardSize),
     "sequence_pack_plan" -> Oracles.sequencePackPlan(PackSeqLen),
+    "sequence_pack_plan_bpe" ->
+      Oracles.sequencePackPlanBpe(BpeMerges, PackSeqLen),
     "trailing_7d_revenue" -> Oracles.trailing7dRevenue,
   )
 }
