@@ -11,12 +11,12 @@ import org.apache.spark.sql.SparkSession
   * exactly this, on byte-identical code), so one-shot timings compare
   * noise, not plans.
   *
-  * Output size: per-query seconds are rounded to 4 decimals and the
-  * map is also emitted in small `bench_chunk` lines BEFORE the total
-  * line, and written in full to `SPARK_GRAFT_BENCH_OUT` (default
-  * `BENCH_LOCAL.json`) — round 4's BENCH_r4.json had `parsed:null`
-  * because the single unrounded 155-query line outgrew the driver's
-  * tail capture.
+  * Output size: per-query seconds are rounded to 4 decimals, emitted in
+  * small `bench_chunk` lines BEFORE the total line, and written in full
+  * to `SPARK_GRAFT_BENCH_OUT` (default `BENCH_LOCAL.json`). The printed
+  * total line itself carries only `n_queries` + the 10 slowest — every
+  * round-archive through r11 landed `parsed:null` because a 200+-query
+  * map on one line outgrows the driver's tail capture.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -73,18 +73,28 @@ object Bench {
     }
     val qsAll = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val line =
+    // The FILE carries the full per-query map (the regression gate's
+    // reference); the printed total line carries only the 10 slowest —
+    // with 210+ queries the full map outgrew the driver's line capture
+    // every round (BENCH_r{4..11}.json all landed parsed:null), and the
+    // bench_chunk lines above already carry every timing.
+    val fileLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"queries":$qsAll,"failed":$fails,"sf":"$sfDir"}"""
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val stdoutLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"n_queries":${results.size},"failed":$fails,"sf":"$sfDir","queries":$slowest}"""
     // Subset runs must not overwrite the full-suite map the regression
     // gate diffs against.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      line.getBytes("UTF-8"))
+      fileLine.getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
-    println(line)
+    println(stdoutLine)
     spark.stop()
   }
 }

@@ -225,8 +225,15 @@ object SparkEntry {
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
     val truth = SimilarityOps.bruteForceKnn(probes, corpus, KnnK)
       .select(col("probe_id"), col("vec_id"))
+    // The counting contract requires the candidate frame UNIQUE on
+    // (probe_id, vec_id) — a duplicate pair would fan out the left join
+    // and silently inflate both n_true and n_hit. Today's searchers all
+    // emit ranked top-k (unique by construction); the dropDuplicates
+    // pins the contract in code for every future recall entry and plans
+    // as a no-op-cheap partial agg on an already-small frame.
     val c = cand(probes, corpus)
-      .select(col("probe_id"), col("vec_id")).localCheckpoint(true)
+      .select(col("probe_id"), col("vec_id"))
+      .dropDuplicates("probe_id", "vec_id").localCheckpoint(true)
     truth.join(c.withColumn("__c", lit(1)),
         Seq("probe_id", "vec_id"), "left")
       .agg(count(lit(1)).as("n_true"), count(col("__c")).as("n_hit"))

@@ -84,10 +84,16 @@ final class ModelStore(spark: SparkSession, val root: String) {
     *
     * Concurrency contract: gc is an OFFLINE maintenance pass, like
     * [[ParquetWarehouse.vacuum]] — run it when no trainer is mid-flight
-    * on a fingerprint outside `liveFps`. The per-key lock only prevents
-    * deleting a half-created directory; it cannot protect a reader that
-    * already holds a lazy frame over a table gc is about to drop. */
+    * on a fingerprint outside `liveFps`; it cannot protect a reader that
+    * already holds a lazy frame over a table gc is about to drop. The
+    * per-key lock plus the in-lock re-checks below close the two
+    * in-JVM races the lock alone did not: a trainer that (re)created
+    * the table after our listing (its `_VERSION` pointer mtime
+    * postdates gc start → skip) and a concurrent drop (pointer gone →
+    * skip, nothing to reclaim). */
   def gc(liveFps: Set[String]): Seq[(String, String)] = {
+    val gcStart = System.currentTimeMillis()
+    val conf = spark.sessionState.newHadoopConf()
     val dropped = Seq.newBuilder[(String, String)]
     val hexFp = "[0-9a-f]{16}"
     wh.tables("models").foreach { t =>
@@ -96,9 +102,18 @@ final class ModelStore(spark: SparkSession, val root: String) {
         val (name, fp) = (t.table.substring(0, sep), t.table.substring(sep + 2))
         if (!liveFps.contains(fp)) {
           ModelStore.keyLock(s"$root/${t.qualified}").synchronized {
-            wh.drop(t)
+            // Re-check under the lock: only drop a table whose live
+            // pointer still exists AND predates this gc pass. getOrTrain
+            // commits the pointer last (create-then-swap), so any
+            // concurrently-created generation has mtime >= gcStart.
+            val vf = new Path(s"$root/models/${t.table}/_VERSION")
+            val fs = vf.getFileSystem(conf)
+            if (fs.exists(vf) &&
+                fs.getFileStatus(vf).getModificationTime < gcStart) {
+              wh.drop(t)
+              dropped += ((name, fp))
+            }
           }
-          dropped += ((name, fp))
         }
       }
     }

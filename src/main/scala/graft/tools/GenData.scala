@@ -176,9 +176,14 @@ object GenData {
     // degenerate. Words are "w<rank>"; everything stays a pure column
     // function of (id, position).
     val nWords = (pmod(xxhash64(col("id"), lit(34)), lit(41L)) + 30L)
+    // floor, not ceil: pow(V,u) >= 1 always, so floor still yields a
+    // valid rank and — unlike ceil — gives rank 1 (the zipf head,
+    // p ≈ 1/ln V) its full mass. With ceil, rank 1 only occurred when
+    // the 2^20-bucket hash was exactly 0 (p ≈ 1e-6) and the head's mass
+    // leaked into rank 2+.
     def zipfWord(j: Column): Column =
       concat(lit("w"), least(lit(zipfVocab.toLong),
-        ceil(pow(lit(zipfVocab.toDouble),
+        floor(pow(lit(zipfVocab.toDouble),
           pmod(xxhash64(col("id"), j, lit(35)), lit(1048576L)).cast("double")
             / 1048576.0)).cast("long")).cast("string"))
     val wordAt: Column => Column = if (zipfVocab > 0) zipfWord else {
