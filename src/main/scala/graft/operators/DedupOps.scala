@@ -184,22 +184,35 @@ object DedupOps {
   }
 
   /** Connected components over an undirected candidate-pair graph by
-    * min-label propagation: every vertex starts labeled with itself and
-    * repeatedly takes the minimum label in its closed neighborhood,
-    * converging in O(component diameter) rounds. Near-dup clusters are
-    * shallow (a handful of variants of one source document), so 3-4
-    * rounds typically suffice; `maxIter` bounds adversarial chains and
-    * the loop exits early once no label changes. Each round is one
-    * shuffle join on vertex id plus a groupBy — at 100 TB this is the
-    * MapReduce CC formulation (cf. Kiveris et al. large-star/small-star,
-    * which trades the same join for fewer rounds on high-diameter
-    * graphs). `localCheckpoint` truncates the growing lineage so round
-    * k doesn't replay rounds 1..k-1.
+    * min-label propagation WITH POINTER DOUBLING: every vertex starts
+    * labeled with itself and each round takes the minimum over (its own
+    * label, its neighbors' labels, and its label's label). The third
+    * term is the Shiloach–Vishkin pointer jump: the distance a
+    * component minimum has propagated DOUBLES per round instead of
+    * growing by one, so convergence is O(log(component diameter))
+    * rounds — a planted 2000-link chain converges in 13 rounds where
+    * neighbor-only propagation needs 2000 (the default `maxIter` = 20
+    * covers diameters up to ~2¹⁸). Same fixed point as neighbor-only
+    * propagation (the spec proves label-identical outputs), same
+    * per-round primitives — one edge⋈labels shuffle join, one
+    * |V|-sized labels self-join, one min-groupBy — at 100 TB this is
+    * the MapReduce CC formulation with the round count of Kiveris et
+    * al.'s alternating large-star/small-star but without replacing the
+    * edge set mid-flight (candidate edges stay partitioned once,
+    * rounds reuse the layout). `localCheckpoint` truncates the growing
+    * lineage so round k doesn't replay rounds 1..k-1.
     *
     * `pairs` needs columns `id_a`, `id_b`; vertices absent from any
     * pair keep their own id as component. Returns (`id`, component). */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-      id: String, maxIter: Int = 20): DataFrame = {
+      id: String, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(vertices, pairs, id, maxIter)._1
+
+  /** [[connectedComponents]] exposing the converged round count — the
+    * spec surface for the O(log diameter) bound. */
+  private[graft] def connectedComponentsWithRounds(
+      vertices: DataFrame, pairs: DataFrame,
+      id: String, maxIter: Int = 20): (DataFrame, Int) = {
     // Pre-partition edges by the join key so every round's join reuses
     // this layout (localCheckpoint preserves output partitioning) —
     // the big edge set shuffles once, not once per round.
@@ -209,10 +222,12 @@ object DedupOps {
       .repartition(col("src"))
       .localCheckpoint(true)
     // Convergence detection: labels only ever DECREASE under min-label
-    // propagation, so sum(component) is a strictly-decreasing monotone
-    // invariant — equal sums between rounds ⟺ no label changed. One
-    // cheap partial-agg action per round instead of a shuffle join +
-    // count against the previous labels.
+    // propagation (the pointer-jump term is a min over a superset, so
+    // the invariant survives doubling), hence sum(component) is a
+    // strictly-decreasing monotone invariant — equal sums between
+    // rounds ⟺ no label changed. One cheap partial-agg action per
+    // round instead of a shuffle join + count against the previous
+    // labels.
     // sum() over ZERO rows is null — an empty vertex set (e.g. a quiet
     // micro-batch whose incremental frontier has no edges) must
     // converge immediately, not NPE in the comparison.
@@ -228,7 +243,15 @@ object DedupOps {
     while (!converged && iter < maxIter) {
       val viaEdge = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("component"))
-      val next = viaEdge.union(labels)
+      // Pointer jump: component(component(v)). Every label is a vertex
+      // id of the same component (labels start as self-ids and only
+      // ever adopt other vertices' ids), so the inner lookup always
+      // hits and never crosses components — the jump target's label is
+      // ≤ the jumped label, which is exactly why distance doubles.
+      val viaJump = labels.as("l1").join(labels.as("l2"),
+          col("l1.component") === col("l2.v"))
+        .select(col("l1.v").as("v"), col("l2.component").as("component"))
+      val next = viaEdge.union(viaJump).union(labels)
         .groupBy(col("v")).agg(min(col("component")).as("component"))
         .localCheckpoint(true)
       val newSum = checksum(next)
@@ -243,7 +266,45 @@ object DedupOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(labels still shrinking) — component diameter exceeds " +
-          "maxIter; raise maxIter (rounds needed = O(max component diameter))")
+          "2^(maxIter-2); raise maxIter (rounds needed = " +
+          "O(log2(max component diameter)) under pointer doubling)")
+    (labels.select(col("v").as(id), col("component")), iter)
+  }
+
+  /** Neighbor-only min-label propagation — the executable REFERENCE
+    * semantics for [[connectedComponents]] (no pointer jump, so
+    * O(component diameter) rounds; kept for the label-equivalence spec
+    * the way [[delNeighborhoodComposed]] backs [[delNeighborhood]]).
+    * Never the pipeline path: an adversarial chain-shaped duplicate
+    * cluster makes its round count the chain length. */
+  private[graft] def connectedComponentsRef(vertices: DataFrame,
+      pairs: DataFrame, id: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().repartition(col("src")).localCheckpoint(true)
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("component").cast(DecimalType(38, 0))))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var labels = vertices.select(col(id).as("v"))
+      .withColumn("component", col("v")).localCheckpoint(true)
+    var oldSum = checksum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaEdge = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("component"))
+      val next = viaEdge.union(labels)
+        .groupBy(col("v")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val newSum = checksum(next)
+      converged = newSum.compareTo(oldSum) == 0
+      oldSum = newSum
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsRef did not converge in $maxIter rounds")
     labels.select(col("v").as(id), col("component"))
   }
 

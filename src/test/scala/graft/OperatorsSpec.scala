@@ -1278,6 +1278,43 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       (2L, 0L, 0L, 3L)))
   }
 
+  test("connectedComponents: planted 2000-link chain converges in O(log n) rounds") {
+    // The adversarial shape for neighbor-only propagation: a path graph
+    // where rounds = chain length (2000 ≫ any sane maxIter). Pointer
+    // doubling must traverse it in ≤ 2·log₂(n) rounds — measured 13 at
+    // n=2000 (⌈log₂(n−1)⌉+1 label rounds + 1 detection round).
+    val n = 2000L
+    val docs = spark.range(1, n + 1).select(col("id").as("doc_id"))
+    val chain = spark.range(1, n)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val (labels, rounds) = DedupOps.connectedComponentsWithRounds(
+      docs, chain, "doc_id")
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+    val comp = labels.agg(
+        countDistinct(col("component")).as("k"), max(col("component")).as("m"))
+      .head
+    assert(comp.getLong(0) == 1L && comp.getLong(1) == 1L,
+      "whole chain must collapse to component 1")
+  }
+
+  test("connectedComponents ≡ neighbor-only reference labels on a hash-random graph") {
+    // Same fixed point as the O(diameter) neighbor-only reference form:
+    // label-identical output on a deterministic pseudo-random graph
+    // (multiple components, cycles, dangling vertices, self-pair noise
+    // filtered by construction).
+    val docs = spark.range(0, 300).select(col("id").as("doc_id"))
+    val edges = spark.range(0, 260).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(300L)).as("id_a"),
+        pmod(xxhash64(col("id"), lit(2)), lit(300L)).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val fast = DedupOps.connectedComponents(docs, edges, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ref = DedupOps.connectedComponentsRef(docs, edges, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == ref)
+  }
+
   test("connectedComponents refuses to return unconverged labels") {
     import spark.implicits._
     val docs = (10L to 15L).toDF("doc_id")
