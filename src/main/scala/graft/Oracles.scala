@@ -332,6 +332,26 @@ object Oracles {
        |    string_agg(mh::VARCHAR, '_' ORDER BY i) AS bkey
        |  FROM ${p}sig GROUP BY doc_id, band)""".stripMargin
 
+  /** Bucket-population ledger (SparkEntry `dedup_lsh_bucket_ledger`):
+    * the measured evidence that DedupOps.MaxBucket is dormant on the
+    * gate corpus — same banding chain as [[minhashPairs]], one bucket
+    * groupBy, one single-row count/max aggregate. The oracle buckets on
+    * the string band key where Spark buckets on xxhash64 of it; the
+    * POPULATIONS compare equal because the hash is injective on the
+    * observed keys (a collision would only merge two buckets —
+    * ~|buckets|²/2⁶⁵ odds — and the ledger would catch it as a
+    * max_bucket mismatch). */
+  def lshBucketLedger(t0Sql: String, cap: Int,
+      r: Int = DedupOps.R): String =
+    s"""WITH t0 AS ($t0Sql),
+       |c(i, a, b) AS (SELECT * FROM (VALUES $coeffValues)),
+       |${sigCtes("", "t0", r)},
+       |sz AS (SELECT band, bkey, count(*) AS n FROM bk GROUP BY band, bkey)
+       |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(max(n) AS BIGINT) AS max_bucket,
+       |  CAST(count(CASE WHEN n > $cap THEN 1 END) AS BIGINT) AS n_over_cap
+       |FROM sz""".stripMargin
+
   /** Incremental against-corpus candidates (SparkEntry
     * `dedup_incremental_candidates`): arrivals banded against the
     * corpus signatures; est_jaccard from the two signature chains. */

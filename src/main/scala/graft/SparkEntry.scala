@@ -742,6 +742,12 @@ object SparkEntry {
       DedupOps.minhashCandidates(plantedDocs(s, dir), "doc_id", "text")
         .filter(col("est_jaccard") >= MinhashMinEst)),
 
+    // The MaxBucket guard's in-gate evidence: n_over_cap must be 0 on
+    // the gate corpus (cap dormant ⇒ capped ≡ uncapped candidates),
+    // and max_bucket documents how far real buckets sit below the cap.
+    "dedup_lsh_bucket_ledger" -> ((s, dir) =>
+      DedupOps.lshBucketLedger(plantedDocs(s, dir), "doc_id", "text")),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       // Dense-vocab all-pairs form (codegen'd sorted-array merge walk):
       // this synthetic corpus has a ~40-word vocab, so the inverted
@@ -3394,6 +3400,8 @@ object SparkEntry {
     "fingerprints" -> Oracles.fingerprints,
     "dedup_exact_docs" -> Oracles.dedupExactDocs,
     "dedup_minhash_lsh" -> Oracles.minhashPairs(Oracles.plantedDocs, MinhashMinEst),
+    "dedup_lsh_bucket_ledger" -> Oracles.lshBucketLedger(
+      Oracles.plantedDocs, DedupOps.MaxBucket),
     "dedup_substring" -> Oracles.dedupSubstring(Oracles.plantedDocs, CdcWindow, CdcDivisor),
     "substring_scrub" -> Oracles.scrubSubstring(Oracles.plantedDocs,
       CdcWindow, CdcDivisor, 2),

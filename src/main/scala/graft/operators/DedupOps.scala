@@ -111,19 +111,63 @@ object DedupOps {
       .select(col(id), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
+  /** Per-(band, bkey) population cap for the LSH bucket self-join: a
+    * bucket of m members generates m²/2 pairs, so one degenerate bucket
+    * (millions of byte-identical documents surviving to near-dedup — an
+    * adversarial or pre-exact-dedup-skipping corpus) turns the
+    * candidate stage quadratic. Honest buckets are tiny (the
+    * `dedup_lsh_bucket_ledger` gate entry measures max ≈ cluster size 2
+    * on the gate corpora); 256 is orders of magnitude above that while
+    * bounding per-bucket join work at 256²/2 pairs. Over-cap buckets
+    * degrade from CLIQUE to sorted PATH (see [[minhashCandidates]]) —
+    * linear rows, connectivity preserved. */
+  val MaxBucket = 256
+
   /** Candidate near-duplicate pairs (id_a < id_b) that share ≥1 LSH bucket,
     * with the estimated Jaccard = fraction of equal signature components
     * (computed by zipping the two signature arrays — no re-aggregation).
-    * Self-join is on (band, bkey) — co-partitioned, no cross product. */
+    * Self-join is on (band, bkey) — co-partitioned, no cross product.
+    *
+    * Buckets over `maxBucket` members emit consecutive-pair PATH edges
+    * (sorted by id) instead of the full clique: O(m) rows instead of
+    * O(m²), every member still reachable from every other, so
+    * transitive consumers ([[connectedComponents]], whose pointer
+    * doubling absorbs the added path depth in log rounds) produce the
+    * same clusters; pairwise consumers lose only intra-mega-bucket
+    * pairs, which are near-identical-grade duplicates that the exact
+    * dedup pass preceding near-dedup in every committed pipeline
+    * already collapses. On honest corpora the cap never fires
+    * (ledger-checked) and the output is byte-identical to uncapped. */
   def minhashCandidates(df: DataFrame, id: String, text: String,
-      bands: Int = Bands, distinctPairs: Boolean = true): DataFrame = {
+      bands: Int = Bands, distinctPairs: Boolean = true,
+      maxBucket: Int = MaxBucket): DataFrame = {
     // The signature projection feeds FOUR plan branches (two bucket-join
     // sides, two est-jaccard joins). One repartition of the compact
     // (id, sig) rows materializes it as a reusable exchange
     // (ReusedExchange) instead of recomputing the shingling 4x, and
     // co-partitions the id joins.
     val sigArr = minhashSignatureArr(df, id, text).repartition(col(id))
-    val bk = lshBuckets(sigArr, id, bands)
+    // maxBucket = Int.MaxValue disables the guard and restores the
+    // exact unguarded two-branch plan (no window, no union) — the
+    // escape hatch for corpora already proven clean by the ledger.
+    val guarded = maxBucket < Int.MaxValue
+    // Bucket populations AND path successors from ONE partitioned
+    // window pass over (band, bkey): both functions share the window
+    // spec (count takes an explicit unbounded frame over the ordered
+    // window), so a single hash-shuffle + per-partition sort serves
+    // both — never a single-partition funnel, and the sort feeds the
+    // sort-merge bucket join below, which shuffles on the same key.
+    val w = Window.partitionBy(col("band"), col("bkey")).orderBy(col(id))
+    val bkRaw = lshBuckets(sigArr, id, bands)
+    val bk0 = bkRaw.select(col(id), col("band"), col("bkey"),
+      count(lit(1)).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)).as("__n"),
+      lead(col(id), 1).over(w).as("__nx"))
+    val bk = if (guarded) bk0.filter(col("__n") <= maxBucket)
+      .select(col(id), col("band"), col("bkey")) else bkRaw
+    val pathPairs = bk0.filter(col("__n") > maxBucket)
+      .filter(col("__nx").isNotNull)
+      .select(col(id).as("id_a"), col("__nx").as("id_b"))
     // Explode-derived size estimates tempt Catalyst into broadcasting the
     // bucket index — wrong at corpus scale and parallelism-capping here.
     // `distinctPairs = false` skips the dedup exchange: a pair sharing
@@ -131,10 +175,11 @@ object DedupOps {
     // (connectedComponents distincts its edge set) or only test
     // membership (keep lists) save a full shuffle; anything that OUTPUTS
     // the pair set keeps the default.
-    val pairs0 = bk.hint("merge").as("x").join(bk.hint("merge").as("y"),
+    val clique = bk.hint("merge").as("x").join(bk.hint("merge").as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"))
+    val pairs0 = if (guarded) clique.unionByName(pathPairs) else clique
     val pairs = if (distinctPairs) pairs0.distinct() else pairs0
     pairs
       .join(sigArr.select(col(id).as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -152,10 +197,23 @@ object DedupOps {
     * Returns (corpus_id, new_id, est_jaccard) for bucket-sharing pairs. */
   def minhashCandidatesAgainst(
       corpusSigArr: DataFrame, newDocs: DataFrame,
-      id: String, text: String, bands: Int = Bands): DataFrame = {
+      id: String, text: String, bands: Int = Bands,
+      maxBucket: Int = MaxBucket): DataFrame = {
     val newSig = minhashSignatureArr(newDocs, id, text).repartition(col(id))
+    // Bucket guard, against-form: the per-bucket join work is
+    // |corpus bucket| × |new bucket|, so cap the CORPUS side at
+    // `maxBucket` lowest-id representatives (a partitioned-window
+    // row_number, same key as the join shuffle). Detection is
+    // preserved — an arrival colliding with a mega-bucket shares that
+    // band key with EVERY member, so matching the representatives
+    // matches the bucket — while per-bucket work drops to
+    // maxBucket × |new bucket|, linear in the batch. The NEW side is
+    // never truncated: every arrival must get its own verdict.
+    val wB = Window.partitionBy(col("band"), col("bkey"))
     val bkC = lshBuckets(corpusSigArr, id, bands)
       .select(col(id).as("corpus_id"), col("band"), col("bkey"))
+      .withColumn("__r", row_number().over(wB.orderBy(col("corpus_id"))))
+      .filter(col("__r") <= maxBucket).drop("__r")
     val bkN = lshBuckets(newSig, id, bands)
       .select(col(id).as("new_id"), col("band"), col("bkey"))
     val pairs = bkC.hint("merge").join(bkN.hint("merge"), Seq("band", "bkey"))
@@ -167,6 +225,20 @@ object DedupOps {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast("double") / lit(K.toDouble)).as("est_jaccard"))
   }
+
+  /** Bucket-population ledger — the measured evidence behind
+    * [[MaxBucket]]: one row of (n_buckets, max_bucket, n_over_cap) for
+    * the corpus at the given banding. `n_over_cap = 0` proves the cap
+    * is dormant on this corpus (capped and uncapped candidates are
+    * byte-identical); a non-zero value quantifies exactly how much
+    * clique→path degradation [[minhashCandidates]] applied. One
+    * bucket groupBy + one single-row aggregate. */
+  def lshBucketLedger(df: DataFrame, id: String, text: String,
+      bands: Int = Bands, maxBucket: Int = MaxBucket): DataFrame =
+    lshBuckets(minhashSignatureArr(df, id, text), id, bands)
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
+        count(when(col("n") > maxBucket, 1)).as("n_over_cap"))
 
   /** The dedup output a pipeline actually consumes: the KEEP LIST.
     * From the candidate pairs (id_a < id_b, already thresholded), drop
@@ -215,9 +287,16 @@ object DedupOps {
       id: String, maxIter: Int = 20): (DataFrame, Int) = {
     // Pre-partition edges by the join key so every round's join reuses
     // this layout (localCheckpoint preserves output partitioning) —
-    // the big edge set shuffles once, not once per round.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // the big edge set shuffles once, not once per round. Symmetrize
+    // via ONE explode, not a union of two instances of `pairs`: the
+    // union shape re-executes the whole candidate pipeline per branch
+    // whenever AQE fails to stage-reuse it (measured +0.9 s per CC
+    // call on the guarded minhash plan); the explode executes it once
+    // unconditionally.
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .repartition(col("src"))
       .localCheckpoint(true)
@@ -279,8 +358,10 @@ object DedupOps {
     * cluster makes its round count the chain length. */
   private[graft] def connectedComponentsRef(vertices: DataFrame,
       pairs: DataFrame, id: String, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct().repartition(col("src")).localCheckpoint(true)
     def checksum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("component").cast(DecimalType(38, 0))))

@@ -1315,6 +1315,66 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(fast == ref)
   }
 
+  test("LSH bucket cap: 10k identical docs stay linear, cluster survives, honest corpus untouched") {
+    // Adversarial self-similar corpus: 10k byte-identical documents →
+    // every band bucket holds all 10k members. Uncapped, the bucket
+    // self-join would materialize ~C(10k,2)·4 ≈ 2·10⁸ pairs; the cap
+    // degrades each over-cap bucket to a sorted path.
+    val docs = spark.range(0, 10000).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+        .as("text"))
+    val cand = DedupOps.minhashCandidates(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val n = cand.count()
+    assert(n <= 4L * 10000L, s"candidate stage not capped: $n rows")
+    assert(n >= 9999L, s"path edges missing: $n rows")
+    // Connectivity preserved: the path collapses to ONE cluster (pointer
+    // doubling absorbs the 10k-deep path in ~15 rounds).
+    val comp = DedupOps.connectedComponents(
+      docs.select(col("doc_id")), cand.select(col("id_a"), col("id_b")),
+      "doc_id")
+    assert(comp.agg(countDistinct(col("component"))).head.getLong(0) == 1L)
+    // The ledger sees the degeneracy.
+    val led = DedupOps.lshBucketLedger(docs, "doc_id", "text").head
+    assert(led.getLong(2) > 0L, "ledger must report over-cap buckets")
+    assert(led.getLong(1) == 10000L)
+
+    // Honest corpus: cap dormant ⇒ capped output byte-identical to an
+    // effectively-uncapped run, and the ledger confirms zero over-cap.
+    val honest = Tables(spark, sf, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val planted = honest.unionByName(honest.select(
+      (col("doc_id") + 1000).as("doc_id"),
+      expr("substring(text, 1, (length(text) * 4) div 5)").as("text")))
+    def pairSet(mb: Int) = DedupOps.minhashCandidates(
+        planted, "doc_id", "text", maxBucket = mb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairSet(DedupOps.MaxBucket) == pairSet(Int.MaxValue))
+    val ledH = DedupOps.lshBucketLedger(planted, "doc_id", "text").head
+    assert(ledH.getLong(2) == 0L)
+  }
+
+  test("minhashCandidatesAgainst caps corpus-side buckets but keeps every arrival's verdict") {
+    // Mega-bucket corpus: 3000 identical docs. A new arrival identical
+    // to them must still be detected, but against ≤ MaxBucket
+    // representatives, not all 3000.
+    val corpus = spark.range(0, 3000).select(col("id").as("doc_id"),
+      lit("omega psi chi phi upsilon tau sigma rho pi omicron").as("text"))
+    val corpusSig = DedupOps.minhashSignatureArr(corpus, "doc_id", "text")
+    val arrivals = spark.range(5000, 5002).select(col("id").as("doc_id"),
+      lit("omega psi chi phi upsilon tau sigma rho pi omicron").as("text"))
+    val cand = DedupOps.minhashCandidatesAgainst(
+      corpusSig, arrivals, "doc_id", "text").localCheckpoint(true)
+    val perArrival = cand.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n"), max(col("est_jaccard")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(perArrival.length == 2, "every arrival needs a verdict")
+    perArrival.foreach { case (_, n, m) =>
+      assert(n <= DedupOps.MaxBucket.toLong, s"corpus side not capped: $n")
+      assert(m == 1.0)
+    }
+  }
+
   test("connectedComponents refuses to return unconverged labels") {
     import spark.implicits._
     val docs = (10L to 15L).toDF("doc_id")
