@@ -498,31 +498,52 @@ object SparkEntry {
     // Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009)
     // — the RAG-curation pattern: rank the corpus lexically (BM25 on the
     // query terms) and semantically (cosine to a probe embedding), fuse
-    // as 1/(60+r_lex) + 1/(60+r_sem), keep the top 20. Both global
-    // rankings use the DISTRIBUTED row number (range repartition +
-    // zipWithIndex), not a single-partition window; the final top-N is
-    // TakeOrdered. Exact: ranks are integers, the fusion is two exact
-    // IEEE divisions summed in fixed order.
+    // as 1/(60+r_lex) + 1/(60+r_sem), keep the top 20.
+    //
+    // BOUNDED candidate pools, no global sort: each ranker contributes
+    // its top-P (TakeOrderedAndProject — per-partition partial top-k),
+    // and the EXACT global ranks of the ≤2P pool members come from one
+    // shuffle-free counting pass per ranker (ranksByCounting). Exactness
+    // for P = 128: every doc outside BOTH pools has lex_rank > P and
+    // sem_rank > P, so rrf < 2/(60+P) = 2/188; each of the ≥20 docs
+    // with lex_rank ≤ 20 (all in the lex pool, embeddings covering the
+    // lexical universe 1:1 here) has rrf ≥ 1/(60+20) = 1/80 > 2/188 —
+    // so the true top-20 is inside the pool union (any P ≥ 101 works;
+    // the spec proves equality vs the full-rank reference form). Ranks
+    // are integers, the fusion is two exact IEEE divisions summed in
+    // fixed order — identical bytes to the full ranking.
     "hybrid_search_rrf" -> { (s, dir) =>
+      val P = 128
+      // Both score frames feed three consumers each (pool, candidate
+      // join, counting pass): localCheckpoint materializes the narrow
+      // (id, score) projection once — one BM25 pass, one embeddings
+      // pass — instead of re-deriving the aggregation pipeline per
+      // consumer (same trade connectedComponents makes for its edges).
       val bm = TextOps.bm25Scores(t(s, dir, "documents"), "doc_id", "text",
-        Bm25Terms)
-      val lex = AnalyticOps.globalRowNumber(
-        bm.select(col("doc_id"), col("bm25")),
-        Seq(col("bm25").desc, col("doc_id")), "lex_rank")
+        Bm25Terms).select(col("doc_id"), col("bm25"))
+        .localCheckpoint(true)
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val probe = broadcast(emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("__pvec")))
       val sim = emb
-        .join(lex.select(col("doc_id")), col("vec_id") === col("doc_id"))
+        .join(bm.select(col("doc_id")), col("vec_id") === col("doc_id"))
         .crossJoin(probe)
-        .select(col("vec_id"),
+        .select(col("vec_id").as("doc_id"),
           (SimilarityOps.dot(col("embedding"), col("__pvec")) /
             (SimilarityOps.norm(col("embedding")) *
               SimilarityOps.norm(col("__pvec")))).as("sim"))
-      val sem = AnalyticOps.globalRowNumber(sim,
-        Seq(col("sim").desc, col("vec_id")), "sem_rank")
-      lex.join(sem.select(col("vec_id").as("doc_id"), col("sem_rank")),
-          "doc_id")
+        .localCheckpoint(true)
+      val lexPool = bm.orderBy(col("bm25").desc, col("doc_id")).limit(P)
+        .select(col("doc_id"))
+      val semPool = sim.orderBy(col("sim").desc, col("doc_id")).limit(P)
+        .select(col("doc_id"))
+      val cand = lexPool.unionByName(semPool).distinct()
+        .join(bm, "doc_id")
+        .join(sim, "doc_id")
+      val ranked = AnalyticOps.ranksByCounting(sim, "doc_id", "sim",
+        AnalyticOps.ranksByCounting(bm, "doc_id", "bm25", cand, "lex_rank"),
+        "sem_rank")
+      ranked
         .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
           (lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")) +
             lit(1.0) / (lit(60.0) + col("sem_rank").cast("double")))

@@ -283,4 +283,29 @@ object AnalyticOps {
       rankCol: String = "rank"): DataFrame =
     globalRowNumber(df.orderBy(order: _*).limit(k), order, "__rn")
       .withColumn(rankCol, col("__rn").cast("int")).drop("__rn")
+
+  /** EXACT global ranks for a SMALL candidate set without any global
+    * sort: under the total order (`scoreCol` DESC, `idCol` ASC),
+    * rank(c) = 1 + |{rows ordered strictly before c}|, computed by one
+    * broadcast-nested-loop count of the full `scores` frame against the
+    * broadcast candidates — a shuffle-free corpus pass (O(|scores|·|cand|)
+    * comparisons, partial-aggregated map-side) instead of an
+    * O(n log n) range-partitioned sort of the whole corpus. Equals
+    * `row_number() OVER (ORDER BY scoreCol DESC, idCol)` restricted to
+    * the candidates, exactly. `cand` must be bounded by construction
+    * (CONTRACTS §3) — pool sizes, probe sets — and carry `idCol` +
+    * `scoreCol`; all its columns pass through. */
+  def ranksByCounting(scores: DataFrame, idCol: String, scoreCol: String,
+      cand: DataFrame, rankCol: String): DataFrame = {
+    val c = cand.select(col(idCol).as("__cid"), col(scoreCol).as("__cs"))
+    val beats = scores.join(broadcast(c),
+        col(scoreCol) > col("__cs") ||
+          (col(scoreCol) === col("__cs") && col(idCol) < col("__cid")))
+      .groupBy(col("__cid")).agg(count(lit(1)).as("__beats"))
+    // The global best has zero strictly-better rows and drops out of the
+    // inner counting join — left join + coalesce restores its rank 1.
+    cand.join(broadcast(beats), col(idCol) === col("__cid"), "left")
+      .withColumn(rankCol, coalesce(col("__beats"), lit(0L)) + lit(1L))
+      .drop("__cid", "__beats")
+  }
 }

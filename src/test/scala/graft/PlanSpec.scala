@@ -123,6 +123,52 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(bad.isEmpty, s"vector column crossed a shuffle: $bad")
   }
 
+  test("hybrid_search_rrf: no global sort of the corpus (TakeOrdered pools + counting ranks)") {
+    val p = plan("hybrid_search_rrf")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    // The full-rank form range-partitioned the whole corpus twice; the
+    // bounded form must not range-partition at all.
+    assert(!p.contains("rangepartitioning"),
+      "global sort crept back into hybrid_search_rrf:\n" + p.take(800))
+  }
+
+  test("hybrid_search_rrf bounded pools ≡ full-rank reference form") {
+    // The exactness claim behind P=128 (any P ≥ 101): the bounded-pool
+    // query must reproduce the full double-ranking byte-for-byte. The
+    // reference form below is the pre-bounding implementation (two
+    // distributed global row-numberings over the whole corpus).
+    import graft.operators.{AnalyticOps, SimilarityOps, TextOps}
+    val dir = sfDir
+    val bm = TextOps.bm25Scores(Tables(spark, dir, "documents"),
+        "doc_id", "text", SparkEntry.Bm25Terms)
+      .select(col("doc_id"), col("bm25"))
+    val lex = AnalyticOps.globalRowNumber(bm,
+      Seq(col("bm25").desc, col("doc_id")), "lex_rank")
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val probe = broadcast(emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("__pvec")))
+    val sim = emb
+      .join(lex.select(col("doc_id")), col("vec_id") === col("doc_id"))
+      .crossJoin(probe)
+      .select(col("vec_id"),
+        (SimilarityOps.dot(col("embedding"), col("__pvec")) /
+          (SimilarityOps.norm(col("embedding")) *
+            SimilarityOps.norm(col("__pvec")))).as("sim"))
+    val sem = AnalyticOps.globalRowNumber(sim,
+      Seq(col("sim").desc, col("vec_id")), "sem_rank")
+    val ref = lex.join(sem.select(col("vec_id").as("doc_id"), col("sem_rank")),
+        "doc_id")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")) +
+          lit(1.0) / (lit(60.0) + col("sem_rank").cast("double"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val bounded = SparkEntry.queries("hybrid_search_rrf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(bounded == ref)
+  }
+
   test("globalRunningSum equals the single-partition window cumsum exactly") {
     val ev = Tables(spark, sfDir, "events").select(
       col("event_id"), col("user_id"))
