@@ -2200,6 +2200,94 @@ object Oracles {
        |  FROM s) WHERE rank <= $k""".stripMargin
   }
 
+  /** Incremental IVF-PQ (SparkEntry `knn_ivf_incremental` /
+    * SimilarityOps.ivfAppend): the quantizer chains TRAIN on the
+    * ORIGINAL corpus `v` only; arrivals (every 20th vector, last
+    * component zeroed, id + 10000000 — the embedding_near_dup planting)
+    * are coarse-assigned and coded with those base-trained artifacts;
+    * search runs over the merged index `va`. Identical CTE machinery to
+    * [[knnIvfPq]] except the assignment/coding/rerank sources read `va`
+    * while every kmeans chain reads `v` — the SQL restatement of
+    * "append without retraining". Probes come from the original corpus. */
+  def knnIvfIncremental(probeEvery: Int, k: Int, targetC: Int, iters: Int,
+      nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
+      rerank: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+    def d2(a: String, b: String, dim: Int) =
+      s"list_reduce(list_transform(generate_series(1, $dim), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (a, b) -> a + b)"
+    val subChains = (0 until m).map { s0 =>
+      s"""vs$s0 AS (SELECT vec_id,
+         |  list_slice(vec, ${s0 * subDim + 1}, ${(s0 + 1) * subDim}) AS vec
+         |  FROM v),
+         |vas$s0 AS (SELECT vec_id,
+         |  list_slice(vec, ${s0 * subDim + 1}, ${(s0 + 1) * subDim}) AS vec
+         |  FROM va),
+         |${kmeansChain(s"s$s0", subDim, ks, subIters)}""".stripMargin
+    }.mkString(",\n")
+    val codeCtes = (0 until m).map { s0 =>
+      s"""cdw$s0 AS (SELECT v.vec_id, c.cent_id,
+         |    ${d2("v.vec", "c.cent_vec", subDim)} AS d2
+         |  FROM vas$s0 v, c${subIters}s$s0 c),
+         |cd$s0 AS (SELECT vec_id, $s0 AS sub, cent_id AS code FROM (
+         |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS r
+         |  FROM cdw$s0) WHERE r = 1),
+         |lut$s0 AS (SELECT p.probe_id, $s0 AS sub, c.cent_id AS code,
+         |    ${d2("p.vec", "c.cent_vec", subDim)} AS d2c
+         |  FROM (SELECT vec_id AS probe_id,
+         |      list_slice(vec, ${s0 * subDim + 1}, ${(s0 + 1) * subDim}) AS vec
+         |    FROM v WHERE vec_id % $probeEvery = 0) p, c${subIters}s$s0 c)""".stripMargin
+    }.mkString(",\n")
+    val codesUnion = (0 until m).map(s0 => s"SELECT * FROM cd$s0")
+      .mkString(" UNION ALL ")
+    val lutUnion = (0 until m).map(s0 => s"SELECT * FROM lut$s0")
+      .mkString(" UNION ALL ")
+    s"""WITH ${kmeansCtePrefix(targetC, iters)},
+       |arr AS (SELECT vec_id + 10000000 AS vec_id,
+       |  list_concat(list_slice(vec, 1, 63), [0.0]) AS vec
+       |  FROM v WHERE vec_id % 20 = 0),
+       |va AS (SELECT vec_id, vec FROM v
+       |  UNION ALL SELECT vec_id, vec FROM arr),
+       |$subChains,
+       |$codeCtes,
+       |codes AS ($codesUnion),
+       |luts AS ($lutUnion),
+       |caw AS (SELECT v.vec_id, c.cent_id,
+       |    ${d2("v.vec", "c.cent_vec", 64)} AS cd2
+       |  FROM va v, c$iters c),
+       |ca AS (SELECT vec_id, cent_id FROM (
+       |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY cd2, cent_id) AS cr
+       |  FROM caw) WHERE cr = 1),
+       |pw AS (SELECT p.vec_id AS probe_id, c.cent_id,
+       |    ${d2("p.vec", "c.cent_vec", 64)} AS cd2
+       |  FROM (SELECT * FROM v WHERE vec_id % $probeEvery = 0) p, c$iters c),
+       |pb AS (SELECT probe_id, cent_id FROM (
+       |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY cd2, cent_id) AS cr
+       |  FROM pw) WHERE cr <= $nprobe),
+       |cand AS (SELECT pb.probe_id, ca.vec_id
+       |  FROM ca JOIN pb ON ca.cent_id = pb.cent_id
+       |  WHERE ca.vec_id <> pb.probe_id),
+       |adc AS (SELECT cp.probe_id, cp.vec_id,
+       |    list_reduce(list_prepend(0.0, list(l.d2c ORDER BY l.sub)),
+       |      (a, b) -> a + b) AS adc
+       |  FROM cand cp
+       |  JOIN codes cd ON cd.vec_id = cp.vec_id
+       |  JOIN luts l ON l.probe_id = cp.probe_id AND l.sub = cd.sub
+       |    AND l.code = cd.code
+       |  GROUP BY cp.probe_id, cp.vec_id),
+       |sl AS (SELECT probe_id, vec_id FROM (
+       |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS ar
+       |  FROM adc) WHERE ar <= $rerank),
+       |n AS (SELECT vec_id, vec, sqrt(${dot("vec", "vec")}) AS nrm FROM va),
+       |s AS (SELECT sl.probe_id, sl.vec_id,
+       |    ${dot("p.vec", "x.vec")} / (p.nrm * x.nrm) AS sim
+       |  FROM sl JOIN n x ON x.vec_id = sl.vec_id
+       |  JOIN n p ON p.vec_id = sl.probe_id)
+       |SELECT probe_id, vec_id, round(sim, 9) AS sim, rank FROM (
+       |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM s) WHERE rank <= $k""".stripMargin
+  }
+
   /** Residual IVF-PQ (SimilarityOps.ivfPqResidualKnn): sub-chains train
     * on `vec − coarse_centroid` residuals (exact IEEE subtractions of
     * exactly-cast doubles), probe LUTs are per (probe, probed cell),

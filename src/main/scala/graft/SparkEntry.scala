@@ -3208,6 +3208,31 @@ object SparkEntry {
           round(col("sim"), 9).as("sim"), col("rank"))
     },
 
+    // INCREMENTAL ANN maintenance: a batch of new arrivals (every 20th
+    // vector, last component zeroed — the embedding_near_dup planting)
+    // is coded against the EXISTING trained artifacts via
+    // SimilarityOps.ivfAppend — no retraining, no old row touched —
+    // and search runs over the merged index. At 100 TB this is the only
+    // sane ingest path: the quantizer retrains when the corpus
+    // fingerprint moves, never per batch. Recall vs a full rebuild is
+    // spec-measured (OperatorsSpec).
+    "knn_ivf_incremental" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val arrivals = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          concat(slice(col("embedding"), 1, 63), array(lit(0.0f))).as("vec"))
+      val merged = embCorpus(s, dir).unionByName(arrivals)
+      val mergedIndex = SimilarityOps.ivfAppend(pqIndex(s, dir), arrivals,
+        coarseCentroids(s, dir), pqBooks(s, dir), PqSubDim)
+      val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      SimilarityOps.ivfPqSearch(probes, merged, mergedIndex, KnnK,
+          coarseCentroids(s, dir), pqBooks(s, dir), PqSubDim,
+          nprobe = IvfNprobe, rerank = PqRerank)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("sim"), 9).as("sim"), col("rank"))
+    },
+
     // Per-vector cluster map against the persisted refined centroids —
     // the output downstream curation consumes (buckets, postings,
     // quotas).
@@ -3714,6 +3739,9 @@ object SparkEntry {
       KnnProbeEvery, KnnK, KmeansK, KmeansIters, IvfNprobe),
     "knn_ivf_pq" -> Oracles.knnIvfPq(KnnProbeEvery, KnnK, KmeansK,
       KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters, PqRerank),
+    "knn_ivf_incremental" -> Oracles.knnIvfIncremental(KnnProbeEvery, KnnK,
+      KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
+      PqRerank),
     "knn_ivf_pq_residual" -> Oracles.knnIvfPqResidual(KnnProbeEvery, KnnK,
       KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
       PqRerank),

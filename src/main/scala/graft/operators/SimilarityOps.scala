@@ -243,6 +243,27 @@ object SimilarityOps {
       .select(col(corpusId), col("cent_id"))
       .join(pqCodes(corpus, codebooks, subDim, corpusId), corpusId)
 
+  /** INCREMENTAL index maintenance — FAISS's add() for continuous
+    * ingest: code a batch of NEW vectors against the EXISTING trained
+    * artifacts (coarse centroids + sub-codebooks — model-store reads)
+    * and append to the persisted coded index. Nothing retrains and no
+    * existing row is touched: per batch the corpus-scale work is ONE
+    * broadcast-quantizer pass over the batch (the [[ivfPqIndex]]
+    * projection), the continuous-ingest twin of
+    * [[DedupOps.minhashCandidatesAgainst]]. Re-arriving ids keep their
+    * existing coded row (replay idempotence — the same anti-join
+    * [[DedupOps.incrementalComponents]] seeds with). Retraining happens
+    * only when the corpus fingerprint moves (CONTRACTS §6); recall vs a
+    * full rebuild is a measured spec, not a claim. */
+  def ivfAppend(existingIndex: DataFrame, newVectors: DataFrame,
+      coarseCentroids: DataFrame, codebooks: DataFrame, subDim: Int,
+      corpusId: String = "vec_id"): DataFrame = {
+    val fresh = newVectors.select(col(corpusId), col("vec"))
+      .join(existingIndex.select(col(corpusId)), Seq(corpusId), "left_anti")
+    existingIndex.unionByName(
+      ivfPqIndex(fresh, coarseCentroids, codebooks, subDim, corpusId))
+  }
+
   /** IVF-PQ ANN — the FAISS companion of [[ivfKnnTrained]]: coarse
     * buckets from the trained quantizer, candidate scoring by ASYMMETRIC
     * DISTANCE (per-probe lookup tables of probe-subvector→code

@@ -1375,6 +1375,48 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("ivfAppend: replay-idempotent, every arrival coded once, recall vs full rebuild") {
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+    val arrivals = emb.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        concat(slice(col("embedding"), 1, 63), array(lit(0.0f))).as("vec"))
+    def train(c: org.apache.spark.sql.DataFrame) = {
+      val initial = SimilarityOps.ivfCentroids(c, 8)
+        .select(col("cent_id"),
+          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+      (ClusterOps.kmeans(c, initial, 2),
+        SimilarityOps.pqCodebooks(c, 4, 16, 8, 1))
+    }
+    val (baseCents, baseBooks) = train(corpus)
+    val baseIndex = SimilarityOps.ivfPqIndex(corpus, baseCents, baseBooks, 16)
+      .localCheckpoint(true)
+    val appended = SimilarityOps.ivfAppend(baseIndex, arrivals,
+      baseCents, baseBooks, 16).localCheckpoint(true)
+    // Every arrival coded exactly once; replaying the same batch is a
+    // no-op (the anti-join idempotence contract).
+    assert(appended.count() == baseIndex.count() + arrivals.count())
+    val replayed = SimilarityOps.ivfAppend(appended, arrivals,
+      baseCents, baseBooks, 16)
+    assert(replayed.count() == appended.count())
+    // Recall of append-without-retrain vs a full rebuild on the merged
+    // corpus (both searched identically).
+    val merged = corpus.unionByName(arrivals)
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val inc = SimilarityOps.ivfPqSearch(probes, merged, appended, 5,
+        baseCents, baseBooks, 16, nprobe = 3, rerank = 120)
+      .select(col("probe_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (fullCents, fullBooks) = train(merged)
+    val full = SimilarityOps.ivfPqKnn(probes, merged, 5,
+        fullCents, fullBooks, 16, nprobe = 3, rerank = 120)
+      .select(col("probe_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = inc.intersect(full).size.toDouble / full.size
+    assert(recall >= 0.6, f"append-vs-rebuild recall $recall%.3f below floor")
+  }
+
   test("connectedComponents refuses to return unconverged labels") {
     import spark.implicits._
     val docs = (10L to 15L).toDF("doc_id")
