@@ -1,0 +1,24 @@
+#!/bin/bash
+# Reproduce SCALING.md's measured sf0.1 -> sf1 ledger in one command:
+#   1. deterministically generate sf1 (10x sf0.1) with graft.tools.GenData
+#      if the target dir doesn't exist yet;
+#   2. run graft.tools.ScalingLedger over the standing query set at both
+#      scales (warm run2-of-2 per query, one JVM, local[32]);
+#   3. print the paste-ready markdown table and write SCALING_LEDGER.json.
+# Usage: scripts/run_scaling.sh [sf1Dir] [baseDir] [extra ScalingLedger args]
+set -e
+cd "$(dirname "$0")/.."
+SF1=${1:-/tmp/graft_testdata/sf1}
+BASE=${2:-/root/testdata/sf0.1}
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+JAVA="java $ADD_OPENS -Xmx24g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp target/scala-2.13/classes:/opt/spark/jars/*"
+if [ ! -d "$SF1" ]; then
+  echo "generating $SF1 (10x $BASE row counts)..." >&2
+  $JAVA graft.tools.GenData "$SF1" 10 "$BASE"
+fi
+exec $JAVA graft.tools.ScalingLedger "$BASE" "$SF1" 10 SCALING_LEDGER.json "${@:3}"

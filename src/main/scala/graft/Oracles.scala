@@ -659,7 +659,8 @@ object Oracles {
        |c AS (SELECT doc_id, source,
        |  trim(regexp_replace(
        |    replace(replace(replace(replace(replace(replace(
-       |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+       |      regexp_replace(regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+       |        '</?[a-zA-Z!?][^>]*>', ' ', 'g'),
        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
        |    '\\s+', ' ', 'g')) AS text
@@ -876,7 +877,8 @@ object Oracles {
        |c AS (SELECT doc_id, html,
        |  trim(regexp_replace(
        |    replace(replace(replace(replace(replace(replace(
-       |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+       |      regexp_replace(regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+       |        '</?[a-zA-Z!?][^>]*>', ' ', 'g'),
        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
        |    '\\s+', ' ', 'g')) AS clean

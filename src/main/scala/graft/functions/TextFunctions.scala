@@ -82,13 +82,23 @@ object TextFunctions {
   }
 
   /** HTML-to-text cleaning — the markup-stripping pass of web-corpus
-    * ingestion: drop tags, unescape the common entities (`&amp;` last,
-    * so entity-encoded entities can't double-unescape into markup),
-    * collapse whitespace. Pure regexp/replace projection: runs at scan
-    * speed inside codegen, and each step has an exact oracle-dialect
-    * twin. */
+    * ingestion: drop comments (non-greedy, dotall — comments are the one
+    * construct whose body legally contains `>`), drop tags, unescape the
+    * common entities (`&amp;` last, so entity-encoded entities can't
+    * double-unescape into markup), collapse whitespace. Pure
+    * regexp/replace projection: runs at scan speed inside codegen, and
+    * each step has an exact oracle-dialect twin.
+    *
+    * The tag pattern requires the char after `<` to open a real markup
+    * construct (`[a-zA-Z!/?]` — element, `!DOCTYPE`, close tag, PI), so
+    * prose like `a < b and c > d` or `i <3 u` survives untouched — with
+    * the naive `<[^>]*>` a plain-text doc with two comparison signs
+    * silently loses everything between them (adversarial-fixture spec).
+    * Remaining documented limitation of any regex stripper: a `>` inside
+    * a quoted attribute value closes the tag early. */
   def cleanHtml(text: Column): Column = {
-    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val noComments = regexp_replace(text, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "</?[a-zA-Z!?][^>]*>", " ")
     val unescaped = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")

@@ -1,0 +1,94 @@
+package graft.tools
+
+import java.io.{File, PrintWriter}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Reproducible scaling ledger: measure every query in SCALING.md's table
+  * at two scale factors in one command and emit both the markdown table
+  * (stdout, paste-ready for SCALING.md) and a machine-readable JSON file.
+  *
+  * Usage:
+  *   graft.tools.ScalingLedger <baseDir> <scaledDir> [mult] [jsonOut] [query...]
+  *
+  * Timing protocol (same as the hand-run ledger this replaces): each query
+  * runs twice per scale in one warm JVM; the reported number is run2 so
+  * one-time costs (JIT, model-store training keyed by corpus fingerprint)
+  * are paid in run1 and visible as `train_s = run1 - run2`. Queries are
+  * timed base-scale first, then scaled, so JIT warmth can only flatter the
+  * scaled run — a super-linear ratio is therefore never a JIT artifact.
+  */
+object ScalingLedger {
+
+  /** The standing SCALING.md query set: the heaviest gate queries plus the
+    * sub-linear artifact-reuse rows. Keep in sync with SCALING.md. */
+  val DefaultQueries: Seq[String] = Seq(
+    "web_pipeline", "dedup_cc_components", "dedup_keep_best", "doc_commonness",
+    "dedup_cc_keep", "simhash_near_dup", "bigram_counts", "hybrid_search_rrf",
+    "dup_cluster_sizes", "dedup_token_yield", "bigram_lm_scores",
+    "tfidf_top_terms", "binary_file_ingest", "dedup_near_keep",
+    "q8_market_share", "session_overlap_pairs", "q21_waiting_supplier",
+    "dedup_minhash_lsh", "dedup_substring", "substring_scrub", "knn_ivf_pq",
+    "knn_ivf_pq_residual", "kmeans_centroids", "bpe_token_counts",
+    "fuzzy_name_match", "boilerplate_dict_train", "boilerplate_scrub",
+    "crawl_curation_pipeline", "dedup_incremental_candidates",
+    "dedup_minhash_recall", "dedup_minhash_recall_tuned",
+    "dedup_ngram_jaccard", "domain_cap_sample", "quality_model_filter",
+    "url_canonicalize", "url_dedup")
+
+  private case class Row(query: String, run1: Double, run2: Double, rows: Long)
+
+  private def timeQuery(spark: SparkSession, name: String, dir: String): Row = {
+    val runs = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    Row(name, runs(0)._1, runs(1)._1, runs(1)._2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scaledDir = if (args.length > 1) args(1) else "/tmp/graft_testdata/sf1"
+    val mult = if (args.length > 2) args(2).toDouble else 10.0
+    val jsonOut = if (args.length > 3) args(3) else "SCALING_LEDGER.json"
+    val names = if (args.length > 4) args.drop(4).toSeq else DefaultQueries
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val missing = names.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"unknown queries: ${missing.mkString(", ")}")
+
+    val base = names.map { n => val r = timeQuery(spark, n, baseDir); System.err.println(f"base   ${r.query}%-32s run2=${r.run2}%7.3fs"); r }
+    val scaled = names.map { n => val r = timeQuery(spark, n, scaledDir); System.err.println(f"scaled ${r.query}%-32s run2=${r.run2}%7.3fs"); r }
+    spark.stop()
+
+    val paired = base.zip(scaled)
+    println(s"\n## Measured ledger (base=$baseDir, scaled=$scaledDir, ${mult}x rows, warm run2 of 2, local[$cpus])\n")
+    println("| Query | base s | scaled s | ratio | scaled rows |")
+    println("|---|---|---|---|---|")
+    paired.foreach { case (b, s) =>
+      println(f"| `${b.query}` | ${b.run2}%.2f | ${s.run2}%.2f | ${s.run2 / math.max(b.run2, 1e-9)}%.1f× | ${s.rows} |")
+    }
+    val trainRows = paired.collect { case (b, s) if s.run1 - s.run2 > 1.0 => f"`${b.query}` ${s.run1 - s.run2}%.1f s" }
+    if (trainRows.nonEmpty)
+      println(s"\nOne-time (run1−run2 at scaled, model-store training etc.): ${trainRows.mkString(", ")}")
+
+    val json = paired.map { case (b, s) =>
+      f""""${b.query}":{"base_run2":${b.run2}%.3f,"scaled_run2":${s.run2}%.3f,"ratio":${s.run2 / math.max(b.run2, 1e-9)}%.2f,"base_rows":${b.rows},"scaled_rows":${s.rows},"base_run1":${b.run1}%.3f,"scaled_run1":${s.run1}%.3f}"""
+    }.mkString(",")
+    val pw = new PrintWriter(new File(jsonOut))
+    try pw.println(s"""{"base_dir":"$baseDir","scaled_dir":"$scaledDir","mult":$mult,"cpus":$cpus,"queries":{$json}}""")
+    finally pw.close()
+    System.err.println(s"wrote $jsonOut")
+  }
+}
