@@ -1354,6 +1354,41 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(ledH.getLong(2) == 0L)
   }
 
+  test("LSH bucket cap bounds per-vertex candidate degree (no hot key in CC repartition)") {
+    // CONTRACTS §4's skew claim, measured: after symmetrization (the CC
+    // edge shape that feeds repartition(src)), no vertex's incident row
+    // count can exceed bands·(MaxBucket−1) clique rows + 2·bands path
+    // rows — a mega-cluster cannot concentrate a hot partition key. The
+    // corpus is adversarial on BOTH axes: a 10k-identical mega-cluster
+    // (over-cap ⇒ path edges, degree floor 2·bands) mixed with honest
+    // docs + planted near-dups (under-cap ⇒ clique edges).
+    val mega = spark.range(0, 10000).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+        .as("text"))
+    val honest = Tables(spark, sf, "documents").filter(col("doc_id") < 200)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val docs = mega.unionByName(honest).unionByName(honest.select(
+      (col("doc_id") + 1000).as("doc_id"),
+      expr("substring(text, 1, (length(text) * 4) div 5)").as("text")))
+    // distinctPairs = false — the CC consumer's form (band-duplicated
+    // pairs), so the measured degree is what the repartition really sees.
+    val cand = DedupOps.minhashCandidates(docs, "doc_id", "text",
+      distinctPairs = false).localCheckpoint(true)
+    val sym = cand.select(col("id_a").as("src"))
+      .unionByName(cand.select(col("id_b").as("src")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val bound = DedupOps.Bands.toLong * (DedupOps.MaxBucket - 1) +
+      2L * DedupOps.Bands
+    val maxDeg = deg.agg(max(col("d"))).head.getLong(0)
+    assert(maxDeg <= bound, s"degree $maxDeg exceeds contract bound $bound")
+    // Mega-cluster members sit at the path floor: ≤ 2 neighbors per band.
+    val maxMega = deg.filter(col("src") < 10000)
+      .agg(max(col("d"))).head.getLong(0)
+    assert(maxMega <= 2L * DedupOps.Bands,
+      s"mega-cluster degree $maxMega above the 2·bands path floor")
+  }
+
   test("minhashCandidatesAgainst caps corpus-side buckets but keeps every arrival's verdict") {
     // Mega-bucket corpus: 3000 identical docs. A new arrival identical
     // to them must still be detected, but against ≤ MaxBucket
