@@ -34,12 +34,26 @@ object SparkEntry {
   // memo below only skips repeated store lookups within one session.
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // get + putIfAbsent, NOT computeIfAbsent: training one artifact may
+  // itself request another (pqIndex trains against pqBooks), and a
+  // reentrant computeIfAbsent on the same map throws "Recursive update"
+  // the first time a fresh corpus resolves the nested artifact (hit on
+  // the sf1 scaling corpus; the gate corpora masked it by training the
+  // inner artifact first). Racing threads may both call getOrTrain —
+  // that layer is idempotent (per-key locked, fingerprint-versioned).
   private def model(s: SparkSession, dir: String, name: String,
-      corpus: String)(train: => DataFrame): DataFrame =
-    modelCache.computeIfAbsent(s"$dir|$name", _ =>
-      graft.io.ModelStore(s).getOrTrain(name,
+      corpus: String)(train: => DataFrame): DataFrame = {
+    val key = s"$dir|$name"
+    val cached = modelCache.get(key)
+    if (cached != null) cached
+    else {
+      val df = graft.io.ModelStore(s).getOrTrain(name,
         graft.io.ModelStore.fingerprint(s, Seq(s"$dir/$corpus.parquet")))(
-        train))
+        train)
+      val prev = modelCache.putIfAbsent(key, df)
+      if (prev != null) prev else df
+    }
+  }
 
   /** Trained-BPE dictionary artifact (word, cnt, symbolization). */
   private def bpeDict(s: SparkSession, dir: String): DataFrame =

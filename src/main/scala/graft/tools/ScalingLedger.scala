@@ -77,11 +77,12 @@ object ScalingLedger {
     println("| Query | base s | scaled s | ratio | scaled rows |")
     println("|---|---|---|---|---|")
     paired.foreach { case (b, s) =>
-      println(f"| `${b.query}` | ${b.run2}%.2f | ${s.run2}%.2f | ${s.run2 / math.max(b.run2, 1e-9)}%.1f× | ${s.rows} |")
+      // ASCII only: stdout charset on a bare JVM mangles multibyte glyphs.
+      println(f"| `${b.query}` | ${b.run2}%.2f | ${s.run2}%.2f | ${s.run2 / math.max(b.run2, 1e-9)}%.1fx | ${s.rows} |")
     }
     val trainRows = paired.collect { case (b, s) if s.run1 - s.run2 > 1.0 => f"`${b.query}` ${s.run1 - s.run2}%.1f s" }
     if (trainRows.nonEmpty)
-      println(s"\nOne-time (run1−run2 at scaled, model-store training etc.): ${trainRows.mkString(", ")}")
+      println(s"\nOne-time (run1 - run2 at scaled, model-store training etc.): ${trainRows.mkString(", ")}")
 
     val json = paired.map { case (b, s) =>
       f""""${b.query}":{"base_run2":${b.run2}%.3f,"scaled_run2":${s.run2}%.3f,"ratio":${s.run2 / math.max(b.run2, 1e-9)}%.2f,"base_rows":${b.rows},"scaled_rows":${s.rows},"base_run1":${b.run1}%.3f,"scaled_run1":${s.run1}%.3f}"""

@@ -1370,22 +1370,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     val docs = mega.unionByName(honest).unionByName(honest.select(
       (col("doc_id") + 1000).as("doc_id"),
       expr("substring(text, 1, (length(text) * 4) div 5)").as("text")))
-    // distinctPairs = false — the CC consumer's form (band-duplicated
-    // pairs), so the measured degree is what the repartition really sees.
+    // The CC consumer's exact form: bands = K/CcR = 8 (the high-recall
+    // banding the CC family feeds from), distinctPairs = false
+    // (band-duplicated pairs) — so the measured degree is what the
+    // repartition really sees.
+    val ccBands = DedupOps.K / Oracles.CcR
     val cand = DedupOps.minhashCandidates(docs, "doc_id", "text",
-      distinctPairs = false).localCheckpoint(true)
+      bands = ccBands, distinctPairs = false).localCheckpoint(true)
     val sym = cand.select(col("id_a").as("src"))
       .unionByName(cand.select(col("id_b").as("src")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
-    val bound = DedupOps.Bands.toLong * (DedupOps.MaxBucket - 1) +
-      2L * DedupOps.Bands
+    val bound = ccBands.toLong * (DedupOps.MaxBucket - 1) + 2L * ccBands
     val maxDeg = deg.agg(max(col("d"))).head.getLong(0)
     assert(maxDeg <= bound, s"degree $maxDeg exceeds contract bound $bound")
     // Mega-cluster members sit at the path floor: ≤ 2 neighbors per band.
     val maxMega = deg.filter(col("src") < 10000)
       .agg(max(col("d"))).head.getLong(0)
-    assert(maxMega <= 2L * DedupOps.Bands,
+    assert(maxMega <= 2L * ccBands,
       s"mega-cluster degree $maxMega above the 2·bands path floor")
   }
 
