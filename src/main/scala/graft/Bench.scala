@@ -58,6 +58,17 @@ object Bench {
             None
           }
         }
+        // Inter-query storage hygiene, OUTSIDE the timed region: queries
+        // localCheckpoint their reused branches, and those blocks stay in
+        // executor storage memory until the async ContextCleaner notices
+        // the dropped references — by the back of a 212-query alphabet the
+        // accumulated blocks squeeze execution memory and a suite run
+        // flags 4-5x "regressions" on byte-identical code (measured:
+        // repetition_scores 1.38 s in-suite vs 0.32 s with a clean store,
+        // min-of-3 both). Unpersist explicitly so each query is measured
+        // against the same storage state it would see alone.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         name -> (if (times.nonEmpty) times.min else 0.0)
       }
     def fmt(v: Double) = f"$v%.4f"

@@ -439,13 +439,16 @@ object StreamingLoad {
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         import org.apache.spark.sql.functions._
         val batch = onePerId(batch0, idField)
-        val coded = graft.operators.SimilarityOps.ivfPqIndex(
-          batch.select(col(idField), col("vec")), coarseCentroids,
-          codebooks, subDim, idField)
-        val fresh = (if (warehouse.exists(indexTable))
-            coded.join(warehouse.table(indexTable).select(col(idField)),
+        // Replay guard BEFORE the coding projection (the ivfAppend order):
+        // a redelivered batch costs one id anti-join, not a full
+        // re-quantization of rows that are then thrown away.
+        val newRows = (if (warehouse.exists(indexTable))
+            batch.join(warehouse.table(indexTable).select(col(idField)),
               Seq(idField), "left_anti")
-          else coded).localCheckpoint(true)
+          else batch).select(col(idField), col("vec"))
+        val fresh = graft.operators.SimilarityOps.ivfPqIndex(
+            newRows, coarseCentroids, codebooks, subDim, idField)
+          .localCheckpoint(true)
         warehouse.load(LoadMode.Insert, indexTable, fresh, idField)
       }
       .start()
