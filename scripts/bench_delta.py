@@ -35,6 +35,18 @@ def main():
     except FileNotFoundError:
         ref_q, ref_total = {}, None
 
+    # From r12 on, the STDOUT total line (what the driver archives as
+    # "parsed") carries only the 10 slowest queries under the same
+    # "queries" key — the full map lives only in the written file. A
+    # truncated archive used as the reference would silently gate on
+    # <5% of the suite and exit 0; refuse it instead of "passing".
+    if ref_q and len(ref_q) < len(new_q) // 2:
+        print(f"[bench-delta] ref {ref_path} has {len(ref_q)} queries vs "
+              f"{len(new_q)} new — looks like a truncated stdout archive; "
+              f"use the full-map BENCH_PREV.json / BENCH_LOCAL.json file",
+              file=sys.stderr)
+        return 2
+
     regressions, improvements = [], []
     for name, t in sorted(new_q.items()):
         r = ref_q.get(name)

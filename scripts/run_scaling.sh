@@ -17,8 +17,17 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 JAVA="java $ADD_OPENS -Xmx24g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp target/scala-2.13/classes:/opt/spark/jars/*"
-if [ ! -d "$SF1" ]; then
-  echo "generating $SF1 (10x $BASE row counts)..." >&2
+# Regenerate unless the cached corpus carries the CURRENT generator
+# version stamp: a corpus from an older generator (or a crash mid-gen,
+# which never writes the stamp) would make the ledger compare different
+# distributions across scales and measure the generator delta, not
+# scaling.
+GEN_V=$(sed -n 's/.*GeneratorVersion = \([0-9][0-9]*\).*/\1/p' \
+  src/main/scala/graft/tools/GenData.scala | head -1)
+if [ ! -f "$SF1/_GEN_VERSION" ] || \
+   [ "$(cat "$SF1/_GEN_VERSION" 2>/dev/null | tr -d '[:space:]')" != "$GEN_V" ]; then
+  echo "generating $SF1 (10x $BASE row counts, gen v$GEN_V)..." >&2
+  rm -rf "$SF1"
   $JAVA graft.tools.GenData "$SF1" 10 "$BASE"
 fi
 exec $JAVA graft.tools.ScalingLedger "$BASE" "$SF1" 10 SCALING_LEDGER.json "${@:3}"

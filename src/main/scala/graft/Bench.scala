@@ -66,9 +66,11 @@ object Bench {
         // flags 4-5x "regressions" on byte-identical code (measured:
         // repetition_scores 1.38 s in-suite vs 0.32 s with a clean store,
         // min-of-3 both). Unpersist explicitly so each query is measured
-        // against the same storage state it would see alone.
+        // against the same storage state it would see alone; blocking so
+        // block removal finishes HERE, between queries, instead of
+        // overlapping the next query's timed region.
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         name -> (if (times.nonEmpty) times.min else 0.0)
       }
     def fmt(v: Double) = f"$v%.4f"

@@ -91,9 +91,9 @@ final class ModelStore(spark: SparkSession, val root: String) {
     * the table after our listing (its `_VERSION` pointer mtime
     * postdates gc start → skip) and a concurrent drop (pointer gone →
     * skip, nothing to reclaim). */
-  def gc(liveFps: Set[String]): Seq[(String, String)] = {
+  def gc(liveFps: Set[String],
+      skewMarginMs: Long = ModelStore.GcSkewMarginMs): Seq[(String, String)] = {
     val gcStart = System.currentTimeMillis()
-    val conf = spark.sessionState.newHadoopConf()
     val dropped = Seq.newBuilder[(String, String)]
     val hexFp = "[0-9a-f]{16}"
     wh.tables("models").foreach { t =>
@@ -103,13 +103,19 @@ final class ModelStore(spark: SparkSession, val root: String) {
         if (!liveFps.contains(fp)) {
           ModelStore.keyLock(s"$root/${t.qualified}").synchronized {
             // Re-check under the lock: only drop a table whose live
-            // pointer still exists AND predates this gc pass. getOrTrain
-            // commits the pointer last (create-then-swap), so any
-            // concurrently-created generation has mtime >= gcStart.
-            val vf = new Path(s"$root/models/${t.table}/_VERSION")
-            val fs = vf.getFileSystem(conf)
-            if (fs.exists(vf) &&
-                fs.getFileStatus(vf).getModificationTime < gcStart) {
+            // pointer still exists AND predates this gc pass by a clear
+            // margin. getOrTrain commits the pointer last
+            // (create-then-swap), so any concurrently-created generation
+            // has commit time >= gcStart — but the pointer's mtime comes
+            // from the STORE's clock (NameNode, object store) at
+            // whatever granularity it keeps (whole seconds on some
+            // filesystems), while gcStart is this JVM's clock. The
+            // skew margin makes "predates" robust to both: a commit
+            // landing within a minute of gcStart is treated as
+            // concurrent and skipped (the next offline gc pass, the
+            // documented contract, reclaims it).
+            val cutoff = gcStart - skewMarginMs
+            if (wh.versionMtime(t).exists(_ < cutoff)) {
               wh.drop(t)
               dropped += ((name, fp))
             }
@@ -122,6 +128,13 @@ final class ModelStore(spark: SparkSession, val root: String) {
 }
 
 object ModelStore {
+
+  /** Clock-skew margin for [[ModelStore.gc]]'s drop-safety re-check:
+    * the version pointer's mtime is assigned by the storage system's
+    * clock at its granularity; a generation committed within this
+    * margin of gc start is treated as concurrent and kept. One minute
+    * covers second-granularity filesystems plus realistic NTP drift. */
+  val GcSkewMarginMs: Long = 60000L
 
   /** Bump when the TRAINING semantics of any stored artifact change:
     * fingerprints key on corpus bytes only, so a semantic change to a

@@ -50,6 +50,18 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
 
   def exists(t: TableRef): Boolean = currentVersion(t).isDefined
 
+  /** Modification time of the live version POINTER (not the data files)
+    * as the filesystem reports it, or None when the table has no live
+    * pointer. The pointer is committed last (create-then-swap), so this
+    * is the commit time of the current generation — the signal
+    * [[graft.io.ModelStore.gc]] keys its drop-safety re-check on.
+    * Encapsulated here so a layout change can't silently strand gc on a
+    * hand-derived path. */
+  def versionMtime(t: TableRef): Option[Long] = {
+    val vf = versionFile(t)
+    if (fs.exists(vf)) Some(fs.getFileStatus(vf).getModificationTime) else None
+  }
+
   /** Partition columns declared at table creation (Hive-style layout —
     * the 100 TB data-skipping lever: a filter on a partition column prunes
     * whole directories before any IO). Persisted next to the version

@@ -100,15 +100,17 @@ object DedupOps {
     * collision (≈ rows²/2⁶⁵) only adds a candidate pair, which the
     * est-jaccard filter then judges on the real signatures. */
   def lshBuckets(sigArr: DataFrame, id: String,
-      bands: Int = Bands): DataFrame = {
+      bands: Int = Bands, carry: Seq[String] = Nil): DataFrame = {
     require(bands >= 1 && K % bands == 0, s"bands must divide K=$K, got $bands")
     val r = K / bands
-    sigArr.select(col(id), explode(array((0 until bands).map { b =>
+    val keep = col(id) +: carry.map(col)
+    sigArr.select(keep :+ explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(array_join(transform(slice(col("sig"), b * r + 1, r),
           x => x.cast("string")), "_")).as("bkey"))
-    }: _*)).as("bb"))
-      .select(col(id), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    }: _*)).as("bb"): _*)
+      .select(keep :+ col("bb.band").as("band") :+
+        col("bb.bkey").as("bkey"): _*)
   }
 
   /** Per-(band, bkey) population cap for the LSH bucket self-join: a
@@ -119,8 +121,10 @@ object DedupOps {
     * `dedup_lsh_bucket_ledger` gate entry measures max ≈ cluster size 2
     * on the gate corpora); 256 is orders of magnitude above that while
     * bounding per-bucket join work at 256²/2 pairs. Over-cap buckets
-    * degrade from CLIQUE to sorted PATH (see [[minhashCandidates]]) —
-    * linear rows, connectivity preserved. */
+    * degrade from CLIQUE to signature-ordered PATH (see
+    * [[minhashCandidates]]) — linear rows, connectivity preserved
+    * pre-filter, threshold-equivalent clusters for identical-signature
+    * families. */
   val MaxBucket = 256
 
   /** Candidate near-duplicate pairs (id_a < id_b) that share ≥1 LSH bucket,
@@ -129,15 +133,21 @@ object DedupOps {
     * Self-join is on (band, bkey) — co-partitioned, no cross product.
     *
     * Buckets over `maxBucket` members emit consecutive-pair PATH edges
-    * (sorted by id) instead of the full clique: O(m) rows instead of
-    * O(m²), every member still reachable from every other, so
-    * transitive consumers ([[connectedComponents]], whose pointer
-    * doubling absorbs the added path depth in log rounds) produce the
-    * same clusters; pairwise consumers lose only intra-mega-bucket
-    * pairs, which are near-identical-grade duplicates that the exact
-    * dedup pass preceding near-dedup in every committed pipeline
-    * already collapses. On honest corpora the cap never fires
-    * (ledger-checked) and the output is byte-identical to uncapped. */
+    * (walked in full-signature order, id tiebreak — see the window
+    * comment in the body) instead of the full clique: O(m) rows instead
+    * of O(m²), every member still reachable from every other pre-filter,
+    * and each identical-signature run is contiguous so the est_jaccard
+    * threshold every consumer applies keeps the within-run edges
+    * (est = 1.0) and drops only the run-boundary edges the thresholded
+    * clique would drop too — transitive consumers
+    * ([[connectedComponents]], whose pointer doubling absorbs the added
+    * path depth in log rounds) produce the same clusters as the
+    * thresholded clique for identical-signature families; pairwise
+    * consumers lose only intra-mega-bucket pairs, which are
+    * near-identical-grade duplicates that the exact dedup pass preceding
+    * near-dedup in every committed pipeline already collapses. On honest
+    * corpora the cap never fires (ledger-checked) and the output is
+    * byte-identical to uncapped. */
   def minhashCandidates(df: DataFrame, id: String, text: String,
       bands: Int = Bands, distinctPairs: Boolean = true,
       maxBucket: Int = MaxBucket): DataFrame = {
@@ -157,17 +167,39 @@ object DedupOps {
     // window), so a single hash-shuffle + per-partition sort serves
     // both — never a single-partition funnel, and the sort feeds the
     // sort-merge bucket join below, which shuffles on the same key.
-    val w = Window.partitionBy(col("band"), col("bkey")).orderBy(col(id))
-    val bkRaw = lshBuckets(sigArr, id, bands)
+    //
+    // The path is walked in FULL-SIGNATURE order (64-bit hash of the
+    // whole signature, id tiebreak), not id order: an over-cap bucket
+    // can hold more than one duplicate family (two distinct texts whose
+    // minhashes collide on this one band), and downstream consumers
+    // threshold on est_jaccard — id order interleaves the families, so
+    // every consecutive-pair edge is a LOW-est cross-family edge and
+    // the threshold filter fragments both families. Signature order
+    // makes each identical-signature run contiguous: within-run path
+    // edges have est = 1.0 (they survive any threshold), and the single
+    // run-boundary edge is the same cross-family pair the thresholded
+    // CLIQUE would also have filtered — so post-filter clusters match
+    // the uncapped plan exactly for identical-signature families
+    // (variant members of a family sort by hash, not similarity; their
+    // pairwise loss stays covered by the exact-dedup-first contract).
+    val sigK = sigArr.withColumn("__skey",
+      xxhash64(array_join(transform(col("sig"), x => x.cast("string")), "_")))
+    val w = Window.partitionBy(col("band"), col("bkey"))
+      .orderBy(col("__skey"), col(id))
+    val bkRaw = lshBuckets(sigK, id, bands, carry = Seq("__skey"))
     val bk0 = bkRaw.select(col(id), col("band"), col("bkey"),
       count(lit(1)).over(w.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)).as("__n"),
       lead(col(id), 1).over(w).as("__nx"))
     val bk = if (guarded) bk0.filter(col("__n") <= maxBucket)
-      .select(col(id), col("band"), col("bkey")) else bkRaw
+      .select(col(id), col("band"), col("bkey"))
+      else bkRaw.select(col(id), col("band"), col("bkey"))
+    // Successor ids are signature-ordered, not id-ordered — normalize to
+    // the id_a < id_b pair contract the clique branch guarantees.
     val pathPairs = bk0.filter(col("__n") > maxBucket)
       .filter(col("__nx").isNotNull)
-      .select(col(id).as("id_a"), col("__nx").as("id_b"))
+      .select(least(col(id), col("__nx")).as("id_a"),
+        greatest(col(id), col("__nx")).as("id_b"))
     // Explode-derived size estimates tempt Catalyst into broadcasting the
     // bucket index — wrong at corpus scale and parallelism-capping here.
     // `distinctPairs = false` skips the dedup exchange: a pair sharing
@@ -300,7 +332,8 @@ object DedupOps {
     * spec surface for the O(log diameter) bound. */
   private[graft] def connectedComponentsWithRounds(
       vertices: DataFrame, pairs: DataFrame,
-      id: String, maxIter: Int = 20): (DataFrame, Int) = {
+      id: String, maxIter: Int = 20,
+      jumpDelay: Int = JumpDelay): (DataFrame, Int) = {
     // Pre-partition edges by the join key so every round's join reuses
     // this layout (localCheckpoint preserves output partitioning) —
     // the big edge set shuffles once, not once per round. Symmetrize
@@ -343,10 +376,10 @@ object DedupOps {
       // ever adopt other vertices' ids), so the inner lookup always
       // hits and never crosses components — the jump target's label is
       // ≤ the jumped label, which is exactly why distance doubles.
-      // Skipped for the first JumpDelay rounds (see scaladoc): graphs
+      // Skipped for the first jumpDelay rounds (see scaladoc): graphs
       // that converge inside the delay never pay this self-join.
       val terms =
-        if (iter < JumpDelay) viaEdge.union(labels)
+        if (iter < jumpDelay) viaEdge.union(labels)
         else {
           val viaJump = labels.as("l1").join(labels.as("l2"),
               col("l1.component") === col("l2.v"))
@@ -378,40 +411,15 @@ object DedupOps {
     * semantics for [[connectedComponents]] (no pointer jump, so
     * O(component diameter) rounds; kept for the label-equivalence spec
     * the way [[delNeighborhoodComposed]] backs [[delNeighborhood]]).
-    * Never the pipeline path: an adversarial chain-shaped duplicate
-    * cluster makes its round count the chain length. */
+    * Same loop with the jump term disabled (`jumpDelay` past `maxIter`),
+    * so the shared machinery — symmetrization, checksum convergence,
+    * fail-loud — has exactly one implementation. Never the pipeline
+    * path: an adversarial chain-shaped duplicate cluster makes its
+    * round count the chain length. */
   private[graft] def connectedComponentsRef(vertices: DataFrame,
-      pairs: DataFrame, id: String, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
-      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
-      .distinct().repartition(col("src")).localCheckpoint(true)
-    def checksum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("component").cast(DecimalType(38, 0))))
-        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    var labels = vertices.select(col(id).as("v"))
-      .withColumn("component", col("v")).localCheckpoint(true)
-    var oldSum = checksum(labels)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val viaEdge = edges.join(labels, col("src") === col("v"))
-        .select(col("dst").as("v"), col("component"))
-      val next = viaEdge.union(labels)
-        .groupBy(col("v")).agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
-      val newSum = checksum(next)
-      converged = newSum.compareTo(oldSum) == 0
-      oldSum = newSum
-      labels = next
-      iter += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponentsRef did not converge in $maxIter rounds")
-    labels.select(col("v").as(id), col("component"))
-  }
+      pairs: DataFrame, id: String, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(vertices, pairs, id, maxIter,
+      jumpDelay = Int.MaxValue)._1
 
   /** Cluster-minimum keep list: collapse every transitive duplicate
     * cluster (connected component of the candidate-pair graph) to its

@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * runtime-ratio measurements. */
 object GenData {
 
+  /** Bump on ANY change to the generated distributions (word/zipf
+    * inverse-CDF, value ranges, row-count formulas): the stamp is
+    * written to `<out>/_GEN_VERSION` and `run_scaling.sh` refuses to
+    * reuse a cached scaled corpus whose stamp mismatches — otherwise a
+    * ledger run after a generator fix would compare a fresh base scale
+    * against a stale scaled corpus and measure the distribution change,
+    * not scaling. */
+  val GeneratorVersion = 2 // v2: zipf rank = floor(V^u), rank-1 head restored
+
   /** Uniform double in [0, 1) from (id, seed) — 20 bits of hash. */
   private def u(id: Column, seed: Int): Column =
     pmod(xxhash64(id, lit(seed)), lit(1048576L)).cast("double") / 1048576.0
@@ -223,6 +232,11 @@ object GenData {
             / 1048576.0 - 0.5) * 0.5).cast("float")).as("embedding"),
       label.cast("int").as("label"))
     w(emb, "embeddings", 2 * mult / 10 + 1)
-    println(s"[gendata] wrote ${out} at ${mult}x sf0.1")
+    // Version stamp LAST — a partially-written corpus (crash mid-gen)
+    // never carries a valid stamp, so the reuse check regenerates it.
+    val stamp = new java.io.File(s"$out/_GEN_VERSION")
+    val pw = new java.io.PrintWriter(stamp)
+    try pw.println(GeneratorVersion) finally pw.close()
+    println(s"[gendata] wrote ${out} at ${mult}x sf0.1 (gen v$GeneratorVersion)")
   }
 }

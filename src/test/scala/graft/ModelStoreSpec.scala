@@ -66,7 +66,11 @@ class ModelStoreSpec extends AnyFunSuite with SparkSuite {
     // tooling under models/) must never be swept, whatever liveFps says.
     store.getOrTrain("legacy", "snapshot")(df)
     val liveRows = store.getOrTrain("dict", live)(sys.error("trained")).collect().toSeq
-    val dropped = store.gc(Set(live))
+    // skewMarginMs = 0: the spec creates and sweeps within one clock
+    // tick; the default 60 s margin exists for cross-clock stores and
+    // would (correctly) treat these just-committed artifacts as
+    // concurrent.
+    val dropped = store.gc(Set(live), skewMarginMs = 0L)
     assert(dropped.toSet == Set(("dict", stale), ("index", stale)),
       s"gc must sweep exactly the stale fingerprint's artifacts, got $dropped")
     assert(!store.exists("dict", stale) && !store.exists("index", stale))
@@ -78,7 +82,7 @@ class ModelStoreSpec extends AnyFunSuite with SparkSuite {
     assert(store.getOrTrain("dict", live)(sys.error("must not retrain"))
       .collect().toSeq == liveRows)
     // Idempotent: a second sweep with the same live set drops nothing.
-    assert(store.gc(Set(live)).isEmpty)
+    assert(store.gc(Set(live), skewMarginMs = 0L).isEmpty)
   }
 
   test("retrain commits a new version; previous generation time-travels") {

@@ -1391,6 +1391,73 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       s"mega-cluster degree $maxMega above the 2·bands path floor")
   }
 
+  test("LSH cap path walks signature order: colliding families don't cross-wire") {
+    // Adversarial shape beyond the single mega-cluster: TWO duplicate
+    // families whose (distinct) texts collide on at least one band
+    // bucket, interleaved by id. An id-ordered path walk would emit the
+    // colliding bucket's edges as alternating LOW-est cross-family
+    // pairs; signature order keeps each identical-signature run
+    // contiguous, so within-run edges carry est = 1.0 and the only
+    // cross-family path edges are the run boundaries (≤ 1 per colliding
+    // bucket per band).
+    // Find the colliding text pair by search: unrelated corpus docs
+    // (J ≈ 0.03) collide with odds est⁴ ≈ 1e-6 per band — effectively
+    // never — so plant MODERATE-similarity candidates: half of a base
+    // doc's words + a full other doc (J ≈ 0.25 < the 0.35 threshold,
+    // band-collision odds est⁴ ≈ 0.3 % per band × 8 bands × 500
+    // candidates ⇒ ~10 expected hits). Search at the CC banding
+    // (8 bands of r = 4) and take the lowest-id hit below threshold.
+    val ccBands = DedupOps.K / Oracles.CcR
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val baseText = corpus.orderBy(col("doc_id")).limit(1)
+      .collect()(0).getString(1)
+    val half = baseText.split(" ").take(baseText.split(" ").length / 2)
+      .mkString(" ")
+    val pool = corpus.limit(1)
+      .unionByName(corpus.filter(col("doc_id") > 0)
+        .select(col("doc_id"),
+          concat(lit(half + " "), col("text")).as("text")))
+    val lowPair = DedupOps.minhashCandidates(pool, "doc_id", "text",
+        bands = ccBands, maxBucket = Int.MaxValue)
+      .filter(col("est_jaccard") < SparkEntry.MinhashMinEst)
+      .orderBy(col("id_a"), col("id_b")).limit(1)
+      .collect()
+    assert(lowPair.nonEmpty,
+      "pool yields no low-est band collision at 8 bands — widen pool")
+    val (ida, idb) = (lowPair(0).getLong(0), lowPair(0).getLong(1))
+    val texts = pool.filter(col("doc_id").isin(ida, idb))
+      .orderBy(col("doc_id")).collect().map(_.getString(1))
+    // 300 copies of each text, interleaved even/odd ids → every bucket
+    // is over-cap (300 or 600 > MaxBucket), the colliding band's bucket
+    // holds both families.
+    val famA = spark.range(0, 300).select((col("id") * 2).as("doc_id"),
+      lit(texts(0)).as("text"))
+    val famB = spark.range(0, 300).select((col("id") * 2 + 1).as("doc_id"),
+      lit(texts(1)).as("text"))
+    val docs = famA.unionByName(famB)
+    val cand = DedupOps.minhashCandidates(docs, "doc_id", "text",
+        bands = ccBands, distinctPairs = false)
+      .localCheckpoint(true)
+    // Cross-family candidates (one endpoint even, one odd) must be rare
+    // boundary edges, not an interleaved walk (which would emit ~600
+    // per colliding band).
+    val cross = cand.filter(pmod(col("id_a"), lit(2)) =!=
+      pmod(col("id_b"), lit(2)))
+    assert(cross.count() <= ccBands.toLong,
+      s"cross-family path edges exceed one boundary per band")
+    // The CC consumer's view: threshold then cluster — exactly the two
+    // families, nothing fragmented, nothing merged.
+    val comp = DedupOps.connectedComponents(
+      docs.select(col("doc_id")),
+      cand.filter(col("est_jaccard") >= SparkEntry.MinhashMinEst)
+        .select(col("id_a"), col("id_b")),
+      "doc_id")
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(sizes == Seq(300L, 300L), s"expected two 300-doc clusters: $sizes")
+  }
+
   test("minhashCandidatesAgainst caps corpus-side buckets but keeps every arrival's verdict") {
     // Mega-bucket corpus: 3000 identical docs. A new arrival identical
     // to them must still be detected, but against ≤ MaxBucket
