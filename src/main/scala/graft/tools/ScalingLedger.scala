@@ -36,7 +36,9 @@ object ScalingLedger {
     "crawl_curation_pipeline", "dedup_incremental_candidates",
     "dedup_minhash_recall", "dedup_minhash_recall_tuned",
     "dedup_ngram_jaccard", "domain_cap_sample", "quality_model_filter",
-    "url_canonicalize", "url_dedup")
+    "url_canonicalize", "url_dedup",
+    // round-12 additions: incremental ANN maintenance + the cap ledger
+    "knn_ivf_incremental", "dedup_lsh_bucket_ledger")
 
   private case class Row(query: String, run1: Double, run2: Double, rows: Long)
 
