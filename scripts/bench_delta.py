@@ -38,13 +38,18 @@ def main():
     # From r12 on, the STDOUT total line (what the driver archives as
     # "parsed") carries only the 10 slowest queries under the same
     # "queries" key — the full map lives only in the written file. A
-    # truncated archive used as the reference would silently gate on
-    # <5% of the suite and exit 0; refuse it instead of "passing".
-    if ref_q and len(ref_q) < len(new_q) // 2:
-        print(f"[bench-delta] ref {ref_path} has {len(ref_q)} queries vs "
-              f"{len(new_q)} new — looks like a truncated stdout archive; "
-              f"use the full-map BENCH_PREV.json / BENCH_LOCAL.json file",
-              file=sys.stderr)
+    # truncated archive on EITHER side would silently gate on <5% of
+    # the suite and exit 0; refuse it instead of "passing", and leave
+    # an error artifact so the refused run can't be mistaken for the
+    # previous run's clean BENCH_DELTA.json.
+    if ref_q and min(len(ref_q), len(new_q)) < max(len(ref_q), len(new_q)) // 2:
+        msg = (f"ref {ref_path} has {len(ref_q)} queries vs {len(new_q)} "
+               f"new — one side looks like a truncated stdout archive; "
+               f"use the full-map BENCH_PREV.json / BENCH_LOCAL.json file")
+        print(f"[bench-delta] {msg}", file=sys.stderr)
+        with open("BENCH_DELTA.json", "w") as f:
+            json.dump({"ref": ref_path, "new": new_path, "error": msg},
+                      f, indent=1)
         return 2
 
     regressions, improvements = [], []

@@ -18,15 +18,21 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
 done
 JAVA="java $ADD_OPENS -Xmx24g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp target/scala-2.13/classes:/opt/spark/jars/*"
 # Regenerate unless the cached corpus carries the CURRENT generator
-# version stamp: a corpus from an older generator (or a crash mid-gen,
-# which never writes the stamp) would make the ledger compare different
-# distributions across scales and measure the generator delta, not
-# scaling.
-GEN_V=$(sed -n 's/.*GeneratorVersion = \([0-9][0-9]*\).*/\1/p' \
+# version AND parameter stamp (see GenData.stamp): a corpus from an
+# older generator, a different mult/source/vocab, or a crash mid-gen
+# (no stamp) would make the ledger compare different distributions
+# across scales and measure the generator delta, not scaling.
+GEN_V=$(sed -n 's/.*GeneratorVersion\s*\(:\s*Int\)\?\s*=\s*\([0-9][0-9]*\).*/\2/p' \
   src/main/scala/graft/tools/GenData.scala | head -1)
-if [ ! -f "$SF1/_GEN_VERSION" ] || \
-   [ "$(cat "$SF1/_GEN_VERSION" 2>/dev/null | tr -d '[:space:]')" != "$GEN_V" ]; then
-  echo "generating $SF1 (10x $BASE row counts, gen v$GEN_V)..." >&2
+if [ -z "$GEN_V" ]; then
+  echo "run_scaling.sh: could not read GeneratorVersion from GenData.scala" \
+    "— fix the sed pattern before trusting any cached corpus" >&2
+  exit 1
+fi
+WANT_STAMP="v$GEN_V mult=10 src=$BASE zipf=0"
+HAVE_STAMP=$(sed -n '1p' "$SF1/_GEN_VERSION" 2>/dev/null)
+if [ "$HAVE_STAMP" != "$WANT_STAMP" ]; then
+  echo "generating $SF1 (want stamp '$WANT_STAMP', have '${HAVE_STAMP:-none}')..." >&2
   rm -rf "$SF1"
   $JAVA graft.tools.GenData "$SF1" 10 "$BASE"
 fi

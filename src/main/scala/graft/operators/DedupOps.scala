@@ -294,9 +294,15 @@ object DedupOps {
     * term is the Shiloach–Vishkin pointer jump: the distance a
     * component minimum has propagated DOUBLES per round instead of
     * growing by one, so convergence is O(log(component diameter))
-    * rounds — a planted 2000-link chain converges in ~15 rounds where
-    * neighbor-only propagation needs 2000 (the default `maxIter` = 20
-    * covers diameters up to ~2¹⁵). Same fixed point as neighbor-only
+    * rounds — a planted 2000-link chain converges in ~13 rounds where
+    * neighbor-only propagation needs 2000. With the [[JumpDelay]] = 3
+    * adaptive delay below, maxIter rounds (one consumed by convergence
+    * detection) cover component diameters up to
+    * (JumpDelay+1)·2^(maxIter−JumpDelay−1) − 1 = 2^(maxIter−2) − 1
+    * — ~4.2 M at the default `maxIter` = 24, far beyond any
+    * duplicate-cluster diameter a capped candidate stage can emit
+    * (the LSH cap path is the deepest producer: one path per over-cap
+    * bucket). Same fixed point as neighbor-only
     * propagation (the spec proves label-identical outputs), same
     * per-round primitives — one edge⋈labels shuffle join, one
     * |V|-sized labels self-join, one min-groupBy — at 100 TB this is
@@ -325,14 +331,14 @@ object DedupOps {
   val JumpDelay = 3
 
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-      id: String, maxIter: Int = 20): DataFrame =
+      id: String, maxIter: Int = 24): DataFrame =
     connectedComponentsWithRounds(vertices, pairs, id, maxIter)._1
 
   /** [[connectedComponents]] exposing the converged round count — the
     * spec surface for the O(log diameter) bound. */
   private[graft] def connectedComponentsWithRounds(
       vertices: DataFrame, pairs: DataFrame,
-      id: String, maxIter: Int = 20,
+      id: String, maxIter: Int = 24,
       jumpDelay: Int = JumpDelay): (DataFrame, Int) = {
     // Pre-partition edges by the join key so every round's join reuses
     // this layout (localCheckpoint preserves output partitioning) —
@@ -401,7 +407,8 @@ object DedupOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(labels still shrinking) — component diameter exceeds " +
-          s"~$JumpDelay*2^(maxIter-$JumpDelay-1); raise maxIter " +
+          s"(JumpDelay+1)*2^(maxIter-JumpDelay-1)-1 " +
+          s"(= 2^(maxIter-2)-1 at JumpDelay=$JumpDelay); raise maxIter " +
           "(rounds needed = JumpDelay + O(log2(max component " +
           "diameter)) under delayed pointer doubling)")
     (labels.select(col("v").as(id), col("component")), iter)

@@ -232,11 +232,24 @@ object GenData {
             / 1048576.0 - 0.5) * 0.5).cast("float")).as("embedding"),
       label.cast("int").as("label"))
     w(emb, "embeddings", 2 * mult / 10 + 1)
-    // Version stamp LAST — a partially-written corpus (crash mid-gen)
-    // never carries a valid stamp, so the reuse check regenerates it.
-    val stamp = new java.io.File(s"$out/_GEN_VERSION")
-    val pw = new java.io.PrintWriter(stamp)
-    try pw.println(GeneratorVersion) finally pw.close()
-    println(s"[gendata] wrote ${out} at ${mult}x sf0.1 (gen v$GeneratorVersion)")
+    // Version + parameter stamp LAST — a partially-written corpus
+    // (crash mid-gen) never carries a valid stamp, so the reuse check
+    // regenerates it. The stamp records the generation PARAMETERS too:
+    // a cached corpus built at a different mult / source / vocab is as
+    // wrong to reuse as one from an older generator. Written through
+    // the Hadoop FS like every table above, so non-local out URIs
+    // (hdfs://, s3a://) stamp correctly.
+    val stampText = stamp(mult, src, zipfVocab)
+    val p = new org.apache.hadoop.fs.Path(s"$out/_GEN_VERSION")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val os = fs.create(p, true)
+    try os.write((stampText + "\n").getBytes("UTF-8")) finally os.close()
+    println(s"[gendata] wrote ${out} at ${mult}x sf0.1 ($stampText)")
   }
+
+  /** Stamp line `_GEN_VERSION` carries: generator version + the exact
+    * generation parameters. `run_scaling.sh` rebuilds the expected line
+    * from its own arguments and regenerates on ANY mismatch. */
+  def stamp(mult: Int, src: String, zipfVocab: Int): String =
+    s"v$GeneratorVersion mult=$mult src=$src zipf=$zipfVocab"
 }

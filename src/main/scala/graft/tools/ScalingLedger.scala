@@ -48,11 +48,12 @@ object ScalingLedger {
       val n = SparkEntry.queries(name)(spark, dir).count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
-    // Same inter-query storage hygiene as Bench, same reason: 144
-    // executions (36 queries x 2 runs x 2 scales) in one JVM accumulate
-    // localCheckpoint blocks, and the scaled phase runs LAST — without
-    // this the published ratios inherit a storage-pressure bias against
-    // the scaled runs. Blocking, and outside the timed region.
+    // Same inter-query storage hygiene as Bench, same reason: the
+    // standing set x 2 runs x 2 scales of executions in one JVM
+    // accumulate localCheckpoint blocks, and the scaled phase runs
+    // LAST — without this the published ratios inherit a
+    // storage-pressure bias against the scaled runs. Blocking, and
+    // outside the timed region.
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     Row(name, runs(0)._1, runs(1)._1, runs(1)._2)

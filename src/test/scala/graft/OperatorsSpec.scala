@@ -1410,12 +1410,18 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     val ccBands = DedupOps.K / Oracles.CcR
     val corpus = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
-    val baseText = corpus.orderBy(col("doc_id")).limit(1)
-      .collect()(0).getString(1)
+    // The base member must be the SAME row the variants exclude —
+    // an unordered limit(1) has no first-row contract and could put a
+    // duplicate doc_id in the pool (raw + half-prefixed variant of one
+    // doc), making texts(0)/texts(1) a high-J pair that merges the
+    // families downstream.
+    val baseRow = corpus.orderBy(col("doc_id")).limit(1).collect()(0)
+    val (baseId, baseText) = (baseRow.getLong(0), baseRow.getString(1))
     val half = baseText.split(" ").take(baseText.split(" ").length / 2)
       .mkString(" ")
-    val pool = corpus.limit(1)
-      .unionByName(corpus.filter(col("doc_id") > 0)
+    val pool = spark.range(1).select(lit(baseId).as("doc_id"),
+        lit(baseText).as("text"))
+      .unionByName(corpus.filter(col("doc_id") =!= baseId)
         .select(col("doc_id"),
           concat(lit(half + " "), col("text")).as("text")))
     val lowPair = DedupOps.minhashCandidates(pool, "doc_id", "text",
