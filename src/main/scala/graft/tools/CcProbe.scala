@@ -1,0 +1,136 @@
+package graft.tools
+
+import java.io.{File, PrintWriter}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+/** Adversarial-topology probe for [[DedupOps.connectedComponents]]: runs
+  * the production CC loop on PLANTED worst-case graphs far beyond the
+  * spec-sized fixtures and reports measured round counts against the
+  * documented bound (rounds = JumpDelay + O(log2 diameter) + 1 detection
+  * round under delayed pointer doubling).
+  *
+  * Shapes (all deterministic `spark.range` constructions, no RNG):
+  *   - chain n    — path graph, diameter n-1: the neighbor-only killer
+  *     (rounds = n there) and the shape the capped-LSH over-cap path
+  *     emits for a degenerate mega-bucket. THE pointer-doubling test.
+  *   - star n     — one hub, n leaves, diameter 2: converges inside the
+  *     jump delay, AND stresses the `repartition(src)` hot key (half the
+  *     symmetrized edges share src = hub) — the mega-cluster skew shape
+  *     from CONTRACTS §4.
+  *   - random n m — m hash-edges over n vertices (xxhash64 endpoints):
+  *     many components of assorted shapes, the realistic mixed case.
+  *
+  * Usage: graft.tools.CcProbe [jsonOut] [maxChain]
+  * Emits a paste-ready markdown table (stdout) + a JSON twin, and FAILS
+  * (nonzero exit) if any measured round count exceeds the documented
+  * bound or any component count is wrong — so the probe is a check, not
+  * just a measurement. */
+object CcProbe {
+
+  private case class Probe(shape: String, n: Long, edges: Long,
+      diameter: Long, rounds: Int, bound: Int, secs: Double, comps: Long)
+
+  /** Documented worst-case rounds for a given diameter: JumpDelay
+    * neighbor-only rounds cover distance JumpDelay; each doubling round
+    * k ≥ JumpDelay covers ≥ (JumpDelay+1)·2^(k−JumpDelay−1); +1 round of
+    * equal-checksum convergence detection. */
+  private def roundBound(diameter: Long): Int = {
+    val d = DedupOps.JumpDelay
+    if (diameter <= d) diameter.toInt + 1
+    else {
+      var k = d + 1
+      var covered = (d + 1).toLong
+      while (covered < diameter && k < 64) { covered *= 2; k += 1 }
+      k + 1
+    }
+  }
+
+  private def run(spark: SparkSession, shape: String, n: Long,
+      vertices: DataFrame, pairs: DataFrame, diameter: Long,
+      expectComps: Option[Long]): Probe = {
+    val m = pairs.count()
+    val t0 = System.nanoTime()
+    val (labels, rounds) =
+      DedupOps.connectedComponentsWithRounds(vertices, pairs, "doc_id")
+    val comps = labels.agg(countDistinct(col("component"))).head.getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val bound = roundBound(diameter)
+    val ok = rounds <= bound && expectComps.forall(_ == comps)
+    System.err.println(f"$shape%-7s n=$n%9d rounds=$rounds%2d bound=$bound%2d " +
+      f"comps=$comps secs=$secs%7.2f ${if (ok) "ok" else "VIOLATION"}")
+    require(rounds <= bound,
+      s"$shape n=$n took $rounds rounds > documented bound $bound")
+    expectComps.foreach(e => require(comps == e,
+      s"$shape n=$n produced $comps components, expected $e"))
+    Probe(shape, n, m, diameter, rounds, bound, secs, comps)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val jsonOut = args.headOption.getOrElse("CC_PROBE.json")
+    val maxChain = if (args.length > 1) args(1).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def chain(n: Long): Probe = run(spark, "chain", n,
+      spark.range(1, n + 1).select(col("id").as("doc_id")),
+      spark.range(1, n)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b")),
+      diameter = n - 1, expectComps = Some(1L))
+
+    def star(n: Long): Probe = run(spark, "star", n,
+      spark.range(0, n + 1).select(col("id").as("doc_id")),
+      spark.range(1, n + 1)
+        .select(lit(0L).as("id_a"), col("id").as("id_b")),
+      diameter = 2, expectComps = Some(1L))
+
+    // Hash-random m edges over n vertices. True component count/diameter
+    // aren't closed-form here, so this row is a measurement, not a
+    // check: rounds are bounded only by the worst any n-vertex graph
+    // can have (n-1), and the component count is reported as-is.
+    // Label-EQUIVALENCE vs the neighbor-only reference on random
+    // graphs is already a spec (OperatorsSpec), which is where that
+    // correctness contract lives.
+    def random(n: Long, m: Long): Probe = {
+      val vertices = spark.range(0, n).select(col("id").as("doc_id"))
+      val pairs = spark.range(0, m).select(
+          pmod(xxhash64(col("id"), lit(1)), lit(n)).as("id_a"),
+          pmod(xxhash64(col("id"), lit(2)), lit(n)).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      run(spark, "random", n, vertices, pairs,
+        diameter = n - 1, expectComps = None)
+    }
+
+    val chains = Seq(2000L, 20000L, 200000L, maxChain).distinct.sorted
+    val probes = chains.map(chain) :+ star(maxChain) :+
+      random(maxChain / 2, maxChain / 2)
+    spark.stop()
+
+    println(s"\n## CC adversarial probe (production loop, JumpDelay=" +
+      s"${DedupOps.JumpDelay}, maxIter default, local[$cpus])\n")
+    println("| shape | n | edges | diameter | rounds | bound | secs |")
+    println("|---|---|---|---|---|---|---|")
+    probes.foreach { p =>
+      val dia = if (p.shape == "random") "<= n-1" else p.diameter.toString
+      println(f"| ${p.shape} | ${p.n} | ${p.edges} | $dia | ${p.rounds} | ${p.bound} | ${p.secs}%.2f |")
+    }
+    val json = probes.map { p =>
+      f"""{"shape":"${p.shape}","n":${p.n},"edges":${p.edges},"diameter":${p.diameter},"rounds":${p.rounds},"bound":${p.bound},"secs":${p.secs}%.3f,"components":${p.comps}}"""
+    }.mkString(",")
+    val pw = new PrintWriter(new File(jsonOut))
+    try pw.println(s"""{"jump_delay":${DedupOps.JumpDelay},"cpus":$cpus,"probes":[$json]}""")
+    finally pw.close()
+    System.err.println(s"wrote $jsonOut")
+  }
+}
