@@ -112,7 +112,8 @@ object CcProbe {
         diameter = n - 1, expectComps = None)
     }
 
-    val chains = Seq(2000L, 20000L, 200000L, maxChain).distinct.sorted
+    val chains =
+      (Seq(2000L, 20000L, 200000L).filter(_ < maxChain) :+ maxChain).sorted
     val probes = chains.map(chain) :+ star(maxChain) :+
       random(maxChain / 2, maxChain / 2)
     spark.stop()

@@ -64,6 +64,7 @@ object LshCapProbe {
     // Planted-family edges and their est floor; honest-side candidates.
     val fam = cand.filter(col("id_a") < k && col("id_b") < k)
     val nFam = fam.count()
+    require(nFam >= k - 1, s"family pairs $nFam < ${k - 1}: path disconnected")
     val minEst = fam.agg(min(col("est_jaccard"))).head.getDouble(0)
     val nHon = cand.filter(col("id_a") >= k || col("id_b") >= k).count()
 
@@ -92,7 +93,6 @@ object LshCapProbe {
 
     require(nCand <= pairBound + honest,
       s"candidate stage emitted $nCand pairs > path bound $pairBound (+$honest noise allowance)")
-    require(nFam >= k - 1, s"family pairs $nFam < ${k - 1}: path disconnected")
     require(minEst == 1.0, s"family edge est_jaccard $minEst != 1.0")
     require(famSize == k, s"family fragmented: largest component $famSize != $k")
     require(nComps == honest + 1,
