@@ -21,19 +21,34 @@ def per_query(path):
     # Accept both the Bench output shape {"queries": {...}} and the
     # driver archive shape {"parsed": {"queries": {...}}}.
     if isinstance(d.get("queries"), dict):
-        return d["queries"], d.get("value")
+        return d["queries"], d.get("value"), d.get("n_queries"), d.get("sf")
     p = d.get("parsed") or {}
-    return p.get("queries", {}), p.get("value")
+    return p.get("queries", {}), p.get("value"), p.get("n_queries"), \
+        p.get("sf")
 
 
 def main():
     new_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_LOCAL.json"
     ref_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_PREV.json"
-    new_q, new_total = per_query(new_path)
+    new_q, new_total, new_n, new_sf = per_query(new_path)
     try:
-        ref_q, ref_total = per_query(ref_path)
+        ref_q, ref_total, ref_n, ref_sf = per_query(ref_path)
     except FileNotFoundError:
-        ref_q, ref_total = {}, None
+        ref_q, ref_total, ref_n, ref_sf = {}, None, None, None
+
+    # A run at a different scale factor is not a regression reference —
+    # every ratio would be the data-size delta, not a plan change (found
+    # the hard way: an sf0.001 smoke gated against the sf0.1 archive
+    # reported 30 bogus "regressions").
+    if ref_q and new_sf and ref_sf and new_sf != ref_sf:
+        msg = (f"ref {ref_path} is sf '{ref_sf}' but new {new_path} is "
+               f"sf '{new_sf}' — cross-scale timings aren't comparable; "
+               f"benchmark both sides at the same sf dir")
+        print(f"[bench-delta] {msg}", file=sys.stderr)
+        with open("BENCH_DELTA.json", "w") as f:
+            json.dump({"ref": ref_path, "new": new_path, "error": msg},
+                      f, indent=1)
+        return 2
 
     # From r12 on, the STDOUT total line (what the driver archives as
     # "parsed") carries only the 10 slowest queries under the same
@@ -42,10 +57,21 @@ def main():
     # the suite and exit 0; refuse it instead of "passing", and leave
     # an error artifact so the refused run can't be mistaken for the
     # previous run's clean BENCH_DELTA.json.
-    if ref_q and min(len(ref_q), len(new_q)) < max(len(ref_q), len(new_q)) // 2:
-        msg = (f"ref {ref_path} has {len(ref_q)} queries vs {len(new_q)} "
-               f"new — one side looks like a truncated stdout archive; "
-               f"use the full-map BENCH_PREV.json / BENCH_LOCAL.json file")
+    #
+    # Detection is two-layer: the self-declared n_queries count (Bench
+    # writes it in BOTH output shapes from r12 on) catches truncation
+    # deterministically even when both sides are truncated to the same
+    # 10 slowest; the cross-side length ratio is the fallback for
+    # pre-n_queries archives.
+    def truncated(q, n):
+        return bool(q) and n is not None and len(q) < n
+    both_sides_short = ref_q and \
+        min(len(ref_q), len(new_q)) < max(len(ref_q), len(new_q)) // 2
+    if truncated(new_q, new_n) or truncated(ref_q, ref_n) or both_sides_short:
+        msg = (f"ref {ref_path} has {len(ref_q)} queries (declared "
+               f"{ref_n}) vs {len(new_q)} new (declared {new_n}) — "
+               f"a truncated stdout archive; use the full-map "
+               f"BENCH_PREV.json / BENCH_LOCAL.json file")
         print(f"[bench-delta] {msg}", file=sys.stderr)
         with open("BENCH_DELTA.json", "w") as f:
             json.dump({"ref": ref_path, "new": new_path, "error": msg},

@@ -30,10 +30,24 @@ if [ -z "$GEN_V" ]; then
   exit 1
 fi
 WANT_STAMP="v$GEN_V mult=10 src=$BASE zipf=0"
-HAVE_STAMP=$(sed -n '1p' "$SF1/_GEN_VERSION" 2>/dev/null)
+# `|| true`: a missing stamp file makes sed exit nonzero, and under
+# `set -e` the bare assignment would kill the script right here — the
+# first-run "generate if absent" path must survive the read failing.
+HAVE_STAMP=$(sed -n '1p' "$SF1/_GEN_VERSION" 2>/dev/null || true)
 if [ "$HAVE_STAMP" != "$WANT_STAMP" ]; then
   echo "generating $SF1 (want stamp '$WANT_STAMP', have '${HAVE_STAMP:-none}')..." >&2
   rm -rf "$SF1"
   $JAVA graft.tools.GenData "$SF1" 10 "$BASE"
+  # WANT_STAMP came from the SOURCE; GenData ran from COMPILED classes.
+  # If they disagree (GeneratorVersion bumped without sbt compile), the
+  # regenerated corpus is from the OLD generator — re-read the stamp the
+  # generator actually wrote and refuse to measure against it.
+  GOT_STAMP=$(sed -n '1p' "$SF1/_GEN_VERSION" 2>/dev/null || true)
+  if [ "$GOT_STAMP" != "$WANT_STAMP" ]; then
+    echo "run_scaling.sh: generated corpus stamped '$GOT_STAMP' but source" \
+      "expects '$WANT_STAMP' — target/scala-2.13/classes is stale; run" \
+      "'sbt compile' and retry" >&2
+    exit 1
+  fi
 fi
 exec $JAVA graft.tools.ScalingLedger "$BASE" "$SF1" 10 SCALING_LEDGER.json "${@:3}"

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Prints ONE final JSON line (the driver contract):
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"failed":[]}`.
@@ -31,14 +30,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ToolSession.local(cpus, logLevel = "WARN")
     // Warmup: absorb JVM/codegen/classloading startup so the first measured
     // query isn't charged for it.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -58,19 +50,10 @@ object Bench {
             None
           }
         }
-        // Inter-query storage hygiene, OUTSIDE the timed region: queries
-        // localCheckpoint their reused branches, and those blocks stay in
-        // executor storage memory until the async ContextCleaner notices
-        // the dropped references — by the back of a 212-query alphabet the
-        // accumulated blocks squeeze execution memory and a suite run
-        // flags 4-5x "regressions" on byte-identical code (measured:
-        // repetition_scores 1.38 s in-suite vs 0.32 s with a clean store,
-        // min-of-3 both). Unpersist explicitly so each query is measured
-        // against the same storage state it would see alone; blocking so
-        // block removal finishes HERE, between queries, instead of
-        // overlapping the next query's timed region.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        // Inter-query storage hygiene, OUTSIDE the timed region (see
+        // ToolSession.clearStorage — measured: repetition_scores 1.38 s
+        // in-suite vs 0.32 s with a clean store, min-of-3 both).
+        ToolSession.clearStorage(spark)
         name -> (if (times.nonEmpty) times.min else 0.0)
       }
     def fmt(v: Double) = f"$v%.4f"
@@ -91,8 +74,11 @@ object Bench {
     // with 210+ queries the full map outgrew the driver's line capture
     // every round (BENCH_r{4..11}.json all landed parsed:null), and the
     // bench_chunk lines above already carry every timing.
+    // n_queries lets the regression gate distinguish a genuine full map
+    // from a truncated archive deterministically (len(queries) <
+    // n_queries ⇒ refuse) even when BOTH inputs are truncated.
     val fileLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"queries":$qsAll,"failed":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"n_queries":${results.size},"queries":$qsAll,"failed":$fails,"sf":"$sfDir"}"""
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

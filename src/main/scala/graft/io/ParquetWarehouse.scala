@@ -59,7 +59,13 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     * hand-derived path. */
   def versionMtime(t: TableRef): Option[Long] = {
     val vf = versionFile(t)
-    if (fs.exists(vf)) Some(fs.getFileStatus(vf).getModificationTime) else None
+    // exists-then-stat is not atomic: a concurrent drop between the two
+    // calls must read as "pointer gone" (None — the caller's skip
+    // signal), not throw and abort the caller's whole sweep.
+    try {
+      if (fs.exists(vf)) Some(fs.getFileStatus(vf).getModificationTime)
+      else None
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** Partition columns declared at table creation (Hive-style layout —

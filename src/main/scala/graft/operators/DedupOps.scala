@@ -142,12 +142,21 @@ object DedupOps {
     * clique would drop too — transitive consumers
     * ([[connectedComponents]], whose pointer doubling absorbs the added
     * path depth in log rounds) produce the same clusters as the
-    * thresholded clique for identical-signature families; pairwise
-    * consumers lose only intra-mega-bucket pairs, which are
-    * near-identical-grade duplicates that the exact dedup pass preceding
-    * near-dedup in every committed pipeline already collapses. On honest
-    * corpora the cap never fires (ledger-checked) and the output is
-    * byte-identical to uncapped. */
+    * thresholded clique for identical-signature families. The PAIRWISE
+    * keep ([[keepAfterNearDedup]]) is also cap-equivalent for
+    * identical-signature families (within a run the id tiebreak makes
+    * path edges id-consecutive, so every member but the run minimum
+    * appears as id_b) — but NOT for distinct-signature variants in a
+    * fired over-cap bucket: their path segment is hash-ordered, so the
+    * pairwise keep retains every hash-order local minimum instead of
+    * one survivor. Byte-identical members are collapsed by the exact
+    * dedup pass that precedes near-dedup in every committed pipeline;
+    * for variant-heavy corpora the ledger (`dedup_lsh_bucket_ledger`)
+    * is the signal — n_over_cap > 0 means pairwise keeps should switch
+    * to the transitive consumers ([[keepClusterMin]] / `dedup_cc_keep`),
+    * which stay cluster-exact under the cap. On honest corpora the cap
+    * never fires (ledger-checked) and the output is byte-identical to
+    * uncapped. */
   def minhashCandidates(df: DataFrame, id: String, text: String,
       bands: Int = Bands, distinctPairs: Boolean = true,
       maxBucket: Int = MaxBucket): DataFrame = {

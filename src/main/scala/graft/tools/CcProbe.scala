@@ -56,10 +56,9 @@ object CcProbe {
     val t0 = System.nanoTime()
     val (labels, rounds) =
       DedupOps.connectedComponentsWithRounds(vertices, pairs, "doc_id")
-    val comps = labels.agg(countDistinct(col("component"))).head.getLong(0)
+    val comps = labels.agg(countDistinct(col("component"))).head().getLong(0)
     val secs = (System.nanoTime() - t0) / 1e9
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
+    graft.ToolSession.clearStorage(spark)
     val bound = roundBound(diameter)
     val ok = rounds <= bound && expectComps.forall(_ == comps)
     System.err.println(f"$shape%-7s n=$n%9d rounds=$rounds%2d bound=$bound%2d " +
@@ -74,14 +73,8 @@ object CcProbe {
   def main(args: Array[String]): Unit = {
     val jsonOut = args.headOption.getOrElse("CC_PROBE.json")
     val maxChain = if (args.length > 1) args(1).toLong else 1000000L
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val cpus = graft.ToolSession.cpus("32")
+    val spark = graft.ToolSession.local(cpus)
 
     def chain(n: Long): Probe = run(spark, "chain", n,
       spark.range(1, n + 1).select(col("id").as("doc_id")),

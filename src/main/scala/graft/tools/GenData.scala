@@ -46,13 +46,8 @@ object GenData {
     val mult = if (args.length > 1) args(1).toInt else 10
     val src = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val zipfVocab = if (args.length > 3) args(3).toInt else 0
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark =
+      graft.ToolSession.local(graft.ToolSession.cpus("32"), logLevel = "WARN")
     try generate(spark, src, out, mult, zipfVocab) finally spark.stop()
   }
 

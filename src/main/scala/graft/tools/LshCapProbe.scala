@@ -2,7 +2,6 @@ package graft.tools
 
 import java.io.{File, PrintWriter}
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.DedupOps
@@ -35,14 +34,8 @@ object LshCapProbe {
     val jsonOut = args.headOption.getOrElse("LSH_CAP_PROBE.json")
     val k = if (args.length > 1) args(1).toLong else 1000000L
     val honest = if (args.length > 2) args(2).toLong else 100000L
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val cpus = graft.ToolSession.cpus("32")
+    val spark = graft.ToolSession.local(cpus)
 
     // ids [0, k): one byte-identical family; ids [k, k+honest): unique
     // 12-word texts derived from hashed ids (distinct shingle sets, so
@@ -65,14 +58,14 @@ object LshCapProbe {
     val fam = cand.filter(col("id_a") < k && col("id_b") < k)
     val nFam = fam.count()
     require(nFam >= k - 1, s"family pairs $nFam < ${k - 1}: path disconnected")
-    val minEst = fam.agg(min(col("est_jaccard"))).head.getDouble(0)
+    val minEst = fam.agg(min(col("est_jaccard"))).head().getDouble(0)
     val nHon = cand.filter(col("id_a") >= k || col("id_b") >= k).count()
 
     val t1 = System.nanoTime()
     val (labels, rounds) = DedupOps.connectedComponentsWithRounds(
       corpus.select(col("doc_id")), cand, "doc_id")
     val sizes = labels.groupBy(col("component")).count()
-    val famSize = sizes.agg(max(col("count"))).head.getLong(0)
+    val famSize = sizes.agg(max(col("count"))).head().getLong(0)
     val nComps = sizes.count()
     val ccSecs = (System.nanoTime() - t1) / 1e9
     spark.stop()

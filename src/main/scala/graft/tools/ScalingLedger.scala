@@ -48,14 +48,11 @@ object ScalingLedger {
       val n = SparkEntry.queries(name)(spark, dir).count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
-    // Same inter-query storage hygiene as Bench, same reason: the
-    // standing set x 2 runs x 2 scales of executions in one JVM
-    // accumulate localCheckpoint blocks, and the scaled phase runs
-    // LAST — without this the published ratios inherit a
-    // storage-pressure bias against the scaled runs. Blocking, and
-    // outside the timed region.
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
+    // Inter-query storage hygiene (ToolSession.clearStorage): the
+    // scaled phase runs LAST, so leaked localCheckpoint blocks would
+    // bias the published ratios against the scaled runs. Outside the
+    // timed region.
+    graft.ToolSession.clearStorage(spark)
     Row(name, runs(0)._1, runs(1)._1, runs(1)._2)
   }
 
@@ -65,15 +62,8 @@ object ScalingLedger {
     val mult = if (args.length > 2) args(2).toDouble else 10.0
     val jsonOut = if (args.length > 3) args(3) else "SCALING_LEDGER.json"
     val names = if (args.length > 4) args.drop(4).toSeq else DefaultQueries
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val cpus = graft.ToolSession.cpus("32")
+    val spark = graft.ToolSession.local(cpus)
 
     val missing = names.filterNot(SparkEntry.queries.contains)
     require(missing.isEmpty, s"unknown queries: ${missing.mkString(", ")}")
