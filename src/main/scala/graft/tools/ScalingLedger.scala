@@ -37,8 +37,12 @@ object ScalingLedger {
     "dedup_minhash_recall", "dedup_minhash_recall_tuned",
     "dedup_ngram_jaccard", "domain_cap_sample", "quality_model_filter",
     "url_canonicalize", "url_dedup",
-    // round-12 additions: incremental ANN maintenance + the cap ledger
-    "knn_ivf_incremental", "dedup_lsh_bucket_ledger")
+    // round-12 additions: incremental ANN maintenance + the cap ledger,
+    // plus the export family (token-granular packing rides a
+    // range-partitioned distributed prefix sum — the scale-sensitive
+    // part worth a standing measurement, not a one-off)
+    "knn_ivf_incremental", "dedup_lsh_bucket_ledger",
+    "sequence_pack_plan", "sequence_pack_plan_bpe")
 
   private case class Row(query: String, run1: Double, run2: Double, rows: Long)
 
