@@ -305,13 +305,17 @@ object DedupOps {
     * growing by one, so convergence is O(log(component diameter))
     * rounds — a planted 2000-link chain converges in ~13 rounds where
     * neighbor-only propagation needs 2000. With the [[JumpDelay]] = 3
-    * adaptive delay below, maxIter rounds (one consumed by convergence
-    * detection) cover component diameters up to
-    * (JumpDelay+1)·2^(maxIter−JumpDelay−1) − 1 = 2^(maxIter−2) − 1
-    * — ~4.2 M at the default `maxIter` = 24, far beyond any
-    * duplicate-cluster diameter a capped candidate stage can emit
-    * (the LSH cap path is the deepest producer: one path per over-cap
-    * bucket). Same fixed point as neighbor-only
+    * adaptive delay below, propagated distance after the delay DOUBLES
+    * per round from the delay's JumpDelay (measured across planted
+    * chains 2 k → 1 M: rounds = JumpDelay + ⌈log₂(diameter/JumpDelay)⌉
+    * + 1 detection round, exactly), so maxIter rounds cover component
+    * diameters up to JumpDelay·2^(maxIter−JumpDelay−1) — ~3.1 M at the
+    * default `maxIter` = 24, far beyond any duplicate-cluster diameter
+    * a capped candidate stage can emit (the LSH cap path is the deepest
+    * producer: one path per over-cap bucket). The capacity boundary is
+    * probe-verified from BOTH sides: a diameter-3,145,728 chain
+    * converges in exactly 24 rounds, a diameter-4,194,303 chain
+    * fails loudly (graft.tools.CcProbe). Same fixed point as neighbor-only
     * propagation (the spec proves label-identical outputs), same
     * per-round primitives — one edge⋈labels shuffle join, one
     * |V|-sized labels self-join, one min-groupBy — at 100 TB this is
@@ -416,10 +420,10 @@ object DedupOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(labels still shrinking) — component diameter exceeds " +
-          s"(JumpDelay+1)*2^(maxIter-JumpDelay-1)-1 " +
-          s"(= 2^(maxIter-2)-1 at JumpDelay=$JumpDelay); raise maxIter " +
-          "(rounds needed = JumpDelay + O(log2(max component " +
-          "diameter)) under delayed pointer doubling)")
+          s"JumpDelay*2^(maxIter-JumpDelay-1) " +
+          s"(~3.1M at JumpDelay=$JumpDelay, maxIter=24); raise maxIter " +
+          "(rounds needed = JumpDelay + ceil(log2(diameter/JumpDelay)) " +
+          "+ 1 under delayed pointer doubling — probe-measured exact)")
     (labels.select(col("v").as(id), col("component")), iter)
   }
 
