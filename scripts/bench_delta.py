@@ -6,10 +6,14 @@ and emit BENCH_DELTA.json with a `regressions` list.
 A query regresses when BOTH hold (kills sub-second noise chatter):
   new >= 1.5x ref   AND   new - ref >= 0.3 s
 
-Usage: scripts/bench_delta.py [new.json] [ref.json]
+Usage: scripts/bench_delta.py [new.json] [ref.json] [--allow-subset]
 Exit 1 when the regressions list is non-empty (run_bench.sh propagates
 it), so a regression can never ship silently — the list is the artifact
 the round writeup has to either empty or explain.
+
+`--allow-subset` skips the truncation refusal for DELIBERATE
+subset-vs-subset diffs (e.g. two BENCH_SUBSET.json files from
+SPARK_GRAFT_BENCH_ONLY runs); the cross-scale refusal still applies.
 """
 import json
 import sys
@@ -28,8 +32,9 @@ def per_query(path):
 
 
 def main():
-    new_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_LOCAL.json"
-    ref_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_PREV.json"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    new_path = pos[0] if len(pos) > 0 else "BENCH_LOCAL.json"
+    ref_path = pos[1] if len(pos) > 1 else "BENCH_PREV.json"
     new_q, new_total, new_n, new_sf = per_query(new_path)
     try:
         ref_q, ref_total, ref_n, ref_sf = per_query(ref_path)
@@ -58,16 +63,26 @@ def main():
     # an error artifact so the refused run can't be mistaken for the
     # previous run's clean BENCH_DELTA.json.
     #
-    # Detection is two-layer: the self-declared n_queries count (Bench
+    # Detection is three-layer: the self-declared n_queries count (Bench
     # writes it in BOTH output shapes from r12 on) catches truncation
-    # deterministically even when both sides are truncated to the same
-    # 10 slowest; the cross-side length ratio is the fallback for
-    # pre-n_queries archives.
+    # deterministically; the cross-side length ratio covers a
+    # pre-n_queries archive diffed against a full map; and the
+    # exactly-10-undeclared check covers the residual gap — two PRE-r12
+    # archives BOTH truncated to the same 10 slowest (min == max, so the
+    # ratio test is blind, and neither side declares n_queries). Ten
+    # entries with no declaration is the r12 stdout shape's fingerprint,
+    # never a legitimate full map of this 200+-query suite.
     def truncated(q, n):
         return bool(q) and n is not None and len(q) < n
     both_sides_short = ref_q and \
         min(len(ref_q), len(new_q)) < max(len(ref_q), len(new_q)) // 2
-    if truncated(new_q, new_n) or truncated(ref_q, ref_n) or both_sides_short:
+    both_undeclared_10 = ref_q and new_n is None and ref_n is None and \
+        len(new_q) == 10 and len(ref_q) == 10
+    refuse = (truncated(new_q, new_n) or truncated(ref_q, ref_n) or
+              both_sides_short or both_undeclared_10)
+    if "--allow-subset" in sys.argv:
+        refuse = False
+    if refuse:
         msg = (f"ref {ref_path} has {len(ref_q)} queries (declared "
                f"{ref_n}) vs {len(new_q)} new (declared {new_n}) — "
                f"a truncated stdout archive; use the full-map "

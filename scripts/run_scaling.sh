@@ -35,6 +35,19 @@ WANT_STAMP="v$GEN_V mult=10 src=$BASE zipf=0"
 # first-run "generate if absent" path must survive the read failing.
 HAVE_STAMP=$(sed -n '1p' "$SF1/_GEN_VERSION" 2>/dev/null || true)
 if [ "$HAVE_STAMP" != "$WANT_STAMP" ]; then
+  # Deletion guard: only auto-remove a directory this script's generator
+  # provably owns — absent, empty, or carrying a _GEN_VERSION stamp. A
+  # NON-EMPTY UNSTAMPED directory was never written by GenData (it
+  # always stamps), so it is someone's real data — e.g. a swapped-args
+  # invocation like `run_scaling.sh /root/testdata/sf0.1` would
+  # otherwise silently delete source testdata. Fail loudly instead.
+  if [ -d "$SF1" ] && [ -n "$(ls -A "$SF1" 2>/dev/null)" ] && [ ! -f "$SF1/_GEN_VERSION" ]; then
+    echo "run_scaling.sh: $SF1 is non-empty and has no _GEN_VERSION stamp" \
+      "— refusing to delete a directory GenData did not write. Remove it" \
+      "manually if it really is a stale corpus (and check the argument" \
+      "order: usage is run_scaling.sh [sf1Dir] [baseDir])." >&2
+    exit 1
+  fi
   echo "generating $SF1 (want stamp '$WANT_STAMP', have '${HAVE_STAMP:-none}')..." >&2
   rm -rf "$SF1"
   $JAVA graft.tools.GenData "$SF1" 10 "$BASE"

@@ -1163,6 +1163,22 @@ object Oracles {
     s"""WITH $simhashSigCte
        |SELECT doc_id, simhash FROM sig""".stripMargin
 
+  /** Chunk-population ledger (SparkEntry `simhash_bucket_ledger`): the
+    * measured evidence that DedupOps.SimMaxBucket is dormant on the gate
+    * corpus — same signature chain as [[simhash]], one (c, chunk)
+    * groupBy, one single-row count/max aggregate. Unlike the MinHash
+    * ledger there is no hash-injectivity caveat: both sides bucket on
+    * the literal 12-bit chunk value. */
+  def simhashBucketLedger(cap: Int): String =
+    s"""WITH $simhashSigCte,
+       |chunks AS (SELECT doc_id, c, (simhash >> (c * 12)) & 4095 AS chunk
+       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c)),
+       |sz AS (SELECT c, chunk, count(*) AS n FROM chunks GROUP BY c, chunk)
+       |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(max(n) AS BIGINT) AS max_bucket,
+       |  CAST(count(CASE WHEN n > $cap THEN 1 END) AS BIGINT) AS n_over_cap
+       |FROM sz""".stripMargin
+
   def simhashNearDup(maxHamming: Int): String =
     s"""WITH $simhashSigCte,
        |chunks AS (SELECT doc_id, simhash, c, (simhash >> (c * 12)) & 4095 AS chunk

@@ -783,13 +783,26 @@ object SparkEntry {
     "dedup_lsh_bucket_ledger" -> ((s, dir) =>
       DedupOps.lshBucketLedger(plantedDocs(s, dir), "doc_id", "text")),
 
+    // The SCALE path carries the gate name: prefix-filtered AllPairs
+    // (PPJoin-family) exact Jaccard — each doc indexes only its
+    // ⌊(1−t)·n⌋+1 rarest shingles, candidates verified by one sorted
+    // intersection each. Output identical to the dense form (spec-proven
+    // and both ride the same oracle); the Θ(n²) dense walk stays
+    // available as the explicitly-named `_exact` truth entry below,
+    // following the dedup_cc_components/_exact precedent.
     "dedup_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccardPrefix(plantedDocs(s, dir), "doc_id", "text",
+        NgramMinJaccard)),
+
+    "dedup_ngram_jaccard_exact" -> ((s, dir) =>
       // Dense-vocab all-pairs form (codegen'd sorted-array merge walk):
       // this synthetic corpus has a ~40-word vocab, so the inverted
       // index degenerates (every shingle hits most docs) and one
-      // set-intersection per pair is 5x faster. DedupOps.ngramJaccard /
-      // ngramJaccardPrefix (spec-proven equivalent) are the sparse-vocab
-      // scale paths.
+      // set-intersection per pair is 5x faster — but the candidate set
+      // is Θ(n²) BY CONSTRUCTION, so this form is scoped to bounded
+      // corpora / ground-truth duty only (docstring contract at
+      // DedupOps.ngramJaccardDense); committed pipelines ride the
+      // prefix or banded forms.
       DedupOps.ngramJaccardDense(plantedDocs(s, dir), "doc_id", "text",
         NgramMinJaccard)),
 
@@ -831,6 +844,17 @@ object SparkEntry {
     "simhash_near_dup" -> ((s, dir) =>
       DedupOps.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
         SimhashMaxHamming)),
+
+    // The SimMaxBucket guard's in-gate evidence (same pattern as
+    // dedup_lsh_bucket_ledger): n_over_cap must be 0 on the gate corpus
+    // (cap dormant ⇒ capped ≡ uncapped candidates, so simhash_near_dup's
+    // oracle byte-equality doubles as the guard's no-op proof), and
+    // max_bucket documents the measured population the cap was sized
+    // against — unlike the 64-bit MinHash band keys this one GROWS with
+    // corpus size (fixed 4096-value chunk space), which is the ledger's
+    // whole point.
+    "simhash_bucket_ledger" -> ((s, dir) =>
+      DedupOps.simhashBucketLedger(t(s, dir, "documents"), "doc_id", "text")),
 
     // Transitive duplicate clusters: connected components of the BANDED
     // MinHash candidate graph by distributed min-label propagation
@@ -1911,6 +1935,23 @@ object SparkEntry {
         .withColumn("dist", levenshtein(col("s_name"), col("c_name")))
         .filter(col("dist") <= 2)
         .select(col("s_suppkey"), col("c_suppkey"), col("dist"))
+    },
+
+    // The deletion-neighborhood blocking's in-gate instrument (the
+    // lshBucketLedger pattern for the SymSpell join): block populations
+    // + the exact join-row count the candidate stage materializes.
+    // Measured verdict (docstring at DedupOps.editBlockLedger): fuzzy
+    // match growth on this corpus is intrinsic result density — the
+    // exact lev<=2 output itself grows 13.2x at 10x data and candidates
+    // stay within 2.7-3.5x of it — so the ledger stands guard instead
+    // of a cap (a cap was tested and removed zero candidates).
+    "fuzzy_block_ledger" -> { (s, dir) =>
+      val base = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      val corrupted = base.select((col("s_suppkey") + 100000L).as("c_suppkey"),
+        concat(substring(col("s_name"), 1, 2), expr("substring(s_name, 4)"))
+          .as("c_name"))
+      DedupOps.editBlockLedger(base, corrupted,
+        "s_suppkey", "s_name", "c_suppkey", "c_name")
     },
 
     // Trailing 7-day distinct actives per day: explode each event into
@@ -3465,7 +3506,11 @@ object SparkEntry {
     "dedup_substring" -> Oracles.dedupSubstring(Oracles.plantedDocs, CdcWindow, CdcDivisor),
     "substring_scrub" -> Oracles.scrubSubstring(Oracles.plantedDocs,
       CdcWindow, CdcDivisor, 2),
+    // One oracle serves both forms: prefix-filtered and dense compute
+    // the same exact Jaccard set (equivalence also spec-proven on the
+    // Spark side).
     "dedup_ngram_jaccard" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
+    "dedup_ngram_jaccard_exact" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_incremental_candidates" ->
       Oracles.dedupIncrementalCandidates(MinhashMinEst),
     "dedup_minhash_recall" ->
@@ -3602,6 +3647,40 @@ object SparkEntry {
         | AND abs(length(s_name) - length(c_name)) <= 1
         |WHERE levenshtein(s_name, c_name) <= 2""".stripMargin,
 
+    // The oracle rebuilds the <=2-deletion neighborhood with two
+    // 1-deletion passes (delete-i then delete-j covers every 2-deletion)
+    // and blocks on the STRING variant where Spark blocks on xxhash64 of
+    // it — populations equal unless a 64-bit collision merges blocks
+    // (same caveat as dedup_lsh_bucket_ledger).
+    "fuzzy_block_ledger" ->
+      """WITH corr AS (SELECT s_suppkey + 100000 AS c_suppkey,
+        |    substr(s_name, 1, 2) || substr(s_name, 4) AS c_name FROM supplier),
+        |a1 AS (SELECT s_suppkey, unnest(list_distinct(list_append(
+        |    [substr(s_name, 1, i-1) || substr(s_name, i+1)
+        |     for i in generate_series(1, length(s_name))], s_name))) AS k
+        |  FROM supplier),
+        |a2 AS (SELECT s_suppkey, unnest(list_distinct(list_append(
+        |    [substr(k, 1, i-1) || substr(k, i+1)
+        |     for i in generate_series(1, length(k))], k))) AS k FROM a1),
+        |aK AS (SELECT DISTINCT s_suppkey, k FROM a2),
+        |b1 AS (SELECT c_suppkey, unnest(list_distinct(list_append(
+        |    [substr(c_name, 1, i-1) || substr(c_name, i+1)
+        |     for i in generate_series(1, length(c_name))], c_name))) AS k
+        |  FROM corr),
+        |b2 AS (SELECT c_suppkey, unnest(list_distinct(list_append(
+        |    [substr(k, 1, i-1) || substr(k, i+1)
+        |     for i in generate_series(1, length(k))], k))) AS k FROM b1),
+        |bK AS (SELECT DISTINCT c_suppkey, k FROM b2),
+        |pa AS (SELECT k, count(*) AS na FROM aK GROUP BY k),
+        |pb AS (SELECT k, count(*) AS nb FROM bK GROUP BY k),
+        |j AS (SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM pa FULL JOIN pb USING (k))
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(na) AS BIGINT) AS max_block_a,
+        |  CAST(max(nb) AS BIGINT) AS max_block_b,
+        |  CAST(sum(na * nb) AS BIGINT) AS join_rows
+        |FROM j""".stripMargin,
+
     "trailing_7d_active_users" ->
       """WITH d AS (SELECT user_id,
         |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day FROM events),
@@ -3674,6 +3753,8 @@ object SparkEntry {
     "bigram_lm_scores" -> Oracles.bigramLmScores,
     "bm25_scores" -> Oracles.bm25Scores(Bm25Terms, 1.2, 0.75),
     "simhash_near_dup" -> Oracles.simhashNearDup(SimhashMaxHamming),
+    "simhash_bucket_ledger" ->
+      Oracles.simhashBucketLedger(DedupOps.SimMaxBucket),
     "knn_bruteforce" -> Oracles.knnBruteForce(KnnProbeEvery, KnnK),
     "knn_ivf" -> Oracles.knnIvf(KnnProbeEvery, KnnK, IvfAutoC, IvfNprobe),
     "knn_lsh" -> Oracles.knnLsh(KnnProbeEvery, KnnK, LshNPlanes),

@@ -80,7 +80,12 @@ final class ModelStore(spark: SparkSession, val root: String) {
     * `ModelStore.fingerprint(spark, paths)` per live corpus); everything
     * else is reclaimed. Tables without a `__<16-hex-fp>` suffix are left
     * alone (the shape check keeps foreign tables that merely contain
-    * `__` out of the sweep). Returns the dropped (name, fp) pairs.
+    * `__` out of the sweep). Returns a [[ModelStore.GcReport]]: the
+    * dropped (name, fp) pairs PLUS the stale-but-skipped-as-concurrent
+    * ones — without the second list, a pass whose every candidate fell
+    * inside the skew margin (retrain-then-immediately-gc, the spec's
+    * own pattern) is indistinguishable from nothing-to-collect, and
+    * the caller would never learn a follow-up offline pass is owed.
     *
     * Concurrency contract: gc is an OFFLINE maintenance pass, like
     * [[ParquetWarehouse.vacuum]] — run it when no trainer is mid-flight
@@ -92,9 +97,10 @@ final class ModelStore(spark: SparkSession, val root: String) {
     * postdates gc start → skip) and a concurrent drop (pointer gone →
     * skip, nothing to reclaim). */
   def gc(liveFps: Set[String],
-      skewMarginMs: Long = ModelStore.GcSkewMarginMs): Seq[(String, String)] = {
+      skewMarginMs: Long = ModelStore.GcSkewMarginMs): ModelStore.GcReport = {
     val gcStart = System.currentTimeMillis()
     val dropped = Seq.newBuilder[(String, String)]
+    val skipped = Seq.newBuilder[(String, String)]
     val hexFp = "[0-9a-f]{16}"
     wh.tables("models").foreach { t =>
       val sep = t.table.lastIndexOf("__")
@@ -115,19 +121,32 @@ final class ModelStore(spark: SparkSession, val root: String) {
             // concurrent and skipped (the next offline gc pass, the
             // documented contract, reclaims it).
             val cutoff = gcStart - skewMarginMs
-            if (wh.versionMtime(t).exists(_ < cutoff)) {
+            val mtime = wh.versionMtime(t)
+            if (mtime.exists(_ < cutoff)) {
               wh.drop(t)
               dropped += ((name, fp))
+            } else if (mtime.isDefined) {
+              // Stale fingerprint but commit time inside the skew
+              // margin: treated as concurrent, owed to the next pass.
+              skipped += ((name, fp))
             }
           }
         }
       }
     }
-    dropped.result()
+    ModelStore.GcReport(dropped.result(), skipped.result())
   }
 }
 
 object ModelStore {
+
+  /** What a [[ModelStore.gc]] pass did: `dropped` was reclaimed;
+    * `skippedConcurrent` is stale (fingerprint not live) but committed
+    * within the skew margin of gc start, so this pass deferred it —
+    * non-empty means a later offline pass is owed, NOT that the store
+    * is clean. */
+  final case class GcReport(dropped: Seq[(String, String)],
+      skippedConcurrent: Seq[(String, String)])
 
   /** Clock-skew margin for [[ModelStore.gc]]'s drop-safety re-check:
     * the version pointer's mtime is assigned by the storage system's

@@ -42,7 +42,14 @@ object ScalingLedger {
     // range-partitioned distributed prefix sum — the scale-sensitive
     // part worth a standing measurement, not a one-off)
     "knn_ivf_incremental", "dedup_lsh_bucket_ledger",
-    "sequence_pack_plan", "sequence_pack_plan_bpe")
+    "sequence_pack_plan", "sequence_pack_plan_bpe",
+    // round-13 additions: the two new guard ledgers (SimHash chunk cap,
+    // SymSpell block populations) and the dense Jaccard kept as the
+    // explicitly-quadratic truth row — dedup_ngram_jaccard itself now
+    // rides the prefix-filtered scale path, so the standing row
+    // measures what pipelines actually run
+    "simhash_bucket_ledger", "fuzzy_block_ledger",
+    "dedup_ngram_jaccard_exact")
 
   private case class Row(query: String, run1: Double, run2: Double, rows: Long)
 

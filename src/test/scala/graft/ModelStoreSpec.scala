@@ -66,11 +66,17 @@ class ModelStoreSpec extends AnyFunSuite with SparkSuite {
     // tooling under models/) must never be swept, whatever liveFps says.
     store.getOrTrain("legacy", "snapshot")(df)
     val liveRows = store.getOrTrain("dict", live)(sys.error("trained")).collect().toSeq
-    // skewMarginMs = 0: the spec creates and sweeps within one clock
-    // tick; the default 60 s margin exists for cross-clock stores and
-    // would (correctly) treat these just-committed artifacts as
-    // concurrent.
-    val dropped = store.gc(Set(live), skewMarginMs = 0L)
+    // Default-margin pass first: the spec creates and sweeps within one
+    // clock tick, so the 60 s skew margin (correctly) treats these
+    // just-committed artifacts as concurrent — and the report must SAY
+    // so, not present the no-op as nothing-to-collect.
+    val deferred = store.gc(Set(live))
+    assert(deferred.dropped.isEmpty)
+    assert(deferred.skippedConcurrent.toSet ==
+      Set(("dict", stale), ("index", stale)),
+      s"in-margin stale artifacts must be reported as skipped, got $deferred")
+    assert(store.exists("dict", stale), "deferred artifact must survive")
+    val dropped = store.gc(Set(live), skewMarginMs = 0L).dropped
     assert(dropped.toSet == Set(("dict", stale), ("index", stale)),
       s"gc must sweep exactly the stale fingerprint's artifacts, got $dropped")
     assert(!store.exists("dict", stale) && !store.exists("index", stale))
@@ -81,8 +87,10 @@ class ModelStoreSpec extends AnyFunSuite with SparkSuite {
     assert(store.exists("dict", live))
     assert(store.getOrTrain("dict", live)(sys.error("must not retrain"))
       .collect().toSeq == liveRows)
-    // Idempotent: a second sweep with the same live set drops nothing.
-    assert(store.gc(Set(live), skewMarginMs = 0L).isEmpty)
+    // Idempotent: a second sweep with the same live set drops nothing —
+    // and reports nothing skipped either (genuinely clean store).
+    val again = store.gc(Set(live), skewMarginMs = 0L)
+    assert(again.dropped.isEmpty && again.skippedConcurrent.isEmpty)
   }
 
   test("retrain commits a new version; previous generation time-travels") {

@@ -1354,6 +1354,44 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(ledH.getLong(2) == 0L)
   }
 
+  test("SimHash bucket cap: 10k identical docs stay linear, cluster survives, honest corpus untouched") {
+    // Adversarial self-similar corpus: 10k byte-identical documents →
+    // one simhash, so each of the 4 chunk buckets holds all 10k
+    // members. Uncapped, the chunk self-join would materialize
+    // ~C(10k,2)·4 ≈ 2·10⁸ pairs, ALL passing the hamming filter
+    // (hamming = 0); the cap degrades each over-cap bucket to a
+    // simhash-ordered path — within-run edges keep hamming = 0.
+    val docs = spark.range(0, 10000).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+        .as("text"))
+    val cand = DedupOps.simhashCandidates(docs, "doc_id", "text",
+        maxHamming = 3)
+      .localCheckpoint(true)
+    val n = cand.count()
+    assert(n <= 4L * 10000L, s"candidate stage not capped: $n rows")
+    assert(n >= 9999L, s"path edges missing: $n rows")
+    // Connectivity preserved: the path collapses to ONE cluster.
+    val comp = DedupOps.connectedComponents(
+      docs.select(col("doc_id")), cand.select(col("id_a"), col("id_b")),
+      "doc_id")
+    assert(comp.agg(countDistinct(col("component"))).head.getLong(0) == 1L)
+    // The ledger sees the degeneracy (4 buckets of 10k).
+    val led = DedupOps.simhashBucketLedger(docs, "doc_id", "text").head
+    assert(led.getLong(2) == 4L, "ledger must report 4 over-cap buckets")
+    assert(led.getLong(1) == 10000L)
+
+    // Honest corpus: cap dormant ⇒ capped output byte-identical to an
+    // effectively-uncapped run, and the ledger confirms zero over-cap.
+    val honest = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    def pairSet(mb: Int) = DedupOps.simhashCandidates(
+        honest, "doc_id", "text", maxHamming = 3, maxBucket = mb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairSet(DedupOps.SimMaxBucket) == pairSet(Int.MaxValue))
+    val ledH = DedupOps.simhashBucketLedger(honest, "doc_id", "text").head
+    assert(ledH.getLong(2) == 0L)
+  }
+
   test("LSH bucket cap bounds per-vertex candidate degree (no hot key in CC repartition)") {
     // CONTRACTS §4's skew claim, measured: after symmetrization (the CC
     // edge shape that feeds repartition(src)), no vertex's incident row
