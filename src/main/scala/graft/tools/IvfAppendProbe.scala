@@ -1,0 +1,187 @@
+package graft.tools
+
+import java.io.{File, PrintWriter}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+
+/** Continuous-ingest ANN probe: the production incremental-index path
+  * ([[SimilarityOps.ivfAppend]] — FAISS's add() against persisted
+  * trained artifacts) at ~100x the spec-fixture size, checked against
+  * the documented per-batch bounds:
+  *
+  *   1. every arrival coded exactly ONCE: |appended| = |index| + |batch|;
+  *   2. replaying the same batch appends NOTHING (the anti-join
+  *      idempotence contract — exactly-once under at-least-once
+  *      delivery);
+  *   3. per-batch WORK scales with the batch, not the corpus: the
+  *      append pass (one broadcast-quantizer projection over the batch
+  *      + the id anti-join) must run well under the full-corpus index
+  *      build on the same artifacts — asserted at <= 0.5x build time
+  *      for a 10% batch (expected ~0.1x; the margin absorbs fixed
+  *      overheads), with the build timed COLD and the append WARM-
+  *      biased in its favor being impossible (build runs first);
+  *   4. search quality holds: recall@k of [[SimilarityOps.ivfPqSearch]]
+  *      over the appended index vs exact [[SimilarityOps.bruteForceKnn]]
+  *      ground truth on the merged corpus, for probes drawn from BOTH
+  *      populations (pre-existing vectors and fresh arrivals — an
+  *      arrival must be as findable as a trained-in row).
+  *
+  * The corpus is CLUSTERED (n/100 planted centers — ~100 members each
+  * at any n — vectors = center + ±0.1 hash-noise vs ±1.0 signal) — the
+  * realistic embedding shape, and the one where ANN recall is a
+  * meaningful number at all (uniform random 64-dim vectors have
+  * near-equidistant neighbors and any IVF probe of 0.3% of buckets
+  * scores ~0 by construction).
+  * Arrivals draw from the same centers, so the un-retrained quantizer
+  * still covers them — the contract's own precondition (CONTRACTS §6:
+  * retrain when the corpus fingerprint/distribution moves).
+  *
+  * Usage: graft.tools.IvfAppendProbe [jsonOut] [n] [batch] [probes]
+  * Emits a markdown table + JSON twin; FAILS (nonzero exit) on any
+  * bound violation — a check, not just a measurement. */
+object IvfAppendProbe {
+
+  def main(args: Array[String]): Unit = {
+    val jsonOut = args.headOption.getOrElse("IVF_APPEND_PROBE.json")
+    val n = if (args.length > 1) args(1).toLong else 1000000L
+    val batch = if (args.length > 2) args(2).toLong else 100000L
+    val nProbes = if (args.length > 3) args(3).toInt else 200
+    // ~100 members per planted cluster AT ANY n: the regime PQ is built
+    // for — the coarse quantizer + ADC separate CLUSTERS, the exact
+    // re-rank (rerank = 12k = 120 ≳ cluster population) separates
+    // within-cluster noise. A fixed cluster count would instead grow
+    // per-cluster population linearly with n until it dwarfs the
+    // re-rank budget, and measured recall then collapses to
+    // rerank/population (0.11 at 1 M with 1000-member clusters) — a
+    // quantization-resolution artifact of the fixture, not an append
+    // property.
+    val clusters = math.max(100L, n / 100L)
+    val dim = 64
+    val subDim = 16
+    val m = dim / subDim
+    // ks = 16 sub-codes -> 16^4 = 65,536 PQ cells, comfortably above the
+    // n/100 planted clusters at 1 M (10 k): with the gate's oracle-sized
+    // ks = 8 (4,096 cells) distinct clusters collide onto one code and
+    // ADC ties truncate arbitrarily at the shortlist (measured: recall
+    // 0.44 at 1 M). Production FAISS uses ks = 256; the probe sits at
+    // the smallest ks that resolves its own cluster count.
+    val ks = 16
+    val k = 10
+    val cpus = graft.ToolSession.cpus("32")
+    val spark = graft.ToolSession.local(cpus)
+
+    // vec(id) = center(id % clusters) + noise(id): signal in [-1, 1],
+    // noise in [-0.1, 0.1] — all md5/xxhash-deterministic, no RNG.
+    def vecs(ids: DataFrame): DataFrame = {
+      val c = pmod(xxhash64(col("id")), lit(clusters))
+      ids.select(col("id").as("vec_id"), array((0 until dim).map { i =>
+        ((pmod(xxhash64(c, lit(i)), lit(2001L)) - 1000L).cast("double") / 1000.0 +
+          (pmod(xxhash64(col("id"), lit(i + dim)), lit(201L)) - 100L)
+            .cast("double") / 1000.0).cast("float")
+      }: _*).as("vec"))
+    }
+    val corpus = vecs(spark.range(0, n).toDF()).localCheckpoint(true)
+    val arrivals = vecs(spark.range(n, n + batch).toDF()).localCheckpoint(true)
+
+    // Trained artifacts: the PRODUCTION scale-aware coarse sample
+    // (targetC <= 0 -> C = ceil(sqrt(N)), the same in-query derivation
+    // the gate queries run) and per-subspace PQ codebooks — trained
+    // ONCE on the base corpus, the model-store reads every later batch
+    // reuses.
+    val cents = SimilarityOps.ivfCentroids(corpus, 0)
+      .select(col("cent_id"),
+        transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+      .localCheckpoint(true)
+    val books = SimilarityOps.pqCodebooks(corpus, m, subDim, ks, iters = 1)
+      .localCheckpoint(true)
+
+    val t0 = System.nanoTime()
+    val baseIndex = SimilarityOps
+      .ivfPqIndex(corpus, cents, books, subDim).localCheckpoint(true)
+    val nBase = baseIndex.count()
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val appended = SimilarityOps
+      .ivfAppend(baseIndex, arrivals, cents, books, subDim)
+      .localCheckpoint(true)
+    val nAppended = appended.count()
+    val appendSecs = (System.nanoTime() - t1) / 1e9
+
+    val t2 = System.nanoTime()
+    val nReplayed = SimilarityOps
+      .ivfAppend(appended, arrivals, cents, books, subDim).count()
+    val replaySecs = (System.nanoTime() - t2) / 1e9
+
+    // Probes: half pre-existing ids, half fresh arrivals.
+    val merged = corpus.unionByName(arrivals).localCheckpoint(true)
+    val probeStep = (n + batch) / nProbes
+    val probes = merged.filter(col("vec_id") % probeStep === 7L)
+      .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"))
+      .localCheckpoint(true)
+
+    val t3 = System.nanoTime()
+    val found = SimilarityOps.ivfPqSearch(probes, merged, appended, k,
+        cents, books, subDim, nprobe = 3, rerank = 12 * k)
+      .select(col("probe_id"), col("vec_id"))
+      .localCheckpoint(true)
+    val searchSecs = (System.nanoTime() - t3) / 1e9
+    val t4 = System.nanoTime()
+    val truth = SimilarityOps.bruteForceKnn(probes, merged, k)
+      .select(col("probe_id"), col("vec_id"))
+      .localCheckpoint(true)
+    val bruteSecs = (System.nanoTime() - t4) / 1e9
+    val nTruth = truth.count()
+    val nHit = truth.join(found, Seq("probe_id", "vec_id"), "left_semi").count()
+    val recall = nHit.toDouble / nTruth
+    // Arrival findability: recall restricted to probes that ARE
+    // arrivals (their ids entered only via ivfAppend).
+    val arrTruth = truth.filter(col("probe_id") >= n)
+    val nArrTruth = arrTruth.count()
+    val nArrHit = arrTruth.join(found, Seq("probe_id", "vec_id"), "left_semi")
+      .count()
+    val arrRecall = if (nArrTruth == 0) 0.0 else nArrHit.toDouble / nArrTruth
+    spark.stop()
+
+    println(s"\n## IVF-PQ incremental append probe (n=$n + batch=$batch, " +
+      s"planted clusters=$clusters, C=auto(√N), m=$m, ks=$ks, k=$k, " +
+      s"nprobe=3, local[$cpus])\n")
+    println("| check | measured | bound/expected | secs |")
+    println("|---|---|---|---|")
+    println(f"| base index build (cold) | $nBase rows | = $n | $buildSecs%.2f |")
+    println(f"| append batch | ${nAppended - nBase} rows | = $batch (each arrival coded once) | $appendSecs%.2f |")
+    println(f"| replay same batch | ${nReplayed - nAppended} rows | = 0 (idempotent) | $replaySecs%.2f |")
+    println(f"| append/build time ratio | ${appendSecs / buildSecs}%.3f | <= 0.5 (10%% batch => work ~ batch) | |")
+    println(f"| recall@$k vs brute force (${nTruth / k} probes) | $recall%.3f | >= 0.5 | $searchSecs%.2f + $bruteSecs%.2f |")
+    println(f"| recall@$k on arrival probes | $arrRecall%.3f | >= 0.5 (arrivals as findable as trained-in) | |")
+
+    require(nBase == n, s"index build produced $nBase rows != $n")
+    require(nAppended == nBase + batch,
+      s"append produced ${nAppended - nBase} new rows != $batch")
+    require(nReplayed == nAppended,
+      s"replay appended ${nReplayed - nAppended} rows: not idempotent")
+    // Work-bound check only at probe scale: below ~500k rows the
+    // fixed per-job overhead (session, broadcasts, codegen) dominates
+    // BOTH timings and the ratio measures overhead, not work (measured:
+    // 50k-row smoke has build ≈ append ≈ 6.5 s of pure overhead).
+    if (n >= 500000L)
+      require(appendSecs <= 0.5 * buildSecs,
+        f"append $appendSecs%.1fs > 0.5x build $buildSecs%.1fs: " +
+          "per-batch work is not batch-scaled")
+    else
+      System.err.println(
+        f"[probe] smoke scale n=$n: append/build ratio ${appendSecs / buildSecs}%.3f reported, not asserted")
+    require(recall >= 0.5, f"recall $recall%.3f below 0.5 floor")
+    require(arrRecall >= 0.5,
+      f"arrival-probe recall $arrRecall%.3f below 0.5 floor")
+
+    val pw = new PrintWriter(new File(jsonOut))
+    try pw.println(
+      f"""{"n":$n,"batch":$batch,"clusters":$clusters,"m":$m,"ks":$ks,"k":$k,"nprobe":3,"base_rows":$nBase,"appended_rows":${nAppended - nBase},"replay_rows":${nReplayed - nAppended},"build_secs":$buildSecs%.3f,"append_secs":$appendSecs%.3f,"append_build_ratio":${appendSecs / buildSecs}%.4f,"recall":$recall%.4f,"arrival_recall":$arrRecall%.4f,"n_probes":${nTruth / k},"search_secs":$searchSecs%.3f,"brute_secs":$bruteSecs%.3f}""")
+    finally pw.close()
+    System.err.println(s"wrote $jsonOut")
+  }
+}
