@@ -606,10 +606,14 @@ object DedupOps {
       .select(col(id), xxhash64(col("shs")).as("sh"))
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val pref = sh.join(freq, "sh")
+    // Every build side here is CORPUS-DERIVED (df table, per-doc sizes,
+    // shingle sets) — merge hints keep Catalyst's small-scale size
+    // estimates from broadcasting an unbounded side (CONTRACTS §3;
+    // plan-spec'd).
+    val pref = sh.hint("merge").join(freq.hint("merge"), "sh")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col(id)).orderBy(col("df"), col("sh"))))
-      .join(sizes, id)
+      .join(sizes.hint("merge"), id)
       // The epsilon keeps exact-integer products from rounding just
       // below their value in double arithmetic (t=0.4, n=5 gives
       // (1-t)*n = 2.999…96): without it the prefix would be one element
@@ -628,8 +632,8 @@ object DedupOps {
     val sets = sh.groupBy(col(id))
       .agg(sort_array(collect_list(col("sh"))).as("set"), count(lit(1)).as("n"))
     cand
-      .join(sets.select(col(id).as("id_a"), col("set").as("set_a"), col("n").as("n_a")), "id_a")
-      .join(sets.select(col(id).as("id_b"), col("set").as("set_b"), col("n").as("n_b")), "id_b")
+      .join(sets.select(col(id).as("id_a"), col("set").as("set_a"), col("n").as("n_a")).hint("merge"), "id_a")
+      .join(sets.select(col(id).as("id_b"), col("set").as("set_b"), col("n").as("n_b")).hint("merge"), "id_b")
       .withColumn("common", graft.expressions.GraftFunctions.opaque(
         graft.expressions.GraftFunctions.sortedIntersectCount(
           col("set_a"), col("set_b"))))

@@ -33,16 +33,35 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("WindowGroupLimit"), p.take(600))
   }
 
-  test("dense jaccard: intersection stays out of the join condition") {
+  test("dense jaccard (_exact): intersection stays out of the join condition") {
     // The Opaque barrier must keep graft_sorted_intersect_count in the
     // post-join projection — pushed into the BNLJ condition it runs
     // (twice) per CANDIDATE pair instead of once per joined row.
-    val p = plan("dedup_ngram_jaccard")
+    val p = plan("dedup_ngram_jaccard_exact")
     val joinLine = p.linesIterator.find(_.contains("BroadcastNestedLoopJoin"))
     assert(joinLine.isDefined, p.take(600))
     assert(!joinLine.get.contains("graft_sorted_intersect_count"),
       s"intersection pushed into the join condition: ${joinLine.get.take(300)}")
     assert(p.contains("graft_sorted_intersect_count"), p.take(600))
+  }
+
+  test("prefix jaccard (the gate path): shuffled candidate join, verify out of the join") {
+    // The PPJoin-family form the gate name now carries: the prefix-index
+    // self-join must SHUFFLE (sort-merge on the shingle hash — a
+    // broadcast of the inverted index caps parallelism and is impossible
+    // at corpus scale), and the exact verification intersection stays a
+    // post-join projection, once per surviving candidate.
+    val p = plan("dedup_ngram_jaccard")
+    val candJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("sh#")).toSeq
+    assert(candJoins.nonEmpty, p.take(800))
+    assert(candJoins.forall(_.contains("SortMergeJoin")),
+      s"prefix candidate join must not broadcast:\n${candJoins.mkString("\n")}")
+    assert(p.contains("graft_sorted_intersect_count"), p.take(600))
+    val verifyJoinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("graft_sorted_intersect_count")).toSeq
+    assert(verifyJoinLines.isEmpty,
+      s"intersection pushed into a join condition:\n${verifyJoinLines.mkString("\n")}")
   }
 
   test("LSH bucket self-join shuffles (no index broadcast)") {
