@@ -77,7 +77,7 @@ object CcProbe {
     val bound = if (checkBound) Some(roundBound(diameter)) else None
     val ok = bound.forall(rounds <= _) && expectComps.forall(_ == comps)
     System.err.println(f"$shape%-7s n=$n%9d rounds=$rounds%2d " +
-      f"bound=${bound.map(_.toString).getOrElse("—")}%s " +
+      f"bound=${bound.map(_.toString).getOrElse("-")}%s " +
       f"comps=$comps secs=$secs%7.2f ${if (ok) "ok" else "VIOLATION"}")
     bound.foreach(b => require(rounds <= b,
       s"$shape n=$n took $rounds rounds > documented bound $b"))
@@ -133,7 +133,7 @@ object CcProbe {
     println("|---|---|---|---|---|---|---|")
     probes.foreach { p =>
       val dia = if (p.shape == "random") "<= n-1" else p.diameter.toString
-      val b = p.bound.map(_.toString).getOrElse("—")
+      val b = p.bound.map(_.toString).getOrElse("-")
       println(f"| ${p.shape} | ${p.n} | ${p.edges} | $dia | ${p.rounds} | $b | ${p.secs}%.2f |")
     }
     val json = probes.map { p =>
