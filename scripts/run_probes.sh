@@ -1,0 +1,27 @@
+#!/bin/bash
+# Run all four checked 1M-scale adversarial probes in sequence, each
+# failing loudly (nonzero exit, propagated) on any documented-bound
+# violation, and refresh the committed JSON twins:
+#   CcProbe          — CC round counts on planted chain/star/random
+#   LshCapProbe      — MinHash bucket cap end-to-end (candidates + CC)
+#   SimhashCapProbe  — SimHash chunk cap end-to-end (candidates + CC)
+#   IvfAppendProbe   — incremental ANN append (exactly-once, work, recall)
+# Total ~15-25 min on local[32]. Usage: scripts/run_probes.sh [probe...]
+# (default: all four; pass probe class short names to run a subset).
+set -e
+cd "$(dirname "$0")/.."
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+JAVA="java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp target/scala-2.13/classes:/opt/spark/jars/*"
+PROBES=${@:-CcProbe LshCapProbe SimhashCapProbe IvfAppendProbe}
+declare -A OUT=( [CcProbe]=CC_PROBE.json [LshCapProbe]=LSH_CAP_PROBE.json \
+  [SimhashCapProbe]=SIMHASH_CAP_PROBE.json [IvfAppendProbe]=IVF_APPEND_PROBE.json )
+for p in $PROBES; do
+  echo "=== graft.tools.$p -> ${OUT[$p]} ===" >&2
+  $JAVA "graft.tools.$p" "${OUT[$p]}"
+done
+echo "all probes green" >&2

@@ -249,7 +249,18 @@ object TextOps {
     val probs = pair.join(ctx, "w1").crossJoin(broadcast(vocab))
       .select(col("bg"),
         expr("((c2 + 1) * 1073741824) div (c1 + v)").as("p_fp"))
-    bg.join(probs, "bg")
+    // The probability table is the trained MODEL (one row per distinct
+    // corpus bigram — add-1-smoothed counts), the same broadcast family
+    // as the quality classifier's 65-row model: explicit broadcast, the
+    // corpus side streams. Without it Catalyst's size estimates pick
+    // BuildLeft and broadcast the EXPLODED CORPUS bigram rows — fine at
+    // gate scale, linear-growth broadcast at 10x (measured: the whole
+    // 4-8x scaled-ledger ratio), fatal at 100 TB. For open-vocabulary
+    // corpora where even the distinct-bigram table outgrows broadcast,
+    // swap to .hint("merge") on both sides (the boilerplate-dict
+    // cap-with-join-fallback precedent) — the gate pins the model-sized
+    // contract.
+    bg.join(broadcast(probs), "bg")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("p_fp")).cast("double") /
