@@ -17,6 +17,22 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("bigram LM broadcasts the model side, never the exploded corpus") {
+    // Regression pin for the round-13 wrong-side broadcast: Catalyst's
+    // size estimates built the broadcast from the exploded corpus
+    // bigram rows (linear growth — the whole 7.7x scaled-ledger ratio)
+    // and streamed the ~vocab-sized probability table. The explicit
+    // broadcast(probs) must keep the build on the probability join's
+    // RIGHT (model) side.
+    val df = SparkEntry.queries("bigram_lm_scores")(spark, sfDir)
+    val joins = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin") && l.contains("bg#"))
+      .toSeq
+    assert(joins.nonEmpty, "probability join missing from the plan")
+    assert(joins.forall(_.contains("BuildRight")),
+      s"exploded-corpus side is being broadcast:\n${joins.mkString("\n")}")
+  }
+
   test("upsert merge anti-joins via broadcast (target never shuffled)") {
     val p = plan("load_upsert_merge")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(600))
