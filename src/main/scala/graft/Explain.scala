@@ -34,7 +34,21 @@ object Explain {
     * ratios); this audit is the searchlight that turns a super-linear
     * ledger row into a one-line diagnosis — it found the
     * `bigram_lm_scores` exploded-corpus broadcast (7.7x -> 1.3x at 10x
-    * after flipping the build side) in minutes. */
+    * after flipping the build side) in minutes.
+    *
+    * Triage discriminator (measured, round 13): what separates a
+    * dangerous flag from a benign one is whether the broadcast side's
+    * SIZE ESTIMATE scales with the corpus. A PURE-PROJECTION frame
+    * (e.g. the minhash signature table — per-row transform of the
+    * documents scan) inherits the scan's file-size estimate, so
+    * Catalyst flips it to SMJ naturally as the corpus grows: forcing
+    * merge hints on those joins measured +0.5-0.8 s per CC-family
+    * query at gate scale for zero scale benefit (ledger already 1.2-
+    * 2.2x at 10x) and was reverted. A POST-EXPLODE frame's estimate
+    * does NOT track the real row count (the bigram bug: still chosen
+    * as the build side at sf1 with 5 M actual rows), so there the fix
+    * is real. When a flag fires, check the ledger row first, then
+    * whether an explode sits between the scan and the broadcast. */
 
   /** Broadcast nodes whose build subtree scans a corpus table with no
     * aggregate/limit/group-limit between — returns one finding line per
