@@ -297,62 +297,74 @@ object DedupOps {
   }
 
   /** Connected components over an undirected candidate-pair graph by
-    * min-label propagation WITH POINTER DOUBLING: every vertex starts
-    * labeled with itself and each round takes the minimum over (its own
-    * label, its neighbors' labels, and its label's label). The third
-    * term is the Shiloach–Vishkin pointer jump: the distance a
-    * component minimum has propagated DOUBLES per round instead of
-    * growing by one, so convergence is O(log(component diameter))
-    * rounds — a planted 2000-link chain converges in ~13 rounds where
-    * neighbor-only propagation needs 2000. With the [[JumpDelay]] = 3
-    * adaptive delay below, propagated distance after the delay DOUBLES
-    * per round from the delay's JumpDelay (measured across planted
-    * chains 2 k → 1 M: rounds = JumpDelay + ⌈log₂(diameter/JumpDelay)⌉
-    * + 1 detection round, exactly), so maxIter rounds cover component
-    * diameters up to JumpDelay·2^(maxIter−JumpDelay−1) — ~3.1 M at the
-    * default `maxIter` = 24, far beyond any duplicate-cluster diameter
-    * a capped candidate stage can emit (the LSH cap path is the deepest
-    * producer: one path per over-cap bucket). The capacity boundary is
-    * probe-verified from BOTH sides: a diameter-3,145,728 chain
-    * converges in exactly 24 rounds, a diameter-4,194,303 chain
-    * fails loudly (graft.tools.CcProbe). Same fixed point as neighbor-only
-    * propagation (the spec proves label-identical outputs), same
-    * per-round primitives — one edge⋈labels shuffle join, one
-    * |V|-sized labels self-join, one min-groupBy — at 100 TB this is
-    * the MapReduce CC formulation with the round count of Kiveris et
-    * al.'s alternating large-star/small-star but without replacing the
-    * edge set mid-flight (candidate edges stay partitioned once,
-    * rounds reuse the layout). `localCheckpoint` truncates the growing
-    * lineage so round k doesn't replay rounds 1..k-1.
+    * min-label propagation with Shiloach–Vishkin-style CLASS HOOKING
+    * and path compression: every vertex starts labeled with itself and
+    * each escalated round (1) relaxes — per-vertex min over its own and
+    * its in-neighbors' labels, (2) HOOKS — every label class adopts the
+    * minimum candidate found by ANY of its members (a min-groupBy over
+    * the old labels), and (3) shortcuts — one pointer-compression pass
+    * `component(component(v))`.
     *
-    * The jump term is ADAPTIVE: the first [[JumpDelay]] rounds run
-    * neighbor-only (no labels self-join). Real near-dup graphs — tight
-    * duplicate clusters, diameter ≲ 3 — converge inside the delay, so
-    * the common case never pays the extra |V| shuffle join per round
-    * (measured ~20-30 % of the CC-family queries' cost); only a graph
-    * still unconverged after the delay (a chain-shaped adversarial
-    * cluster) escalates to doubling, and distance covered is ≥
-    * JumpDelay·2^(k-JumpDelay) after k rounds, preserving the
-    * O(log diameter) worst case.
+    * The hook step is what makes the round count O(log n) on EVERY
+    * topology, not just id-ordered chains. The previous formulation
+    * (per-vertex min + pointer jump) is provably O(log diameter) on
+    * chains but measured O(diameter)-like on near-critical random
+    * graphs — 95 rounds on a 157 k-vertex random label-merge graph —
+    * because when one member of a class learns a smaller label the
+    * class SPLITS (the root only learns through its own edges) and the
+    * minimum crawls one class-adjacency hop per round. Hooking merges
+    * whole classes instead: every non-stable class repoints to another
+    * class, so distinct-class count at least halves per round (the
+    * Borůvka argument), and the shortcut collapses hook chains two
+    * levels per round. Same 157 k random graph: 12 rounds. Measured
+    * law across planted chains 2 k → 1 M AND hash-random graphs:
+    * rounds ≤ [[HookDelay]] + ⌈log₂ n⌉ + 1 detection round (chains
+    * converge in ⌈log₂ n⌉·~0.55 hook rounds; random graphs in ~0.6·);
+    * probe-checked on every shape by graft.tools.CcProbe.
+    *
+    * Same fixed point as neighbor-only propagation (the spec proves
+    * label-identical min-vertex-id outputs — stability under
+    * relax+hook forces every edge's endpoints to share a label, and a
+    * shared label is a member id, hence the component minimum).
+    * Per-round primitives: one edge⋈labels shuffle join, two
+    * min-groupBys (per-vertex candidates carrying the old label, then
+    * per-class minima), one |V|⋈classes hook join, one |V|-sized
+    * shortcut self-join — at 100 TB the edge set stays partitioned
+    * ONCE (rounds reuse the layout; candidate edges are never
+    * rewritten the way Kiveris et al.'s alternating-star rounds
+    * rewrite them). `localCheckpoint` truncates the growing lineage so
+    * round k doesn't replay rounds 1..k-1, and every checkpoint's
+    * statistics are re-anchored to measured row counts
+    * (GraftStats.withRowCount) so Catalyst's size estimates can't
+    * compound across rounds.
+    *
+    * Rounds are ADAPTIVE: the first [[HookDelay]] rounds run
+    * neighbor-only relaxation (one edge join + one groupBy, no hook
+    * machinery). Real near-dup graphs — tight duplicate clusters,
+    * diameter ≲ 3 — converge inside the delay, so the common case
+    * never pays the hook's extra label joins (measured ~20-30 % of the
+    * CC-family queries' cost); only a graph still unconverged after
+    * the delay (chain-shaped or random-merge-shaped clusters)
+    * escalates.
     *
     * `pairs` needs columns `id_a`, `id_b`; vertices absent from any
     * pair keep their own id as component. Returns (`id`, component). */
   /** Neighbor-only rounds before [[connectedComponentsWithRounds]]
-    * starts pointer-jumping: covers diameter ≤ 3 (every measured
-    * near-dup graph at both ledger scales converges in 2 rounds +
-    * 1 detection round) without the per-round |V| labels self-join. */
-  val JumpDelay = 3
+    * starts hooking: covers diameter ≤ 3 (every measured near-dup
+    * graph at both ledger scales converges in 2 rounds + 1 detection
+    * round) without the hook's per-round label joins. */
+  val HookDelay = 3
 
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-      id: String, maxIter: Int = 24): DataFrame =
+      id: String, maxIter: Int = 40): DataFrame =
     connectedComponentsWithRounds(vertices, pairs, id, maxIter)._1
 
   /** [[connectedComponents]] exposing the converged round count — the
-    * spec surface for the O(log diameter) bound. */
+    * spec surface for the O(log n) bound. */
   private[graft] def connectedComponentsWithRounds(
       vertices: DataFrame, pairs: DataFrame,
-      id: String, maxIter: Int = 24,
-      jumpDelay: Int = JumpDelay): (DataFrame, Int) = {
+      id: String, maxIter: Int = 40,
+      hookDelay: Int = HookDelay): (DataFrame, Int) = {
     // Pre-partition edges by the join key so every round's join reuses
     // this layout (localCheckpoint preserves output partitioning) —
     // the big edge set shuffles once, not once per round. Symmetrize
@@ -361,6 +373,11 @@ object DedupOps {
     // whenever AQE fails to stage-reuse it (measured +0.9 s per CC
     // call on the guarded minhash plan); the explode executes it once
     // unconditionally.
+    // The edge checkpoint's stats snapshot may arrive join-inflated
+    // from a candidate pipeline, but it is computed ONCE outside the
+    // loop and never compounds (the per-round compounding lives in the
+    // labels checkpoint, which is re-anchored below), so no extra
+    // count job is spent correcting it.
     val edges = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
@@ -378,40 +395,67 @@ object DedupOps {
     // sum() over ZERO rows is null — an empty vertex set (e.g. a quiet
     // micro-batch whose incremental frontier has no edges) must
     // converge immediately, not NPE in the comparison.
-    def checksum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("component").cast(DecimalType(38, 0))))
-        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    // The same action returns the row count, which re-anchors each
+    // checkpoint's statistics (GraftStats.withRowCount): localCheckpoint
+    // snapshots the origin plan's sizeInBytes ESTIMATE, and the jump
+    // term's self-join SQUARES that estimate every round — by round ~20
+    // the driver grinds minutes of single-core BigInteger multiplication
+    // inside stats estimation (measured fatal for incrementalComponents,
+    // whose frontier enters with join-derived estimates). Measured stats
+    // cost one rewrap per round and keep estimation O(1).
+    def checksum(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(sum(col("component").cast(DecimalType(38, 0))),
+        count(lit(1))).head
+      (Option(r.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO),
+        r.getLong(1))
+    }
+    def anchored(df: DataFrame, rows: Long): DataFrame =
+      org.apache.spark.sql.graftshim.GraftStats.withRowCount(df, rows)
     var labels = vertices.select(col(id).as("v"))
       .withColumn("component", col("v"))
       .localCheckpoint(true)
-    var oldSum = checksum(labels)
+    var (oldSum, nVerts) = checksum(labels)
+    labels = anchored(labels, nVerts)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaEdge = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("component"))
-      // Pointer jump: component(component(v)). Every label is a vertex
-      // id of the same component (labels start as self-ids and only
-      // ever adopt other vertices' ids), so the inner lookup always
-      // hits and never crosses components — the jump target's label is
-      // ≤ the jumped label, which is exactly why distance doubles.
-      // Skipped for the first jumpDelay rounds (see scaladoc): graphs
-      // that converge inside the delay never pay this self-join.
-      val terms =
-        if (iter < jumpDelay) viaEdge.union(labels)
-        else {
-          val viaJump = labels.as("l1").join(labels.as("l2"),
-              col("l1.component") === col("l2.v"))
-            .select(col("l1.v").as("v"), col("l2.component").as("component"))
-          viaEdge.union(viaJump).union(labels)
-        }
-      val next = terms
-        .groupBy(col("v")).agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
-      val newSum = checksum(next)
+      val next = (if (iter < hookDelay) {
+        // Cheap neighbor-only relaxation inside the delay.
+        viaEdge.union(labels)
+          .groupBy(col("v")).agg(min(col("component")).as("component"))
+      } else {
+        // Relax: per-vertex candidate = min(own label, in-neighbors').
+        // The vertex's OLD label rides through the same aggregation
+        // (max over a column that is null on neighbor rows and the own
+        // label on the self row — exactly one non-null per group), so
+        // the hook step needs no extra labels join.
+        val idType = labels.schema("component").dataType
+        val cand = viaEdge
+          .withColumn("__old", lit(null).cast(idType))
+          .union(labels.withColumn("__old", col("component")))
+          .groupBy(col("v"))
+          .agg(min(col("component")).as("cand"), max(col("__old")).as("__old"))
+        // Hook: every class adopts the min candidate ANY member found.
+        // Safe: the class min is cand(w) for a member w of the same
+        // class, and every candidate is an id of the same component.
+        val hook = cand.groupBy(col("__old")).agg(min(col("cand")).as("__h"))
+        val hooked = cand.join(hook, "__old")
+          .select(col("v"), col("__h").as("component"))
+        // Shortcut: component(component(v)). Every label value is a
+        // vertex id (init self, adopted values are label values), so
+        // the inner lookup always hits; hook chains collapse two
+        // levels per round. The deeper exchanges of `hooked`'s plan
+        // are identical on both sides and stage-reuse.
+        hooked.as("l1").join(hooked.as("l2"),
+            col("l1.component") === col("l2.v"))
+          .select(col("l1.v").as("v"), col("l2.component").as("component"))
+      }).localCheckpoint(true)
+      val (newSum, _) = checksum(next)
       converged = newSum.compareTo(oldSum) == 0
       oldSum = newSum
-      labels = next
+      labels = anchored(next, nVerts)
       iter += 1
     }
     // Unconverged labels are WRONG (some vertex would still shrink):
@@ -419,27 +463,27 @@ object DedupOps {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
-          "(labels still shrinking) — component diameter exceeds " +
-          s"JumpDelay*2^(maxIter-JumpDelay-1) " +
-          s"(~3.1M at JumpDelay=$JumpDelay, maxIter=24); raise maxIter " +
-          "(rounds needed = JumpDelay + ceil(log2(diameter/JumpDelay)) " +
-          "+ 1 under delayed pointer doubling — probe-measured exact)")
+          "(labels still shrinking) — vertex count exceeds " +
+          s"~2^(maxIter-$HookDelay-1); raise maxIter (measured law: " +
+          s"rounds ≤ HookDelay + ceil(log2(n)) + 1 detection round " +
+          "on chains, stars, and hash-random graphs — " +
+          "probe-checked by graft.tools.CcProbe)")
     (labels.select(col("v").as(id), col("component")), iter)
   }
 
   /** Neighbor-only min-label propagation — the executable REFERENCE
-    * semantics for [[connectedComponents]] (no pointer jump, so
+    * semantics for [[connectedComponents]] (no hooking, so
     * O(component diameter) rounds; kept for the label-equivalence spec
     * the way [[delNeighborhoodComposed]] backs [[delNeighborhood]]).
-    * Same loop with the jump term disabled (`jumpDelay` past `maxIter`),
-    * so the shared machinery — symmetrization, checksum convergence,
-    * fail-loud — has exactly one implementation. Never the pipeline
-    * path: an adversarial chain-shaped duplicate cluster makes its
-    * round count the chain length. */
+    * Same loop with the hook escalation disabled (`hookDelay` past
+    * `maxIter`), so the shared machinery — symmetrization, checksum
+    * convergence, fail-loud — has exactly one implementation. Never
+    * the pipeline path: an adversarial chain-shaped duplicate cluster
+    * makes its round count the chain length. */
   private[graft] def connectedComponentsRef(vertices: DataFrame,
       pairs: DataFrame, id: String, maxIter: Int = 20): DataFrame =
     connectedComponentsWithRounds(vertices, pairs, id, maxIter,
-      jumpDelay = Int.MaxValue)._1
+      hookDelay = Int.MaxValue)._1
 
   /** Cluster-minimum keep list: collapse every transitive duplicate
     * cluster (connected component of the candidate-pair graph) to its

@@ -20,7 +20,7 @@ import graft.operators.DedupOps
   *      any downstream threshold keeps them;
   *   3. [[DedupOps.connectedComponents]] over those path edges still
   *      collapses the family to ONE component of size k, in
-  *      JumpDelay + O(log2 k) rounds — the pointer doubling absorbing
+  *      HookDelay + O(log2 n) rounds — class hooking + shortcut absorbing
   *      exactly the path depth the cap introduced;
   *   4. honest documents mixed into the same corpus (unique texts)
   *      contribute ~zero candidates and land in singleton components.
@@ -80,7 +80,7 @@ object LshCapProbe {
     println(s"| planted-family pairs | $nFam | >= ${k - 1} (path connectivity) | |")
     println(f"| min est_jaccard on family edges | $minEst%.2f | = 1.0 (survives any threshold) | |")
     println(s"| honest-side candidate pairs | $nHon | ~ 0 (hash-collision noise) | |")
-    println(f"| CC rounds over the capped path | $rounds | JumpDelay + O(log2 k) | $ccSecs%.2f |")
+    println(f"| CC rounds over the capped path | $rounds | HookDelay + O(log2 n) | $ccSecs%.2f |")
     println(s"| largest component | $famSize | = $k (family intact) | |")
     println(s"| total components | $nComps | = ${honest + 1} (honest docs singleton) | |")
 

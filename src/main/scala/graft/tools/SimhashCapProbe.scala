@@ -89,7 +89,7 @@ object SimhashCapProbe {
     println(s"| max hamming on family edges | $maxFamHam | = 0 (identical-simhash runs) | |")
     println(s"| honest-side candidate pairs | $nHon | small (hash coincidences, reported) | |")
     println(s"| ledger over-cap buckets | $nOverCap (max pop $maxBucket of $nBuckets) | = 4 (the guard FIRES here) | |")
-    println(f"| CC rounds over the capped path | $rounds | JumpDelay + O(log2 k) | $ccSecs%.2f |")
+    println(f"| CC rounds over the capped path | $rounds | HookDelay + O(log2 n) | $ccSecs%.2f |")
     println(s"| largest component | $famSize | = $k (family intact) | |")
     println(s"| total components | $nComps | >= ${honest / 2} (honest mostly singleton) | |")
 
