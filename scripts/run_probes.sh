@@ -6,8 +6,9 @@
 #   LshCapProbe      — MinHash bucket cap end-to-end (candidates + CC)
 #   SimhashCapProbe  — SimHash chunk cap end-to-end (candidates + CC)
 #   IvfAppendProbe   — incremental ANN append (exactly-once, work, recall)
+#   IncCcProbe       — incremental CC (parity, batch-sized work, replay)
 # Total ~15-25 min on local[32]. Usage: scripts/run_probes.sh [probe...]
-# (default: all four; pass probe class short names to run a subset).
+# (default: all five; pass probe class short names to run a subset).
 set -e
 cd "$(dirname "$0")/.."
 ADD_OPENS=""
@@ -17,9 +18,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 JAVA="java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp target/scala-2.13/classes:/opt/spark/jars/*"
-PROBES=${@:-CcProbe LshCapProbe SimhashCapProbe IvfAppendProbe}
+PROBES=${@:-CcProbe LshCapProbe SimhashCapProbe IvfAppendProbe IncCcProbe}
 declare -A OUT=( [CcProbe]=CC_PROBE.json [LshCapProbe]=LSH_CAP_PROBE.json \
-  [SimhashCapProbe]=SIMHASH_CAP_PROBE.json [IvfAppendProbe]=IVF_APPEND_PROBE.json )
+  [SimhashCapProbe]=SIMHASH_CAP_PROBE.json [IvfAppendProbe]=IVF_APPEND_PROBE.json \
+  [IncCcProbe]=INC_CC_PROBE.json )
 for p in $PROBES; do
   echo "=== graft.tools.$p -> ${OUT[$p]} ===" >&2
   $JAVA "graft.tools.$p" "${OUT[$p]}"

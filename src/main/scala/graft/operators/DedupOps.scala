@@ -533,7 +533,7 @@ object DedupOps {
     * `newEdges`: `id_a`/`id_b` pairs; both endpoints must be known (old
     * corpus or this batch). Returns the updated (`id`, component). */
   def incrementalComponents(prevLabels: DataFrame, newVertices: DataFrame,
-      newEdges: DataFrame, id: String, maxIter: Int = 20): DataFrame = {
+      newEdges: DataFrame, id: String, maxIter: Int = 40): DataFrame = {
     // A re-arriving vertex (replay, duplicate send) must keep its
     // EXISTING label, not seed a second self-labeled row — two rows per
     // id would survive the remap and fan out every downstream join.
