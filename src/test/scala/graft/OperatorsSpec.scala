@@ -1280,9 +1280,9 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
 
   test("connectedComponents: planted 2000-link chain converges in O(log n) rounds") {
     // The adversarial shape for neighbor-only propagation: a path graph
-    // where rounds = chain length (2000 ≫ any sane maxIter). Pointer
-    // doubling must traverse it in ≤ 2·log₂(n) rounds — measured 13 at
-    // n=2000 (⌈log₂(n−1)⌉+1 label rounds + 1 detection round).
+    // where rounds = chain length (2000 ≫ any sane maxIter). Class
+    // hooking + shortcut must traverse it in ≤ 2·log₂(n) rounds —
+    // measured 13 at n=2000 (HookDelay + hook rounds + 1 detection).
     val n = 2000L
     val docs = spark.range(1, n + 1).select(col("id").as("doc_id"))
     val chain = spark.range(1, n)
@@ -1296,6 +1296,60 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       .head
     assert(comp.getLong(0) == 1L && comp.getLong(1) == 1L,
       "whole chain must collapse to component 1")
+    // Regression guard for the stats-compounding bug: localCheckpoint
+    // snapshots the plan's sizeInBytes ESTIMATE, and the loop's
+    // self-join SQUARES it per round — after the ~13 rounds above the
+    // unanchored estimate is a number with thousands of digits (and by
+    // ~20 rounds the driver grinds minutes of BigInteger arithmetic
+    // inside stats estimation). Anchored stats stay proportional to
+    // the measured row count.
+    val est = org.apache.spark.sql.graftshim.GraftStats.sizeInBytes(labels)
+    assert(est < BigInt(n) * 1000,
+      s"sizeInBytes estimate $est not anchored to measured rows")
+  }
+
+  test("connectedComponents: near-critical random graph obeys the vertex-count round bound") {
+    // The topology that broke the pointer-jump formulation (measured
+    // O(diameter)-like there: 95 rounds at 157k vertices, probe-scale).
+    // The hook law is diameter-independent: rounds ≤ HookDelay +
+    // ⌈log₂ n⌉ + 1 on ANY graph — asserted here in-suite at 5k, and by
+    // graft.tools.CcProbe at 1M.
+    val n = 5000L
+    val docs = spark.range(0, n).select(col("id").as("doc_id"))
+    val edges = spark.range(0, (n * 0.9).toLong).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(n)).as("id_a"),
+        pmod(xxhash64(col("id"), lit(2)), lit(n)).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val (labels, rounds) = DedupOps.connectedComponentsWithRounds(
+      docs, edges, "doc_id")
+    val bound = DedupOps.HookDelay +
+      (math.log((n - 1).toDouble) / math.log(2.0)).ceil.toInt + 1
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+    assert(labels.count() == n)
+  }
+
+  test("GraftStats.withRowCount: measured stats, same rows, partitioning preserved") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val df = spark.range(0, 500)
+      .select(col("id").as("v"), (col("id") % 7).as("component"))
+      .repartition(col("v"))
+      .localCheckpoint(true)
+    val re = org.apache.spark.sql.graftshim.GraftStats.withRowCount(df, 500L)
+    assert(re.count() == 500L)
+    val st = re.queryExecution.optimizedPlan.stats
+    assert(st.rowCount.contains(BigInt(500)), s"rowCount ${st.rowCount}")
+    assert(st.sizeInBytes > 0 && st.sizeInBytes < BigInt(500) * 1000,
+      s"sizeInBytes ${st.sizeInBytes}")
+    (df.queryExecution.analyzed, re.queryExecution.analyzed) match {
+      case (a: LogicalRDD, b: LogicalRDD) =>
+        assert(a.outputPartitioning == b.outputPartitioning,
+          "rewrap must keep the checkpoint's output partitioning")
+      case other => fail(s"expected two LogicalRDDs, got $other")
+    }
+    // Non-checkpoint frames pass through untouched (documented no-op).
+    val plain = spark.range(0, 3).toDF()
+    assert(org.apache.spark.sql.graftshim.GraftStats
+      .withRowCount(plain, 3L) eq plain)
   }
 
   test("connectedComponents ≡ neighbor-only reference labels on a hash-random graph") {
