@@ -904,6 +904,31 @@ object SparkEntry {
       DedupOps.connectedComponents(docs.select(col("doc_id")), pairs, "doc_id")
     },
 
+    // CONTINUOUS-INGEST twin of dedup_cc_components: the corpus split
+    // into two batches (id parity), batch-1 components built first,
+    // then folded forward with incrementalComponents over every edge
+    // that touches batch 2. A batch can only merge whole components
+    // and the merged label is the min over the old labels — i.e. the
+    // true component minimum — so the result provably equals the full
+    // rebuild and the oracle is the SAME recursive SQL the batch form
+    // checks against (parity at 1M: graft.tools.IncCcProbe). This puts
+    // the incremental path itself under the driver's oracle gate.
+    "dedup_cc_incremental" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val pairs = bandedPairs(docs).localCheckpoint(true)
+      val newSide = (c: org.apache.spark.sql.Column) => c % 2 === 1
+      val oldEdges =
+        pairs.filter(!newSide(col("id_a")) && !newSide(col("id_b")))
+      val newEdges =
+        pairs.filter(newSide(col("id_a")) || newSide(col("id_b")))
+      val prev = DedupOps.connectedComponents(
+        docs.filter(!newSide(col("doc_id"))).select(col("doc_id")),
+        oldEdges, "doc_id")
+      DedupOps.incrementalComponents(prev,
+        docs.filter(newSide(col("doc_id"))).select(col("doc_id")),
+        newEdges, "doc_id")
+    },
+
     // Exact substring dedup (Lee et al. arXiv:2107.06499, Spark-shaped):
     // content-defined chunk spans shared verbatim across documents — the
     // planted 80%-prefix copies share every prefix chunk with their
@@ -3550,6 +3575,10 @@ object SparkEntry {
       Oracles.ccComponentsBanded(Oracles.plantedDocs, MinhashMinEst),
     "dedup_cc_components_exact" ->
       Oracles.ccComponents(Oracles.plantedDocs, NgramMinJaccard),
+    // Same SQL as dedup_cc_components: incremental labels are provably
+    // identical to the full rebuild (see the query's scaladoc).
+    "dedup_cc_incremental" ->
+      Oracles.ccComponentsBanded(Oracles.plantedDocs, MinhashMinEst),
     "dedup_cc_keep" -> Oracles.ccKeepBanded(Oracles.plantedDocs, MinhashMinEst),
     "dedup_keep_best" ->
       Oracles.ccKeepBestBanded(Oracles.plantedDocs, MinhashMinEst),
