@@ -49,7 +49,11 @@ object ScalingLedger {
     // rides the prefix-filtered scale path, so the standing row
     // measures what pipelines actually run
     "simhash_bucket_ledger", "fuzzy_block_ledger",
-    "dedup_ngram_jaccard_exact")
+    "dedup_ngram_jaccard_exact",
+    // round-13 (cont.): the incremental-CC gate query — the standing row
+    // watches the two-batch fold (batch CC + frontier merge + remap),
+    // which should scale like the batch CC family it wraps
+    "dedup_cc_incremental")
 
   private case class Row(query: String, run1: Double, run2: Double, rows: Long)
 
