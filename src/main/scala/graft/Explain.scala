@@ -92,6 +92,17 @@ object Explain {
         val df = SparkEntry.queries(name)(spark, sfDir)
         corpusBroadcasts(df.queryExecution.executedPlan)
           .foreach(f => println(s"CORPUS-BROADCAST: $f"))
+        // Compounded-estimate searchlight (CONTRACTS §8b): an iterative
+        // loop that feeds its own checkpoint into a join without
+        // re-anchoring stats squares the sizeInBytes estimate per round
+        // — legitimate nested-join products stay well under ~10^300
+        // (10 joins × 30-bit inputs ≈ 10^90); thousands of digits means
+        // a compounding loop escaped GraftStats.withRowCount.
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (est.bitLength > 1000)
+          println(s"STATS-BLOWUP: sizeInBytes has ${est.toString.length} " +
+            "digits — a loop is compounding checkpoint estimates " +
+            "(CONTRACTS §8b; re-anchor with GraftStats.withRowCount)")
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       } catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
