@@ -526,26 +526,50 @@ object DedupOps {
     * edges| vertices, independent of corpus size); the min label of a
     * merged label-set equals the min id over the union of their
     * members, so (3) one broadcast remap of the label table restores the
-    * invariant. Per batch the corpus-sized work is exactly one map-side
-    * broadcast-join projection — the iteration never touches old rows.
+    * invariant. Per batch the corpus-sized work is exactly two STREAMED
+    * passes — a broadcast-semi filter down to the batch-touched rows,
+    * and the final broadcast remap — the corpus is NEVER SHUFFLED and
+    * the iteration never touches old rows. (The naive formulation —
+    * anti-join the arrivals against the corpus, join the batch edges
+    * against the corpus-sized seeded table twice — leaves the plan's
+    * build side to size estimates, and batch frames arriving from
+    * candidate pipelines carry join-inflated estimates, exactly the
+    * wrong-side-broadcast trap the bigram_lm_scores ledger row
+    * measured. Broadcasting the batch-key set is the CONTRACTS §3
+    * proof obligation: batches are micro-batch-bounded by the ingest
+    * contract, the same argument the remap broadcast below rests on.)
     *
     * `prevLabels`: (`id`, component) — pass an empty frame to bootstrap.
     * `newEdges`: `id_a`/`id_b` pairs; both endpoints must be known (old
     * corpus or this batch). Returns the updated (`id`, component). */
   def incrementalComponents(prevLabels: DataFrame, newVertices: DataFrame,
       newEdges: DataFrame, id: String, maxIter: Int = 40): DataFrame = {
+    // Every corpus row the batch can SEE: arrival ids (re-arrival
+    // detection) ∪ batch-edge endpoints (label lift). One streamed
+    // semi-join pass extracts them; the eager checkpoint stops the
+    // three consumers below from re-streaming the corpus once each.
+    val batchKeys = newVertices.select(col(id))
+      .unionByName(newEdges.select(col("id_a").as(id)))
+      .unionByName(newEdges.select(col("id_b").as(id)))
+      .distinct()
+    val touchedPrev = prevLabels.select(col(id), col("component"))
+      .join(broadcast(batchKeys), Seq(id), "left_semi")
+      .localCheckpoint(true)
     // A re-arriving vertex (replay, duplicate send) must keep its
     // EXISTING label, not seed a second self-labeled row — two rows per
     // id would survive the remap and fan out every downstream join.
+    // touchedPrev ⊇ prev ∩ arrivals, so the anti-join is batch-sized.
     val freshOnly = newVertices.select(col(id))
-      .join(prevLabels.select(col(id)), Seq(id), "left_anti")
-    val seeded = prevLabels.select(col(id), col("component"))
+      .join(touchedPrev.select(col(id)), Seq(id), "left_anti")
+    // Label lookup for the lift: batch-sized (touched old rows + fresh
+    // self-labels) — every edge endpoint the contract admits is here.
+    val seededTouched = touchedPrev
       .unionByName(freshOnly.select(col(id), col(id).as("component")))
     val labelEdges = newEdges.select(col("id_a"), col("id_b"))
-      .join(seeded.select(col(id).as("id_a"), col("component").as("__la")),
-        "id_a")
-      .join(seeded.select(col(id).as("id_b"), col("component").as("__lb")),
-        "id_b")
+      .join(seededTouched.select(col(id).as("id_a"),
+        col("component").as("__la")), "id_a")
+      .join(seededTouched.select(col(id).as("id_b"),
+        col("component").as("__lb")), "id_b")
       .select(col("__la").as("id_a"), col("__lb").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
@@ -554,6 +578,9 @@ object DedupOps {
     val remap = connectedComponents(touched, labelEdges, id, maxIter)
       .filter(col(id) =!= col("component"))
       .select(col(id).as("__old"), col("component").as("__new"))
+    // Corpus stream #2: the remap projection over the FULL label table.
+    val seeded = prevLabels.select(col(id), col("component"))
+      .unionByName(freshOnly.select(col(id), col(id).as("component")))
     seeded.join(broadcast(remap), col("component") === col("__old"), "left")
       .select(col(id),
         coalesce(col("__new"), col("component")).as("component"))

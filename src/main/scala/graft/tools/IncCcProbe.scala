@@ -18,19 +18,21 @@ import graft.operators.DedupOps
   *      component minima, a merged component's incremental label is the
   *      min over its old labels = the true min vertex id, and arrival
   *      ids sort above every existing id by construction;
-  *   2. per-batch WORK scales with the batch: the incremental pass (two
-  *      streaming label joins sized by the batch edges + a CC over the
-  *      TOUCHED LABEL graph + one broadcast remap) must run well under
-  *      the full rebuild — asserted at <= 0.6x for a 10% batch
-  *      (measured 0.49 typical; the margin absorbs same-process timing
-  *      variance, see the round-12 ±30-60% ledger note);
+  *   2. per-batch WORK scales with the batch: the incremental pass (one
+  *      streamed broadcast-semi filter down to the batch-touched corpus
+  *      rows, batch-sized lift joins, a CC over the TOUCHED LABEL
+  *      graph, one broadcast remap — the corpus streams twice and never
+  *      shuffles) must run well under the full rebuild — asserted at
+  *      <= 0.6x for a 10% batch (measured 0.29-0.49 across runs; the
+  *      margin absorbs same-process timing variance, see the round-12
+  *      ±30-60% ledger note);
   *   3. replay idempotence: re-running with the same batch changes no
   *      label (the fresh-only anti-join + a remap that maps nothing).
   *
   * Topology: existing graph = n/16 chains of 16 (deep enough that the
   * full rebuild pays ~7 label rounds — the cost incremental exists to
   * avoid re-paying; with shallow two-cliques the rebuild converges
-  * inside the jump delay and the comparison measures only fixed corpus
+  * inside the hook delay and the comparison measures only fixed corpus
   * passes, ratio ~0.51 measured). Arrivals: half attach to one
   * existing vertex (cluster growth), half BRIDGE two distinct existing
   * components (the remap-exercising case — two old labels collapse to
@@ -113,7 +115,7 @@ object IncCcProbe {
     println(f"| incremental labels | $nInc rows | = ${n + batch} (every vertex labeled once) | $incSecs%.2f |")
     println(f"| parity vs full rebuild ($mergedComps comps) | $nDiff differing rows | = 0 (EXACT label equality) | $fullSecs%.2f |")
     println(f"| replay same batch | $nReplayDiff differing rows | = 0 (idempotent) | $replaySecs%.2f |")
-    println(f"| incremental/rebuild time ratio | ${incSecs / fullSecs}%.3f | <= 0.6 (10%% batch => work ~ batch; 0.49 typical) | |")
+    println(f"| incremental/rebuild time ratio | ${incSecs / fullSecs}%.3f | <= 0.6 (10%% batch => work ~ batch; 0.29-0.49 measured) | |")
 
     require(basePairs == expectNonRoot,
       s"base CC wrong: $basePairs non-root labels != $expectNonRoot")

@@ -416,4 +416,39 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       spark.sql("DROP TABLE IF EXISTS click_b")
     }
   }
+
+  test("incrementalComponents: the corpus-sized remap pass never shuffles") {
+    // The continuous-ingest contract (DedupOps scaladoc): per batch the
+    // corpus streams twice — a broadcast-semi filter (executed eagerly
+    // at build time) and this RESULT frame (full label table ∪ fresh
+    // self-labels, left-joined against the broadcast remap). Neither
+    // may shuffle the label table; a ShuffleExchange here means a size
+    // estimate picked the wrong side and at 100 TB the batch fold
+    // would pay a corpus shuffle per micro-batch.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val prev = spark.range(0, 2000)
+      .select(col("id").as("doc_id"), (col("id") - col("id") % 4).as("component"))
+      .localCheckpoint(true)
+    val newV = spark.range(2000, 2100).select(col("id").as("doc_id"))
+    val newE = spark.range(2000, 2100)
+      .select(col("id").as("id_a"), (col("id") % 1999).as("id_b"))
+    val out = graft.operators.DedupOps.incrementalComponents(
+      prev, newV, newE, "doc_id")
+    assert(out.count() == 2100)
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      (p match {
+        case s: ShuffleExchangeExec => Seq(s.nodeName)
+        case _ => Nil
+      }) ++ kids.flatMap(shuffles)
+    }
+    val found = shuffles(out.queryExecution.executedPlan)
+    assert(found.isEmpty,
+      s"incremental remap pass shuffled the label table: $found")
+  }
 }
