@@ -1,5 +1,5 @@
 #!/bin/bash
-# Run all four checked 1M-scale adversarial probes in sequence, each
+# Run all five checked 1M-scale adversarial probes in sequence, each
 # failing loudly (nonzero exit, propagated) on any documented-bound
 # violation, and refresh the committed JSON twins:
 #   CcProbe          — CC round counts on planted chain/star/random
@@ -23,6 +23,10 @@ declare -A OUT=( [CcProbe]=CC_PROBE.json [LshCapProbe]=LSH_CAP_PROBE.json \
   [SimhashCapProbe]=SIMHASH_CAP_PROBE.json [IvfAppendProbe]=IVF_APPEND_PROBE.json \
   [IncCcProbe]=INC_CC_PROBE.json )
 for p in $PROBES; do
+  if [[ -z "${OUT[$p]:-}" ]]; then
+    echo "unknown probe '$p' (expected one of: ${!OUT[@]})" >&2
+    exit 2
+  fi
   echo "=== graft.tools.$p -> ${OUT[$p]} ===" >&2
   $JAVA "graft.tools.$p" "${OUT[$p]}"
 done

@@ -436,7 +436,13 @@ object DedupOps {
           .withColumn("__old", lit(null).cast(idType))
           .union(labels.withColumn("__old", col("component")))
           .groupBy(col("v"))
-          .agg(min(col("component")).as("cand"), max(col("__old")).as("__old"))
+          .agg(min(col("component")).as("cand"),
+            // A vertex seen only as an edge endpoint (absent from
+            // `labels`, possible when hookDelay <= iter on round 0 for
+            // a vertex missing from `vertices`) has no old label; it
+            // hooks as its own singleton class (= the self-init
+            // semantics) instead of vanishing into a null join key.
+            coalesce(max(col("__old")), col("v")).as("__old"))
         // Hook: every class adopts the min candidate ANY member found.
         // Safe: the class min is cand(w) for a member w of the same
         // class, and every candidate is an id of the same component.

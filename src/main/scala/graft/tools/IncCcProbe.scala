@@ -65,7 +65,7 @@ object IncCcProbe {
     val baseSecs = (System.nanoTime() - t0) / 1e9
 
     // Arrivals [n, n+batch): even j attaches to one existing vertex,
-    // odd j bridges two DISTINCT existing two-cliques (hash-spread so
+    // odd j bridges two DISTINCT existing chains (hash-spread so
     // bridge targets rarely coincide; coinciding ones just degrade to
     // an attach — parity stays exact either way).
     val newVertices = spark.range(n, n + batch).select(col("id").as("doc_id"))

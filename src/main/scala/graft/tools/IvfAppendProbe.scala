@@ -116,7 +116,13 @@ object IvfAppendProbe {
       .ivfAppend(appended, arrivals, cents, books, subDim).count()
     val replaySecs = (System.nanoTime() - t2) / 1e9
 
-    // Probes: half pre-existing ids, half fresh arrivals.
+    // Probes: uniform stride over the MERGED corpus, so arrivals get
+    // ~batch/(n+batch) of the probes (~18 of 200 at the default shape)
+    // — enough for the separate arrival-recall floor below to catch a
+    // path that drops arrivals entirely, but a far weaker statistic
+    // than the overall recall (~1.8k probe·neighbor truths), which is
+    // why both floors sit at the coarse 0.5 rather than the measured
+    // ~0.95.
     val merged = corpus.unionByName(arrivals).localCheckpoint(true)
     val probeStep = (n + batch) / nProbes
     val probes = merged.filter(col("vec_id") % probeStep === 7L)

@@ -1328,6 +1328,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(labels.count() == n)
   }
 
+  test("connectedComponents: hookDelay=0 keeps edge-endpoint-only vertices") {
+    // Regression: with hookDelay <= 0, round 0 is already a hook round,
+    // and a vertex present only as an edge endpoint (absent from the
+    // vertex frame) used to aggregate a null __old class key and vanish
+    // through the null-keyed hook join. It now hooks as its own
+    // singleton class (self-init semantics) and keeps its label.
+    import spark.implicits._
+    val docs = spark.range(0, 4).select(col("id").as("doc_id")) // 0..3
+    val edges = Seq((0L, 9L), (9L, 3L), (1L, 2L)) // 9 is dst-only
+      .toDF("id_a", "id_b")
+    val (labels, _) = DedupOps.connectedComponentsWithRounds(
+      docs, edges, "doc_id", maxIter = 40, hookDelay = 0)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 9L),
+      s"vertex set ${got.keySet} must include the edge-only vertex 9")
+    assert(got(9L) == 0L && got(3L) == 0L && got(0L) == 0L,
+      s"component of {0,9,3} must be 0, got $got")
+    assert(got(1L) == 1L && got(2L) == 1L)
+    // And the default-delay loop agrees row-for-row.
+    val ref = DedupOps.connectedComponentsRef(docs, edges, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ref == got, s"hookDelay=0 labels $got differ from ref $ref")
+  }
+
   test("GraftStats.withRowCount: measured stats, same rows, partitioning preserved") {
     import org.apache.spark.sql.execution.LogicalRDD
     val df = spark.range(0, 500)
