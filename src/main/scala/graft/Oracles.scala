@@ -2553,38 +2553,48 @@ object Oracles {
     * `div`; every SUM cast to BIGINT so DuckDB's HUGEINT promotion
     * can't leak into the hash). */
   private def qualityModelCtes(spam: String, buckets: Int,
-      steps: Int): String = {
+      steps: Int, p: String = "", sampleMod: Int = 1): String = {
     val stages = (1 to steps).map { t =>
-      s"""z$t AS (SELECT f.doc_id, CAST(SUM(f.x * w.w) AS BIGINT) AS z
-         |  FROM f JOIN w${t - 1} w USING (bucket) GROUP BY f.doc_id),
-         |r$t AS (SELECT l.doc_id,
+      s"""${p}z$t AS (SELECT f.doc_id, CAST(SUM(f.x * w.w) AS BIGINT) AS z
+         |  FROM ${p}f f JOIN ${p}w${t - 1} w USING (bucket) GROUP BY f.doc_id),
+         |${p}r$t AS (SELECT l.doc_id,
          |    LEAST(GREATEST(32768 + z // 4, 0), 65536) - l.y * 65536 AS r
-         |  FROM z$t JOIN l USING (doc_id)),
-         |g$t AS (SELECT bucket, CAST(SUM(f.x * r.r) AS BIGINT) AS g
-         |  FROM f JOIN r$t r USING (doc_id) GROUP BY bucket),
-         |w$t AS MATERIALIZED (SELECT w.bucket,
-         |    w.w - COALESCE(g.g, 0) // (4 * (SELECT count(*) FROM l)) AS w
-         |  FROM w${t - 1} w LEFT JOIN g$t g USING (bucket))""".stripMargin
+         |  FROM ${p}z$t JOIN ${p}l l USING (doc_id)),
+         |${p}g$t AS (SELECT bucket, CAST(SUM(f.x * r.r) AS BIGINT) AS g
+         |  FROM ${p}f f JOIN ${p}r$t r USING (doc_id) GROUP BY bucket),
+         |${p}w$t AS MATERIALIZED (SELECT w.bucket,
+         |    w.w - COALESCE(g.g, 0) // (4 * (SELECT count(*) FROM ${p}l)) AS w
+         |  FROM ${p}w${t - 1} w LEFT JOIN ${p}g$t g USING (bucket))""".stripMargin
     }.mkString(",\n")
-    s"""pc AS (SELECT doc_id, text FROM documents
+    // sampleMod > 1: deterministic 1-in-mod doc sample, keyed on the
+    // PAIR-STABLE base id (an original and its +20000000 spam copy
+    // share doc_id % 20000000), so the sampled training corpus keeps
+    // whole label pairs and stays balanced — mirrors SparkEntry
+    // .spamSampledDocs exactly.
+    val sample = if (sampleMod <= 1) ""
+    else s"""
+       |  WHERE ${hash60("CAST(doc_id % 20000000 AS VARCHAR)")}
+       |    % $sampleMod = 0""".stripMargin
+    s"""${p}pc AS (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 20000000, text || ' ${q(spam)}' FROM documents),
-       |l AS (SELECT doc_id,
-       |  CASE WHEN doc_id >= 20000000 THEN 0 ELSE 1 END AS y FROM pc),
-       |s0 AS (SELECT doc_id,
+       |  SELECT doc_id + 20000000, text || ' ${q(spam)}' FROM documents)$sample),
+       |${p}l AS (SELECT doc_id,
+       |  CASE WHEN doc_id >= 20000000 THEN 0 ELSE 1 END AS y FROM ${p}pc),
+       |${p}s0 AS (SELECT doc_id,
        |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
-       |    AS tk FROM pc),
-       |gr AS (SELECT doc_id, unnest(tk) AS g FROM s0
+       |    AS tk FROM ${p}pc),
+       |${p}gr AS (SELECT doc_id, unnest(tk) AS g FROM ${p}s0
        |  UNION ALL
        |  SELECT doc_id, unnest(CASE WHEN len(tk) <= 1 THEN tk
        |    ELSE list_transform(generate_series(1, len(tk) - 1),
-       |      i -> tk[i] || ' ' || tk[i + 1]) END) AS g FROM s0),
-       |f AS MATERIALIZED (
+       |      i -> tk[i] || ' ' || tk[i + 1]) END) AS g FROM ${p}s0),
+       |${p}f AS MATERIALIZED (
        |  SELECT doc_id, ${hash60("g")} % $buckets AS bucket,
-       |    CAST(count(*) AS BIGINT) AS x FROM gr GROUP BY 1, 2
+       |    CAST(count(*) AS BIGINT) AS x FROM ${p}gr GROUP BY 1, 2
        |  UNION ALL
-       |  SELECT doc_id, -1 AS bucket, CAST(1 AS BIGINT) AS x FROM pc),
-       |w0 AS (SELECT i AS bucket, CAST(0 AS BIGINT) AS w FROM
+       |  SELECT doc_id, -1 AS bucket, CAST(1 AS BIGINT) AS x FROM ${p}pc),
+       |${p}w0 AS (SELECT i AS bucket, CAST(0 AS BIGINT) AS w FROM
        |  (SELECT unnest(generate_series(-1, ${buckets - 1})) AS i)),
        |$stages""".stripMargin
   }
@@ -2603,6 +2613,37 @@ object Oracles {
        |SELECT doc_id, score,
        |  CASE WHEN score >= 0 THEN 1 ELSE 0 END AS kept
        |FROM sc""".stripMargin
+
+  /** Sample-trained quality weights (SparkEntry `quality_train_sampled`):
+    * the identical Q16 recurrence trained on the deterministic
+    * pair-stable 1-in-`sampleMod` doc sample — the bounded-sample scale
+    * path for corpora where full-batch training cost dominates. */
+  def qualityTrainSampled(spam: String, buckets: Int, steps: Int,
+      sampleMod: Int): String =
+    s"""WITH ${qualityModelCtes(spam, buckets, steps, "", sampleMod)}
+       |SELECT bucket, w FROM w$steps""".stripMargin
+
+  /** Agreement of the sample-trained gate with the full-trained gate on
+    * the FULL planted corpus (SparkEntry `quality_sampled_agreement`):
+    * one row of integer counts — the in-gate quality measurement that
+    * justifies the sampled training path (same pattern as the ANN
+    * recall-contract rows). */
+  def qualitySampledAgreement(spam: String, buckets: Int, steps: Int,
+      sampleMod: Int): String =
+    s"""WITH ${qualityModelCtes(spam, buckets, steps)},
+       |${qualityModelCtes(spam, buckets, steps, "smp_", sampleMod)},
+       |scf AS (SELECT f.doc_id, CAST(SUM(f.x * w.w) AS BIGINT) AS score_full
+       |  FROM f JOIN w$steps w USING (bucket) GROUP BY f.doc_id),
+       |scs AS (SELECT f.doc_id, CAST(SUM(f.x * w.w) AS BIGINT) AS score_sampled
+       |  FROM f JOIN smp_w$steps w USING (bucket) GROUP BY f.doc_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN score_full >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept_full,
+       |  CAST(SUM(CASE WHEN score_sampled >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept_sampled,
+       |  CAST(SUM(CASE WHEN (score_full >= 0) = (score_sampled >= 0)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |FROM scf JOIN scs USING (doc_id)""".stripMargin
 
   /** SCD2 merge over a freshly-versioned orders target: replaced
     * current rows close at the effective timestamp; staged rows open

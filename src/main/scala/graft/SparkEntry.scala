@@ -192,6 +192,33 @@ object SparkEntry {
         QualityModelOps.hashedFeatures(spamPlantedDocs(s, dir), "doc_id", "text"),
         spamLabels(s, dir), "doc_id", QmSteps))
 
+  /** Deterministic pair-stable 1-in-[[QmSampleMod]] sample of the
+    * spam-planted corpus: the sampling key is the BASE id
+    * (doc_id % 20000000 — an original and its spam copy share it), so
+    * the sample keeps whole label pairs and stays balanced. This is the
+    * bounded-sample training path the 100x ledger motivates (full-batch
+    * train measured 208 s one-time at 1 M docs; sample cost drops by
+    * the mod while gate agreement is MEASURED in-gate, not assumed —
+    * `quality_sampled_agreement`). */
+  private def spamSampledDocs(s: SparkSession, dir: String): DataFrame =
+    spamPlantedDocs(s, dir).filter(
+      graft.functions.TextFunctions.hash60(
+        (col("doc_id") % 20000000L).cast("string")) % QmSampleMod === 0)
+
+  /** Sample-trained quality weights — identical recurrence, sampled
+    * corpus, its own ModelStore artifact (the sample mod is part of the
+    * training definition, so it is part of the key). */
+  private def qualityWeightsSampled(s: SparkSession, dir: String): DataFrame =
+    model(s, dir,
+        s"quality_lr_d${QualityModelOps.NumBuckets}_s${QmSteps}_m${QmSampleMod}_" +
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(SpamTokens)
+            .take(8), "documents")(
+      QualityModelOps.train(s,
+        QualityModelOps.hashedFeatures(spamSampledDocs(s, dir), "doc_id", "text"),
+        spamSampledDocs(s, dir).select(col("doc_id"),
+          when(col("doc_id") >= 20000000L, 0L).otherwise(1L).as("y")),
+        "doc_id", QmSteps))
+
   /** Recall-contract counts at a given banding: exact-Jaccard truth
     * pairs (Θ(n²) by construction — the measurement's price), banded
     * candidate pairs, and their overlap, as one row of integer counts.
@@ -1245,6 +1272,33 @@ object SparkEntry {
         qualityWeights(s, dir), "doc_id")
       scored.select(col("doc_id"), col("score"),
         when(col("score") >= 0, 1).otherwise(0).as("kept"))
+    },
+
+    // The SAMPLED training path: identical Q16 recurrence on the
+    // deterministic pair-stable 1-in-QmSampleMod sample — the
+    // bounded-cost twin for corpora where full-batch training dominates
+    // (measured 208 s one-time at 1 M docs in the 100x ledger; sample
+    // cost drops by the mod).
+    "quality_train_sampled" -> { (s, dir) =>
+      qualityWeightsSampled(s, dir).orderBy(col("bucket"))
+    },
+
+    // The sampled-vs-full gate agreement MEASURED on the full corpus as
+    // one row of integer counts (the ANN recall-contract pattern):
+    // justifies the sampled path with a number, not a docstring claim.
+    "quality_sampled_agreement" -> { (s, dir) =>
+      val feats = QualityModelOps.hashedFeatures(
+        spamPlantedDocs(s, dir), "doc_id", "text")
+      val full = QualityModelOps.scores(feats, qualityWeights(s, dir), "doc_id")
+        .withColumnRenamed("score", "score_full")
+      val smp = QualityModelOps.scores(feats, qualityWeightsSampled(s, dir), "doc_id")
+        .withColumnRenamed("score", "score_sampled")
+      full.join(smp, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score_full") >= 0, 1L).otherwise(0L)).as("n_kept_full"),
+          sum(when(col("score_sampled") >= 0, 1L).otherwise(0L)).as("n_kept_sampled"),
+          sum(when((col("score_full") >= 0) === (col("score_sampled") >= 0), 1L)
+            .otherwise(0L)).as("n_agree"))
     },
 
     // Corpus quality deciles — the "train on the top-N quality buckets"
@@ -3399,6 +3453,8 @@ object SparkEntry {
   // Trained quality model: gradient steps + the spam lexicon the bad
   // twins get suffixed with (lowercase ASCII — normalization-stable).
   val QmSteps = 6
+  // Sampled-train path: 1-in-QmSampleMod pair-stable doc sample.
+  val QmSampleMod = 4
   val SpamTokens = Seq.fill(4)(
     "buy cheap pills casino winner click free bonus prize deal")
     .mkString(" ")
@@ -3839,6 +3895,10 @@ object SparkEntry {
       QualityModelOps.NumBuckets, QmSteps),
     "quality_model_filter" -> Oracles.qualityModelFilter(SpamTokens,
       QualityModelOps.NumBuckets, QmSteps),
+    "quality_train_sampled" -> Oracles.qualityTrainSampled(SpamTokens,
+      QualityModelOps.NumBuckets, QmSteps, QmSampleMod),
+    "quality_sampled_agreement" -> Oracles.qualitySampledAgreement(SpamTokens,
+      QualityModelOps.NumBuckets, QmSteps, QmSampleMod),
     "quality_deciles" -> Oracles.qualityDeciles,
     "standardized_values" -> Oracles.standardizedValues,
     "vocab_doc_freq" -> Oracles.vocabDocFreq,
