@@ -53,7 +53,13 @@ object ScalingLedger {
     // round-13 (cont.): the incremental-CC gate query — the standing row
     // watches the two-batch fold (batch CC + frontier merge + remap),
     // which should scale like the batch CC family it wraps
-    "dedup_cc_incremental")
+    "dedup_cc_incremental",
+    // round-13 (cont.): the bounded-sample quality-training path and its
+    // in-gate justification. The train row's run1−run2 is the sampled
+    // one-time training cost (vs quality_model_filter's full-batch
+    // train); the agreement row scores the FULL corpus under both
+    // weight sets, so its ratio tracks two corpus-sized scoring passes
+    "quality_train_sampled", "quality_sampled_agreement")
 
   private case class Row(query: String, run1: Double, run2: Double, rows: Long)
 
