@@ -1,5 +1,5 @@
 #!/bin/bash
-# Run all five checked 1M-scale adversarial probes in sequence, each
+# Run all six checked 1M-scale adversarial probes in sequence, each
 # failing loudly (nonzero exit, propagated) on any documented-bound
 # violation, and refresh the committed JSON twins:
 #   CcProbe          — CC round counts on planted chain/star/random
@@ -7,8 +7,10 @@
 #   SimhashCapProbe  — SimHash chunk cap end-to-end (candidates + CC)
 #   IvfAppendProbe   — incremental ANN append (exactly-once, work, recall)
 #   IncCcProbe       — incremental CC (parity, batch-sized work, replay)
-# Total ~15-25 min on local[32]. Usage: scripts/run_probes.sh [probe...]
-# (default: all five; pass probe class short names to run a subset).
+#   CurationStreamProbe — composed url/scrub/quality/near-dup ingest stream
+#                     (exact per-stage growth, flat batch wall, replay=0)
+# Total ~20-30 min on local[32]. Usage: scripts/run_probes.sh [probe...]
+# (default: all six; pass probe class short names to run a subset).
 set -e
 cd "$(dirname "$0")/.."
 ADD_OPENS=""
@@ -18,10 +20,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 JAVA="java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp target/scala-2.13/classes:/opt/spark/jars/*"
-PROBES=${@:-CcProbe LshCapProbe SimhashCapProbe IvfAppendProbe IncCcProbe}
+PROBES=${@:-CcProbe LshCapProbe SimhashCapProbe IvfAppendProbe IncCcProbe CurationStreamProbe}
 declare -A OUT=( [CcProbe]=CC_PROBE.json [LshCapProbe]=LSH_CAP_PROBE.json \
   [SimhashCapProbe]=SIMHASH_CAP_PROBE.json [IvfAppendProbe]=IVF_APPEND_PROBE.json \
-  [IncCcProbe]=INC_CC_PROBE.json )
+  [IncCcProbe]=INC_CC_PROBE.json [CurationStreamProbe]=CURATION_STREAM_PROBE.json )
 for p in $PROBES; do
   if [[ -z "${OUT[$p]:-}" ]]; then
     echo "unknown probe '$p' (expected one of: ${!OUT[@]})" >&2

@@ -554,6 +554,137 @@ object StreamingLoad {
       }
       .start()
 
+  /** The COMPOSED continuous curation pipeline — the streaming twin of
+    * the batch `crawl_curation_pipeline` gate query's filtering stages,
+    * in one micro-batch pass with cheapest-stage-first ordering
+    * (RefinedWeb recipe; reference streams are single-purpose, this is
+    * the north-star composition):
+    *
+    *   1. canonical-URL reject (exact, one equi-join vs the persisted
+    *      key store + within-batch keep-lowest) — before any text work;
+    *   2. boilerplate scrub against the FROZEN trained dictionary
+    *      (train-once/scrub-many split — the dict is a ModelStore
+    *      artifact, never retrained per batch);
+    *   3. heuristic quality gate on the SCRUBBED text
+    *      (`qualityScore >= qualityMin` — same expression as the batch
+    *      pipeline, so chrome can never buoy a page's score);
+    *   4. MinHash near-dup reject vs the persisted signature store and
+    *      within the batch (signatures over clean_text — the same text
+    *      future comparisons see).
+    *
+    * Store semantics, chosen for the 100 TB crawl case: the KEY store
+    * claims every first-seen canonical URL — including pages that then
+    * die at quality or near-dup — so a page judged once is re-rejected
+    * at the cheapest stage forever (its later surface variants never
+    * re-scrub or re-shingle). Corpus and signature stores hold only
+    * fully-curated survivors. Per-batch work is O(batch): one key
+    * equi-join, batch-sized scrub/score projections, and the banded
+    * candidate join whose corpus side is [[graft.operators.DedupOps
+    * .minhashCandidatesAgainst]]'s capped buckets.
+    *
+    * Replay safety is per-table as in the single-stage streams: each
+    * store is guarded against its own ids, so full or partial replays
+    * (crash between the three inserts) heal instead of duplicating —
+    * and a key claimed by a later-rejected doc on run 1 correctly
+    * keeps rejecting on replay.
+    *
+    * Probed at 1 M-corpus scale by `graft.tools.CurationStreamProbe`
+    * (planted per-category arrivals, exact reject accounting, flat
+    * per-batch work, replay-appends-zero). */
+  def curationIngestStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      warehouse: ParquetWarehouse,
+      table: TableRef,
+      keyTable: TableRef,
+      sigTable: TableRef,
+      boilerDict: DataFrame,
+      idField: String,
+      urlField: String,
+      textField: String,
+      qualityMin: Double,
+      minEst: Double,
+      checkpointDir: String,
+      tileWidth: Int = 8,
+      minDf: Int = 20,
+      bands: Int = graft.operators.DedupOps.Bands): StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val ops = graft.operators.DedupOps
+        val all = onePerId(batch0, idField).withColumn("canonical_url",
+          graft.operators.CurationOps.canonicalizeUrl(col(urlField)))
+          .localCheckpoint(true)
+        // --- stage 1: canonical-URL reject (see urlKeyRejectStream for
+        // the blank-key rationale: keyless docs are never URL-deduped).
+        def blank(c: Column) = c.isNull || c.rlike("^\\s*$")
+        val keyed = all.filter(!blank(col("canonical_url")))
+        val keyless = all.filter(blank(col("canonical_url")))
+        val claimedByStore =
+          if (warehouse.exists(keyTable))
+            keyed.join(warehouse.table(keyTable).select(col("canonical_url")),
+              Seq("canonical_url"), "left_semi").select(col(idField))
+          else keyed.select(col(idField)).limit(0)
+        val urlSurvivors = keyed
+          .withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("canonical_url")).orderBy(col(idField))))
+          .filter(col("__rk") === 1).drop("__rk")
+          .join(claimedByStore, Seq(idField), "left_anti")
+          .unionByName(keyless)
+          .localCheckpoint(true) // feeds the key store AND stages 2-4
+        // --- stage 2+3: scrub against the frozen dict, gate on the
+        // scrubbed text. Only URL survivors pay for text processing.
+        val scrubbed = graft.operators.TextOps.boilerplateScrubText(
+            urlSurvivors.select(col(idField), col(textField)),
+            idField, textField, tileWidth, minDf, Some(boilerDict))
+          .select(col(idField), col("clean_text"))
+        val qualified = scrubbed
+          .filter(graft.functions.TextFunctions.qualityScore(
+            col("clean_text")) >= qualityMin)
+          .localCheckpoint(true) // both sides of the within-batch join
+        // --- stage 4: near-dup reject on clean_text (the
+        // nearDupRejectStream rule: within-batch rejection only by a
+        // lower-id member that itself survives the vs-store check).
+        val vsStore =
+          if (warehouse.exists(sigTable))
+            ops.minhashCandidatesAgainst(
+                warehouse.table(sigTable), qualified, idField, "clean_text",
+                bands)
+              .filter(col("est_jaccard") >= minEst)
+              .select(col("new_id").as(idField))
+          else qualified.select(col(idField)).limit(0)
+        val within = ops.minhashCandidates(qualified, idField, "clean_text",
+            bands)
+          .filter(col("est_jaccard") >= minEst)
+          .join(vsStore.select(col(idField).as("id_a")), Seq("id_a"),
+            "left_anti")
+          .select(col("id_b").as(idField))
+        val survivors = urlSurvivors
+          .join(qualified.join(vsStore.unionByName(within).distinct(),
+            Seq(idField), "left_anti"), idField)
+          .localCheckpoint(true)
+        // --- guarded appends (idempotent per table, see scaladoc).
+        def notIn(df: DataFrame, t: TableRef) =
+          (if (warehouse.exists(t))
+              df.join(warehouse.table(t).select(col(idField)),
+                Seq(idField), "left_anti")
+            else df).localCheckpoint(true)
+        warehouse.load(LoadMode.Insert, keyTable,
+          notIn(urlSurvivors, keyTable).filter(!blank(col("canonical_url")))
+            .select(col("canonical_url"), col(idField)), idField)
+        warehouse.load(LoadMode.Insert, table,
+          notIn(survivors, table).drop(textField), idField)
+        warehouse.load(LoadMode.Insert, sigTable,
+          ops.minhashSignatureArr(
+            notIn(survivors, sigTable).select(col(idField), col("clean_text")),
+            idField, "clean_text"), idField)
+      }
+      .start()
+
   /** Event-time windowed aggregation with a watermark — the streaming
     * form of [[graft.operators.AnalyticOps.tumblingAgg]] (same expression
     * tree; late rows beyond the watermark are dropped instead of

@@ -83,6 +83,103 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .map(_.getLong(0)).toSet == Set(1L, 2L, 11L))
   }
 
+  test("curationIngestStream: composed url/scrub/quality/near-dup stages, " +
+      "rejected pages stay judged, full replay appends zero") {
+    import graft.operators.TextOps
+    val root = Files.createTempDirectory("graft_curation").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val (tbl, keys, sigs) =
+      (TableRef("", "curated"), TableRef("", "page_keys"),
+        TableRef("", "curated_sigs"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType),
+      StructField("text", StringType)))
+    // 4-token footer on a tileWidth=4 pipeline: bodies below are
+    // 16 tokens (a multiple of 4), so the appended footer always lands
+    // tile-aligned and the frozen dict (trained on 3 footered docs,
+    // minDf=2) scrubs exactly it.
+    val footer = "rights reserved contact example"
+    val bodyA = "the quick brown fox jumps over a lazy dog while the " +
+      "calm river flows north slowly" // 16 tokens, stopword-rich, diverse
+    val bodyB = "a small green bird sings near the old stone bridge " +
+      "under bright morning light each day"
+    val bodyC = "fresh snow covers the tall pine trees along this " +
+      "quiet mountain trail today here right now"
+    val bodyD = "seven ships sail past the rocky harbor wall before " +
+      "the evening tide turns around at dusk"
+    val spam = "buy buy buy buy buy buy buy buy" // diversity 1/8, no stops
+    import spark.implicits._
+    val dict = TextOps.boilerplateDict(
+      Seq((100L, s"$bodyA $footer"), (101L, s"$bodyB $footer"),
+        (102L, s"$bodyC $footer")).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 2).localCheckpoint(true)
+    def run(): Unit =
+      StreamingLoad.curationIngestStream(spark, src, docSchema, wh, tbl,
+        keys, sigs, dict, "doc_id", "url", "text", qualityMin = 0.25,
+        minEst = 0.5, s"$root/ckpt", tileWidth = 4, minDf = 2)
+        .awaitTermination()
+
+    // Run 1: 1 survives; 2 is a surface variant of 1's URL (url-reject
+    // within batch); 3 is spam (dies at quality, but its URL key is
+    // still claimed); 4 is a copy of 1's text under a new URL (dup
+    // reject within the batch — J=1 so every band collides
+    // deterministically; the graded-similarity S-curve is
+    // nearDupRejectStream's spec's concern); 5 survives.
+    writeFile(src, "a.json", Seq(
+      s"""{"doc_id":1,"url":"https://www.a.com/x?utm_source=f","text":"$bodyA $footer"}""",
+      s"""{"doc_id":2,"url":"HTTPS://A.COM:443/x/","text":"$bodyB $footer"}""",
+      s"""{"doc_id":3,"url":"https://a.com/spam","text":"$spam"}""",
+      s"""{"doc_id":4,"url":"https://a.com/copy","text":"$bodyA $footer"}""",
+      s"""{"doc_id":5,"url":"https://a.com/b","text":"$bodyB $footer"}""")
+      .mkString("\n"))
+    run()
+    assert(wh.table(tbl).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 5L))
+    // THE composed-store semantics: rejected pages' URLs stay judged.
+    assert(wh.table(keys).select("canonical_url").collect()
+      .map(_.getString(0)).toSet ==
+      Set("https://a.com/x", "https://a.com/spam", "https://a.com/copy",
+        "https://a.com/b"))
+    // Survivors' clean_text is scrubbed (footer gone, body intact).
+    val clean1 = wh.table(tbl).filter(col("doc_id") === 1L)
+      .select("clean_text").head().getString(0)
+    assert(clean1 == bodyA, s"scrub mismatch: '$clean1'")
+
+    // Run 2: 10 re-claims the SPAM page's URL — rejected at the URL
+    // stage even though the spam doc never reached the corpus; 11 copies
+    // STORED doc 1's text (vs-store signature reject); 12 survives with a
+    // new page; 13 is keyless (null url) and survives.
+    writeFile(src, "b.json", Seq(
+      s"""{"doc_id":10,"url":"https://a.com/spam#frag","text":"$bodyC $footer"}""",
+      s"""{"doc_id":11,"url":"https://a.com/c","text":"$bodyA $footer"}""",
+      s"""{"doc_id":12,"url":"https://a.com/d","text":"$bodyC $footer"}""",
+      s"""{"doc_id":13,"url":null,"text":"$bodyD $footer"}""")
+      .mkString("\n"))
+    run()
+    assert(wh.table(tbl).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 5L, 12L, 13L))
+    assert(wh.table(sigs).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 5L, 12L, 13L))
+    assert(wh.table(keys).select("canonical_url").collect()
+      .map(_.getString(0)).toSet ==
+      Set("https://a.com/x", "https://a.com/spam", "https://a.com/copy",
+        "https://a.com/b", "https://a.com/c", "https://a.com/d"))
+
+    // Full replay with a FRESH checkpoint: every doc re-arrives against
+    // the populated stores — keyed survivors re-reject at the URL
+    // stage, the keyless survivor re-rejects on its own signature, and
+    // every store appends ZERO rows (per-table guards).
+    val (nT, nK, nS) =
+      (wh.table(tbl).count(), wh.table(keys).count(), wh.table(sigs).count())
+    StreamingLoad.curationIngestStream(spark, src, docSchema, wh, tbl,
+      keys, sigs, dict, "doc_id", "url", "text", qualityMin = 0.25,
+      minEst = 0.5, s"$root/ckpt_replay", tileWidth = 4, minDf = 2)
+      .awaitTermination()
+    assert((wh.table(tbl).count(), wh.table(keys).count(),
+      wh.table(sigs).count()) == ((nT, nK, nS)))
+  }
+
   test("urlKeyRejectStream: canonical-key dedup within batch and vs store") {
     val root = Files.createTempDirectory("graft_urlkey").toString
     val src = s"$root/src"; Files.createDirectories(Paths.get(src))
