@@ -586,7 +586,18 @@ object StreamingLoad {
     * store is guarded against its own ids, so full or partial replays
     * (crash between the three inserts) heal instead of duplicating —
     * and a key claimed by a later-rejected doc on run 1 correctly
-    * keeps rejecting on replay.
+    * keeps rejecting on replay. The insert ORDER is the load-bearing
+    * part (the [[urlKeyRejectStream]] invariant, here with three
+    * tables): the key store — the only store whose presence REJECTS at
+    * stage 1 — commits LAST, so no crash can leave a doc's URL claimed
+    * while its corpus/signature rows are missing. A replayed doc whose
+    * key is absent re-passes stage 1 and either re-survives (stage-4
+    * store sigs don't hold it yet) into guarded zero-or-missing-row
+    * appends, or is vs-store-rejected by its own already-committed
+    * signature — in both cases the three stores converge to the
+    * fully-committed state. Were keys committed first, a crash before
+    * the corpus insert would make the replay URL-reject its own
+    * survivors and lose their rows forever.
     *
     * Probed at 1 M-corpus scale by `graft.tools.CurationStreamProbe`
     * (planted per-category arrivals, exact reject accounting, flat
@@ -667,21 +678,22 @@ object StreamingLoad {
           .join(qualified.join(vsStore.unionByName(within).distinct(),
             Seq(idField), "left_anti"), idField)
           .localCheckpoint(true)
-        // --- guarded appends (idempotent per table, see scaladoc).
+        // --- guarded appends (idempotent per table; ORDER matters —
+        // the stage-1-gating key store commits LAST, see scaladoc).
         def notIn(df: DataFrame, t: TableRef) =
           (if (warehouse.exists(t))
               df.join(warehouse.table(t).select(col(idField)),
                 Seq(idField), "left_anti")
             else df).localCheckpoint(true)
-        warehouse.load(LoadMode.Insert, keyTable,
-          notIn(urlSurvivors, keyTable).filter(!blank(col("canonical_url")))
-            .select(col("canonical_url"), col(idField)), idField)
         warehouse.load(LoadMode.Insert, table,
           notIn(survivors, table).drop(textField), idField)
         warehouse.load(LoadMode.Insert, sigTable,
           ops.minhashSignatureArr(
             notIn(survivors, sigTable).select(col(idField), col("clean_text")),
             idField, "clean_text"), idField)
+        warehouse.load(LoadMode.Insert, keyTable,
+          notIn(urlSurvivors, keyTable).filter(!blank(col("canonical_url")))
+            .select(col("canonical_url"), col(idField)), idField)
       }
       .start()
 

@@ -180,6 +180,85 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       wh.table(sigs).count()) == ((nT, nK, nS)))
   }
 
+  test("curationIngestStream: commit order heals every crash-reachable " +
+      "partial state (corpus -> sigs -> keys)") {
+    import graft.operators.TextOps
+    val root = Files.createTempDirectory("graft_curation_crash").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val (tbl, keys, sigs) =
+      (TableRef("", "curated"), TableRef("", "page_keys"),
+        TableRef("", "curated_sigs"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType),
+      StructField("text", StringType)))
+    val footer = "rights reserved contact example"
+    val bodyA = "the quick brown fox jumps over a lazy dog while the " +
+      "calm river flows north slowly"
+    val bodyB = "a small green bird sings near the old stone bridge " +
+      "under bright morning light each day"
+    val spam = "buy buy buy buy buy buy buy buy"
+    import spark.implicits._
+    val dict = TextOps.boilerplateDict(
+      Seq((100L, s"$bodyA $footer"), (101L, s"$bodyB $footer"),
+        (102L, s"$bodyA $footer")).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 2).localCheckpoint(true)
+    var ckpt = 0
+    def replay(): Unit = {
+      ckpt += 1
+      StreamingLoad.curationIngestStream(spark, src, docSchema, wh, tbl,
+        keys, sigs, dict, "doc_id", "url", "text", qualityMin = 0.25,
+        minEst = 0.5, s"$root/ckpt$ckpt", tileWidth = 4, minDf = 2)
+        .awaitTermination()
+    }
+    def state() = (
+      wh.table(tbl).select("doc_id").collect().map(_.getLong(0)).toSet,
+      wh.table(sigs).select("doc_id").collect().map(_.getLong(0)).toSet,
+      wh.table(keys).select("canonical_url").collect()
+        .map(_.getString(0)).toSet)
+    // 1 survives; 2 dies at quality, 3 is 1's dup — both still claim
+    // keys; 4 is keyless and always survives (keeps the corpus
+    // non-empty in the final lossy scenario below).
+    writeFile(src, "a.json", Seq(
+      s"""{"doc_id":1,"url":"https://a.com/x","text":"$bodyA $footer"}""",
+      s"""{"doc_id":2,"url":"https://a.com/spam","text":"$spam"}""",
+      s"""{"doc_id":3,"url":"https://a.com/copy","text":"$bodyA $footer"}""",
+      s"""{"doc_id":4,"url":null,"text":"$bodyB $footer"}""")
+      .mkString("\n"))
+    replay()
+    val full = state()
+    assert(full == ((Set(1L, 4L), Set(1L, 4L),
+      Set("https://a.com/x", "https://a.com/spam", "https://a.com/copy"))))
+
+    // Crash state A — after corpus+sigs, before the key insert: the
+    // replayed survivor is vs-store-rejected by its OWN committed
+    // signature, and the guarded key insert restores the claims.
+    wh.drop(keys)
+    replay()
+    assert(state() == full, "keys-missing state did not heal")
+
+    // Crash state B — after the corpus insert only: the replayed
+    // survivor re-passes stages 1-4 (no key claim, no stored sig) and
+    // the corpus append is the guarded no-op.
+    wh.drop(sigs); wh.drop(keys)
+    replay()
+    assert(state() == full, "sigs+keys-missing state did not heal")
+
+    // WHY the order is load-bearing: the inverse partial state — keys
+    // claimed, corpus/sigs missing — does NOT heal (the replay
+    // URL-rejects the survivor via its own claim and its rows are gone
+    // for good). The commit order exists precisely so no crash can
+    // reach this state; this assert is the measured justification, not
+    // a behavior any run can hit.
+    wh.drop(tbl); wh.drop(sigs)
+    replay()
+    assert(wh.table(tbl).select("doc_id").collect().map(_.getLong(0)).toSet
+        == Set(4L), // the keyless doc heals; the keyed survivor is LOST
+      "keys-first partial state unexpectedly healed — if stage 1 " +
+        "learned pair-exclusion, this doc comment and the commit-order " +
+        "rationale need updating")
+  }
+
   test("urlKeyRejectStream: canonical-key dedup within batch and vs store") {
     val root = Files.createTempDirectory("graft_urlkey").toString
     val src = s"$root/src"; Files.createDirectories(Paths.get(src))
