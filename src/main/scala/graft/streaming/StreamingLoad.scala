@@ -568,15 +568,23 @@ object StreamingLoad {
     *   3. heuristic quality gate on the SCRUBBED text
     *      (`qualityScore >= qualityMin` — same expression as the batch
     *      pipeline, so chrome can never buoy a page's score);
+    *   3b. (when `evalSet` is given) benchmark decontamination on the
+    *      scrubbed text: docs whose distinct word-`contamN`-gram overlap
+    *      with the FROZEN held-out set reaches `maxContamFrac` are
+    *      rejected ([[graft.operators.TextOps.contaminationFraction]] —
+    *      eval grams are benchmark-sized and broadcast; the corpus side
+    *      is one batch-sized explode). Runs on clean text so shared
+    *      boilerplate can't trigger false hits, and before shingling so
+    *      rejected docs never pay for signatures;
     *   4. MinHash near-dup reject vs the persisted signature store and
     *      within the batch (signatures over clean_text — the same text
     *      future comparisons see).
     *
     * Store semantics, chosen for the 100 TB crawl case: the KEY store
     * claims every first-seen canonical URL — including pages that then
-    * die at quality or near-dup — so a page judged once is re-rejected
-    * at the cheapest stage forever (its later surface variants never
-    * re-scrub or re-shingle). Corpus and signature stores hold only
+    * die at quality, decontamination, or near-dup — so a page judged
+    * once is re-rejected at the cheapest stage forever (its later
+    * surface variants never re-scrub or re-shingle). Corpus and signature stores hold only
     * fully-curated survivors. Per-batch work is O(batch): one key
     * equi-join, batch-sized scrub/score projections, and the banded
     * candidate join whose corpus side is [[graft.operators.DedupOps
@@ -619,7 +627,10 @@ object StreamingLoad {
       checkpointDir: String,
       tileWidth: Int = 8,
       minDf: Int = 20,
-      bands: Int = graft.operators.DedupOps.Bands): StreamingQuery =
+      bands: Int = graft.operators.DedupOps.Bands,
+      evalSet: Option[DataFrame] = None,
+      contamN: Int = 8,
+      maxContamFrac: Double = 0.05): StreamingQuery =
     spark.readStream.schema(schema).json(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -653,10 +664,23 @@ object StreamingLoad {
             urlSurvivors.select(col(idField), col(textField)),
             idField, textField, tileWidth, minDf, Some(boilerDict))
           .select(col(idField), col("clean_text"))
-        val qualified = scrubbed
+        val gated = scrubbed
           .filter(graft.functions.TextFunctions.qualityScore(
             col("clean_text")) >= qualityMin)
-          .localCheckpoint(true) // both sides of the within-batch join
+        // --- stage 3b: benchmark decontamination (like `boilerDict`,
+        // `evalSet` is a FROZEN driver-sized input — see the probe's
+        // storage-hygiene lesson on materializing such frames).
+        val qualified = (evalSet match {
+          case Some(ev) => gated.join(
+            graft.operators.TextOps.contaminationFraction(gated,
+                // evalSet carries the caller's (idField, textField)
+                // schema like the input docs; align to clean_text.
+                ev.select(col(idField), col(textField).as("clean_text")),
+                idField, "clean_text", contamN)
+              .filter(col("frac") >= maxContamFrac).select(col(idField)),
+            Seq(idField), "left_anti")
+          case None => gated
+        }).localCheckpoint(true) // both sides of the within-batch join
         // --- stage 4: near-dup reject on clean_text (the
         // nearDupRejectStream rule: within-batch rejection only by a
         // lower-id member that itself survives the vs-store check).

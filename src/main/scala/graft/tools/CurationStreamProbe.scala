@@ -16,17 +16,20 @@ import graft.streaming.StreamingLoad
   * through the production [[StreamingLoad.curationIngestStream]]: a
   * 1 M-document curated state (corpus + canonical-URL keys + MinHash
   * signatures over clean text), then arrival batches whose documents are
-  * PLANTED one-quarter each into the four fates the pipeline decides —
+  * PLANTED one-fifth each into the five fates the pipeline decides —
   * URL-duplicate of a stored page, content copy of a stored page under a
-  * fresh URL, spam that dies at the quality gate, and honest survivors —
-  * so every store's growth is an exact integer the probe can check, not
-  * a statistical expectation.
+  * fresh URL, spam that dies at the quality gate, a verbatim benchmark
+  * reproduction that dies at decontamination (1,000-doc frozen eval
+  * set, 8-gram overlap on CLEAN text), and honest survivors — so every
+  * store's growth is an exact integer the probe can check, not a
+  * statistical expectation.
   *
   * Checks (nonzero exit on violation — a check, not a measurement):
   *   1. per-batch store growth is EXACT: corpus and signatures grow by
-  *      the planted survivor count, the key store by the three
+  *      the planted survivor count, the key store by the four
   *      new-URL categories (the judged-once contract: a page rejected
-  *      at quality or near-dup still claims its key);
+  *      at quality, decontamination, or near-dup still claims its
+  *      key);
   *   2. per-batch wall stays flat as the store grows (batch 4 ≤ 3× the
   *      max of batch 1 and a 5 s floor): the candidate join is banded
   *      and capped, the key join is an equi-join — per-batch work is
@@ -65,8 +68,9 @@ object CurationStreamProbe {
     val n = if (args.length > 1) args(1).toLong else 1000000L
     val batchSize = if (args.length > 2) args(2).toLong else 25000L
     val batches = if (args.length > 3) args(3).toInt else 4
-    require(batchSize % 4 == 0, "batchSize must be divisible by 4")
-    val q = batchSize / 4
+    require(batchSize % 5 == 0, "batchSize must be divisible by 5")
+    val q = batchSize / 5
+    val EvalN = 1000L
     val cpus = graft.ToolSession.cpus("32")
     val spark = graft.ToolSession.local(cpus)
 
@@ -112,21 +116,31 @@ object CurationStreamProbe {
       dictComputed.schema)
     val seedSecs = (System.nanoTime() - t0) / 1e9
 
-    // ---- arrival batches: category = id % 4.
+    // Frozen held-out benchmark (decontamination eval set): a LAZY
+    // deterministic frame — no cached blocks for per-batch storage
+    // hygiene to eat (the dict above needs driver rows only because
+    // boilerplateDict checkpoints internally).
+    val evalSet = spark.range(0, EvalN).select(col("id").as("doc_id"),
+      body(col("id"), 2).as("text"))
+
+    // ---- arrival batches: category = id % 5.
     //   0: URL of stored page id%n, fresh text     -> URL-rejected
     //   1: fresh URL, copy of stored page's text   -> signature-rejected
     //   2: fresh URL, 16x"buy" spam                -> quality-rejected
-    //   3: fresh URL, fresh honest text            -> survives
+    //   3: fresh URL, verbatim eval doc id%EvalN   -> decontam-rejected
+    //   4: fresh URL, fresh honest text            -> survives
     def arrivals(b: Int): DataFrame = {
       val lo = n + b.toLong * batchSize
       spark.range(lo, lo + batchSize).select(col("id").as("doc_id"),
-        when(col("id") % 4 === 0, url(col("id") % n))
+        when(col("id") % 5 === 0, url(col("id") % n))
           .otherwise(concat(lit("https://new"), col("id").cast("string"),
             lit(".example.com/p/"), col("id").cast("string"))).as("url"),
-        when(col("id") % 4 === 1,
+        when(col("id") % 5 === 1,
             concat(body(col("id") % n, 0), lit(" " + Footer)))
-          .when(col("id") % 4 === 2,
+          .when(col("id") % 5 === 2,
             lit(Seq.fill(16)("buy").mkString(" ")))
+          .when(col("id") % 5 === 3,
+            concat(body(col("id") % EvalN, 2), lit(" " + Footer)))
           .otherwise(concat(body(col("id"), 1), lit(" " + Footer)))
           .as("text"))
     }
@@ -145,7 +159,8 @@ object CurationStreamProbe {
       val t = System.nanoTime()
       StreamingLoad.curationIngestStream(spark, src, schema, wh, tbl, keys,
         sigs, dict, "doc_id", "url", "text", qualityMin = 0.25,
-        minEst = 0.5, ckpt, tileWidth = TileW, minDf = 20)
+        minEst = 0.5, ckpt, tileWidth = TileW, minDf = 20,
+        evalSet = Some(evalSet), contamN = 8, maxContamFrac = 0.05)
         .awaitTermination()
       (System.nanoTime() - t) / 1e9
     }
@@ -158,9 +173,9 @@ object CurationStreamProbe {
       val grew = (after._1 - before._1, after._2 - before._2,
         after._3 - before._3)
       System.err.println(f"batch $b: wall $w%.1fs growth corpus=${grew._1} " +
-        s"keys=${grew._2} sigs=${grew._3} (expect $q, ${3 * q}, $q)")
-      require(grew == ((q, 3 * q, q)),
-        s"batch $b growth $grew != ($q, ${3 * q}, $q)")
+        s"keys=${grew._2} sigs=${grew._3} (expect $q, ${4 * q}, $q)")
+      require(grew == ((q, 4 * q, q)),
+        s"batch $b growth $grew != ($q, ${4 * q}, $q)")
       graft.ToolSession.clearStorage(spark)
       w
     }
@@ -189,7 +204,7 @@ object CurationStreamProbe {
     walls.zipWithIndex.foreach { case (w, i) =>
       println(f"| batch ${i + 1} wall | $w%.1f s | batch-sized work |") }
     println(f"| batch $batches vs batch 1 | ${walls.last}%.1f s | <= $flatBound%.1f s |")
-    println(s"| per-batch growth (corpus/keys/sigs) | $q / ${3 * q} / $q | exact, all $batches batches |")
+    println(s"| per-batch growth (corpus/keys/sigs) | $q / ${4 * q} / $q | exact, all $batches batches |")
     println(f"| full replay appends | 0 | 0 ($replaySecs%.1f s) |")
     require(walls.last <= flatBound,
       f"batch ${batches} wall ${walls.last}%.1f s > $flatBound%.1f s: " +
@@ -200,7 +215,7 @@ object CurationStreamProbe {
       s"""{"n":$n,"batch_size":$batchSize,"batches":$batches,""" +
       f""""seed_secs":$seedSecs%.2f,""" +
       s""""batch_walls":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
-      s""""growth_per_batch":{"corpus":$q,"keys":${3 * q},"sigs":$q},""" +
+      s""""growth_per_batch":{"corpus":$q,"keys":${4 * q},"sigs":$q},""" +
       f""""replay_secs":$replaySecs%.2f,"replay_growth":0}""")
     finally pw.close()
     System.err.println(s"wrote $jsonOut")

@@ -180,6 +180,63 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       wh.table(sigs).count()) == ((nT, nK, nS)))
   }
 
+  test("curationIngestStream: decontamination stage rejects benchmark " +
+      "overlap on CLEAN text; rejected docs still claim keys") {
+    import graft.operators.TextOps
+    val root = Files.createTempDirectory("graft_curation_decon").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val (tbl, keys, sigs) =
+      (TableRef("", "curated"), TableRef("", "page_keys"),
+        TableRef("", "curated_sigs"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType),
+      StructField("text", StringType)))
+    val footer = "rights reserved contact example"
+    val bodyA = "the quick brown fox jumps over a lazy dog while the " +
+      "calm river flows north slowly"
+    val bodyB = "a small green bird sings near the old stone bridge " +
+      "under bright morning light each day" // the held-out benchmark doc
+    import spark.implicits._
+    val dict = TextOps.boilerplateDict(
+      Seq((100L, s"$bodyA $footer"), (101L, s"$bodyB $footer"),
+        (102L, s"$bodyA $footer")).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 2).localCheckpoint(true)
+    val eval = Seq((900L, bodyB)).toDF("doc_id", "text").localCheckpoint(true)
+    // 1 is honest; 2 reproduces the benchmark doc VERBATIM under crawl
+    // chrome — the scrub strips the footer first, so the contamination
+    // check sees pure benchmark text (frac 1.0) even though the RAW
+    // text's grams are diluted by the footer. Both claim keys.
+    writeFile(src, "a.json", Seq(
+      s"""{"doc_id":1,"url":"https://a.com/x","text":"$bodyA $footer"}""",
+      s"""{"doc_id":2,"url":"https://a.com/leak","text":"$bodyB $footer"}""")
+      .mkString("\n"))
+    StreamingLoad.curationIngestStream(spark, src, docSchema, wh, tbl,
+      keys, sigs, dict, "doc_id", "url", "text", qualityMin = 0.25,
+      minEst = 0.5, s"$root/ckpt", tileWidth = 4, minDf = 2,
+      evalSet = Some(eval), contamN = 8, maxContamFrac = 0.05)
+      .awaitTermination()
+    assert(wh.table(tbl).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L))
+    assert(wh.table(sigs).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L))
+    // The leaked page is judged: its key is claimed, so surface variants
+    // of it will re-reject at stage 1 without re-running the gram join.
+    assert(wh.table(keys).select("canonical_url").collect()
+      .map(_.getString(0)).toSet ==
+      Set("https://a.com/x", "https://a.com/leak"))
+    // Replay against populated stores: zero appends with the stage on.
+    val before = (wh.table(tbl).count(), wh.table(keys).count(),
+      wh.table(sigs).count())
+    StreamingLoad.curationIngestStream(spark, src, docSchema, wh, tbl,
+      keys, sigs, dict, "doc_id", "url", "text", qualityMin = 0.25,
+      minEst = 0.5, s"$root/ckpt_replay", tileWidth = 4, minDf = 2,
+      evalSet = Some(eval), contamN = 8, maxContamFrac = 0.05)
+      .awaitTermination()
+    assert((wh.table(tbl).count(), wh.table(keys).count(),
+      wh.table(sigs).count()) == before)
+  }
+
   test("curationIngestStream: commit order heals every crash-reachable " +
       "partial state (corpus -> sigs -> keys)") {
     import graft.operators.TextOps
