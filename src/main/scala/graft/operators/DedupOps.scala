@@ -159,13 +159,25 @@ object DedupOps {
     * uncapped. */
   def minhashCandidates(df: DataFrame, id: String, text: String,
       bands: Int = Bands, distinctPairs: Boolean = true,
-      maxBucket: Int = MaxBucket): DataFrame = {
+      maxBucket: Int = MaxBucket): DataFrame =
     // The signature projection feeds FOUR plan branches (two bucket-join
     // sides, two est-jaccard joins). One repartition of the compact
     // (id, sig) rows materializes it as a reusable exchange
     // (ReusedExchange) instead of recomputing the shingling 4x, and
     // co-partitions the id joins.
-    val sigArr = minhashSignatureArr(df, id, text).repartition(col(id))
+    minhashCandidatesFromSig(
+      minhashSignatureArr(df, id, text).repartition(col(id)),
+      id, bands, distinctPairs, maxBucket)
+
+  /** [[minhashCandidates]] over PRECOMPUTED `(id, sig)` signatures — for
+    * callers that already hold the signature frame and reuse it across
+    * several stages (the streaming sinks shingle each micro-batch ONCE
+    * and feed the within-batch join, the against-store join, and the
+    * signature-store insert from the same materialized frame). The
+    * caller owns partitioning/materialization of `sigArr`. */
+  def minhashCandidatesFromSig(sigArr: DataFrame, id: String,
+      bands: Int = Bands, distinctPairs: Boolean = true,
+      maxBucket: Int = MaxBucket): DataFrame = {
     // maxBucket = Int.MaxValue disables the guard and restores the
     // exact unguarded two-branch plan (no window, no union) — the
     // escape hatch for corpora already proven clean by the ledger.
@@ -239,8 +251,18 @@ object DedupOps {
   def minhashCandidatesAgainst(
       corpusSigArr: DataFrame, newDocs: DataFrame,
       id: String, text: String, bands: Int = Bands,
+      maxBucket: Int = MaxBucket): DataFrame =
+    minhashCandidatesAgainstSig(corpusSigArr,
+      minhashSignatureArr(newDocs, id, text).repartition(col(id)),
+      id, bands, maxBucket)
+
+  /** [[minhashCandidatesAgainst]] with the NEW side's signatures already
+    * computed — the shingle-once companion of
+    * [[minhashCandidatesFromSig]] for continuous-ingest sinks. */
+  def minhashCandidatesAgainstSig(
+      corpusSigArr: DataFrame, newSig: DataFrame,
+      id: String, bands: Int = Bands,
       maxBucket: Int = MaxBucket): DataFrame = {
-    val newSig = minhashSignatureArr(newDocs, id, text).repartition(col(id))
     // Bucket guard, against-form: the per-bucket join work is
     // |corpus bucket| × |new bucket|, so cap the CORPUS side at
     // `maxBucket` lowest-id representatives (a partitioned-window

@@ -82,6 +82,26 @@ object StreamingLoad {
       .filter(col("__one") === 1).drop("__one")
   }
 
+  /** Run one micro-batch body, then release every RDD block the body
+    * persisted (the eager `localCheckpoint` materializations the sinks
+    * lean on): per-batch storage is SCOPED to the batch, so a
+    * long-running continuous ingest cannot accumulate cached blocks
+    * batch over batch until eviction thrashing. Snapshot-diff on
+    * persistent-RDD ids — frames the caller materialized BEFORE
+    * starting the stream (a frozen boilerplate dict, a benchmark eval
+    * set) carry pre-snapshot ids and are never touched. Assumes the
+    * session runs one foreachBatch body at a time (Spark's default;
+    * concurrently-triggered independent streams in one session would
+    * need per-frame tracking instead — don't share a session if you do
+    * that). */
+  private def batchStorageScope[T](spark: SparkSession)(body: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally spark.sparkContext.getPersistentRDDs
+      .filter { case (rddId, _) => !before.contains(rddId) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   /** Stream NDJSON files from `srcDir` into `table` with upsert semantics
     * per micro-batch. Runs until no more files are available, then stops
     * (AvailableNow). */
@@ -165,14 +185,20 @@ object StreamingLoad {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
+        batchStorageScope(spark) {
         import org.apache.spark.sql.functions._
         val batch = onePerId(batch0, idField)
         val ops = graft.operators.DedupOps
+        // One shingling pass per batch (see curationIngestStream): the
+        // signature frame feeds both candidate joins and the store
+        // insert.
+        val sigArr = ops.minhashSignatureArr(batch, idField, textField)
+          .repartition(col(idField)).localCheckpoint(true)
         // Rejected for matching the persisted store…
         val vsStore =
           if (warehouse.exists(sigTable))
-            ops.minhashCandidatesAgainst(
-                warehouse.table(sigTable), batch, idField, textField, bands)
+            ops.minhashCandidatesAgainstSig(
+                warehouse.table(sigTable), sigArr, idField, bands)
               .filter(col("est_jaccard") >= minEst)
               .select(col("new_id").as(idField))
           else batch.select(col(idField)).limit(0)
@@ -184,7 +210,7 @@ object StreamingLoad {
         // surviving set the rule stays pairwise (chains like
         // store-dup ← B ← C still drop C with B) — the same
         // transitivity caveat semDedup documents.
-        val within = ops.minhashCandidates(batch, idField, textField, bands)
+        val within = ops.minhashCandidatesFromSig(sigArr, idField, bands)
           .filter(col("est_jaccard") >= minEst)
           .join(vsStore.select(col(idField).as("id_a")), Seq("id_a"),
             "left_anti")
@@ -206,7 +232,9 @@ object StreamingLoad {
             else survivors).localCheckpoint(true)
         warehouse.load(LoadMode.Insert, table, notIn(table), idField)
         warehouse.load(LoadMode.Insert, sigTable,
-          ops.minhashSignatureArr(notIn(sigTable), idField, textField), idField)
+          sigArr.join(notIn(sigTable).select(col(idField)),
+            Seq(idField), "left_semi"), idField)
+        }
       }
       .start()
 
@@ -236,6 +264,7 @@ object StreamingLoad {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
+        batchStorageScope(spark) {
         val all = onePerId(batch0, idField).withColumn("canonical_url",
           graft.operators.CurationOps.canonicalizeUrl(col(urlField)))
           .localCheckpoint(true)
@@ -286,6 +315,7 @@ object StreamingLoad {
         warehouse.load(LoadMode.Insert, keyTable,
           notIn(keyTable).filter(!blank(col("canonical_url")))
             .select(col("canonical_url"), col(idField)), idField)
+        }
       }
       .start()
 
@@ -318,18 +348,22 @@ object StreamingLoad {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
+        batchStorageScope(spark) {
         import org.apache.spark.sql.functions._
         val batch = onePerId(batch0, idField)
         val ops = graft.operators.DedupOps
+        // One shingling pass per batch (see curationIngestStream).
+        val sigArr = ops.minhashSignatureArr(batch, idField, textField)
+          .repartition(col(idField)).localCheckpoint(true)
         val vsStore =
           if (warehouse.exists(sigTable))
-            ops.minhashCandidatesAgainst(
-                warehouse.table(sigTable), batch, idField, textField, bands)
+            ops.minhashCandidatesAgainstSig(
+                warehouse.table(sigTable), sigArr, idField, bands)
               .filter(col("est_jaccard") >= minEst)
               .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"))
           else batch.select(col(idField).as("id_a"), col(idField).as("id_b"))
             .limit(0)
-        val within = ops.minhashCandidates(batch, idField, textField, bands)
+        val within = ops.minhashCandidatesFromSig(sigArr, idField, bands)
           .filter(col("est_jaccard") >= minEst)
           .select(col("id_a"), col("id_b"))
         val prev =
@@ -362,8 +396,10 @@ object StreamingLoad {
             else batch).localCheckpoint(true)
         warehouse.load(LoadMode.Insert, table, notIn(table), idField)
         warehouse.load(LoadMode.Insert, sigTable,
-          ops.minhashSignatureArr(notIn(sigTable), idField, textField), idField)
+          sigArr.join(notIn(sigTable).select(col(idField)),
+            Seq(idField), "left_semi"), idField)
         warehouse.load(LoadMode.TruncateInsert, labelTable, labels, idField)
+        }
       }
       .start()
 
@@ -636,6 +672,7 @@ object StreamingLoad {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
+        batchStorageScope(spark) {
         val ops = graft.operators.DedupOps
         val all = onePerId(batch0, idField).withColumn("canonical_url",
           graft.operators.CurationOps.canonicalizeUrl(col(urlField)))
@@ -664,9 +701,17 @@ object StreamingLoad {
             urlSurvivors.select(col(idField), col(textField)),
             idField, textField, tileWidth, minDf, Some(boilerDict))
           .select(col(idField), col("clean_text"))
+        // Zero-content reject rides with the quality gate: a page that
+        // scrubs to nothing must never become a corpus row, but
+        // `qualityScore` rates the empty token list 0.30 (the
+        // diversity term is 1 of 1 distinct) — above any practical
+        // threshold. The batch report queries keep the raw score
+        // semantics (they aggregate, they don't store); a STORE refuses
+        // empty rows explicitly.
         val gated = scrubbed
-          .filter(graft.functions.TextFunctions.qualityScore(
-            col("clean_text")) >= qualityMin)
+          .filter(!blank(col("clean_text")) &&
+            graft.functions.TextFunctions.qualityScore(
+              col("clean_text")) >= qualityMin)
         // --- stage 3b: benchmark decontamination (like `boilerDict`,
         // `evalSet` is a FROZEN driver-sized input — see the probe's
         // storage-hygiene lesson on materializing such frames).
@@ -684,16 +729,21 @@ object StreamingLoad {
         // --- stage 4: near-dup reject on clean_text (the
         // nearDupRejectStream rule: within-batch rejection only by a
         // lower-id member that itself survives the vs-store check).
+        // ONE shingling pass per batch: the same materialized signature
+        // frame feeds the against-store join, the within-batch join,
+        // and the signature-store insert below — "survivors pay for
+        // text processing once" made literal (shingle + 32 hash-mins
+        // per doc is the dominant per-batch text cost).
+        val sigArr = ops.minhashSignatureArr(qualified, idField,
+            "clean_text").repartition(col(idField)).localCheckpoint(true)
         val vsStore =
           if (warehouse.exists(sigTable))
-            ops.minhashCandidatesAgainst(
-                warehouse.table(sigTable), qualified, idField, "clean_text",
-                bands)
+            ops.minhashCandidatesAgainstSig(
+                warehouse.table(sigTable), sigArr, idField, bands)
               .filter(col("est_jaccard") >= minEst)
               .select(col("new_id").as(idField))
           else qualified.select(col(idField)).limit(0)
-        val within = ops.minhashCandidates(qualified, idField, "clean_text",
-            bands)
+        val within = ops.minhashCandidatesFromSig(sigArr, idField, bands)
           .filter(col("est_jaccard") >= minEst)
           .join(vsStore.select(col(idField).as("id_a")), Seq("id_a"),
             "left_anti")
@@ -712,12 +762,12 @@ object StreamingLoad {
         warehouse.load(LoadMode.Insert, table,
           notIn(survivors, table).drop(textField), idField)
         warehouse.load(LoadMode.Insert, sigTable,
-          ops.minhashSignatureArr(
-            notIn(survivors, sigTable).select(col(idField), col("clean_text")),
-            idField, "clean_text"), idField)
+          sigArr.join(notIn(survivors, sigTable).select(col(idField)),
+            Seq(idField), "left_semi"), idField)
         warehouse.load(LoadMode.Insert, keyTable,
           notIn(urlSurvivors, keyTable).filter(!blank(col("canonical_url")))
             .select(col("canonical_url"), col(idField)), idField)
+        }
       }
       .start()
 

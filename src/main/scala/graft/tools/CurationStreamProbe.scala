@@ -101,9 +101,12 @@ object CurationStreamProbe {
       "doc_id")
     // Frozen boiler dict: footer tile df = sample size, body tiles df=1.
     // Materialized driver-side (1 row) and recreated as a literal frame:
-    // a localCheckpoint here would die under the per-batch clearStorage
-    // hygiene below (the probe's first failure mode, kept as a comment —
-    // CONTRACTS §8b's cousin: storage hygiene must not eat live inputs).
+    // the probe's first failure mode was handing the stream a
+    // localCheckpoint frame while running clearStorage between batches
+    // (storage hygiene ate a live input — CONTRACTS §8b's cousin). The
+    // sink now scopes its own per-batch storage and external hygiene is
+    // gone, but a frozen input should still never depend on cached
+    // blocks it doesn't own.
     val dictComputed = graft.operators.TextOps.boilerplateDict(
       seed.filter(col("doc_id") < 1000)
         .select(col("doc_id"),
@@ -115,6 +118,7 @@ object CurationStreamProbe {
       spark.sparkContext.parallelize(dictRows.toIndexedSeq, 1),
       dictComputed.schema)
     val seedSecs = (System.nanoTime() - t0) / 1e9
+    val baseBlocks = spark.sparkContext.getPersistentRDDs.keySet
 
     // Frozen held-out benchmark (decontamination eval set): a LAZY
     // deterministic frame — no cached blocks for per-batch storage
@@ -176,7 +180,14 @@ object CurationStreamProbe {
         s"keys=${grew._2} sigs=${grew._3} (expect $q, ${4 * q}, $q)")
       require(grew == ((q, 4 * q, q)),
         s"batch $b growth $grew != ($q, ${4 * q}, $q)")
-      graft.ToolSession.clearStorage(spark)
+      // No external storage hygiene here — the sink's own per-batch
+      // storage scope must keep blocks from accumulating (checked
+      // directly, and the flat-wall bound below would catch the
+      // thrashing it prevents).
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseBlocks
+      require(leaked.isEmpty,
+        s"batch $b leaked ${leaked.size} cached blocks past the sink's " +
+          "storage scope")
       w
     }
 

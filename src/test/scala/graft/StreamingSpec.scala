@@ -197,19 +197,33 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "calm river flows north slowly"
     val bodyB = "a small green bird sings near the old stone bridge " +
       "under bright morning light each day" // the held-out benchmark doc
+    val bodyC = "fresh snow covers the tall pine trees along this " +
+      "quiet mountain trail today here right now"
     import spark.implicits._
+    // THREE DISTINCT training bodies: with minDf=2 a repeated body's
+    // tiles would join the dict and the "honest" doc would scrub to
+    // nothing (a fixture bug a review pass caught) — only the footer
+    // tile reaches df >= 2.
     val dict = TextOps.boilerplateDict(
       Seq((100L, s"$bodyA $footer"), (101L, s"$bodyB $footer"),
-        (102L, s"$bodyA $footer")).toDF("doc_id", "text"),
+        (102L, s"$bodyC $footer")).toDF("doc_id", "text"),
       "doc_id", "text", 4, 2).localCheckpoint(true)
+    assert(dict.count() == 1, "dict must hold exactly the footer tile")
     val eval = Seq((900L, bodyB)).toDF("doc_id", "text").localCheckpoint(true)
+    // Set-diff, not a count: ContextCleaner may GC-unpersist blocks
+    // belonging to EARLIER tests in the shared session at any moment.
+    val baseBlocks = spark.sparkContext.getPersistentRDDs.keySet
     // 1 is honest; 2 reproduces the benchmark doc VERBATIM under crawl
     // chrome — the scrub strips the footer first, so the contamination
     // check sees pure benchmark text (frac 1.0) even though the RAW
-    // text's grams are diluted by the footer. Both claim keys.
+    // text's grams are diluted by the footer; 3 is ALL chrome (scrubs
+    // to empty — must never become a zero-content corpus row even
+    // though qualityScore rates the empty token list 0.30). All three
+    // claim keys.
     writeFile(src, "a.json", Seq(
       s"""{"doc_id":1,"url":"https://a.com/x","text":"$bodyA $footer"}""",
-      s"""{"doc_id":2,"url":"https://a.com/leak","text":"$bodyB $footer"}""")
+      s"""{"doc_id":2,"url":"https://a.com/leak","text":"$bodyB $footer"}""",
+      s"""{"doc_id":3,"url":"https://a.com/chrome","text":"$footer"}""")
       .mkString("\n"))
     StreamingLoad.curationIngestStream(spark, src, docSchema, wh, tbl,
       keys, sigs, dict, "doc_id", "url", "text", qualityMin = 0.25,
@@ -220,11 +234,16 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       == Set(1L))
     assert(wh.table(sigs).select("doc_id").collect().map(_.getLong(0)).toSet
       == Set(1L))
-    // The leaked page is judged: its key is claimed, so surface variants
-    // of it will re-reject at stage 1 without re-running the gram join.
+    // The survivor's stored text is the SCRUBBED body — the premise the
+    // contamination check rests on, asserted, not assumed.
+    assert(wh.table(tbl).filter(col("doc_id") === 1L)
+      .select("clean_text").head().getString(0) == bodyA)
+    // The leaked and all-chrome pages are judged: keys claimed, so
+    // surface variants re-reject at stage 1 without re-running the
+    // gram join or the scrub.
     assert(wh.table(keys).select("canonical_url").collect()
       .map(_.getString(0)).toSet ==
-      Set("https://a.com/x", "https://a.com/leak"))
+      Set("https://a.com/x", "https://a.com/leak", "https://a.com/chrome"))
     // Replay against populated stores: zero appends with the stage on.
     val before = (wh.table(tbl).count(), wh.table(keys).count(),
       wh.table(sigs).count())
@@ -235,6 +254,12 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .awaitTermination()
     assert((wh.table(tbl).count(), wh.table(keys).count(),
       wh.table(sigs).count()) == before)
+    // Per-batch storage is scoped to the batch: two full stream runs
+    // must leave NO new cached blocks behind (the frozen dict/eval
+    // frames were materialized before the baseline and survive).
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseBlocks
+    assert(leaked.isEmpty,
+      s"stream leaked ${leaked.size} cached blocks past its batches")
   }
 
   test("curationIngestStream: commit order heals every crash-reachable " +
@@ -254,12 +279,17 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "calm river flows north slowly"
     val bodyB = "a small green bird sings near the old stone bridge " +
       "under bright morning light each day"
+    val bodyC = "fresh snow covers the tall pine trees along this " +
+      "quiet mountain trail today here right now"
     val spam = "buy buy buy buy buy buy buy buy"
     import spark.implicits._
+    // Three distinct bodies so only the footer tile reaches minDf=2
+    // (see the decontamination test's fixture note).
     val dict = TextOps.boilerplateDict(
       Seq((100L, s"$bodyA $footer"), (101L, s"$bodyB $footer"),
-        (102L, s"$bodyA $footer")).toDF("doc_id", "text"),
+        (102L, s"$bodyC $footer")).toDF("doc_id", "text"),
       "doc_id", "text", 4, 2).localCheckpoint(true)
+    assert(dict.count() == 1, "dict must hold exactly the footer tile")
     var ckpt = 0
     def replay(): Unit = {
       ckpt += 1
