@@ -121,7 +121,9 @@ object StreamingLoad {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        warehouse.load(LoadMode.Upsert, table, batch, idField)
+        batchStorageScope(spark) {
+          warehouse.load(LoadMode.Upsert, table, batch, idField)
+        }
       }
       .start()
   }
@@ -148,12 +150,14 @@ object StreamingLoad {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val target =
-          if (warehouse.exists(table)) warehouse.table(table)
-          else batch.drop(opCol).limit(0) // first batch bootstraps the table
-        val merged = graft.operators.LoadOps.applyCdc(
-          target, batch, idField, opCol)
-        warehouse.load(LoadMode.TruncateInsert, table, merged, idField)
+        batchStorageScope(spark) {
+          val target =
+            if (warehouse.exists(table)) warehouse.table(table)
+            else batch.drop(opCol).limit(0) // first batch bootstraps
+          val merged = graft.operators.LoadOps.applyCdc(
+            target, batch, idField, opCol)
+          warehouse.load(LoadMode.TruncateInsert, table, merged, idField)
+        }
       }
       .start()
 
@@ -427,6 +431,7 @@ object StreamingLoad {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        batchStorageScope(spark) {
         import org.apache.spark.sql.functions._
         val ops = graft.operators.SketchOps
         val newSk = ops.kmvBottomK(batch, Seq(col(groupField)),
@@ -441,6 +446,7 @@ object StreamingLoad {
           .localCheckpoint(true)
         warehouse.load(LoadMode.TruncateInsert, sketchTable, merged,
           groupField)
+        }
       }
       .start()
 
@@ -473,6 +479,7 @@ object StreamingLoad {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
+        batchStorageScope(spark) {
         import org.apache.spark.sql.functions._
         val batch = onePerId(batch0, idField)
         // Replay guard BEFORE the coding projection (the ivfAppend order):
@@ -486,6 +493,7 @@ object StreamingLoad {
             newRows, coarseCentroids, codebooks, subDim, idField)
           .localCheckpoint(true)
         warehouse.load(LoadMode.Insert, indexTable, fresh, idField)
+        }
       }
       .start()
 
@@ -529,6 +537,7 @@ object StreamingLoad {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
+        batchStorageScope(spark) {
         val batch = onePerId(batch0, idField)
         val state =
           if (warehouse.exists(stateTable)) warehouse.table(stateTable)
@@ -551,6 +560,7 @@ object StreamingLoad {
             col(idField).cast("string").as("k"), lit(0L).as("df")))
         warehouse.load(LoadMode.TruncateInsert, stateTable,
           tiles.unionByName(docs).localCheckpoint(true), "k")
+        }
       }
       .start()
 
@@ -578,6 +588,7 @@ object StreamingLoad {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
+        batchStorageScope(spark) {
         import org.apache.spark.sql.functions._
         val batch = onePerId(batch0, idField)
         val ops = graft.operators.QualityModelOps
@@ -587,6 +598,7 @@ object StreamingLoad {
           .select(col(idField))
         warehouse.load(LoadMode.Upsert, table,
           batch.join(kept, idField).localCheckpoint(true), idField)
+        }
       }
       .start()
 
@@ -968,7 +980,9 @@ object StreamingLoad {
       .trigger(Trigger.ProcessingTime(intervalMs))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        warehouse.load(LoadMode.Upsert, table, batch, idField)
+        batchStorageScope(spark) {
+          warehouse.load(LoadMode.Upsert, table, batch, idField)
+        }
       }
       .start()
   }
