@@ -40,6 +40,18 @@ import graft.streaming.StreamingLoad
   *      checkpoint, same files) appends ZERO rows to all three stores —
   *      the per-table guards at 1 M, not just in the unit spec.
   *
+  * Exactness domain (measured, SCALING.md "exactness has a measured
+  * domain"): each 20k-honest batch against an N-doc store implicitly
+  * runs N x 20k MinHash pair tests; at the default N = 1M (2e10 tests)
+  * the K = 32 / t = 0.5 estimator produced zero false positives across
+  * three runs, at N = 4M (8e10 tests) exactly one — an honest doc
+  * rejected at est 17/32 = 0.53 whose TRUE shingle Jaccard is
+  * 2/28 = 0.07 (the affine hash family is pairwise- but not min-wise-
+  * independent, so agreement events are correlated and the tail is
+  * heavier than the i.i.d. binomial). The pipeline is contract-correct
+  * there; the probe's integer accounting is not. Keep n = 1M for the
+  * exact check; larger n measures the estimator, not the pipeline.
+  *
   * Usage: graft.tools.CurationStreamProbe [jsonOut] [n] [batchSize] [batches]
   */
 object CurationStreamProbe {
