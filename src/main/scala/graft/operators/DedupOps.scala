@@ -616,6 +616,22 @@ object DedupOps {
 
   // ---- exact n-gram Jaccard (the oracle-grade ground truth) ----------
 
+  /** Per-PAIR exact bigram-shingle Jaccard as a column expression — the
+    * verify kernel for candidate pairs that already carry both texts
+    * (est-passing MinHash candidates are pair-count-sized, so a
+    * per-row set intersection is cheap exactly where it's needed). The
+    * measured justification: at an 8×10¹⁰-pair scale the K = 32
+    * estimator produced a false positive at est 0.53 whose true
+    * Jaccard is 0.07 (SCALING.md "exactness has a measured domain") —
+    * precision-critical consumers verify est-passing pairs with this
+    * before acting on them. */
+  def exactShingleJaccard(a: Column, b: Column): Column = {
+    val sa = array_distinct(wordBigrams(a))
+    val sb = array_distinct(wordBigrams(b))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+
   /** Exact pairwise Jaccard over distinct word-bigram shingles via an
     * inverted-index join (shingle → docs): pairs sharing ≥1 shingle get
     * |A∩B| by counting, |A∪B| = |A|+|B|−|A∩B|. Never materializes O(n²) —

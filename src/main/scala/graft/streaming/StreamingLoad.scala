@@ -626,7 +626,12 @@ object StreamingLoad {
     *      rejected docs never pay for signatures;
     *   4. MinHash near-dup reject vs the persisted signature store and
     *      within the batch (signatures over clean_text — the same text
-    *      future comparisons see).
+    *      future comparisons see). With `verifyExact` the est-passing
+    *      pairs are re-checked against their TRUE shingle Jaccard
+    *      before rejecting — the precision companion of the recall
+    *      contract, justified by a measured estimator false positive
+    *      at 8×10¹⁰ implicit pair tests (see
+    *      [[graft.operators.DedupOps.exactShingleJaccard]]).
     *
     * Store semantics, chosen for the 100 TB crawl case: the KEY store
     * claims every first-seen canonical URL — including pages that then
@@ -678,7 +683,8 @@ object StreamingLoad {
       bands: Int = graft.operators.DedupOps.Bands,
       evalSet: Option[DataFrame] = None,
       contamN: Int = 8,
-      maxContamFrac: Double = 0.05): StreamingQuery =
+      maxContamFrac: Double = 0.05,
+      verifyExact: Boolean = false): StreamingQuery =
     spark.readStream.schema(schema).json(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -748,15 +754,42 @@ object StreamingLoad {
         // per doc is the dominant per-batch text cost).
         val sigArr = ops.minhashSignatureArr(qualified, idField,
             "clean_text").repartition(col(idField)).localCheckpoint(true)
+        // `verifyExact` recomputes the TRUE shingle Jaccard on the
+        // est-passing pairs only (pair-count-sized work) and rejects on
+        // the true value: the K = 32 estimator has a measured false-
+        // positive tail at large store x batch products (one honest doc
+        // rejected at est 0.53 / true J 0.07 in 8e10 implicit tests —
+        // SCALING.md). The store side's text comes from the CORPUS
+        // table: the §8c commit order (corpus before sigs) guarantees
+        // every sig row has its corpus row, and the lookup reads only
+        // the candidates' rows (id-clustered corpus + data skipping).
         val vsStore =
-          if (warehouse.exists(sigTable))
-            ops.minhashCandidatesAgainstSig(
+          if (warehouse.exists(sigTable)) {
+            val cand = ops.minhashCandidatesAgainstSig(
                 warehouse.table(sigTable), sigArr, idField, bands)
               .filter(col("est_jaccard") >= minEst)
+            (if (verifyExact)
+                cand.join(warehouse.table(table).select(
+                    col(idField).as("corpus_id"),
+                    col("clean_text").as("__ta")), "corpus_id")
+                  .join(qualified.select(col(idField).as("new_id"),
+                    col("clean_text").as("__tb")), "new_id")
+                  .filter(ops.exactShingleJaccard(col("__ta"), col("__tb"))
+                    >= minEst)
+              else cand)
               .select(col("new_id").as(idField))
-          else qualified.select(col(idField)).limit(0)
-        val within = ops.minhashCandidatesFromSig(sigArr, idField, bands)
+          } else qualified.select(col(idField)).limit(0)
+        val withinCand = ops.minhashCandidatesFromSig(sigArr, idField, bands)
           .filter(col("est_jaccard") >= minEst)
+        val within = (if (verifyExact)
+            withinCand
+              .join(qualified.select(col(idField).as("id_a"),
+                col("clean_text").as("__ta")), "id_a")
+              .join(qualified.select(col(idField).as("id_b"),
+                col("clean_text").as("__tb")), "id_b")
+              .filter(ops.exactShingleJaccard(col("__ta"), col("__tb"))
+                >= minEst)
+          else withinCand)
           .join(vsStore.select(col(idField).as("id_a")), Seq("id_a"),
             "left_anti")
           .select(col("id_b").as(idField))

@@ -52,7 +52,11 @@ import graft.streaming.StreamingLoad
   * there; the probe's integer accounting is not. Keep n = 1M for the
   * exact check; larger n measures the estimator, not the pipeline.
   *
-  * Usage: graft.tools.CurationStreamProbe [jsonOut] [n] [batchSize] [batches]
+  * Usage: graft.tools.CurationStreamProbe [jsonOut] [n] [batchSize] [batches] [verifyExact]
+  *
+  * `verifyExact true` turns on the stream's exact-verify pass — the
+  * 4M run that found the estimator false positive reads exact growth
+  * again under it (the closure measurement for the domain note above).
   */
 object CurationStreamProbe {
 
@@ -80,6 +84,7 @@ object CurationStreamProbe {
     val n = if (args.length > 1) args(1).toLong else 1000000L
     val batchSize = if (args.length > 2) args(2).toLong else 25000L
     val batches = if (args.length > 3) args(3).toInt else 4
+    val verifyExact = args.length > 4 && args(4).toBoolean
     require(batchSize % 5 == 0, "batchSize must be divisible by 5")
     val q = batchSize / 5
     val EvalN = 1000L
@@ -176,7 +181,8 @@ object CurationStreamProbe {
       StreamingLoad.curationIngestStream(spark, src, schema, wh, tbl, keys,
         sigs, dict, "doc_id", "url", "text", qualityMin = 0.25,
         minEst = 0.5, ckpt, tileWidth = TileW, minDf = 20,
-        evalSet = Some(evalSet), contamN = 8, maxContamFrac = 0.05)
+        evalSet = Some(evalSet), contamN = 8, maxContamFrac = 0.05,
+        verifyExact = verifyExact)
         .awaitTermination()
       (System.nanoTime() - t) / 1e9
     }
@@ -236,6 +242,7 @@ object CurationStreamProbe {
     val pw = new PrintWriter(new File(jsonOut))
     try pw.println(
       s"""{"n":$n,"batch_size":$batchSize,"batches":$batches,""" +
+      s""""verify_exact":$verifyExact,""" +
       f""""seed_secs":$seedSecs%.2f,""" +
       s""""batch_walls":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
       s""""growth_per_batch":{"corpus":$q,"keys":${4 * q},"sigs":$q},""" +

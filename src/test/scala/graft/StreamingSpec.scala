@@ -262,6 +262,79 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       s"stream leaked ${leaked.size} cached blocks past its batches")
   }
 
+  test("curationIngestStream: verifyExact overrides a false-positive " +
+      "signature match but keeps true duplicates rejected") {
+    import graft.operators.{DedupOps, TextOps}
+    val footer = "rights reserved contact example"
+    val bodyA = "the quick brown fox jumps over a lazy dog while the " +
+      "calm river flows north slowly"
+    val bodyB = "a small green bird sings near the old stone bridge " +
+      "under bright morning light each day"
+    val bodyC = "fresh snow covers the tall pine trees along this " +
+      "quiet mountain trail today here right now"
+    import spark.implicits._
+    val dict = TextOps.boilerplateDict(
+      Seq((100L, s"$bodyA $footer"), (101L, s"$bodyB $footer"),
+        (102L, s"$bodyC $footer")).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 2).localCheckpoint(true)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType),
+      StructField("text", StringType)))
+
+    // One store setup per flag value. Store doc 998 is honest (its sig
+    // matches its corpus text, bodyB); store doc 999 is the SIMULATED
+    // estimator false positive: its signature is FORGED to be the
+    // arriving doc's (bodyA) while its corpus text is unrelated
+    // (bodyC) — the deterministic stand-in for the natural est-0.53 /
+    // true-J-0.07 collision the 4M probe run measured.
+    def setup(): (ParquetWarehouse, String, TableRef, TableRef, TableRef) = {
+      val root = Files.createTempDirectory("graft_curation_vx").toString
+      val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+      val wh = new ParquetWarehouse(spark, s"$root/wh")
+      val (tbl, keys, sigs) =
+        (TableRef("", "curated"), TableRef("", "page_keys"),
+          TableRef("", "curated_sigs"))
+      wh.load(LoadMode.Insert, tbl,
+        Seq((998L, "https://s.com/998", "https://s.com/998", bodyB),
+          (999L, "https://s.com/999", "https://s.com/999", bodyC))
+          .toDF("doc_id", "url", "canonical_url", "clean_text"), "doc_id")
+      wh.load(LoadMode.Insert, keys,
+        Seq(("https://s.com/998", 998L), ("https://s.com/999", 999L))
+          .toDF("canonical_url", "doc_id"), "doc_id")
+      wh.load(LoadMode.Insert, sigs, DedupOps.minhashSignatureArr(
+        Seq((998L, bodyB), (999L, bodyA)).toDF("doc_id", "clean_text"),
+        "doc_id", "clean_text"), "doc_id")
+      writeFile(src, "a.json", Seq(
+        s"""{"doc_id":1,"url":"https://s.com/fp","text":"$bodyA $footer"}""",
+        s"""{"doc_id":2,"url":"https://s.com/dup","text":"$bodyB $footer"}""")
+        .mkString("\n"))
+      (wh, root, tbl, keys, sigs)
+    }
+    def corpus(wh: ParquetWarehouse, t: TableRef) =
+      wh.table(t).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // Without verification the forged match rejects the honest arrival.
+    val (wh0, root0, t0, k0, s0) = setup()
+    StreamingLoad.curationIngestStream(spark, s"$root0/src", docSchema,
+      wh0, t0, k0, s0, dict, "doc_id", "url", "text", qualityMin = 0.25,
+      minEst = 0.5, s"$root0/ckpt", tileWidth = 4, minDf = 2)
+      .awaitTermination()
+    assert(corpus(wh0, t0) == Set(998L, 999L))
+
+    // With verifyExact the est-1.0 pair (1, 999) fails its TRUE-Jaccard
+    // check (bodyA vs bodyC ~ 0) and doc 1 survives; the genuine copy
+    // (2, 998) verifies at J = 1 and stays rejected.
+    val (wh1, root1, t1, k1, s1) = setup()
+    StreamingLoad.curationIngestStream(spark, s"$root1/src", docSchema,
+      wh1, t1, k1, s1, dict, "doc_id", "url", "text", qualityMin = 0.25,
+      minEst = 0.5, s"$root1/ckpt", tileWidth = 4, minDf = 2,
+      verifyExact = true)
+      .awaitTermination()
+    assert(corpus(wh1, t1) == Set(998L, 999L, 1L))
+    assert(wh1.table(s1).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(998L, 999L, 1L))
+  }
+
   test("curationIngestStream: commit order heals every crash-reachable " +
       "partial state (corpus -> sigs -> keys)") {
     import graft.operators.TextOps
