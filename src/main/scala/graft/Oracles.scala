@@ -489,6 +489,21 @@ object Oracles {
        |${minhashPairs(t0Sql, minEst)}
        |) p)""".stripMargin
 
+  /** Verified near-dedup keep: a doc is dropped only when an est-passing
+    * MinHash pair ALSO passes the exact shingle-Jaccard check at the
+    * same threshold — DuckDB replays both the banded estimator
+    * ([[minhashPairs]]) and the exact truth ([[ngramJaccard]]) and
+    * intersects the pair sets, mirroring
+    * DedupOps.exactShingleJaccard-verified keeps. */
+  def dedupNearKeepVerified(t0Sql: String, minEst: Double): String =
+    s"""SELECT doc_id FROM ($t0Sql) d
+       |WHERE doc_id NOT IN (
+       |  SELECT p.id_b FROM (
+       |${minhashPairs(t0Sql, minEst)}
+       |  ) p JOIN (
+       |${ngramJaccard(t0Sql, minEst)}
+       |  ) j ON j.id_a = p.id_a AND j.id_b = p.id_b)""".stripMargin
+
   /** Connected components of a candidate-pair graph as a recursive
     * transitive closure: walk(v, lab) enumerates every vertex reachable
     * from v, and the component label is the minimum (planted clusters

@@ -2423,6 +2423,29 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // The PRECISION form of the keep: est-passing candidates are
+    // re-checked against their TRUE shingle Jaccard before any doc is
+    // dropped ([[DedupOps.exactShingleJaccard]] — pair-count-sized
+    // work on top of the banded candidates). Justified by a measured
+    // number, not caution: at 8×10¹⁰ implicit pair tests the K = 32
+    // estimator false-positived at est 0.53 on a true-J-0.07 pair
+    // (SCALING.md "exactness has a measured domain"), so
+    // precision-critical dedup verifies before it deletes.
+    "dedup_near_keep_verified" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val confirmed = DedupOps.minhashCandidates(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= MinhashMinEst)
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")),
+          "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")),
+          "id_b")
+        .filter(DedupOps.exactShingleJaccard(col("__ta"), col("__tb"))
+          >= MinhashMinEst)
+        .select(col("id_a"), col("id_b"))
+      DedupOps.keepAfterNearDedup(docs, confirmed, "doc_id")
+        .select(col("doc_id"))
+    },
+
     // Cross-table feature assembly: documents joined to their embedding
     // row (text features + vector stats in one projection).
     "docs_with_embeddings" -> { (s, dir) =>
@@ -4406,6 +4429,8 @@ object SparkEntry {
     "multimodal_frames" -> Oracles.multimodalFrames,
     "load_scd2_merge" -> Oracles.loadScd2Merge,
     "dedup_near_keep" -> Oracles.dedupNearKeep(Oracles.plantedDocs, MinhashMinEst),
+    "dedup_near_keep_verified" -> Oracles.dedupNearKeepVerified(
+      Oracles.plantedDocs, MinhashMinEst),
     "docs_with_embeddings" -> Oracles.docsWithEmbeddings,
     "stratified_split_counts" -> Oracles.stratifiedSplitCounts,
     "tfidf_top_terms" -> Oracles.tfidfTopTerms,
