@@ -67,7 +67,11 @@ object ScalingLedger {
     // one-time training cost (vs quality_model_filter's full-batch
     // train); the agreement row scores the FULL corpus under both
     // weight sets, so its ratio tracks two corpus-sized scoring passes
-    "quality_train_sampled", "quality_sampled_agreement")
+    "quality_train_sampled", "quality_sampled_agreement",
+    // round-13 (final): the precision-verified keep — its standing row
+    // watches the exact-verify pass's cost staying pair-count-sized on
+    // top of dedup_near_keep's banded candidates
+    "dedup_near_keep_verified")
 
   private case class Row(query: String, run1: Double, run2: Double, rows: Long)
 
