@@ -2433,14 +2433,10 @@ object SparkEntry {
     // precision-critical dedup verifies before it deletes.
     "dedup_near_keep_verified" -> { (s, dir) =>
       val docs = plantedDocs(s, dir)
-      val confirmed = DedupOps.minhashCandidates(docs, "doc_id", "text")
-        .filter(col("est_jaccard") >= MinhashMinEst)
-        .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")),
-          "id_a")
-        .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")),
-          "id_b")
-        .filter(DedupOps.exactShingleJaccard(col("__ta"), col("__tb"))
-          >= MinhashMinEst)
+      val confirmed = DedupOps.verifyPairsExact(
+        DedupOps.minhashCandidates(docs, "doc_id", "text")
+          .filter(col("est_jaccard") >= MinhashMinEst),
+        "id_a", docs, "id_b", docs, "doc_id", "text", MinhashMinEst)
         .select(col("id_a"), col("id_b"))
       DedupOps.keepAfterNearDedup(docs, confirmed, "doc_id")
         .select(col("doc_id"))

@@ -628,9 +628,34 @@ object DedupOps {
   def exactShingleJaccard(a: Column, b: Column): Column = {
     val sa = array_distinct(wordBigrams(a))
     val sb = array_distinct(wordBigrams(b))
-    size(array_intersect(sa, sb)).cast("double") /
-      size(array_union(sa, sb)).cast("double")
+    // Degenerate inputs must VERIFY AS 0, never as duplicates: without
+    // the guard a null text gives size(null) = -1 on both legs
+    // (-1.0 / -1.0 = 1.0) and two empty shingle sets give 0/0 = NaN,
+    // which Spark's total order ranks ABOVE every threshold — either
+    // way a blank pair would "confirm" and the precision kernel built
+    // to prevent false deletions would cause one.
+    val u = size(array_union(sa, sb))
+    when(u <= 0, lit(0.0)).otherwise(
+      size(array_intersect(sa, sb)).cast("double") / u.cast("double"))
   }
+
+  /** Attach both sides' texts to a candidate-pair frame and keep only
+    * pairs whose TRUE shingle Jaccard reaches `minJ` — the one shared
+    * implementation of the est-then-verify shape (streaming vs-store,
+    * streaming within-batch, and the `dedup_near_keep_verified` gate
+    * all ride it). `pairs` carries `leftId`/`rightId` columns; each
+    * docs frame supplies `(id, text)`. Output = the input pair columns,
+    * texts dropped. */
+  def verifyPairsExact(pairs: DataFrame, leftId: String,
+      leftDocs: DataFrame, rightId: String, rightDocs: DataFrame,
+      id: String, text: String, minJ: Double): DataFrame =
+    pairs
+      .join(leftDocs.select(col(id).as(leftId), col(text).as("__ta")),
+        leftId)
+      .join(rightDocs.select(col(id).as(rightId), col(text).as("__tb")),
+        rightId)
+      .filter(exactShingleJaccard(col("__ta"), col("__tb")) >= minJ)
+      .drop("__ta", "__tb")
 
   /** Exact pairwise Jaccard over distinct word-bigram shingles via an
     * inverted-index join (shingle → docs): pairs sharing ≥1 shingle get

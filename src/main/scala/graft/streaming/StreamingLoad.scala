@@ -764,31 +764,27 @@ object StreamingLoad {
         // every sig row has its corpus row, and the lookup reads only
         // the candidates' rows (id-clustered corpus + data skipping).
         val vsStore =
-          if (warehouse.exists(sigTable)) {
+          (if (warehouse.exists(sigTable)) {
             val cand = ops.minhashCandidatesAgainstSig(
                 warehouse.table(sigTable), sigArr, idField, bands)
               .filter(col("est_jaccard") >= minEst)
             (if (verifyExact)
-                cand.join(warehouse.table(table).select(
-                    col(idField).as("corpus_id"),
-                    col("clean_text").as("__ta")), "corpus_id")
-                  .join(qualified.select(col(idField).as("new_id"),
-                    col("clean_text").as("__tb")), "new_id")
-                  .filter(ops.exactShingleJaccard(col("__ta"), col("__tb"))
-                    >= minEst)
+                ops.verifyPairsExact(cand, "corpus_id",
+                  warehouse.table(table), "new_id", qualified,
+                  idField, "clean_text", minEst)
               else cand)
               .select(col("new_id").as(idField))
-          } else qualified.select(col(idField)).limit(0)
+          } else qualified.select(col(idField)).limit(0))
+            // Materialized: feeds BOTH the within-batch anti-join and
+            // the survivors union — under verifyExact the subtree
+            // carries the corpus-text lookup + exact verify, which
+            // must run once per batch, not once per consumer.
+            .localCheckpoint(true)
         val withinCand = ops.minhashCandidatesFromSig(sigArr, idField, bands)
           .filter(col("est_jaccard") >= minEst)
         val within = (if (verifyExact)
-            withinCand
-              .join(qualified.select(col(idField).as("id_a"),
-                col("clean_text").as("__ta")), "id_a")
-              .join(qualified.select(col(idField).as("id_b"),
-                col("clean_text").as("__tb")), "id_b")
-              .filter(ops.exactShingleJaccard(col("__ta"), col("__tb"))
-                >= minEst)
+            ops.verifyPairsExact(withinCand, "id_a", qualified,
+              "id_b", qualified, idField, "clean_text", minEst)
           else withinCand)
           .join(vsStore.select(col(idField).as("id_a")), Seq("id_a"),
             "left_anti")

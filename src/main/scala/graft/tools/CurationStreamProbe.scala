@@ -41,10 +41,12 @@ import graft.streaming.StreamingLoad
   *      the per-table guards at 1 M, not just in the unit spec.
   *
   * Exactness domain (measured, SCALING.md "exactness has a measured
-  * domain"): each 20k-honest batch against an N-doc store implicitly
-  * runs N x 20k MinHash pair tests; at the default N = 1M (2e10 tests)
-  * the K = 32 / t = 0.5 estimator produced zero false positives across
-  * three runs, at N = 4M (8e10 tests) exactly one — an honest doc
+  * domain"): each 25k batch carries 5k honest docs, so one batch
+  * implicitly runs N x 5k MinHash pair tests against an N-doc store
+  * and the default 4-batch run N x 20k; at N = 1M (2e10 tests
+  * run-wide) the K = 32 / t = 0.5 estimator produced zero false
+  * positives across repeated runs, at N = 4M (8e10) exactly one — an
+  * honest doc
   * rejected at est 17/32 = 0.53 whose TRUE shingle Jaccard is
   * 2/28 = 0.07 (the affine hash family is pairwise- but not min-wise-
   * independent, so agreement events are correlated and the tail is
