@@ -162,7 +162,11 @@ object StreamingLoad {
       .start()
 
   /** Near-duplicate-REJECTING ingest: the online form of the corpus
-    * dedup family. Each micro-batch of arriving documents is MinHash-
+    * dedup family. Rejection is est-threshold only; at store×batch
+    * pair exposures past ~10¹⁰ the estimator's measured false-positive
+    * tail matters (CONTRACTS §4) — precision-critical ingest should
+    * ride [[curationIngestStream]]'s `verifyExact`, whose commit order
+    * guarantees the corpus-text lookup the verify pass needs. Each micro-batch of arriving documents is MinHash-
     * signed and LSH-banded against the PERSISTED signature store
     * ([[graft.operators.DedupOps.minhashCandidatesAgainst]] — the corpus
     * itself is never re-shingled; only its ~256-byte/doc signatures stay
