@@ -620,6 +620,33 @@ object Oracles {
        |JOIN sizes nb ON nb.doc_id = id_b
        |WHERE CAST(c AS DOUBLE) / CAST((na.n + nb.n) - c AS DOUBLE) >= $minJaccard""".stripMargin
 
+  /** Shingle-df ledger (SparkEntry `jaccard_df_ledger`): the measured
+    * evidence that DedupOps.JaccardMaxDf is dormant on the gate corpus —
+    * same distinct-shingle chain as [[ngramJaccard]], one df groupBy,
+    * one single-row aggregate, plus the per-doc degraded count (docs
+    * whose ⌊(1−t)·n⌋+1 rarest-first prefix needs an over-cap shingle).
+    * The oracle counts df on the string shingles where Spark counts on
+    * xxhash64 of them; the same injectivity argument as
+    * [[lshBucketLedger]] applies (a collision would merge two df rows
+    * and surface as a max_df/n_shingles mismatch). */
+  def jaccardDfLedger(t0Sql: String, minJaccard: Double, cap: Int): String =
+    s"""WITH t0 AS ($t0Sql),
+       |${bigramsCte.replace("FROM documents", "FROM t0")},
+       |shd AS (SELECT DISTINCT doc_id, x AS s
+       |  FROM (SELECT doc_id, unnest(list_distinct(sh)) AS x FROM bg)),
+       |f AS (SELECT s, count(*) AS df FROM shd GROUP BY s),
+       |pd AS (SELECT doc_id, count(*) AS n,
+       |    count(CASE WHEN f.df <= $cap THEN 1 END) AS n_under
+       |  FROM shd JOIN f USING (s) GROUP BY doc_id),
+       |deg AS (SELECT CAST(count(CASE WHEN n_under <
+       |    floor((1.0 - $minJaccard) * n + 1e-9) + 1 THEN 1 END) AS BIGINT)
+       |    AS n_docs_degraded FROM pd)
+       |SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(max(df) AS BIGINT) AS max_df,
+       |  CAST(count(CASE WHEN df > $cap THEN 1 END) AS BIGINT) AS n_over_cap,
+       |  (SELECT n_docs_degraded FROM deg) AS n_docs_degraded
+       |FROM f""".stripMargin
+
   /** GRB1 raster pixels, rebuilt at hex level with the SAME derivation
     * as MultimodalOps.withToyRaster (dims from text length, pixels tile
     * the utf-8 hex + trailing space), then bucketed by high nibble —

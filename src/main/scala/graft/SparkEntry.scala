@@ -847,6 +847,17 @@ object SparkEntry {
       DedupOps.ngramJaccardPrefix(realisticVocabDocs(s, dir), "doc_id", "text",
         NgramMinJaccard)),
 
+    // The JaccardMaxDf guard's in-gate evidence (same pattern as the
+    // LSH/SimHash bucket ledgers): n_over_cap must be 0 on the gate
+    // corpus (cap dormant ⇒ guarded ≡ unguarded index, so
+    // dedup_ngram_jaccard's oracle byte-equality doubles as the no-op
+    // proof), max_df documents the population the cap was sized
+    // against, and n_docs_degraded counts the docs whose prefix the
+    // exclusion could touch — the guard's recall exposure, measured.
+    "jaccard_df_ledger" -> ((s, dir) =>
+      DedupOps.jaccardDfLedger(realisticVocabDocs(s, dir), "doc_id", "text",
+        NgramMinJaccard)),
+
     "dedup_ngram_jaccard_exact" -> ((s, dir) =>
       // Dense-vocab all-pairs form (codegen'd sorted-array merge walk):
       // this synthetic corpus has a ~40-word vocab, so the inverted
@@ -3638,6 +3649,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       Oracles.ngramJaccard(Oracles.realisticPlantedDocs, NgramMinJaccard),
     "dedup_ngram_jaccard_exact" -> Oracles.ngramJaccard(Oracles.plantedDocs, NgramMinJaccard),
+    "jaccard_df_ledger" -> Oracles.jaccardDfLedger(
+      Oracles.realisticPlantedDocs, NgramMinJaccard, DedupOps.JaccardMaxDf),
     "dedup_incremental_candidates" ->
       Oracles.dedupIncrementalCandidates(MinhashMinEst),
     "dedup_minhash_recall" ->

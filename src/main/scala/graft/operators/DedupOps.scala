@@ -738,9 +738,28 @@ object DedupOps {
     * are then verified EXACTLY via sorted-array intersection — the full
     * shingle sets travel only for surviving candidates, and the inverted
     * index that drives the self-join is (1−t)× smaller and skewed toward
-    * rare (low-fanout) shingles. */
+    * rare (low-fanout) shingles.
+    *
+    * `maxDf` is the [[JaccardMaxDf]] guard: shingles whose document
+    * frequency exceeds it are EXCLUDED from the candidate index (the
+    * verify stage is untouched), bounding each indexed shingle's
+    * self-join fanout at maxDf²/2 pairs — without it this operator is
+    * superlinear-in-input whenever the corpus's shingle-diversity
+    * assumption breaks (a bounded vocabulary saturates the shingle
+    * space and df grows ∝ n; measured 161-185× wall at 100× data,
+    * Σdf² ×6,953, on the saturated fixture). Because the prefix order
+    * is rarest-FIRST, an over-cap (high-df) shingle only enters a
+    * doc's prefix when the doc has fewer than ⌊(1−t)·n⌋+1 under-cap
+    * shingles — so the exclusion's entire recall exposure is confined
+    * to those docs, counted EXACTLY by [[jaccardDfLedger]]'s
+    * `n_docs_degraded` (a non-degraded doc's prefix is all under-cap
+    * and survives intact; precision is unaffected — every emitted pair
+    * is exact-verified). `n_over_cap = 0` ⇒ the filter removes nothing
+    * and the output is byte-identical to the unguarded plan.
+    * `maxDf = Int.MaxValue` disables the guard. */
   def ngramJaccardPrefix(df: DataFrame, id: String, text: String,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, maxDf: Int = JaccardMaxDf): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val sh = df.select(col(id),
         explode(array_distinct(wordBigrams(col(text)))).as("shs"))
       .select(col(id), xxhash64(col("shs")).as("sh"))
@@ -761,6 +780,11 @@ object DedupOps {
       // prefix shingle.
       .filter(col("pos") <=
         (floor((lit(1.0) - lit(minJaccard)) * col("n") + lit(1e-9)) + 1).cast("int"))
+      // The df cap: drop over-cap shingles from the INDEX only. Applied
+      // after the prefix cut (pos is computed over the full rarest-first
+      // order either way), so when nothing exceeds the cap the filter is
+      // a no-op and the plan's output is byte-identical to unguarded.
+      .filter(if (maxDf < Int.MaxValue) col("df") <= maxDf else lit(true))
       .select(col(id), col("sh"))
     val cand = pref.hint("merge").as("a").join(pref.hint("merge").as("b"),
         col("a.sh") === col("b.sh") && col(s"a.$id") < col(s"b.$id"))
@@ -781,6 +805,57 @@ object DedupOps {
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Per-shingle document-frequency cap for [[ngramJaccardPrefix]]'s
+    * candidate index — the [[MaxBucket]]/[[SimMaxBucket]] guard ported
+    * to the prefix-filter join, whose per-shingle fanout is df²/2
+    * candidate pairs. Measured shingle df on the realistic-vocabulary
+    * fixture: max df 6/12 on the gate corpus at sf0.01/sf0.1
+    * (`jaccard_df_ledger`), 8/35 on the full documents table
+    * (`graft.tools.FixtureDiag jaccard-df`) — 256 sits ~7× above the
+    * largest measured value (provably dormant where the oracle checks
+    * byte-equality; the in-gate proof is `jaccard_df_ledger`'s
+    * n_over_cap = 0) while bounding any indexed shingle's self-join
+    * contribution at 256²/2 ≈ 32k pairs.
+    * Unlike [[SimMaxBucket]]'s fixed 4096-value chunk space, honest
+    * (Heaps-law) corpora grow the shingle space with n and keep df
+    * flat, so the cap stays dormant at scale; it fires exactly when
+    * the diversity assumption breaks (bounded vocabulary ⇒ df ∝ n ⇒
+    * Σdf² quadratic — the regime the guard exists for). */
+  val JaccardMaxDf = 256
+
+  /** Shingle-df ledger — the measured evidence behind [[JaccardMaxDf]],
+    * mirroring [[simhashBucketLedger]]: one row of
+    * (n_shingles, max_df, n_over_cap, n_docs_degraded) over the same
+    * distinct word-bigram shingle space [[ngramJaccardPrefix]] indexes.
+    * `n_over_cap = 0` proves the cap dormant on this corpus (guarded
+    * and unguarded candidates byte-identical — the gate's
+    * `dedup_ngram_jaccard` oracle equality doubles as the no-op proof);
+    * `n_docs_degraded` counts docs whose ⌊(1−t)·n⌋+1 rarest-first
+    * prefix reaches INTO over-cap territory (fewer under-cap shingles
+    * than the prefix needs) — the EXACT set of docs whose pairs the
+    * exclusion can miss, i.e. the guard's recall exposure as a number
+    * rather than a worst-case story. */
+  def jaccardDfLedger(df: DataFrame, id: String, text: String,
+      minJaccard: Double, maxDf: Int = JaccardMaxDf): DataFrame = {
+    val sh = df.select(col(id),
+        explode(array_distinct(wordBigrams(col(text)))).as("shs"))
+      .select(col(id), xxhash64(col("shs")).as("sh"))
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val shingleStats = freq.agg(count(lit(1)).as("n_shingles"),
+      max(col("df")).as("max_df"),
+      count(when(col("df") > maxDf, 1)).as("n_over_cap"))
+    // Same epsilon'd prefix-length arithmetic as the operator: a doc is
+    // degraded iff its under-cap shingle count can't fill the prefix.
+    val docStats = sh.hint("merge").join(freq.hint("merge"), "sh")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("df") <= maxDf, 1)).as("n_under"))
+      .agg(count(when(col("n_under") <
+        floor((lit(1.0) - lit(minJaccard)) * col("n") + lit(1e-9)) + 1,
+        1)).as("n_docs_degraded"))
+    shingleStats.crossJoin(docStats)
   }
 
   // ---- SimHash -------------------------------------------------------

@@ -58,6 +58,10 @@ object ScalingLedger {
     // measures what pipelines actually run
     "simhash_bucket_ledger", "fuzzy_block_ledger",
     "dedup_ngram_jaccard_exact",
+    // round-14: the prefix-Jaccard df-cap guard's ledger — its max_df
+    // column doubles as the fixture-saturation signal the 100x decade
+    // diagnosed by hand (df ∝ n on bounded vocabularies)
+    "jaccard_df_ledger",
     // round-13 (cont.): the incremental-CC gate query — the standing row
     // watches the two-batch fold (batch CC + frontier merge + remap),
     // which should scale like the batch CC family it wraps

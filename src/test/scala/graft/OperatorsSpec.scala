@@ -77,6 +77,52 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       s"dense form changed results: only-naive=${naive -- dense} only-dense=${dense -- naive}")
   }
 
+  test("ngramJaccardPrefix df cap: dormant = byte-identical, saturated = ledger'd degrade") {
+    import spark.implicits._
+    // Planted saturation: docs 0-9 share ONE bounded-vocab text (its 5
+    // shingles reach df = 10), docs 10/11 are genuine near-dups over
+    // rare (df <= 2) shingles. With the cap at 4, the common shingles
+    // are over-cap and docs 0-9 have NO under-cap shingle to fill their
+    // prefix — the exact degrade regime the guard exists for.
+    val common = "the cat sat on the mat"
+    val docs = ((0L until 10L).map(i => (i, common)) ++ Seq(
+      (10L, "zebra quark flume nimbus octo pine"),
+      (11L, "zebra quark flume nimbus octo"))).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val truth = pairs(DedupOps.ngramJaccardDense(docs, "doc_id", "text", 0.4))
+    assert(truth.size == 46, s"fixture drifted: ${truth.size} true pairs")
+
+    // Dormant at the default cap (max df 10 << 256): byte-identical.
+    val dormant = pairs(DedupOps.ngramJaccardPrefix(docs, "doc_id", "text", 0.4))
+    assert(dormant == truth)
+
+    // Saturated at cap 4: the rare-shingled pair survives, every lost
+    // pair involves a degraded doc, and nothing false is emitted.
+    val guarded = pairs(
+      DedupOps.ngramJaccardPrefix(docs, "doc_id", "text", 0.4, maxDf = 4))
+    assert(guarded == Set((10L, 11L, 0.8)),
+      s"expected only the rare-shingle pair, got $guarded")
+    assert(guarded.subsetOf(truth))
+    assert((truth -- guarded).forall { case (a, b, _) => a < 10 && b < 10 },
+      "every lost pair must be between degraded (all-over-cap) docs")
+
+    // The ledger prices exactly that exposure.
+    val led = DedupOps.jaccardDfLedger(docs, "doc_id", "text", 0.4, maxDf = 4)
+      .collect().head
+    assert(led.getLong(led.fieldIndex("n_shingles")) == 10)
+    assert(led.getLong(led.fieldIndex("max_df")) == 10)
+    assert(led.getLong(led.fieldIndex("n_over_cap")) == 5)
+    assert(led.getLong(led.fieldIndex("n_docs_degraded")) == 10)
+
+    // And at the default cap the same ledger certifies dormancy.
+    val led2 = DedupOps.jaccardDfLedger(docs, "doc_id", "text", 0.4)
+      .collect().head
+    assert(led2.getLong(led2.fieldIndex("n_over_cap")) == 0)
+    assert(led2.getLong(led2.fieldIndex("n_docs_degraded")) == 0)
+  }
+
   test("connectedComponents collapses transitive chains; keepClusterMin keeps one per cluster") {
     import spark.implicits._
     // The ADVICE counter-example: edges (2,3) and (1,3) only. Pairwise
