@@ -63,8 +63,14 @@ object Explain {
       if (isBounding(p)) Nil
       else p match {
         case s: FileSourceScanExec =>
-          s.relation.location.rootPaths.map(_.toString)
-            .flatMap(path => CorpusTables.filter(path.contains)).distinct
+          // Match on the scan root's TERMINAL name component (modulo a
+          // .parquet suffix), not substring containment: a warehouse
+          // dir like `preorders_x` must not false-positive on `orders`,
+          // and `/data/documents/v3` is matched by nothing here by
+          // design — the list names gate-corpus scan roots only.
+          s.relation.location.rootPaths
+            .map(_.getName.stripSuffix(".parquet"))
+            .filter(CorpusTables.contains).distinct
         case other => other.children.flatMap(scansUnbounded)
       }
     plan.collect { case b: BroadcastExchangeExec =>

@@ -14,11 +14,31 @@ import graft.operators.LoadOps
   * Merge atomicity without a transactional format (SURVEY.md §7.4): the
   * merged result is materialized to a fresh versioned directory, then the
   * live version pointer (a tiny `_VERSION` file) is swapped — readers see
-  * old or new, never a mix. Concurrent-writer serialization is out of scope
-  * for the local harness (that is what the reference's X2 retry handles on
-  * Redshift).
-  */
+  * old or new, never a mix.
+  *
+  * Concurrent writers are OPTIMISTIC, the reference's X2 philosophy
+  * (core.ts:49-53 retries on Redshift serialization failure rather than
+  * locking): every pointer swap is a compare-and-swap against the version
+  * the operation's CONTENTS were computed from, taken under a short
+  * create-exclusive `_COMMIT_LOCK` critical section (milliseconds — the
+  * merge/write jobs run outside it). A writer that lost the race gets a
+  * loud [[ParquetWarehouse.ConcurrentWriteException]] — its merge read a
+  * base that is no longer current, so silently swapping would DROP the
+  * winner's rows (lost update) — and retries by re-running the load
+  * against the new current version, exactly the X2 loop. Version-dir
+  * names are unique (millis + uuid), so the loser's materialized dir is
+  * ordinary garbage for the retention sweep, never a torn table.
+  *
+  * Known optimism gap, documented not hidden: a file-granular INSERT
+  * landing in the current version dir WHILE a concurrent upsert/compact
+  * is already re-reading that same dir may miss the late files in the
+  * merged result. The insert path re-checks the pointer after its append
+  * and fails loudly when the swap already happened; the sub-second
+  * in-flight window is closable only by holding the lock across whole
+  * load jobs (pessimistic writer serialization) — the wrong trade for a
+  * warehouse whose writers are rare and retryable. */
 final class ParquetWarehouse(spark: SparkSession, root: String) {
+  import ParquetWarehouse.ConcurrentWriteException
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -93,28 +113,73 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
       .parquet(s"${tableDir(t)}/${currentVersion(t).getOrElse(
         throw new IllegalArgumentException(s"no such table: ${t.qualified}"))}")
 
+  /** Run `body` holding the table's create-exclusive `_COMMIT_LOCK` —
+    * the millisecond critical section that makes check-pointer-then-swap
+    * atomic. `fs.create(…, overwrite = false)` is the atomic primitive
+    * (fails if the file exists) on both HDFS and local FS. A lock left
+    * by a crashed writer (it only ever guards a sub-second section) is
+    * STOLEN once older than [[ParquetWarehouse.LockStaleMs]]; younger
+    * contention waits briefly, then fails loudly rather than wedging. */
+  private def withCommitLock[A](t: TableRef)(body: => A): A = {
+    val lock = new Path(s"${tableDir(t)}/_COMMIT_LOCK")
+    fs.mkdirs(new Path(tableDir(t)))
+    var acquired = false
+    var waitedMs = 0L
+    while (!acquired) {
+      try { fs.create(lock, false).close(); acquired = true }
+      catch { case _: java.io.IOException =>
+        val age = try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+        if (age > ParquetWarehouse.LockStaleMs) fs.delete(lock, false)
+        else if (waitedMs >= 2000)
+          throw new ConcurrentWriteException(
+            s"commit lock on ${t.qualified} held for ${waitedMs} ms by a " +
+              s"live writer ($lock) — concurrent load in progress; retry")
+        else { Thread.sleep(50); waitedMs += 50 }
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
   /** Write a brand-new version dir (honoring the table's partition
-    * layout) and swap the pointer to it.
+    * layout) and compare-and-swap the pointer to it: the swap commits
+    * only if the live version still equals `base` — the version this
+    * df's contents were computed FROM (None = expected absent). A lost
+    * race throws [[ParquetWarehouse.ConcurrentWriteException]] and
+    * removes the orphaned dir; the caller retries against the new
+    * current (the X2 loop).
     *
     * Retention: the immediately-replaced version is KEPT (deleted only
     * by the commit after next) so readers that resolved the pointer just
     * before the swap can still finish against the old file set — the
     * same reader-grace idea snapshot formats use. Disk cost is bounded
     * at one extra generation per table. */
-  private def commitNewVersion(t: TableRef, df: DataFrame): Unit = {
+  private def commitNewVersion(t: TableRef, df: DataFrame,
+      base: Option[String]): Unit = {
     val v = s"v_${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
     val w = df.write.mode("errorifexists")
     val parts = partitioning(t)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .parquet(s"${tableDir(t)}/$v")
-    val old = currentVersion(t)
-    setVersion(t, v)
-    // Delete the grandparent generation and older: every version dir
-    // that is neither the new current nor the one just replaced.
-    fs.listStatus(new Path(tableDir(t)))
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => n.startsWith("v_") && n != v && !old.contains(n))
-      .foreach(o => fs.delete(new Path(s"${tableDir(t)}/$o"), true))
+    withCommitLock(t) {
+      val cur = currentVersion(t)
+      if (cur != base) {
+        fs.delete(new Path(s"${tableDir(t)}/$v"), true)
+        throw new ConcurrentWriteException(
+          s"lost update on ${t.qualified}: computed from " +
+            s"${base.getOrElse("<absent>")} but live version is " +
+            s"${cur.getOrElse("<absent>")} — a concurrent writer " +
+            "committed first; re-run the load against the new current")
+      }
+      setVersion(t, v)
+      // Delete the grandparent generation and older: every version dir
+      // that is neither the new current nor the one just replaced.
+      fs.listStatus(new Path(tableDir(t)))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(n => n.startsWith("v_") && n != v && !base.contains(n))
+        .foreach(o => fs.delete(new Path(s"${tableDir(t)}/$o"), true))
+    }
   }
 
   def create(t: TableRef, df: DataFrame, partitionBy: Seq[String] = Seq.empty): Unit = {
@@ -124,7 +189,7 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
       try out.write(partitionBy.mkString(",").getBytes("UTF-8"))
       finally out.close()
     }
-    commitNewVersion(t, df)
+    commitNewVersion(t, df, base = None)
   }
 
   /** Execute a load natively on Spark (L1/L2/L3 semantics via
@@ -140,13 +205,33 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
             val parts = partitioning(t)
             (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
               .parquet(s"${tableDir(t)}/$v")
-          case None => commitNewVersion(t, staged)
+            // Post-append race check: if a concurrent writer swapped the
+            // pointer while we appended, our files landed in a RETIRED
+            // generation (invisible, swept by the commit after next) —
+            // fail loudly so the caller re-runs, never silently "loads"
+            // rows no reader will see.
+            val nowCur = currentVersion(t)
+            if (nowCur != Some(v))
+              throw new ConcurrentWriteException(
+                s"lost append on ${t.qualified}: appended into $v but " +
+                  s"live version is ${nowCur.getOrElse("<absent>")} — a " +
+                  "concurrent writer swapped mid-append; re-run the load")
+          case None => commitNewVersion(t, staged, base = None)
         }
       case LoadMode.TruncateInsert =>
-        commitNewVersion(t, LoadOps.overwrite(staged))
+        commitNewVersion(t, LoadOps.overwrite(staged),
+          base = currentVersion(t))
       case LoadMode.Upsert =>
-        if (!exists(t)) commitNewVersion(t, staged)
-        else commitNewVersion(t, LoadOps.merge(table(t), staged, idField))
+        currentVersion(t) match {
+          case None => commitNewVersion(t, staged, base = None)
+          case base @ Some(v) =>
+            // Merge reads the PINNED base dir, not the live pointer: the
+            // CAS below certifies exactly "merged from what is still
+            // current", so the read and the check must name one version.
+            val baseDf = spark.read.option("mergeSchema", "true")
+              .parquet(s"${tableDir(t)}/$v")
+            commitNewVersion(t, LoadOps.merge(baseDf, staged, idField), base)
+        }
     }
 
   /** Small-file compaction: rewrite the current version into `nFiles`
@@ -178,7 +263,7 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
   /** Roll the CURRENT pointer back to the previous retained version (the
     * load-went-bad escape hatch; the bad version stays on disk until the
     * next commit's retention pass). */
-  def rollback(t: TableRef): Unit = {
+  def rollback(t: TableRef): Unit = withCommitLock(t) {
     val cur = currentVersion(t).getOrElse(
       throw new IllegalArgumentException(s"no such table: ${t.qualified}"))
     val prev = versions(t).filter(_ != cur).lastOption.getOrElse(
@@ -200,8 +285,20 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
       .foreach(o => fs.delete(new Path(s"${tableDir(t)}/$o"), true))
   }
 
-  def compact(t: TableRef, nFiles: Int): Unit =
-    commitNewVersion(t, table(t).repartition(nFiles))
+  /** Current version + a read PINNED to it (one resolution serves both
+    * the rewrite input and the CAS expectation — the compact/zorder
+    * twin of the upsert path's pinned base). */
+  private def pinnedRead(t: TableRef): (Option[String], DataFrame) = {
+    val v = currentVersion(t).getOrElse(
+      throw new IllegalArgumentException(s"no such table: ${t.qualified}"))
+    (Some(v), spark.read.option("mergeSchema", "true")
+      .parquet(s"${tableDir(t)}/$v"))
+  }
+
+  def compact(t: TableRef, nFiles: Int): Unit = {
+    val (base, df) = pinnedRead(t)
+    commitNewVersion(t, df.repartition(nFiles), base)
+  }
 
   /** Z-order compaction (the OPTIMIZE ZORDER BY analog): rewrite the
     * current version clustered on the Morton interleave of two columns,
@@ -209,10 +306,12 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     * (see [[graft.operators.LayoutOps]]). Same atomic version swap as
     * [[compact]] — readers never see a half-written layout. */
   def compactZorder(t: TableRef, x: String, y: String, nFiles: Int,
-      bits: Int = 16): Unit =
+      bits: Int = 16): Unit = {
+    val (base, df) = pinnedRead(t)
     commitNewVersion(t, graft.operators.LayoutOps.zorder(
-      table(t), org.apache.spark.sql.functions.col(x),
-      org.apache.spark.sql.functions.col(y), nFiles, bits))
+      df, org.apache.spark.sql.functions.col(x),
+      org.apache.spark.sql.functions.col(y), nFiles, bits), base)
+  }
 
   /** Data files of the live version (for file-count/size accounting).
     * Recursive: partitioned tables keep their parquet parts inside
@@ -242,4 +341,21 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
       .map(st => TableRef(schema, st.getPath.getName))
       .filter(t => fs.exists(versionFile(t)))
   }
+}
+
+object ParquetWarehouse {
+
+  /** A version swap (or file-granular append) lost a concurrent-writer
+    * race: the operation's contents were computed from a base that is no
+    * longer the live version, so committing would silently drop the
+    * winner's rows. The resolution is the reference's X2 loop — re-run
+    * the load against the new current version (the retryable-conflict
+    * class, like Redshift's serializable-isolation failure). */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Age past which a `_COMMIT_LOCK` is presumed crashed and stolen: the
+    * lock only ever guards a sub-second pointer check-and-swap, never a
+    * data write, so 30 s is 2+ orders above any live hold. */
+  val LockStaleMs: Long = 30000L
 }

@@ -645,17 +645,29 @@ object DedupOps {
     * streaming within-batch, and the `dedup_near_keep_verified` gate
     * all ride it). `pairs` carries `leftId`/`rightId` columns; each
     * docs frame supplies `(id, text)`. Output = the input pair columns,
-    * texts dropped. */
+    * texts dropped.
+    *
+    * `broadcastPairs = true` pins the PAIR side (and the pair+left-text
+    * intermediate — still pair-count-sized) as the broadcast build side:
+    * the shape for a batch-bounded pair set probing a CORPUS-sized docs
+    * table (the CONTRACTS §3 argument incrementalComponents already
+    * rides), where plain planning would sort-merge — shuffling and
+    * sorting the whole corpus per call. Under the hint the corpus side
+    * streams through one column-pruned scan, no exchange. Leave false
+    * when the pair set itself can rival the corpus. */
   def verifyPairsExact(pairs: DataFrame, leftId: String,
       leftDocs: DataFrame, rightId: String, rightDocs: DataFrame,
-      id: String, text: String, minJ: Double): DataFrame =
-    pairs
-      .join(leftDocs.select(col(id).as(leftId), col(text).as("__ta")),
-        leftId)
+      id: String, text: String, minJ: Double,
+      broadcastPairs: Boolean = false): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastPairs) broadcast(df) else df
+    bc(bc(pairs)
+        .join(leftDocs.select(col(id).as(leftId), col(text).as("__ta")),
+          leftId))
       .join(rightDocs.select(col(id).as(rightId), col(text).as("__tb")),
         rightId)
       .filter(exactShingleJaccard(col("__ta"), col("__tb")) >= minJ)
       .drop("__ta", "__tb")
+  }
 
   /** Exact pairwise Jaccard over distinct word-bigram shingles via an
     * inverted-index join (shingle → docs): pairs sharing ≥1 shingle get
@@ -905,7 +917,19 @@ object DedupOps {
     * signature-ordered — identical-simhash runs are contiguous, so
     * within-run path edges have hamming = 0 (survive any `maxHamming`
     * filter) and only the run-boundary edges face the same threshold
-    * the clique's cross-family edges would. */
+    * the clique's cross-family edges would.
+    *
+    * Recall caveat when the cap FIRES (it does, structurally, at ~10×
+    * the gate corpus — max bucket 5,910 measured): within an over-cap
+    * bucket, two NON-adjacent distinct-simhash members inside
+    * `maxHamming` are connected only through run-boundary path edges
+    * that can exceed `maxHamming`, so pairwise recall degrades (family
+    * CONNECTIVITY through hamming-0 runs is what the path preserves).
+    * Precision-critical consumers must gate on
+    * [[simhashBucketLedger]]'s `n_over_cap = 0` (byte-equality regime)
+    * or raise `maxBucket` with the corpus after pricing the
+    * maxBucket²/2-per-bucket join — the ledger's `max_bucket` column
+    * is exactly that sizing input. */
   val SimMaxBucket = 1024
 
   /** Near-duplicate candidates by SimHash: band the 48 bits into 4

@@ -237,7 +237,8 @@ object TextOps {
     * Scale: the bigram dictionary is vocabulary²-bounded (far below
     * corpus size), so the score join broadcasts under AQE; counts are
     * partial-aggregated map-side. */
-  def bigramLmScores(docs: DataFrame, id: String, text: String): DataFrame = {
+  def bigramLmScores(docs: DataFrame, id: String, text: String,
+      maxModelRows: Long = 4194304L): DataFrame = {
     val bg = docs.select(col(id),
       explode(wordBigrams(col(text))).as("bg"))
     val pair = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
@@ -246,21 +247,30 @@ object TextOps {
     val vocab = docs
       .select(explode(tokens(normalized(col(text)))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    val probs = pair.join(ctx, "w1").crossJoin(broadcast(vocab))
-      .select(col("bg"),
-        expr("((c2 + 1) * 1073741824) div (c1 + v)").as("p_fp"))
     // The probability table is the trained MODEL (one row per distinct
     // corpus bigram — add-1-smoothed counts), the same broadcast family
     // as the quality classifier's 65-row model: explicit broadcast, the
     // corpus side streams. Without it Catalyst's size estimates pick
     // BuildLeft and broadcast the EXPLODED CORPUS bigram rows — fine at
     // gate scale, linear-growth broadcast at 10x (measured: the whole
-    // 4-8x scaled-ledger ratio), fatal at 100 TB. For open-vocabulary
-    // corpora where even the distinct-bigram table outgrows broadcast,
-    // swap to .hint("merge") on both sides (the boilerplate-dict
-    // cap-with-join-fallback precedent) — the gate pins the model-sized
-    // contract.
-    bg.join(broadcast(probs), "bg")
+    // 4-8x scaled-ledger ratio), fatal at 100 TB. The model-sized
+    // assumption is ENFORCED, not trusted (the boilerplate-dict
+    // cap-with-fallback precedent): the model is materialized once
+    // (localCheckpoint — the bpeTrain train-state pattern; executor
+    // blocks, never the driver) and counted, and past `maxModelRows`
+    // (default 4M rows ≈ 200 MB broadcast) the score join degrades to
+    // sort-merge on both sides — the scale-safe shape for
+    // open-vocabulary corpora whose distinct-bigram table rivals the
+    // corpus — instead of a hard executor/driver OOM.
+    val probs = pair.join(ctx, "w1").crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        expr("((c2 + 1) * 1073741824) div (c1 + v)").as("p_fp"))
+      .localCheckpoint()
+    val scored =
+      if (probs.count() > maxModelRows)
+        bg.hint("merge").join(probs.hint("merge"), "bg")
+      else bg.join(broadcast(probs), "bg")
+    scored
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("p_fp")).cast("double") /

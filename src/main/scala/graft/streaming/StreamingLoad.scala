@@ -93,13 +93,35 @@ object StreamingLoad {
     * session runs one foreachBatch body at a time (Spark's default;
     * concurrently-triggered independent streams in one session would
     * need per-frame tracking instead — don't share a session if you do
-    * that). */
-  private def batchStorageScope[T](spark: SparkSession)(body: => T): T = {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    * that). The assumption is ENFORCED, not documented-and-hoped: a
+    * second scope entered from another thread on the same SparkContext
+    * fails loudly BEFORE it can unpersist the first stream's
+    * mid-batch local checkpoints (which cannot be recomputed — the
+    * silent version of this bug kills the other stream's jobs). Same-
+    * thread reentry stays legal: an inner scope releases only its own
+    * post-snapshot ids, and the outer finally re-visits them as
+    * already-unpersisted no-ops. */
+  private val scopeOwner = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, Thread]()
+  private[graft] def batchStorageScope[T](spark: SparkSession)(body: => T): T = {
+    val sc = spark.sparkContext
+    val me = Thread.currentThread()
+    val prev = scopeOwner.putIfAbsent(sc, me)
+    require(prev == null || prev == me,
+      s"batchStorageScope: concurrent scope on one SparkContext (held by " +
+        s"thread '${if (prev == null) "?" else prev.getName}', entered from " +
+        s"'${me.getName}') — two concurrently-triggered streams sharing a " +
+        "session would unpersist each other's mid-batch local checkpoints; " +
+        "run concurrent streams in separate sessions")
+    val owner = prev == null
+    val before = sc.getPersistentRDDs.keySet
     try body
-    finally spark.sparkContext.getPersistentRDDs
-      .filter { case (rddId, _) => !before.contains(rddId) }
-      .values.foreach(_.unpersist(blocking = false))
+    finally {
+      sc.getPersistentRDDs
+        .filter { case (rddId, _) => !before.contains(rddId) }
+        .values.foreach(_.unpersist(blocking = false))
+      if (owner) scopeOwner.remove(sc, me)
+    }
   }
 
   /** Stream NDJSON files from `srcDir` into `table` with upsert semantics
@@ -765,8 +787,11 @@ object StreamingLoad {
         // rejected at est 0.53 / true J 0.07 in 8e10 implicit tests —
         // SCALING.md). The store side's text comes from the CORPUS
         // table: the §8c commit order (corpus before sigs) guarantees
-        // every sig row has its corpus row, and the lookup reads only
-        // the candidates' rows (id-clustered corpus + data skipping).
+        // every sig row has its corpus row, and broadcastPairs pins the
+        // batch-bounded pair set as the build side so the corpus text
+        // lookup is ONE column-pruned streaming scan — never a per-batch
+        // sort-merge shuffle of the whole corpus (which plain planning
+        // picks once size estimates outgrow the broadcast threshold).
         val vsStore =
           (if (warehouse.exists(sigTable)) {
             val cand = ops.minhashCandidatesAgainstSig(
@@ -775,7 +800,7 @@ object StreamingLoad {
             (if (verifyExact)
                 ops.verifyPairsExact(cand, "corpus_id",
                   warehouse.table(table), "new_id", qualified,
-                  idField, "clean_text", minEst)
+                  idField, "clean_text", minEst, broadcastPairs = true)
               else cand)
               .select(col("new_id").as(idField))
           } else qualified.select(col(idField)).limit(0))

@@ -33,7 +33,8 @@ object FixtureDiag {
     try mode match {
       case "ledgers" =>
         for (dir <- dirs; q <- Seq("simhash_bucket_ledger",
-            "dedup_lsh_bucket_ledger", "fuzzy_block_ledger")) {
+            "dedup_lsh_bucket_ledger", "fuzzy_block_ledger",
+            "jaccard_df_ledger")) {
           println(s"=== $q @ $dir ===")
           graft.SparkEntry.queries(q)(spark, dir).show(20, false)
         }

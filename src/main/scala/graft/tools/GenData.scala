@@ -46,14 +46,46 @@ object GenData {
     val mult = if (args.length > 1) args(1).toInt else 10
     val src = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val zipfVocab = if (args.length > 3) args(3).toInt else 0
+    val heapsBeta = if (args.length > 4) args(4).toDouble else 0.0
+    val tables = if (args.length > 5) args(5).split(",").toSet else Set.empty[String]
     val spark =
       graft.ToolSession.local(graft.ToolSession.cpus("32"), logLevel = "WARN")
-    try generate(spark, src, out, mult, zipfVocab) finally spark.stop()
+    try generate(spark, src, out, mult, zipfVocab, heapsBeta, tables)
+    finally spark.stop()
   }
 
+  /** `heapsBeta > 0` turns on DIVERSITY SCALING (requires zipfVocab > 0):
+    * the lesson of the first 100x decade, named twice in SCALING.md, is
+    * that a fixed-diversity generator saturates its value spaces and the
+    * second decade then measures the GENERATOR's degeneracy, not the
+    * operator (the jaccard fixture's shingle space saturated at ~30k and
+    * df grew ∝ n; contiguous Supplier#%09d serials densify their digit
+    * neighborhoods so edit-distance output grows ~log²n per row). Under
+    * Heaps' law (V(n) = K·n^β, β ≈ 0.4-0.6 on real text) vocabulary
+    * GROWS with the corpus, so:
+    *   - the zipf vocabulary becomes V = round(zipfVocab · mult^β) —
+    *     zipfVocab is the mult = 1 reference vocabulary;
+    *   - supplier names hash-scatter over the full 9-digit space instead
+    *     of counting up from 0, keeping digit-neighborhood density
+    *     ∝ n/10⁹ (a real directory's name space widens with n; the
+    *     ~n²·162/10⁹ expected cross-match count stays negligible until
+    *     n ~ 10⁷, and s_suppkey — everything joins on it — is untouched).
+    * `tables` non-empty restricts generation to the named tables (the
+    * diversity-scaled ledger reads documents + supplier only; skipping a
+    * 60M-row lineitem nobody reads is most of the wall). Both parameters
+    * are part of the [[stamp]], so a cached corpus from different
+    * settings is never silently reused. */
   def generate(spark: SparkSession, src: String, out: String, mult: Int,
-      zipfVocab: Int = 0): Unit = {
-    def w(df: DataFrame, name: String, parts: Int): Unit = {
+      zipfVocab: Int = 0, heapsBeta: Double = 0.0,
+      tables: Set[String] = Set.empty): Unit = {
+    require(heapsBeta == 0.0 || zipfVocab > 0,
+      "heapsBeta requires a zipf vocabulary (zipfVocab > 0)")
+    val vocabEff =
+      if (heapsBeta > 0) math.max(2L, math.round(
+        zipfVocab * math.pow(mult.toDouble, heapsBeta)))
+      else zipfVocab.toLong
+    def want(name: String): Boolean = tables.isEmpty || tables(name)
+    def w(df: DataFrame, name: String, parts: Int): Unit = if (want(name)) {
       df.repartition(parts)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[gendata] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
@@ -68,9 +100,9 @@ object GenData {
     val nEmb = 2000L * mult
 
     // Fixed-cardinality dims: copy verbatim (region/nation don't scale).
-    spark.read.parquet(s"$src/region.parquet")
+    if (want("region")) spark.read.parquet(s"$src/region.parquet")
       .write.mode("overwrite").parquet(s"$out/region.parquet")
-    spark.read.parquet(s"$src/nation.parquet")
+    if (want("nation")) spark.read.parquet(s"$src/nation.parquet")
       .write.mode("overwrite").parquet(s"$out/nation.parquet")
 
     val cust = spark.range(nCust).select(
@@ -84,7 +116,9 @@ object GenData {
 
     val supp = spark.range(nSupp).select(
       col("id").as("s_suppkey"),
-      format_string("Supplier#%09d", col("id")).as("s_name"),
+      format_string("Supplier#%09d",
+        if (heapsBeta > 0) pmod(xxhash64(col("id"), lit(41)), lit(1000000000L))
+        else col("id")).as("s_name"),
       pmod(xxhash64(col("id"), lit(4)), lit(25L)).cast("int").as("s_nationkey"),
       uniform(col("id"), 5, -999.99, 9999.99).as("s_acctbal"))
     w(supp, "supplier", 1)
@@ -186,8 +220,8 @@ object GenData {
     // the 2^20-bucket hash was exactly 0 (p ≈ 1e-6) and the head's mass
     // leaked into rank 2+.
     def zipfWord(j: Column): Column =
-      concat(lit("w"), least(lit(zipfVocab.toLong),
-        floor(pow(lit(zipfVocab.toDouble),
+      concat(lit("w"), least(lit(vocabEff),
+        floor(pow(lit(vocabEff.toDouble),
           pmod(xxhash64(col("id"), j, lit(35)), lit(1048576L)).cast("double")
             / 1048576.0)).cast("long")).cast("string"))
     val wordAt: Column => Column = if (zipfVocab > 0) zipfWord else {
@@ -234,7 +268,7 @@ object GenData {
     // wrong to reuse as one from an older generator. Written through
     // the Hadoop FS like every table above, so non-local out URIs
     // (hdfs://, s3a://) stamp correctly.
-    val stampText = stamp(mult, src, zipfVocab)
+    val stampText = stamp(mult, src, zipfVocab, heapsBeta, tables)
     val p = new org.apache.hadoop.fs.Path(s"$out/_GEN_VERSION")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val os = fs.create(p, true)
@@ -244,7 +278,12 @@ object GenData {
 
   /** Stamp line `_GEN_VERSION` carries: generator version + the exact
     * generation parameters. `run_scaling.sh` rebuilds the expected line
-    * from its own arguments and regenerates on ANY mismatch. */
-  def stamp(mult: Int, src: String, zipfVocab: Int): String =
-    s"v$GeneratorVersion mult=$mult src=$src zipf=$zipfVocab"
+    * from its own arguments and regenerates on ANY mismatch. The heaps /
+    * tables suffixes appear only when non-default, so stamps written by
+    * older rounds' default-mode corpora still compare equal. */
+  def stamp(mult: Int, src: String, zipfVocab: Int,
+      heapsBeta: Double = 0.0, tables: Set[String] = Set.empty): String =
+    s"v$GeneratorVersion mult=$mult src=$src zipf=$zipfVocab" +
+      (if (heapsBeta > 0) s" heaps=$heapsBeta" else "") +
+      (if (tables.nonEmpty) s" tables=${tables.toSeq.sorted.mkString(",")}" else "")
 }

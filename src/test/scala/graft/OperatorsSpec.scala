@@ -677,6 +677,14 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(scores(99L) < scores(1L),
       s"gibberish ${scores(99L)} should score below fluent ${scores(1L)}")
+
+    // Over maxModelRows the score join degrades from broadcast to
+    // sort-merge — value-identical (the model guard trades plan shape,
+    // never semantics).
+    val merged = TextOps.bigramLmScores(docs, "doc_id", "text",
+        maxModelRows = 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(merged == scores, "merge fallback changed lm scores")
   }
 
   test("kmeans refinement does not increase the clustering objective") {

@@ -1232,4 +1232,35 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
+
+  test("batchStorageScope fails loud on cross-thread concurrency, allows same-thread reentry") {
+    // Two concurrently-triggered streams sharing one session would
+    // snapshot-diff-unpersist each other's mid-batch local checkpoints
+    // (unrecomputable) — the scope must refuse the second entrant
+    // BEFORE any damage, not corrupt silently.
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      StreamingLoad.batchStorageScope(spark) {
+        entered.countDown()
+        release.await()
+      })
+    holder.start()
+    entered.await()
+    try {
+      val e = intercept[IllegalArgumentException] {
+        StreamingLoad.batchStorageScope(spark) { fail("must not enter") }
+      }
+      assert(e.getMessage.contains("concurrent scope"))
+    } finally { release.countDown(); holder.join() }
+
+    // Same-thread reentry stays legal (inner releases only its own
+    // post-snapshot ids; outer re-visits them as no-ops) — and the
+    // owner slot is freed afterwards, so a fresh scope works.
+    val v = StreamingLoad.batchStorageScope(spark) {
+      StreamingLoad.batchStorageScope(spark) { 42 }
+    }
+    assert(v == 42)
+    assert(StreamingLoad.batchStorageScope(spark) { 7 } == 7)
+  }
 }

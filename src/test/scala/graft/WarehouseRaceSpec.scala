@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.CountDownLatch
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{LoadMode, TableRef}
+import graft.io.ParquetWarehouse
+
+/** Executor-side rendezvous for the race specs: the blocking UDF parks a
+  * write job mid-flight (after the racing writer has resolved its base
+  * version) until the test has made the conflicting commit. local[*]
+  * executors share the JVM, so plain static latches work. */
+object WarehouseRaceSpec {
+  @volatile var writing: CountDownLatch = _
+  @volatile var release: CountDownLatch = _
+}
+
+/** Concurrent-writer semantics of [[ParquetWarehouse]] — the reference's
+  * X2 scenario (two loaders colliding on one table, core.ts:49-53)
+  * executed natively: every version swap is a compare-and-swap against
+  * the base the contents were computed from, a lost race throws
+  * [[ParquetWarehouse.ConcurrentWriteException]] (never a silent lost
+  * update), and the resolution is the X2 loop — re-run against the new
+  * current. */
+class WarehouseRaceSpec extends AnyFunSuite with SparkSuite {
+
+  private def tmp() = Files.createTempDirectory("graft-race").toString
+
+  /** Identity on `id` that parks the first write job: signals `writing`
+    * (the racer is provably past its base-version read and inside its
+    * write), then waits for `release`. */
+  private def slowId = udf((x: Long) => {
+    WarehouseRaceSpec.writing.countDown()
+    WarehouseRaceSpec.release.await()
+    x
+  })
+
+  private def rows(wh: ParquetWarehouse, t: TableRef): Set[(Long, String)] =
+    wh.table(t).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("upsert losing the swap race fails loud; X2 retry lands both writers") {
+    import spark.implicits._
+    val root = tmp()
+    val wh = new ParquetWarehouse(spark, root)
+    val t = TableRef("", "race")
+    wh.create(t, Seq((1L, "base")).toDF("id", "v"))
+
+    WarehouseRaceSpec.writing = new CountDownLatch(1)
+    WarehouseRaceSpec.release = new CountDownLatch(1)
+    val slowStaged = Seq((2L, "slow")).toDF("id", "v")
+      .withColumn("id", slowId(col("id")))
+    val err = new AtomicReference[Throwable]
+    val racer = new Thread(() =>
+      try wh.load(LoadMode.Upsert, t, slowStaged, "id")
+      catch { case e: Throwable => err.set(e) })
+    racer.start()
+    WarehouseRaceSpec.writing.await() // racer merged FROM v0, mid-write
+    wh.load(LoadMode.Upsert, t, Seq((3L, "fast")).toDF("id", "v"), "id")
+    WarehouseRaceSpec.release.countDown()
+    racer.join()
+
+    // Loser fails loud with the lost-update diagnosis; winner's commit
+    // is intact (the silent alternative would have dropped id=3).
+    assert(err.get() != null, "lost race must throw, not silently win")
+    assert(err.get().isInstanceOf[ParquetWarehouse.ConcurrentWriteException],
+      s"unexpected failure: ${err.get()}")
+    assert(err.get().getMessage.contains("lost update"))
+    assert(rows(wh, t) == Set((1L, "base"), (3L, "fast")))
+
+    // The X2 loop: re-running the lost load against the new current
+    // succeeds and the table now carries all three writers' rows.
+    wh.load(LoadMode.Upsert, t, Seq((2L, "slow")).toDF("id", "v"), "id")
+    assert(rows(wh, t) == Set((1L, "base"), (2L, "slow"), (3L, "fast")))
+    // No lock residue from either the winner or the loser: the next
+    // writer is not blocked.
+    assert(!Files.exists(Paths.get(s"$root/race/_COMMIT_LOCK")))
+  }
+
+  test("append racing a version swap fails loud instead of vanishing") {
+    import spark.implicits._
+    val wh = new ParquetWarehouse(spark, tmp())
+    val t = TableRef("", "race2")
+    wh.create(t, Seq((1L, "base")).toDF("id", "v"))
+
+    WarehouseRaceSpec.writing = new CountDownLatch(1)
+    WarehouseRaceSpec.release = new CountDownLatch(1)
+    val slowStaged = Seq((2L, "late")).toDF("id", "v")
+      .withColumn("id", slowId(col("id")))
+    val err = new AtomicReference[Throwable]
+    val appender = new Thread(() =>
+      try wh.load(LoadMode.Insert, t, slowStaged, "id")
+      catch { case e: Throwable => err.set(e) })
+    appender.start()
+    WarehouseRaceSpec.writing.await() // appending into v0, mid-write
+    wh.load(LoadMode.TruncateInsert, t, Seq((9L, "trunc")).toDF("id", "v"), "id")
+    WarehouseRaceSpec.release.countDown()
+    appender.join()
+
+    // The appended files landed in the retired generation — invisible to
+    // readers — so the append must report failure, not success.
+    assert(err.get() != null, "lost append must throw, not report success")
+    assert(err.get().isInstanceOf[ParquetWarehouse.ConcurrentWriteException],
+      s"unexpected failure: ${err.get()}")
+    assert(err.get().getMessage.contains("lost append"))
+    assert(rows(wh, t) == Set((9L, "trunc")))
+
+    // Retry lands the rows in the live generation.
+    wh.load(LoadMode.Insert, t, Seq((2L, "late")).toDF("id", "v"), "id")
+    assert(rows(wh, t) == Set((9L, "trunc"), (2L, "late")))
+  }
+
+  test("commit lock: live contention fails loud, a stale (crashed) lock is stolen") {
+    import spark.implicits._
+    val root = tmp()
+    val wh = new ParquetWarehouse(spark, root)
+    val t = TableRef("", "race3")
+    wh.create(t, Seq((1L, "base")).toDF("id", "v"))
+
+    val lock = Paths.get(s"$root/race3/_COMMIT_LOCK")
+    Files.createFile(lock)
+    val e = intercept[ParquetWarehouse.ConcurrentWriteException] {
+      wh.load(LoadMode.TruncateInsert, t, Seq((2L, "x")).toDF("id", "v"), "id")
+    }
+    assert(e.getMessage.contains("commit lock"))
+    assert(rows(wh, t) == Set((1L, "base")), "blocked swap must not commit")
+
+    // A lock whose mtime is far older than any live sub-second hold is a
+    // crash residue: stolen, and the load proceeds.
+    assert(lock.toFile.setLastModified(
+      System.currentTimeMillis() - 2 * ParquetWarehouse.LockStaleMs))
+    wh.load(LoadMode.TruncateInsert, t, Seq((2L, "x")).toDF("id", "v"), "id")
+    assert(rows(wh, t) == Set((2L, "x")))
+    assert(!Files.exists(lock), "stolen lock must be released after commit")
+  }
+}
