@@ -62,14 +62,14 @@ exec $JAVA graft.tools.ScalingLedger "$BASE" "$SF10" 100 SCALING_LEDGER_100X.jso
   dup_cluster_sizes dedup_token_yield bigram_lm_scores \
   tfidf_top_terms binary_file_ingest dedup_near_keep \
   q8_market_share q21_waiting_supplier \
-  dedup_minhash_lsh dedup_substring substring_scrub knn_ivf_pq \
-  knn_ivf_pq_residual kmeans_centroids bpe_token_counts \
+  dedup_minhash_lsh dedup_substring substring_scrub knn_ivf_pq_p1k \
+  knn_ivf_pq_residual_p1k kmeans_centroids bpe_token_counts \
   fuzzy_name_match boilerplate_dict_train boilerplate_scrub \
   crawl_curation_pipeline dedup_incremental_candidates \
   dedup_minhash_recall dedup_minhash_recall_tuned \
   dedup_ngram_jaccard domain_cap_sample quality_model_filter \
   url_canonicalize url_dedup \
-  knn_ivf_incremental dedup_lsh_bucket_ledger \
+  knn_ivf_incremental_p1k dedup_lsh_bucket_ledger \
   sequence_pack_plan sequence_pack_plan_bpe \
   simhash_bucket_ledger fuzzy_block_ledger dedup_cc_incremental \
   quality_train_sampled quality_sampled_agreement jaccard_df_ledger

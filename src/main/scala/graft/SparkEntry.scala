@@ -120,12 +120,12 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"), url.as("url"))
   }
 
-  private def embCorpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("vec"))
 
   /** Lloyd-refined coarse quantizer artifact (cent_id, cent_vec,
     * n_members) — shared by every trained-quantizer query. */
-  private def coarseCentroids(s: SparkSession, dir: String): DataFrame =
+  private[graft] def coarseCentroids(s: SparkSession, dir: String): DataFrame =
     model(s, dir, s"kmeans_coarse_k${KmeansK}_i$KmeansIters", "embeddings") {
       val corpus = embCorpus(s, dir)
       val initial = SimilarityOps.ivfCentroids(corpus, KmeansK)
@@ -135,7 +135,7 @@ object SparkEntry {
     }
 
   /** Raw-vector PQ sub-codebooks artifact (sub, cent_id, cent_vec). */
-  private def pqBooks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqBooks(s: SparkSession, dir: String): DataFrame =
     model(s, dir, s"pq_books_m${PqM}_ks${PqKs}_i$PqIters", "embeddings")(
       SimilarityOps.pqCodebooks(embCorpus(s, dir), PqM, PqSubDim, PqKs,
         PqIters))
@@ -143,14 +143,14 @@ object SparkEntry {
   /** IVF-PQ coded index artifact (vec_id, cent_id, codes) — FAISS's add
     * phase as a table; search never touches the raw vectors until the
     * exact re-rank. */
-  private def pqIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqIndex(s: SparkSession, dir: String): DataFrame =
     model(s, dir,
         s"ivfpq_index_k${KmeansK}_m${PqM}_ks${PqKs}", "embeddings")(
       SimilarityOps.ivfPqIndex(embCorpus(s, dir), coarseCentroids(s, dir),
         pqBooks(s, dir), PqSubDim))
 
   /** Residual PQ sub-codebooks artifact (trained on vec − coarse cell). */
-  private def pqResBooks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqResBooks(s: SparkSession, dir: String): DataFrame =
     model(s, dir,
         s"pq_res_books_k${KmeansK}_m${PqM}_ks${PqKs}_i$PqIters",
         "embeddings")(
@@ -158,7 +158,7 @@ object SparkEntry {
         coarseCentroids(s, dir), PqM, PqSubDim, PqKs, PqIters))
 
   /** Residual IVF-PQ coded index artifact. */
-  private def pqResIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqResIndex(s: SparkSession, dir: String): DataFrame =
     model(s, dir,
         s"ivfpq_res_index_k${KmeansK}_m${PqM}_ks${PqKs}", "embeddings")(
       SimilarityOps.ivfPqResidualIndex(embCorpus(s, dir),
