@@ -72,4 +72,5 @@ exec $JAVA graft.tools.ScalingLedger "$BASE" "$SF10" 100 SCALING_LEDGER_100X.jso
   knn_ivf_incremental_p1k dedup_lsh_bucket_ledger \
   sequence_pack_plan sequence_pack_plan_bpe \
   simhash_bucket_ledger fuzzy_block_ledger dedup_cc_incremental \
-  quality_train_sampled quality_sampled_agreement jaccard_df_ledger
+  quality_train_sampled quality_sampled_agreement jaccard_df_ledger \
+  session_topk_overlaps

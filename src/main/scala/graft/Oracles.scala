@@ -1407,11 +1407,9 @@ object Oracles {
        |SELECT lid AS event_id, user_id, ts, asof_rid AS asof_event_id
        |FROM w WHERE side = 1""".stripMargin
 
-  /** Session-overlap pairs (range × range) — the oracle verifies the
-    * raw overlap predicate the bucketed join candidates are checked
-    * against. */
-  def sessionOverlapPairs(gapMinutes: Int): String =
-    s"""WITH g AS (SELECT user_id, ts, event_id,
+  /** Shared gap-sessionization CTE chain → `sess(user_id, st, en)`. */
+  private def sessCtes(gapMinutes: Int): String =
+    s"""g AS (SELECT user_id, ts, event_id,
        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
        |  FROM events),
        |f AS (SELECT user_id, ts, event_id,
@@ -1423,11 +1421,75 @@ object Oracles {
        |    ROWS UNBOUNDED PRECEDING) AS seq
        |  FROM f),
        |sess AS (SELECT user_id, min(ts) AS st, max(ts) AS en
-       |  FROM s GROUP BY user_id, seq)
+       |  FROM s GROUP BY user_id, seq)""".stripMargin
+
+  /** Session-overlap pairs (range × range) — the oracle verifies the
+    * raw overlap predicate the bucketed join candidates are checked
+    * against. */
+  def sessionOverlapPairs(gapMinutes: Int): String =
+    s"""WITH ${sessCtes(gapMinutes)}
        |SELECT a.user_id AS user_a, a.st AS start_a,
        |  b.user_id AS user_b, b.st AS start_b
        |FROM sess a JOIN sess b
        |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en""".stripMargin
+
+  /** The bounded top-k overlap chain (AnalyticOps.topKOverlapsPerSession
+    * replayed verbatim): per-bucket candidates pruned to the `candM`
+    * longest sessions (longest-first, (user, start) tie-break — part of
+    * the operator's deterministic semantics, so replayable at any
+    * scale), pairs deduped across buckets, exact-verified, scored by
+    * floored-second intersection, ranked per session. Second-floor
+    * arithmetic is epoch_us // 1000000 on both sides (Spark
+    * unix_timestamp floors to seconds; date_diff('second') would match
+    * too but the // form keeps every intermediate an exact BIGINT). */
+  private def topkOverlapCtes(p: String, bucketSec: Long,
+      candM: String): String = {
+    def floorSec(c: String) = s"(epoch_us($c) // 1000000)"
+    def bucket(c: String) = s"(${floorSec(c)} // $bucketSec)"
+    s"""${p}bl AS (SELECT user_id AS user_a, st AS start_a, en AS end_a,
+       |  unnest(generate_series(${bucket("st")}, ${bucket("en")})) AS b
+       |  FROM sess),
+       |${p}br0 AS (SELECT user_id AS user_b, st AS start_b, en AS end_b,
+       |  ${floorSec("en")} - ${floorSec("st")} AS len,
+       |  unnest(generate_series(${bucket("st")}, ${bucket("en")})) AS b
+       |  FROM sess),
+       |${p}br AS (SELECT user_b, start_b, end_b, b FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY b
+       |    ORDER BY len DESC, user_b, start_b) AS r
+       |  FROM ${p}br0) WHERE r <= $candM),
+       |${p}cand AS (SELECT DISTINCT user_a, start_a, end_a, user_b, start_b, end_b
+       |  FROM ${p}bl JOIN ${p}br ON ${p}bl.b = ${p}br.b AND user_a <> user_b),
+       |${p}ov AS (SELECT user_a, start_a, user_b, start_b,
+       |    ${floorSec("least(end_a, end_b)")} -
+       |      ${floorSec("greatest(start_a, start_b)")} AS overlap_sec
+       |  FROM ${p}cand WHERE start_a <= end_b AND start_b <= end_a),
+       |${p}tk AS (SELECT user_a AS user_id, start_a AS session_start,
+       |    user_b AS partner_user, start_b AS partner_start, overlap_sec,
+       |    row_number() OVER (PARTITION BY user_a, start_a
+       |      ORDER BY overlap_sec DESC, user_b, start_b) AS rank
+       |  FROM ${p}ov)""".stripMargin
+  }
+
+  def sessionTopkOverlaps(gapMinutes: Int, k: Int, bucketSec: Long,
+      candM: Int): String =
+    s"""WITH ${sessCtes(gapMinutes)},
+       |${topkOverlapCtes("", bucketSec, candM.toString)}
+       |SELECT * FROM tk WHERE rank <= $k""".stripMargin
+
+  /** Recall contract of the bounded form vs the exact all-candidates
+    * form (same chain, candidate filter disabled): one row of counts. */
+  def sessionTopkRecall(gapMinutes: Int, k: Int, bucketSec: Long,
+      candM: Int): String =
+    s"""WITH ${sessCtes(gapMinutes)},
+       |${topkOverlapCtes("b", bucketSec, candM.toString)},
+       |${topkOverlapCtes("e", bucketSec, "2147483647")}
+       |SELECT
+       |  (SELECT count(*) FROM etk WHERE rank <= $k) AS n_exact,
+       |  (SELECT count(*) FROM btk WHERE rank <= $k) AS n_bounded,
+       |  (SELECT count(*) FROM (
+       |    SELECT * FROM etk WHERE rank <= $k
+       |    INTERSECT
+       |    SELECT * FROM btk WHERE rank <= $k)) AS n_hit""".stripMargin
 
   /** Forward as-of: first click at ts ≥ the purchase's, per user
     * (AnalyticOps.asofJoinForward — left rows sort first on ties). */

@@ -1131,7 +1131,11 @@ object SparkEntry {
     },
 
     // Concurrent sessions across users: interval × interval overlap via
-    // bucketed candidates + exact verify (never O(n²)).
+    // bucketed candidates + exact verify (never O(n²) CANDIDATES — but
+    // the OUTPUT is intrinsically quadratic in per-window user density:
+    // measured 99.9x output at 10x data, ~1.5B pairs at 100x, CONTRACTS
+    // §4. This stays the labeled all-pairs truth row; committed
+    // pipelines ride session_topk_overlaps below.)
     "session_overlap_pairs" -> { (s, dir) =>
       val sess = AnalyticOps.sessionize(t(s, dir, "events"), 30)
       val a = sess.select(col("user_id").as("user_a"),
@@ -1142,6 +1146,37 @@ object SparkEntry {
           "start_a", "end_a", "start_b", "end_b",
           bucketSec = 1800L, extraCond = col("user_a") < col("user_b"))
         .select(col("user_a"), col("start_a"), col("user_b"), col("start_b"))
+    },
+
+    // The BOUNDED concurrency twin (committed-pipeline form): per
+    // session, its top-3 partners by true intersection seconds, with
+    // per-bucket candidates pruned to the 32 longest sessions — output
+    // ≤ k·sessions, work linear in sessions. The pruning is part of the
+    // deterministic operator semantics (longest-first, (user, start)
+    // tie-break), so the oracle replays it verbatim at any scale; the
+    // recall vs the exact all-candidates form is pinned by the next
+    // entry, not promised.
+    "session_topk_overlaps" -> { (s, dir) =>
+      AnalyticOps.topKOverlapsPerSession(
+        AnalyticOps.sessionize(t(s, dir, "events"), 30),
+        "user_id", "session_start", "session_end",
+        k = SessionTopK, bucketSec = 1800L)
+    },
+
+    // The bounded form's recall CONTRACT, measured in-gate (the
+    // dedup_minhash_recall pattern): exact top-k rows, bounded top-k
+    // rows, and their row-level intersection as one row of counts.
+    "session_topk_recall" -> { (s, dir) =>
+      val sess = AnalyticOps.sessionize(t(s, dir, "events"), 30)
+      def form(m: Int) = AnalyticOps.topKOverlapsPerSession(sess,
+        "user_id", "session_start", "session_end",
+        k = SessionTopK, bucketSec = 1800L, candM = m)
+      val exact = form(Int.MaxValue)
+      val bounded = form(AnalyticOps.TopOverlapCandidates)
+      val hits = exact.intersect(bounded)
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(bounded.agg(count(lit(1)).as("n_bounded")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
     },
 
     "topk_orders_by_priority" -> ((s, dir) =>
@@ -3457,6 +3492,8 @@ object SparkEntry {
   // sf1 (truth cost scales 1/N²).
   val RecallSampleMod = 4
   val SimhashMaxHamming = 8
+  // Per-session partner budget for the bounded concurrency query.
+  val SessionTopK = 3
   // Content-defined chunking: boundary = hash of the 5-token window
   // ending here ≡ 0 (mod 8) → ~8-token expected chunks.
   val CdcWindow = 5
@@ -3913,6 +3950,10 @@ object SparkEntry {
     "asof_merge_exec_tolerance" -> Oracles.asofToleranceClick,
     "scd2_asof_lookup" -> Oracles.scd2AsofLookup,
     "session_overlap_pairs" -> Oracles.sessionOverlapPairs(30),
+    "session_topk_overlaps" -> Oracles.sessionTopkOverlaps(30, SessionTopK,
+      1800L, AnalyticOps.TopOverlapCandidates),
+    "session_topk_recall" -> Oracles.sessionTopkRecall(30, SessionTopK,
+      1800L, AnalyticOps.TopOverlapCandidates),
     "events_sliding_1h_30m" -> Oracles.sliding1h30m,
     "session_window_30m" -> Oracles.sessionWindow30m,
     "interval_join_click_purchase" -> Oracles.intervalJoinClickPurchase,

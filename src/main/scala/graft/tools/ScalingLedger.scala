@@ -69,6 +69,10 @@ object ScalingLedger {
     // column doubles as the fixture-saturation signal the 100x decade
     // diagnosed by hand (df ∝ n on bounded vocabularies)
     "jaccard_df_ledger",
+    // round-14: the bounded concurrency twin (session_overlap_pairs
+    // stays the labeled intrinsic-output truth row; this is what
+    // pipelines run — output ≤ k·sessions, work linear in sessions)
+    "session_topk_overlaps",
     // round-13 (cont.): the incremental-CC gate query — the standing row
     // watches the two-batch fold (batch CC + frontier merge + remap),
     // which should scale like the batch CC family it wraps

@@ -687,6 +687,35 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(merged == scores, "merge fallback changed lm scores")
   }
 
+  test("topKOverlapsPerSession: exact ranks, deterministic ties, candidate pruning semantics") {
+    import spark.implicits._
+    val sess = Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 01:00:00"), // long: 3600 s
+      (2L, "2024-01-01 00:00:00", "2024-01-01 00:10:00"), // 600 s
+      (3L, "2024-01-01 00:05:00", "2024-01-01 00:15:00")) // 600 s
+      .toDF("user_id", "st", "en")
+      .select(col("user_id"), col("st").cast("timestamp").as("session_start"),
+        col("en").cast("timestamp").as("session_end"))
+    def run(m: Int) = AnalyticOps.topKOverlapsPerSession(sess, "user_id",
+        "session_start", "session_end", k = 2, bucketSec = 600L, candM = m)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getInt(5)))
+      .toSet
+
+    // Unpruned: true intersection seconds, ties (u2/u3 both overlap u1
+    // for 600 s) break on partner user id.
+    val exact = run(Int.MaxValue)
+    assert(exact == Set(
+      (1L, 2L, 600L, 1), (1L, 3L, 600L, 2),
+      (2L, 1L, 600L, 1), (2L, 3L, 300L, 2),
+      (3L, 1L, 600L, 1), (3L, 2L, 300L, 2)))
+
+    // candM = 1: only the bucket's longest session (u1) is a candidate
+    // partner — u2/u3 keep exactly their u1 row, u1 (whose partners
+    // would all be shorter) gets none. The pruning is SEMANTICS, not a
+    // best-effort cap: deterministic and oracle-replayable.
+    assert(run(1) == Set((2L, 1L, 600L, 1), (3L, 1L, 600L, 1)))
+  }
+
   test("kmeans refinement does not increase the clustering objective") {
     val corpus = Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").as("vec"))
