@@ -30,6 +30,13 @@ for p in $PROBES; do
     exit 2
   fi
   echo "=== graft.tools.$p -> ${OUT[$p]} ===" >&2
-  $JAVA "graft.tools.$p" "${OUT[$p]}"
+  if [ "$p" = CurationStreamProbe ]; then
+    # verifyExact=true runs the planted workload twice (plain, then with
+    # the exact-verify pass) so the committed JSON prices the verify
+    # stage's per-batch margin alongside the standing exactness checks.
+    $JAVA "graft.tools.$p" "${OUT[$p]}" 1000000 25000 4 true
+  else
+    $JAVA "graft.tools.$p" "${OUT[$p]}"
+  fi
 done
 echo "all probes green" >&2

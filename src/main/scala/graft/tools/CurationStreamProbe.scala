@@ -93,6 +93,12 @@ object CurationStreamProbe {
     val cpus = graft.ToolSession.cpus("32")
     val spark = graft.ToolSession.local(cpus)
 
+    /** One full probe series (fresh temp state): seed → planted batches
+      * with exact-growth/flat-wall/leak checks → scrub check → replay
+      * check. Returns (seedSecs, batchWalls, replaySecs). Run twice
+      * (verify off, then on) to price the exact-verify pass as a
+      * same-data margin. */
+    def series(verifyExact: Boolean): (Double, Seq[Double], Double) = {
     val root = Files.createTempDirectory("graft_curation_probe").toString
     val src = s"$root/src"; Files.createDirectories(Paths.get(src))
     val wh = new ParquetWarehouse(spark, s"$root/wh")
@@ -224,11 +230,9 @@ object CurationStreamProbe {
     val after = counts()
     require(after == before, s"replay grew stores: $before -> $after")
 
-    spark.stop()
-
     val flatBound = 3.0 * math.max(walls.head, 5.0)
     println(s"\n## Composed curation-stream probe (corpus n=$n, " +
-      s"$batches x $batchSize arrivals, local[$cpus])\n")
+      s"$batches x $batchSize arrivals, verifyExact=$verifyExact, local[$cpus])\n")
     println("| check | measured | bound/expected |")
     println("|---|---|---|")
     println(f"| seed (batch path) | $seedSecs%.1f s | one-time |")
@@ -240,6 +244,44 @@ object CurationStreamProbe {
     require(walls.last <= flatBound,
       f"batch ${batches} wall ${walls.last}%.1f s > $flatBound%.1f s: " +
         "per-batch work is growing with the corpus")
+    (seedSecs, walls, replaySecs)
+    } // series
+
+    // Plain series first (the standing exactness/flat-wall/replay probe),
+    // then — when asked — the SAME planted workload under the stream's
+    // exact-verify pass: identical stores, batches, and checks, so the
+    // wall difference IS the verify stage's marginal cost per batch
+    // (pair-count-sized lookup + one exact Jaccard per est-passing
+    // candidate — the 4M false-positive closure path, priced).
+    val (seedSecs, walls, replaySecs) = series(verifyExact = false)
+    val verified =
+      if (verifyExact) Some(series(verifyExact = true)) else None
+
+    val verifyJson = verified.fold("") { case (vSeed, vWalls, vReplay) =>
+      // Margin over WARM batches only (drop batch 1 of each series):
+      // the verify series runs second and would otherwise pocket the
+      // plain series' JIT warm-up as a flattering negative margin.
+      def warmMean(ws: Seq[Double]) =
+        { val t = if (ws.size > 1) ws.tail else ws; t.sum / t.size }
+      val margin = warmMean(vWalls) - warmMean(walls)
+      // The verify pass must stay a small fraction of a batch wall —
+      // flag if it ever costs more than one plain batch.
+      val bound = warmMean(walls)
+      println(f"\nverify-exact margin: $margin%.2f s/batch " +
+        f"(plain warm mean ${warmMean(walls)}%.2f s, verify warm mean " +
+        f"${warmMean(vWalls)}%.2f s; bound <= $bound%.2f s)")
+      require(margin <= bound,
+        f"verify margin $margin%.2f s/batch exceeds one plain batch " +
+          f"($bound%.2f s) — the pair lookup is reading the corpus, not " +
+          "the candidates")
+      f""","verify_seed_secs":$vSeed%.2f,""" +
+        s""""verify_batch_walls":[${vWalls.map(w => f"$w%.2f").mkString(",")}],""" +
+        f""""verify_replay_secs":$vReplay%.2f,""" +
+        f""""verify_margin_secs_per_batch":$margin%.2f,""" +
+        f""""verify_margin_bound_secs":$bound%.2f"""
+    }
+
+    spark.stop()
 
     val pw = new PrintWriter(new File(jsonOut))
     try pw.println(
@@ -248,7 +290,7 @@ object CurationStreamProbe {
       f""""seed_secs":$seedSecs%.2f,""" +
       s""""batch_walls":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
       s""""growth_per_batch":{"corpus":$q,"keys":${4 * q},"sigs":$q},""" +
-      f""""replay_secs":$replaySecs%.2f,"replay_growth":0}""")
+      f""""replay_secs":$replaySecs%.2f,"replay_growth":0$verifyJson}""")
     finally pw.close()
     System.err.println(s"wrote $jsonOut")
   }
