@@ -169,14 +169,14 @@ object SparkEntry {
     * doc_id + 20000000 (label 0) — balanced classes, and the clean/spam
     * twins share their base text so non-spam feature buckets cancel
     * exactly in the first gradient step. */
-  private def spamPlantedDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def spamPlantedDocs(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
     base.unionByName(base.select(
       (col("doc_id") + 20000000L).as("doc_id"),
       concat(col("text"), lit(" " + SpamTokens)).as("text")))
   }
 
-  private def spamLabels(s: SparkSession, dir: String): DataFrame =
+  private[graft] def spamLabels(s: SparkSession, dir: String): DataFrame =
     spamPlantedDocs(s, dir).select(col("doc_id"),
       when(col("doc_id") >= 20000000L, 0L).otherwise(1L).as("y"))
 
@@ -3520,8 +3520,14 @@ object SparkEntry {
   // Trained quality model: gradient steps + the spam lexicon the bad
   // twins get suffixed with (lowercase ASCII — normalization-stable).
   val QmSteps = 6
-  // Sampled-train path: 1-in-QmSampleMod pair-stable doc sample.
-  val QmSampleMod = 4
+  // Sampled-train path: 1-in-QmSampleMod pair-stable doc sample. 16 is
+  // the measured knee of the cold-train sample curve at 1M planted docs
+  // (graft.tools.QualitySampleCurve, QUALITY_SAMPLE_CURVE.json):
+  // full 145.9s / 1-in-4 29.5s @ 99.9942% / 1-in-16 13.6s @ 99.9946% /
+  // 1-in-64 12.1s @ 99.9300% keep-agreement vs the full model — 1-in-16
+  // matches 1-in-4's agreement at 2.2x less train cost, and 1-in-64
+  // buys almost nothing further while agreement drops 10x.
+  val QmSampleMod = 16
   val SpamTokens = Seq.fill(4)(
     "buy cheap pills casino winner click free bonus prize deal")
     .mkString(" ")
