@@ -45,7 +45,7 @@ object ScalingLedger {
     // directly; the `% 100` gate fixtures stay oracle-checked but are
     // no longer what the ledger times (their ratios were probe-count
     // arithmetic, not operator behavior)
-    "knn_ivf_pq_p1k",
+    "knn_ivf_p1k", "knn_ivf_pq_p1k",
     "knn_ivf_pq_residual_p1k", "kmeans_centroids", "bpe_token_counts",
     "fuzzy_name_match", "boilerplate_dict_train", "boilerplate_scrub",
     "crawl_curation_pipeline", "dedup_incremental_candidates",
@@ -115,6 +115,20 @@ object ScalingLedger {
     * each rides the same persisted artifacts as its gate twin. */
   val LedgerOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      // The one-shot contrast row: untrained exact-cosine IVF with
+      // C = ⌈√N⌉ derived in-query (IvfAutoC = 0). Its SEARCH is 3√N
+      // exact distances per probe, but having no persisted artifact it
+      // pays the N·C ∝ N^1.5 corpus-assignment (index build) inside
+      // every run — measured 19.5× per-probe at 100× rows vs the
+      // trained fixed-C=8 PQ family's 10.3× riding ModelStore
+      // artifacts. The pair is the measured argument for train-once
+      // quantizers at 100 TB: the one-shot path's wall is build, not
+      // search.
+      "knn_ivf_p1k" -> ((s, dir) =>
+        graft.operators.SimilarityOps.ivfKnn(syntheticProbes(s),
+          SparkEntry.embCorpus(s, dir), SparkEntry.KnnK,
+          centroidTarget = SparkEntry.IvfAutoC,
+          nprobe = SparkEntry.IvfNprobe)),
       "knn_ivf_pq_p1k" -> ((s, dir) =>
         graft.operators.SimilarityOps.ivfPqSearch(syntheticProbes(s),
           SparkEntry.embCorpus(s, dir), SparkEntry.pqIndex(s, dir),
