@@ -2192,7 +2192,7 @@ object Oracles {
     }.mkString(",\n")
     s"""c0$sfx AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v$sfx
        |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-       |    % greatest((SELECT count(*) FROM v$sfx) // $targetC, 1) = 0),
+       |    % ${ivfStepSql(s"(SELECT count(*) FROM v$sfx)", targetC)} = 0),
        |$iterCtes""".stripMargin
   }
 

@@ -164,6 +164,31 @@ object SparkEntry {
       SimilarityOps.ivfPqResidualIndex(embCorpus(s, dir),
         coarseCentroids(s, dir), pqResBooks(s, dir), PqSubDim))
 
+  /** Corpus-tracking coarse quantizer artifact: C = ⌈√N⌉ derived from
+    * the corpus count at TRAIN time (the `ivfCentroids` auto path),
+    * Lloyd-refined like [[coarseCentroids]]. The scale story the fixed
+    * C = [[KmeansK]] family can't tell: with fixed C the per-probe ADC
+    * scan is nprobe·N/C ∝ N; at C ∝ √N it is ∝ √N — the measured
+    * ledger contrast behind SCALING.md's 100 TB prescription. Kept as a
+    * SEPARATE artifact family (auto key) so the C = 8 gate entries stay
+    * byte-stable. */
+  private[graft] def coarseCentroidsAuto(s: SparkSession, dir: String): DataFrame =
+    model(s, dir, s"kmeans_coarse_auto_i$KmeansIters", "embeddings") {
+      val corpus = embCorpus(s, dir)
+      val initial = SimilarityOps.ivfCentroids(corpus, IvfAutoC)
+        .select(col("cent_id"),
+          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+      ClusterOps.kmeans(corpus, initial, KmeansIters)
+    }
+
+  /** IVF-PQ coded index against the auto-C coarse quantizer (same
+    * raw-vector sub-codebooks — PQ books are coarse-independent). */
+  private[graft] def pqIndexAuto(s: SparkSession, dir: String): DataFrame =
+    model(s, dir,
+        s"ivfpq_index_auto_m${PqM}_ks${PqKs}", "embeddings")(
+      SimilarityOps.ivfPqIndex(embCorpus(s, dir), coarseCentroidsAuto(s, dir),
+        pqBooks(s, dir), PqSubDim))
+
   /** Spam-planted training corpus for the trained quality model: every
     * document (label 1) paired with a junk-suffixed copy at
     * doc_id + 20000000 (label 0) — balanced classes, and the clean/spam
@@ -3373,6 +3398,24 @@ object SparkEntry {
           round(col("sim"), 9).as("sim"), col("rank"))
     },
 
+    // The corpus-tracking-C twin of knn_ivf_pq: identical search over
+    // artifacts whose coarse quantizer derives C = ceil(sqrt(N)) from
+    // the corpus count at train time. With fixed C the per-probe ADC
+    // scan grows with N; at C ~ sqrt(N) it grows with sqrt(N) — this
+    // entry keeps the scale-honest configuration oracle-checked (and
+    // the _p1k ledger twin measures its per-probe law directly).
+    "knn_ivf_pq_autoc" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      SimilarityOps.ivfPqSearch(probes, corpus, pqIndexAuto(s, dir), KnnK,
+          coarseCentroidsAuto(s, dir), pqBooks(s, dir), PqSubDim,
+          nprobe = IvfNprobe, rerank = PqRerank)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("sim"), 9).as("sim"), col("rank"))
+    },
+
     // The ANN recall CONTRACT, measured in-gate (the quantizer's recall
     // is a number the gate pins, not a docstring claim — the MinHash
     // family got this treatment in dedup_minhash_recall; this is the
@@ -3382,6 +3425,18 @@ object SparkEntry {
       knnRecallCounts(s, dir, "n_pq") { (probes, corpus) =>
         SimilarityOps.ivfPqSearch(probes, corpus, pqIndex(s, dir),
           KnnK, coarseCentroids(s, dir), pqBooks(s, dir), PqSubDim,
+          nprobe = IvfNprobe, rerank = PqRerank)
+      }
+    },
+
+    // Recall contract for the corpus-tracking-C configuration: nprobe/C
+    // COVERAGE shrinks as C grows (3 of 45 cells at sf0.1), so the
+    // speed the _p1k ledger row measures must carry this number or it
+    // could be "fast because it probes nothing".
+    "knn_pq_autoc_recall" -> { (s, dir) =>
+      knnRecallCounts(s, dir, "n_pq") { (probes, corpus) =>
+        SimilarityOps.ivfPqSearch(probes, corpus, pqIndexAuto(s, dir),
+          KnnK, coarseCentroidsAuto(s, dir), pqBooks(s, dir), PqSubDim,
           nprobe = IvfNprobe, rerank = PqRerank)
       }
     },
@@ -4029,6 +4084,8 @@ object SparkEntry {
       KnnProbeEvery, KnnK, KmeansK, KmeansIters, IvfNprobe),
     "knn_ivf_pq" -> Oracles.knnIvfPq(KnnProbeEvery, KnnK, KmeansK,
       KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters, PqRerank),
+    "knn_ivf_pq_autoc" -> Oracles.knnIvfPq(KnnProbeEvery, KnnK, IvfAutoC,
+      KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters, PqRerank),
     "knn_ivf_incremental" -> Oracles.knnIvfIncremental(KnnProbeEvery, KnnK,
       KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
       PqRerank),
@@ -4037,6 +4094,9 @@ object SparkEntry {
       PqRerank),
     "knn_pq_recall" -> Oracles.knnPqRecall(KnnProbeEvery, KnnK,
       KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
+      PqRerank),
+    "knn_pq_autoc_recall" -> Oracles.knnPqRecall(KnnProbeEvery, KnnK,
+      IvfAutoC, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
       PqRerank),
     "knn_pq_residual_recall" -> Oracles.knnPqResidualRecall(KnnProbeEvery,
       KnnK, KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,

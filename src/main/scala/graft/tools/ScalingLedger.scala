@@ -45,7 +45,7 @@ object ScalingLedger {
     // directly; the `% 100` gate fixtures stay oracle-checked but are
     // no longer what the ledger times (their ratios were probe-count
     // arithmetic, not operator behavior)
-    "knn_ivf_p1k", "knn_ivf_pq_p1k",
+    "knn_ivf_p1k", "knn_ivf_pq_p1k", "knn_ivf_pq_autoc_p1k",
     "knn_ivf_pq_residual_p1k", "kmeans_centroids", "bpe_token_counts",
     "fuzzy_name_match", "boilerplate_dict_train", "boilerplate_scrub",
     "crawl_curation_pipeline", "dedup_incremental_candidates",
@@ -133,6 +133,16 @@ object ScalingLedger {
         graft.operators.SimilarityOps.ivfPqSearch(syntheticProbes(s),
           SparkEntry.embCorpus(s, dir), SparkEntry.pqIndex(s, dir),
           SparkEntry.KnnK, SparkEntry.coarseCentroids(s, dir),
+          SparkEntry.pqBooks(s, dir), SparkEntry.PqSubDim,
+          nprobe = SparkEntry.IvfNprobe, rerank = SparkEntry.PqRerank)),
+      // The best-of-both row: train-once artifacts (run2 never pays the
+      // build) whose coarse C tracks the corpus (⌈√N⌉ at train time) —
+      // per-probe scan ∝ √N, the configuration SCALING.md prescribes
+      // for 100 TB. Gate twin: knn_ivf_pq_autoc (oracle-checked).
+      "knn_ivf_pq_autoc_p1k" -> ((s, dir) =>
+        graft.operators.SimilarityOps.ivfPqSearch(syntheticProbes(s),
+          SparkEntry.embCorpus(s, dir), SparkEntry.pqIndexAuto(s, dir),
+          SparkEntry.KnnK, SparkEntry.coarseCentroidsAuto(s, dir),
           SparkEntry.pqBooks(s, dir), SparkEntry.PqSubDim,
           nprobe = SparkEntry.IvfNprobe, rerank = SparkEntry.PqRerank)),
       "knn_ivf_pq_residual_p1k" -> ((s, dir) =>
