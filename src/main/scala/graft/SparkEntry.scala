@@ -3441,6 +3441,19 @@ object SparkEntry {
       }
     },
 
+    // The recall LEVER at corpus-tracking C, measured: same auto-C
+    // artifacts, nprobe tripled (9 of ⌈√N⌉ cells). Per-probe cost is
+    // nprobe·√N — linear in nprobe — so this row plus the one above
+    // make the coverage/recall trade a two-point measured curve at
+    // every gate scale instead of a tuning folk theorem.
+    "knn_pq_autoc_recall_np9" -> { (s, dir) =>
+      knnRecallCounts(s, dir, "n_pq") { (probes, corpus) =>
+        SimilarityOps.ivfPqSearch(probes, corpus, pqIndexAuto(s, dir),
+          KnnK, coarseCentroidsAuto(s, dir), pqBooks(s, dir), PqSubDim,
+          nprobe = 3 * IvfNprobe, rerank = PqRerank)
+      }
+    },
+
     // Untrained-IVF recall contract: with scale-aware C = ceil(sqrt(N))
     // the probed fraction nprobe/C shrinks as the corpus grows — this
     // entry measures whether recall holds anyway (exact cosine inside
@@ -4097,6 +4110,9 @@ object SparkEntry {
       PqRerank),
     "knn_pq_autoc_recall" -> Oracles.knnPqRecall(KnnProbeEvery, KnnK,
       IvfAutoC, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
+      PqRerank),
+    "knn_pq_autoc_recall_np9" -> Oracles.knnPqRecall(KnnProbeEvery, KnnK,
+      IvfAutoC, KmeansIters, 3 * IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
       PqRerank),
     "knn_pq_residual_recall" -> Oracles.knnPqResidualRecall(KnnProbeEvery,
       KnnK, KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,

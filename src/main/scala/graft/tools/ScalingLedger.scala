@@ -145,6 +145,14 @@ object ScalingLedger {
           SparkEntry.KnnK, SparkEntry.coarseCentroidsAuto(s, dir),
           SparkEntry.pqBooks(s, dir), SparkEntry.PqSubDim,
           nprobe = SparkEntry.IvfNprobe, rerank = SparkEntry.PqRerank)),
+      // Ad-hoc (not in the standing sets): the nprobe=9 cost point of
+      // the auto-C recall lever, for the SCALING.md trade curve.
+      "knn_ivf_pq_autoc_np9_p1k" -> ((s, dir) =>
+        graft.operators.SimilarityOps.ivfPqSearch(syntheticProbes(s),
+          SparkEntry.embCorpus(s, dir), SparkEntry.pqIndexAuto(s, dir),
+          SparkEntry.KnnK, SparkEntry.coarseCentroidsAuto(s, dir),
+          SparkEntry.pqBooks(s, dir), SparkEntry.PqSubDim,
+          nprobe = 3 * SparkEntry.IvfNprobe, rerank = SparkEntry.PqRerank)),
       "knn_ivf_pq_residual_p1k" -> ((s, dir) =>
         graft.operators.SimilarityOps.ivfPqResidualSearch(
           syntheticProbes(s), SparkEntry.embCorpus(s, dir),
