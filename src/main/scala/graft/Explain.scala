@@ -65,11 +65,19 @@ object Explain {
         case s: FileSourceScanExec =>
           // Match on the scan root's TERMINAL name component (modulo a
           // .parquet suffix), not substring containment: a warehouse
-          // dir like `preorders_x` must not false-positive on `orders`,
-          // and `/data/documents/v3` is matched by nothing here by
-          // design — the list names gate-corpus scan roots only.
+          // dir like `preorders_x` must not false-positive on `orders`.
+          // ParquetWarehouse tables scan a VERSION dir
+          // `…/<table>/v_<millis>_<uuid>` — there the table name is the
+          // PARENT component, so a terminal `v_…` resolves one level up
+          // (otherwise a corpus-sized warehouse-table broadcast, e.g.
+          // the curation pipeline's documents table, would be invisible
+          // to this audit — the exact bigram_lm_scores bug class).
           s.relation.location.rootPaths
-            .map(_.getName.stripSuffix(".parquet"))
+            .map { p =>
+              val n = p.getName.stripSuffix(".parquet")
+              if (n.startsWith("v_") && p.getParent != null) p.getParent.getName
+              else n
+            }
             .filter(CorpusTables.contains).distinct
         case other => other.children.flatMap(scansUnbounded)
       }

@@ -152,7 +152,11 @@ final class Loader(
         .observe(observation,
           org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("rows_loaded"))
-      warehouse.load(mode, cfg.table, stagedDf, cfg.idField)
+      // X2 end-to-end: a lost concurrent-writer race (retryable
+      // ConcurrentWriteException) re-runs the whole native load against
+      // the new current version on the reference's 1 s·3ⁿ schedule —
+      // two racing Loaders both land (core.ts:49-53 parity).
+      warehouse.loadWithRetry(mode, cfg.table, stagedDf, cfg.idField)
       observation.getAsJava.forEach((k, v) =>
         listener.onProgress("loadedMetrics", Map(k -> String.valueOf(v))))
 

@@ -24,8 +24,10 @@ import graft.operators.LoadOps
   * merge/write jobs run outside it). A writer that lost the race gets a
   * loud [[ParquetWarehouse.ConcurrentWriteException]] — its merge read a
   * base that is no longer current, so silently swapping would DROP the
-  * winner's rows (lost update) — and retries by re-running the load
-  * against the new current version, exactly the X2 loop. Version-dir
+  * winner's rows (lost update) — and [[ParquetWarehouse.loadWithRetry]]
+  * (the committed load path) re-runs the whole load against the new
+  * current version on the reference's backoff schedule, exactly the X2
+  * loop. Version-dir
   * names are unique (millis + uuid), so the loser's materialized dir is
   * ordinary garbage for the retention sweep, never a torn table.
   *
@@ -115,32 +117,90 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
 
   /** Run `body` holding the table's create-exclusive `_COMMIT_LOCK` —
     * the millisecond critical section that makes check-pointer-then-swap
-    * atomic. `fs.create(…, overwrite = false)` is the atomic primitive
-    * (fails if the file exists) on both HDFS and local FS. A lock left
-    * by a crashed writer (it only ever guards a sub-second section) is
-    * STOLEN once older than [[ParquetWarehouse.LockStaleMs]]; younger
-    * contention waits briefly, then fails loudly rather than wedging. */
-  private def withCommitLock[A](t: TableRef)(body: => A): A = {
+    * atomic. Three hardenings over naive create/delete locking:
+    *
+    *   - **O_EXCL on local FS**: Hadoop `RawLocalFileSystem.create(…,
+    *     overwrite = false)` is exists-check-then-create, NOT atomic —
+    *     two local writers can both "create" the lock. For `file:`/
+    *     schemeless paths the primitive is `java.nio.Files.createFile`
+    *     (true O_EXCL); HDFS-like filesystems keep `fs.create` (atomic
+    *     at the namenode).
+    *   - **Ownership token**: each acquisition writes a unique token and
+    *     re-reads it before entering the section — on any filesystem
+    *     whose create-exclusive is still check-then-create, the last
+    *     token written wins the file and ONLY that writer proceeds; the
+    *     other treats its "successful" create as contention. Release
+    *     re-verifies the token, so a writer whose lock was (mis-)stolen
+    *     mid-hold never deletes the thief's live lock.
+    *   - **Steal by rename, not delete**: a lock left by a crashed
+    *     writer (it only ever guards a sub-second section) is presumed
+    *     stale past [[ParquetWarehouse.LockStaleMs]] — but deleting it
+    *     has a TOCTOU (the waiter could delete a lock another stealer
+    *     just re-created). Rename is atomic on POSIX and HDFS: only the
+    *     one waiter whose rename succeeds reaps the corpse; everyone
+    *     then competes for a fresh create.
+    *
+    * Younger contention waits briefly, then fails loudly (retryable
+    * [[ParquetWarehouse.ConcurrentWriteException]]) rather than wedging. */
+  private[graft] def withCommitLock[A](t: TableRef)(body: => A): A = {
     val lock = new Path(s"${tableDir(t)}/_COMMIT_LOCK")
     fs.mkdirs(new Path(tableDir(t)))
+    val token = java.util.UUID.randomUUID().toString
     var acquired = false
     var waitedMs = 0L
     while (!acquired) {
-      try { fs.create(lock, false).close(); acquired = true }
-      catch { case _: java.io.IOException =>
+      if (tryCreateExclusive(lock, token) && readLockToken(lock).contains(token))
+        acquired = true
+      else {
         val age = try System.currentTimeMillis() -
           fs.getFileStatus(lock).getModificationTime
-        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-        if (age > ParquetWarehouse.LockStaleMs) fs.delete(lock, false)
-        else if (waitedMs >= 2000)
+        // Lock vanished between create-fail and stat (owner released):
+        // age 0 → no steal, immediate re-try of the create.
+        catch { case _: java.io.FileNotFoundException => 0L }
+        if (age > ParquetWarehouse.LockStaleMs) {
+          val grave = new Path(s"${tableDir(t)}/_COMMIT_LOCK.stale." +
+            java.util.UUID.randomUUID().toString.take(8))
+          try { if (fs.rename(lock, grave)) fs.delete(grave, false) }
+          catch { case _: java.io.IOException => () } // another stealer won
+        } else if (waitedMs >= 2000)
           throw new ConcurrentWriteException(
             s"commit lock on ${t.qualified} held for ${waitedMs} ms by a " +
               s"live writer ($lock) — concurrent load in progress; retry")
         else { Thread.sleep(50); waitedMs += 50 }
       }
     }
-    try body finally fs.delete(lock, false)
+    try body finally {
+      if (readLockToken(lock).contains(token)) fs.delete(lock, false)
+    }
   }
+
+  /** Create the lock file exclusively and stamp it with `token`. Local
+    * paths go through java.nio (O_EXCL); remote ones through the
+    * filesystem's own create-exclusive. False = already held. */
+  private def tryCreateExclusive(lock: Path, token: String): Boolean = {
+    val uri = lock.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      try {
+        val p = java.nio.file.Paths.get(uri.getPath)
+        java.nio.file.Files.createFile(p)
+        java.nio.file.Files.write(p, token.getBytes("UTF-8"))
+        true
+      } catch { case _: java.io.IOException => false }
+    } else {
+      try {
+        val out = fs.create(lock, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  private def readLockToken(lock: Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** Write a brand-new version dir (honoring the table's partition
     * layout) and compare-and-swap the pointer to it: the swap commits
@@ -162,23 +222,36 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     val parts = partitioning(t)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .parquet(s"${tableDir(t)}/$v")
-    withCommitLock(t) {
+    // The locked section is ONLY read-pointer / CAS / write-pointer /
+    // list — sub-millisecond metadata ops, which is what justifies the
+    // 30 s staleness bound. Recursive deletes (the retention sweep and
+    // the loser's orphan dir) can take arbitrarily long on an object
+    // store, so they run OUTSIDE the lock: the sweep list is captured
+    // under the lock (names that existed at swap time, minus the new
+    // current and the reader-grace generation — a later commit always
+    // mints a fresh unique name, so nothing captured can become live),
+    // making the deferred deletes idempotent garbage collection.
+    val sweep: Either[Option[String], Seq[String]] = withCommitLock(t) {
       val cur = currentVersion(t)
-      if (cur != base) {
-        fs.delete(new Path(s"${tableDir(t)}/$v"), true)
+      if (cur != base) Left(cur)
+      else {
+        setVersion(t, v)
+        Right(fs.listStatus(new Path(tableDir(t)))
+          .filter(_.isDirectory).map(_.getPath.getName)
+          .filter(n => n.startsWith("v_") && n != v && !base.contains(n))
+          .toSeq)
+      }
+    }
+    sweep match {
+      case Left(cur) =>
+        fs.delete(new Path(s"${tableDir(t)}/$v"), true) // orphan, not a lost table
         throw new ConcurrentWriteException(
           s"lost update on ${t.qualified}: computed from " +
             s"${base.getOrElse("<absent>")} but live version is " +
             s"${cur.getOrElse("<absent>")} — a concurrent writer " +
             "committed first; re-run the load against the new current")
-      }
-      setVersion(t, v)
-      // Delete the grandparent generation and older: every version dir
-      // that is neither the new current nor the one just replaced.
-      fs.listStatus(new Path(tableDir(t)))
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(n => n.startsWith("v_") && n != v && !base.contains(n))
-        .foreach(o => fs.delete(new Path(s"${tableDir(t)}/$o"), true))
+      case Right(olds) =>
+        olds.foreach(o => fs.delete(new Path(s"${tableDir(t)}/$o"), true))
     }
   }
 
@@ -233,6 +306,32 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
             commitNewVersion(t, LoadOps.merge(baseDf, staged, idField), base)
         }
     }
+
+  /** The reference's X2 conflict loop executed natively, end-to-end: run
+    * [[load]], and when it loses a concurrent-writer race re-run the
+    * WHOLE load against the new current version with the reference's
+    * 1 s·3ⁿ backoff schedule (core.ts:49-53 re-runs the entire
+    * transaction on a Redshift serialization failure; here the
+    * retryable conflict class is [[ParquetWarehouse.ConcurrentWriteException]]).
+    * Each retry re-resolves the live pointer, so an upsert re-merges
+    * against the winner's committed state and an append re-lands its
+    * files in the live generation — both racing writers' rows end up in
+    * the table. `sleeper` is injectable so specs don't wait out the
+    * schedule. */
+  def loadWithRetry(mode: LoadMode, t: TableRef, staged: DataFrame,
+      idField: String = "id", maxRetries: Int = 4,
+      sleeper: Long => Unit = Thread.sleep): Unit = {
+    var retry = 0
+    var done = false
+    while (!done) {
+      try { load(mode, t, staged, idField); done = true }
+      catch { case e: ConcurrentWriteException =>
+        if (retry >= maxRetries) throw e
+        sleeper(graft.exec.RetryingTxnRunner.backoffMs(retry))
+        retry += 1
+      }
+    }
+  }
 
   /** Small-file compaction: rewrite the current version into `nFiles`
     * part files and swap the pointer. Incremental appends (L1) accumulate

@@ -113,6 +113,94 @@ class WarehouseRaceSpec extends AnyFunSuite with SparkSuite {
     assert(rows(wh, t) == Set((9L, "trunc"), (2L, "late")))
   }
 
+  test("lost upsert race is retried AUTOMATICALLY by the committed load path " +
+      "(X2 end-to-end); both writers land with zero manual retry") {
+    import spark.implicits._
+    val wh = new ParquetWarehouse(spark, tmp())
+    val t = TableRef("", "race4")
+    wh.create(t, Seq((1L, "base")).toDF("id", "v"))
+
+    WarehouseRaceSpec.writing = new CountDownLatch(1)
+    WarehouseRaceSpec.release = new CountDownLatch(1)
+    val slowStaged = Seq((2L, "slow")).toDF("id", "v")
+      .withColumn("id", slowId(col("id")))
+    val err = new AtomicReference[Throwable]
+    // The production path: loadWithRetry (what Loader.start calls). On
+    // the lost CAS it must re-run the merge against the winner's version
+    // by itself — the test body performs no retry.
+    val racer = new Thread(() =>
+      try wh.loadWithRetry(LoadMode.Upsert, t, slowStaged, "id", sleeper = _ => ())
+      catch { case e: Throwable => err.set(e) })
+    racer.start()
+    WarehouseRaceSpec.writing.await() // racer merged FROM v0, mid-write
+    wh.load(LoadMode.Upsert, t, Seq((3L, "fast")).toDF("id", "v"), "id")
+    WarehouseRaceSpec.release.countDown()
+    racer.join()
+
+    assert(err.get() == null, s"auto-retry must absorb the conflict: ${err.get()}")
+    assert(rows(wh, t) == Set((1L, "base"), (2L, "slow"), (3L, "fast")))
+  }
+
+  test("release after a mid-hold steal leaves the thief's lock intact " +
+      "(ownership token guards the delete)") {
+    import spark.implicits._
+    val root = tmp()
+    val wh = new ParquetWarehouse(spark, root)
+    val t = TableRef("", "race5")
+    wh.create(t, Seq((1L, "base")).toDF("id", "v"))
+    val lock = Paths.get(s"$root/race5/_COMMIT_LOCK")
+
+    val h1In = new CountDownLatch(1); val h1Go = new CountDownLatch(1)
+    val h2In = new CountDownLatch(1); val h2Go = new CountDownLatch(1)
+    val t1 = new Thread(() =>
+      wh.withCommitLock(t) { h1In.countDown(); h1Go.await() })
+    t1.start(); h1In.await()
+    assert(Files.exists(lock))
+    // Force the ADVICE TOCTOU scenario: holder 1's live lock is made to
+    // LOOK stale, so a second writer steals it and creates its own.
+    assert(lock.toFile.setLastModified(
+      System.currentTimeMillis() - 2 * ParquetWarehouse.LockStaleMs))
+    val t2 = new Thread(() =>
+      wh.withCommitLock(t) { h2In.countDown(); h2Go.await() })
+    t2.start(); h2In.await() // thief holds its own lock now
+    // Holder 1 releases. Under delete-based release this would delete
+    // the THIEF's live lock and let a third writer into the section;
+    // the token guard must leave it alone.
+    h1Go.countDown(); t1.join()
+    assert(Files.exists(lock), "old holder deleted a lock it no longer owns")
+    h2Go.countDown(); t2.join()
+    assert(!Files.exists(lock), "owner's release must delete its own lock")
+  }
+
+  test("stale-lock stampede: rename-steal admits exactly one holder at a time") {
+    import spark.implicits._
+    val root = tmp()
+    val wh = new ParquetWarehouse(spark, root)
+    val t = TableRef("", "race6")
+    wh.create(t, Seq((1L, "base")).toDF("id", "v"))
+    val lock = Paths.get(s"$root/race6/_COMMIT_LOCK")
+    // Plant a crashed writer's stale lock for every waiter to covet.
+    Files.createFile(lock)
+    assert(lock.toFile.setLastModified(
+      System.currentTimeMillis() - 2 * ParquetWarehouse.LockStaleMs))
+
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 6).map(_ => new Thread(() =>
+      try wh.withCommitLock(t) {
+        val a = active.incrementAndGet()
+        maxActive.updateAndGet(m => math.max(m, a))
+        Thread.sleep(20)
+        active.decrementAndGet(); ()
+      } catch { case e: Throwable => errs.add(e) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"contention must resolve, not fail: ${errs.peek()}")
+    assert(maxActive.get() == 1,
+      s"${maxActive.get()} writers were inside the critical section at once")
+    assert(!Files.exists(lock))
+  }
+
   test("commit lock: live contention fails loud, a stale (crashed) lock is stolen") {
     import spark.implicits._
     val root = tmp()
