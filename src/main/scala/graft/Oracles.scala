@@ -1234,6 +1234,47 @@ object Oracles {
        |  CAST(count(CASE WHEN n > $cap THEN 1 END) AS BIGINT) AS n_over_cap
        |FROM sz""".stripMargin
 
+  /** SimHash recall contract under a FIRING cap (SparkEntry
+    * `simhash_recall`): the exact clique form and the capped
+    * clique→path degrade both replayed verbatim — over-cap (c, chunk)
+    * buckets emit consecutive-pair edges walked in (simhash, doc_id)
+    * order, exactly [[graft.operators.DedupOps.simhashCandidates]]'s
+    * deterministic semantics — then one row of
+    * (n_exact, n_capped, n_hit). */
+  def simhashRecall(maxHamming: Int, cap: Int): String =
+    s"""WITH $simhashSigCte,
+       |chunks AS (SELECT doc_id, simhash, c, (simhash >> (c * 12)) & 4095 AS chunk
+       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c)),
+       |szd AS (SELECT doc_id, simhash, c, chunk,
+       |    count(*) OVER (PARTITION BY c, chunk) AS n,
+       |    lead(doc_id) OVER wp AS nx,
+       |    lead(simhash) OVER wp AS nxsh
+       |  FROM chunks WINDOW wp AS (PARTITION BY c, chunk ORDER BY simhash, doc_id)),
+       |clique AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    x.simhash AS sa, y.simhash AS sb
+       |  FROM (SELECT * FROM szd WHERE n <= $cap) x
+       |  JOIN (SELECT * FROM szd WHERE n <= $cap) y
+       |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id),
+       |path AS (SELECT least(doc_id, nx) AS id_a, greatest(doc_id, nx) AS id_b,
+       |    CASE WHEN doc_id < nx THEN simhash ELSE nxsh END AS sa,
+       |    CASE WHEN doc_id < nx THEN nxsh ELSE simhash END AS sb
+       |  FROM szd WHERE n > $cap AND nx IS NOT NULL),
+       |cp AS (SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+       |  FROM (SELECT DISTINCT id_a, id_b, sa, sb FROM
+       |    (SELECT * FROM clique UNION ALL SELECT * FROM path))
+       |  WHERE bit_count(xor(sa, sb)) <= $maxHamming),
+       |ex AS (SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+       |  FROM (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |      x.simhash AS sa, y.simhash AS sb
+       |    FROM chunks x JOIN chunks y
+       |      ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+       |  WHERE bit_count(xor(sa, sb)) <= $maxHamming)
+       |SELECT
+       |  (SELECT count(*) FROM ex) AS n_exact,
+       |  (SELECT count(*) FROM cp) AS n_capped,
+       |  (SELECT count(*) FROM (
+       |    SELECT * FROM ex INTERSECT SELECT * FROM cp)) AS n_hit""".stripMargin
+
   def simhashNearDup(maxHamming: Int): String =
     s"""WITH $simhashSigCte,
        |chunks AS (SELECT doc_id, simhash, c, (simhash >> (c * 12)) & 4095 AS chunk

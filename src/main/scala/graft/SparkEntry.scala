@@ -945,6 +945,30 @@ object SparkEntry {
     "simhash_bucket_ledger" -> ((s, dir) =>
       DedupOps.simhashBucketLedger(t(s, dir, "documents"), "doc_id", "text")),
 
+    // The SimHash recall CONTRACT under a FIRING cap, measured in-gate
+    // (the dedup_minhash_recall / session_topk_recall pattern). The
+    // production cap (SimMaxBucket = 1024) is provably dormant on the
+    // gate corpus (simhash_bucket_ledger: n_over_cap = 0), so this
+    // contract forces the clique→path regime with a test cap of 32 —
+    // max chunk bucket is 57 at sf0.01 and 549 at sf0.1, so the cap
+    // fires at BOTH scales — and pins exact pairs, capped pairs, and
+    // their overlap as one row of counts. The degrade is deterministic
+    // operator semantics ((simhash, id)-ordered path edges), so the
+    // oracle replays it verbatim rather than trusting a docstring:
+    // post-Hamming-filter recall under saturation is now a number the
+    // gate re-measures every round, not a caveat.
+    "simhash_recall" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def form(cap: Int) = DedupOps.simhashCandidates(docs, "doc_id",
+        "text", SimhashMaxHamming, maxBucket = cap)
+      val exact = form(Int.MaxValue)
+      val capped = form(SimhashRecallCap)
+      val hits = exact.intersect(capped)
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+    },
+
     // Transitive duplicate clusters: connected components of the BANDED
     // MinHash candidate graph by distributed min-label propagation
     // (every doc labeled with the smallest id reachable through pairs).
@@ -3560,6 +3584,13 @@ object SparkEntry {
   // sf1 (truth cost scales 1/N²).
   val RecallSampleMod = 4
   val SimhashMaxHamming = 8
+
+  /** Test cap for the `simhash_recall` contract: small enough that the
+    * chunk-bucket cap FIRES on the gate corpus at both scales (max
+    * bucket 57 at sf0.01 / 549 at sf0.1 vs the dormant production
+    * [[graft.operators.DedupOps.SimMaxBucket]] = 1024), so the
+    * clique→path recall degrade is measured in-gate, not documented. */
+  val SimhashRecallCap = 32
   // Per-session partner budget for the bounded concurrency query.
   val SessionTopK = 3
   // Content-defined chunking: boundary = hash of the 5-token window
@@ -4010,6 +4041,8 @@ object SparkEntry {
     "simhash_near_dup" -> Oracles.simhashNearDup(SimhashMaxHamming),
     "simhash_bucket_ledger" ->
       Oracles.simhashBucketLedger(DedupOps.SimMaxBucket),
+    "simhash_recall" ->
+      Oracles.simhashRecall(SimhashMaxHamming, SimhashRecallCap),
     "knn_bruteforce" -> Oracles.knnBruteForce(KnnProbeEvery, KnnK),
     "knn_ivf" -> Oracles.knnIvf(KnnProbeEvery, KnnK, IvfAutoC, IvfNprobe),
     "knn_lsh" -> Oracles.knnLsh(KnnProbeEvery, KnnK, LshNPlanes),

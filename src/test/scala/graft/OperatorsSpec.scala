@@ -123,6 +123,56 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(led2.getLong(led2.fieldIndex("n_docs_degraded")) == 0)
   }
 
+  test("simhashCandidates cap: dormant = byte-identical; saturated = deterministic " +
+      "path degrade, connectivity preserved, loss quantified") {
+    import spark.implicits._
+    // Planted saturation: docs 0-9 share one text (identical simhash ⇒
+    // every one of their 4 chunk buckets holds 10 > cap 4); docs 10-11
+    // share another text (bucket population 2 — under cap).
+    val docs = ((0L until 10L).map(i => (i, "the cat sat on the mat")) ++ Seq(
+      (10L, "zebra quark flume nimbus octo pine"),
+      (11L, "zebra quark flume nimbus octo pine"))).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val exact = pairs(DedupOps.simhashCandidates(docs, "doc_id", "text",
+      maxHamming = 8, maxBucket = Int.MaxValue))
+    assert(exact.size == 46, s"fixture drifted: ${exact.size} true pairs")
+
+    // Dormant at the default cap (buckets of 10 << 1024): byte-identical.
+    assert(pairs(DedupOps.simhashCandidates(docs, "doc_id", "text", 8)) == exact)
+
+    // Saturated at cap 4: the over-cap family degrades from its 45-pair
+    // clique to the 9 consecutive (simhash, id)-ordered path edges
+    // (identical simhash ⇒ hamming 0 ⇒ all survive the filter); the
+    // under-cap pair is untouched; nothing false is emitted.
+    val capped = pairs(DedupOps.simhashCandidates(docs, "doc_id", "text",
+      maxHamming = 8, maxBucket = 4))
+    assert(capped == ((0L until 9L).map(i => (i, i + 1)).toSet + ((10L, 11L))),
+      s"unexpected capped pairs: $capped")
+    assert(capped.subsetOf(exact))
+    assert((exact -- capped).forall { case (a, b) => a < 10 && b < 10 },
+      "every lost pair must be inside the over-cap family")
+
+    // The degrade loses PAIRWISE recall (9/45 inside the family) but
+    // keeps family CONNECTIVITY — the documented contract: components
+    // over capped edges equal components over the exact clique.
+    def comps(p: Set[(Long, Long)]) = DedupOps.connectedComponents(
+      docs.select(col("doc_id")), p.toSeq.toDF("id_a", "id_b"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps(capped) == comps(exact))
+
+    // And the ledger prices exactly that exposure: 4 over-cap buckets
+    // (one per band, all from the identical-simhash family) at cap 4,
+    // zero at the production cap.
+    val led = DedupOps.simhashBucketLedger(docs, "doc_id", "text", maxBucket = 4)
+      .collect().head
+    assert(led.getLong(led.fieldIndex("max_bucket")) == 10)
+    assert(led.getLong(led.fieldIndex("n_over_cap")) == 4)
+    val led2 = DedupOps.simhashBucketLedger(docs, "doc_id", "text").collect().head
+    assert(led2.getLong(led2.fieldIndex("n_over_cap")) == 0)
+  }
+
   test("connectedComponents collapses transitive chains; keepClusterMin keeps one per cluster") {
     import spark.implicits._
     // The ADVICE counter-example: edges (2,3) and (1,3) only. Pairwise
