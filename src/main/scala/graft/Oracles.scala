@@ -1218,55 +1218,111 @@ object Oracles {
     s"""WITH $simhashSigCte
        |SELECT doc_id, simhash FROM sig""".stripMargin
 
-  /** Chunk-population ledger (SparkEntry `simhash_bucket_ledger`): the
-    * measured evidence that DedupOps.SimMaxBucket is dormant on the gate
-    * corpus — same signature chain as [[simhash]], one (c, chunk)
-    * groupBy, one single-row count/max aggregate. Unlike the MinHash
-    * ledger there is no hash-injectivity caveat: both sides bucket on
-    * the literal 12-bit chunk value. */
+  /** Chunk-population + group ledger (SparkEntry `simhash_bucket_ledger`):
+    * the measured evidence that DedupOps.SimMaxBucket's variant rescue is
+    * dormant on the gate corpus — same signature chain as [[simhash]];
+    * bucket columns count DISTINCT simhashes per (c, chunk) band (the
+    * post-round-16 join-work driver), group columns count members per
+    * identical simhash. Unlike the MinHash ledger there is no
+    * hash-injectivity caveat: both sides bucket on the literal 12-bit
+    * chunk value. */
   def simhashBucketLedger(cap: Int): String =
     s"""WITH $simhashSigCte,
-       |chunks AS (SELECT doc_id, c, (simhash >> (c * 12)) & 4095 AS chunk
-       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c)),
-       |sz AS (SELECT c, chunk, count(*) AS n FROM chunks GROUP BY c, chunk)
-       |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
-       |  CAST(max(n) AS BIGINT) AS max_bucket,
-       |  CAST(count(CASE WHEN n > $cap THEN 1 END) AS BIGINT) AS n_over_cap
-       |FROM sz""".stripMargin
+       |ds AS (SELECT DISTINCT simhash FROM sig),
+       |chunks AS (SELECT simhash, c, (simhash >> (c * 12)) & 4095 AS chunk
+       |  FROM ds, (SELECT unnest([0, 1, 2, 3]) AS c)),
+       |sz AS (SELECT c, chunk, count(*) AS n FROM chunks GROUP BY c, chunk),
+       |gz AS (SELECT simhash, count(*) AS m FROM sig GROUP BY simhash)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sz) AS n_buckets,
+       |  (SELECT CAST(max(n) AS BIGINT) FROM sz) AS max_bucket,
+       |  (SELECT CAST(count(CASE WHEN n > $cap THEN 1 END) AS BIGINT) FROM sz) AS n_over_cap,
+       |  (SELECT CAST(max(m) AS BIGINT) FROM gz) AS max_group,
+       |  (SELECT CAST(count(CASE WHEN m > $cap THEN 1 END) AS BIGINT) FROM gz) AS n_over_cap_groups""".stripMargin
 
-  /** SimHash recall contract under a FIRING cap (SparkEntry
-    * `simhash_recall`): the exact clique form and the capped
-    * clique→path degrade both replayed verbatim — over-cap (c, chunk)
-    * buckets emit consecutive-pair edges walked in (simhash, doc_id)
-    * order, exactly [[graft.operators.DedupOps.simhashCandidates]]'s
-    * deterministic semantics — then one row of
-    * (n_exact, n_capped, n_hit). */
-  def simhashRecall(maxHamming: Int, cap: Int): String =
-    s"""WITH $simhashSigCte,
-       |chunks AS (SELECT doc_id, simhash, c, (simhash >> (c * 12)) & 4095 AS chunk
-       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c)),
-       |szd AS (SELECT doc_id, simhash, c, chunk,
-       |    count(*) OVER (PARTITION BY c, chunk) AS n,
-       |    lead(doc_id) OVER wp AS nx,
-       |    lead(simhash) OVER wp AS nxsh
-       |  FROM chunks WINDOW wp AS (PARTITION BY c, chunk ORDER BY simhash, doc_id)),
-       |clique AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-       |    x.simhash AS sa, y.simhash AS sb
-       |  FROM (SELECT * FROM szd WHERE n <= $cap) x
-       |  JOIN (SELECT * FROM szd WHERE n <= $cap) y
-       |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id),
-       |path AS (SELECT least(doc_id, nx) AS id_a, greatest(doc_id, nx) AS id_b,
-       |    CASE WHEN doc_id < nx THEN simhash ELSE nxsh END AS sa,
-       |    CASE WHEN doc_id < nx THEN nxsh ELSE simhash END AS sb
-       |  FROM szd WHERE n > $cap AND nx IS NOT NULL),
-       |cp AS (SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
-       |  FROM (SELECT DISTINCT id_a, id_b, sa, sb FROM
-       |    (SELECT * FROM clique UNION ALL SELECT * FROM path))
+  /** The capped-candidate pipeline of
+    * [[graft.operators.DedupOps.simhashCandidates]] replayed verbatim as
+    * CTEs ending in `cand(id_a, id_b, hamming)`: distinct-simhash
+    * (c, chunk) banding with cliques up to `cap`; 1-bit-flip variant
+    * equi-join rescue for over-cap buckets (exact by pigeonhole for
+    * maxHamming <= 8); Manku-Jindal-Ullman sorted windows of width `w`
+    * for variant buckets over `vcap`; identical-simhash groups as
+    * intra-group cliques up to `cap`, id-ordered path beyond. Any drift
+    * in ANY stage breaks the gate hash — the can't-drift pattern. */
+  private def simhashCandCtes(maxHamming: Int, cap: String, vcap: String,
+      w: Int): String = {
+    val winSelects = (1 to w).map(i =>
+      s"""SELECT simhash AS sa, lead(simhash, $i)
+         |      OVER (PARTITION BY c, chunk, c2, vkey ORDER BY simhash) AS sb
+         |    FROM vover""".stripMargin).mkString("\n    UNION ALL ")
+    s"""ds AS (SELECT DISTINCT simhash FROM sig),
+       |dch AS (SELECT simhash, c, (simhash >> (c * 12)) & 4095 AS chunk
+       |  FROM ds, (SELECT unnest([0, 1, 2, 3]) AS c)),
+       |b1 AS (SELECT *, count(*) OVER (PARTITION BY c, chunk) AS k FROM dch),
+       |cl AS (SELECT x.simhash AS sa, y.simhash AS sb
+       |  FROM (SELECT * FROM b1 WHERE k <= $cap) x
+       |  JOIN (SELECT * FROM b1 WHERE k <= $cap) y
+       |    ON x.c = y.c AND x.chunk = y.chunk AND x.simhash < y.simhash),
+       |vk AS (SELECT b.simhash, b.c, b.chunk, o.c2,
+       |    xor((b.simhash >> (o.c2 * 12)) & 4095, f.flip) AS vkey
+       |  FROM (SELECT * FROM b1 WHERE k > $cap) b,
+       |    (SELECT unnest([0, 1, 2, 3]) AS c2) o,
+       |    (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048]) AS flip) f
+       |  WHERE o.c2 <> b.c),
+       |vkn AS (SELECT *, count(*) OVER (PARTITION BY c, chunk, c2, vkey) AS vn
+       |  FROM vk),
+       |vcl AS (SELECT x.simhash AS sa, y.simhash AS sb
+       |  FROM (SELECT * FROM vkn WHERE vn <= $vcap) x
+       |  JOIN (SELECT * FROM vkn WHERE vn <= $vcap) y
+       |    ON x.c = y.c AND x.chunk = y.chunk AND x.c2 = y.c2
+       |      AND x.vkey = y.vkey AND x.simhash < y.simhash),
+       |vover AS (SELECT * FROM vkn WHERE vn > $vcap),
+       |vwin AS (SELECT sa, sb FROM ($winSelects) WHERE sb IS NOT NULL),
+       |sp AS (SELECT DISTINCT sa, sb FROM
+       |    (SELECT * FROM cl UNION ALL SELECT * FROM vcl
+       |     UNION ALL SELECT * FROM vwin)
        |  WHERE bit_count(xor(sa, sb)) <= $maxHamming),
+       |crossp AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+       |    greatest(a.doc_id, b.doc_id) AS id_b,
+       |    bit_count(xor(sp.sa, sp.sb)) AS hamming
+       |  FROM sp JOIN sig a ON a.simhash = sp.sa
+       |    JOIN sig b ON b.simhash = sp.sb),
+       |gm AS (SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS m,
+       |    lead(doc_id) OVER (PARTITION BY simhash ORDER BY doc_id) AS nx
+       |  FROM sig),
+       |intra AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, 0 AS hamming
+       |  FROM (SELECT * FROM gm WHERE m <= $cap) x
+       |  JOIN (SELECT * FROM gm WHERE m <= $cap) y
+       |    ON x.simhash = y.simhash AND x.doc_id < y.doc_id
+       |  UNION ALL
+       |  SELECT doc_id, nx, 0 FROM gm WHERE m > $cap AND nx IS NOT NULL),
+       |cand AS (SELECT id_a, id_b, hamming FROM crossp
+       |  UNION ALL SELECT id_a, id_b, hamming FROM intra)""".stripMargin
+  }
+
+  /** SimHash recall contract under a FIRING level-1 cap (SparkEntry
+    * `simhash_recall`): the exact member-level clique and the full
+    * capped pipeline ([[simhashCandCtes]] — distinct-sim banding,
+    * variant-join rescue at the production variantCap, window degrade,
+    * group expansion) both replayed verbatim, then one row of
+    * (n_exact, n_capped, n_hit). With the variant guard dormant the
+    * rescue is EXACT by pigeonhole, so the contract pins
+    * n_hit = n_capped = n_exact while 100+ level-1 buckets fire. */
+  def simhashRecall(maxHamming: Int, cap: Int,
+      vcap: Int = graft.operators.DedupOps.SimMaxBucket): String =
+    s"""WITH $simhashSigCte,
+       |${simhashCandCtes(maxHamming, cap.toString, vcap.toString,
+           graft.operators.DedupOps.SimVariantWindow)},
+       |cp AS (SELECT id_a, id_b, hamming FROM cand),
        |ex AS (SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
        |  FROM (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
        |      x.simhash AS sa, y.simhash AS sb
-       |    FROM chunks x JOIN chunks y
+       |    FROM (SELECT doc_id, simhash, c,
+       |        (simhash >> (c * 12)) & 4095 AS chunk
+       |      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c)) x
+       |    JOIN (SELECT doc_id, simhash, c,
+       |        (simhash >> (c * 12)) & 4095 AS chunk
+       |      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c)) y
        |      ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
        |  WHERE bit_count(xor(sa, sb)) <= $maxHamming)
        |SELECT

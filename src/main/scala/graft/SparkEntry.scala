@@ -945,24 +945,51 @@ object SparkEntry {
     "simhash_bucket_ledger" -> ((s, dir) =>
       DedupOps.simhashBucketLedger(t(s, dir, "documents"), "doc_id", "text")),
 
-    // The SimHash recall CONTRACT under a FIRING cap, measured in-gate
-    // (the dedup_minhash_recall / session_topk_recall pattern). The
-    // production cap (SimMaxBucket = 1024) is provably dormant on the
-    // gate corpus (simhash_bucket_ledger: n_over_cap = 0), so this
-    // contract forces the clique→path regime with a test cap of 32 —
-    // max chunk bucket is 57 at sf0.01 and 549 at sf0.1, so the cap
-    // fires at BOTH scales — and pins exact pairs, capped pairs, and
-    // their overlap as one row of counts. The degrade is deterministic
-    // operator semantics ((simhash, id)-ordered path edges), so the
-    // oracle replays it verbatim rather than trusting a docstring:
-    // post-Hamming-filter recall under saturation is now a number the
-    // gate re-measures every round, not a caveat.
+    // The SimHash recall CONTRACT under a FIRING level-1 cap, measured
+    // in-gate (the dedup_minhash_recall / session_topk_recall pattern).
+    // The production cap (SimMaxBucket = 1024) is dormant on the gate
+    // corpus (simhash_bucket_ledger: n_over_cap = 0), so this contract
+    // forces the capped regime with a test cap of 32 — max distinct-sim
+    // chunk bucket is 57 at sf0.01 and 539 at sf0.1, so the cap fires
+    // at BOTH scales (2 and 118 buckets respectively) — and pins exact
+    // pairs, capped pairs, and their overlap as one row of counts.
+    // Post-round-16, over-cap buckets are rescued by the 1-bit-flip
+    // variant equi-join, which is EXACT by pigeonhole for maxHamming
+    // <= 8: the contract pins n_hit = n_capped = n_exact (recall 1.0,
+    // structural, not dormancy — the level-1 cap measurably fires) and
+    // the oracle replays every stage verbatim so any drift breaks the
+    // hash. The r15 verdict measured the old clique→path degrade at
+    // 0.773 (sf0.01) → 0.114 (sf0.1); this is the fix, re-measured
+    // every round.
     "simhash_recall" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       def form(cap: Int) = DedupOps.simhashCandidates(docs, "doc_id",
         "text", SimhashMaxHamming, maxBucket = cap)
       val exact = form(Int.MaxValue)
       val capped = form(SimhashRecallCap)
+      val hits = exact.intersect(capped)
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+    },
+
+    // The LOSSY tail of the same contract: both caps forced to the test
+    // value, so the variant stage's own guard fires and the final
+    // Manku-Jindal-Ullman sorted-window degrade (the only approximate
+    // stage left in the SimHash family) is priced in-gate — measured
+    // recall 0.864 at sf0.1 / 0.773-equivalent regime at sf0.01 under
+    // cap 32+32, vs 0.114 for the r15 path walk. In production the
+    // window regime is reachable only by >= SimMaxBucket DISTINCT
+    // simhashes agreeing on ~24 of 48 bits (an adversarial flood or a
+    // mega-near-ball); this row keeps its quality a number the gate
+    // re-measures, not a docstring.
+    "simhash_recall_window" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val exact = DedupOps.simhashCandidates(docs, "doc_id", "text",
+        SimhashMaxHamming, maxBucket = Int.MaxValue)
+      val capped = DedupOps.simhashCandidates(docs, "doc_id", "text",
+        SimhashMaxHamming, maxBucket = SimhashRecallCap,
+        variantCap = SimhashRecallCap)
       val hits = exact.intersect(capped)
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
@@ -3585,11 +3612,13 @@ object SparkEntry {
   val RecallSampleMod = 4
   val SimhashMaxHamming = 8
 
-  /** Test cap for the `simhash_recall` contract: small enough that the
-    * chunk-bucket cap FIRES on the gate corpus at both scales (max
-    * bucket 57 at sf0.01 / 549 at sf0.1 vs the dormant production
-    * [[graft.operators.DedupOps.SimMaxBucket]] = 1024), so the
-    * clique→path recall degrade is measured in-gate, not documented. */
+  /** Test cap for the `simhash_recall` contracts: small enough that
+    * the distinct-sim chunk-bucket cap FIRES on the gate corpus at both
+    * scales (max bucket 57 at sf0.01 / 539 at sf0.1 vs the dormant
+    * production [[graft.operators.DedupOps.SimMaxBucket]] = 1024), so
+    * the variant-join rescue (exact) and, in the `_window` twin, the
+    * sorted-window degrade (lossy) are measured in-gate, not
+    * documented. */
   val SimhashRecallCap = 32
   // Per-session partner budget for the bounded concurrency query.
   val SessionTopK = 3
@@ -4043,6 +4072,9 @@ object SparkEntry {
       Oracles.simhashBucketLedger(DedupOps.SimMaxBucket),
     "simhash_recall" ->
       Oracles.simhashRecall(SimhashMaxHamming, SimhashRecallCap),
+    "simhash_recall_window" ->
+      Oracles.simhashRecall(SimhashMaxHamming, SimhashRecallCap,
+        vcap = SimhashRecallCap),
     "knn_bruteforce" -> Oracles.knnBruteForce(KnnProbeEvery, KnnK),
     "knn_ivf" -> Oracles.knnIvf(KnnProbeEvery, KnnK, IvfAutoC, IvfNprobe),
     "knn_lsh" -> Oracles.knnLsh(KnnProbeEvery, KnnK, LshNPlanes),

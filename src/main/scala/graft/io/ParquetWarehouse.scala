@@ -31,14 +31,21 @@ import graft.operators.LoadOps
   * names are unique (millis + uuid), so the loser's materialized dir is
   * ordinary garbage for the retention sweep, never a torn table.
   *
-  * Known optimism gap, documented not hidden: a file-granular INSERT
-  * landing in the current version dir WHILE a concurrent upsert/compact
-  * is already re-reading that same dir may miss the late files in the
-  * merged result. The insert path re-checks the pointer after its append
-  * and fails loudly when the swap already happened; the sub-second
-  * in-flight window is closable only by holding the lock across whole
-  * load jobs (pessimistic writer serialization) — the wrong trade for a
-  * warehouse whose writers are rare and retryable. */
+  * The insert-vs-merge in-flight window (r15's one documented optimism
+  * gap) is CLOSED by append markers: every file-granular INSERT drops a
+  * tiny `_app_<uuid>` marker at the version-dir root AFTER its parquet
+  * parts land (marker ⇒ data complete), and every pinned-read rewrite
+  * (upsert / compact / zorder) lists the markers BEFORE building its
+  * file-index and re-lists them under the commit lock — a late append
+  * changes the marker set, the CAS fails loudly, and the retry re-reads
+  * the same base WITH the late files. Marker listing is one flat
+  * metadata op (O(appends since last swap)), so the in-lock discipline
+  * (sub-millisecond, no data IO) holds. Every interleaving now either
+  * lands or throws [[ParquetWarehouse.ConcurrentWriteException]]:
+  * append completes before the merge pins → merged in; lands mid-merge
+  * → marker diff fails the merge's CAS; lands after the swap → the
+  * insert's own pointer re-check fails the insert. Never a silent drop
+  * (WarehouseRaceSpec race7 pins all of this with real threads). */
 final class ParquetWarehouse(spark: SparkSession, root: String) {
   import ParquetWarehouse.ConcurrentWriteException
 
@@ -130,8 +137,10 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     *     whose create-exclusive is still check-then-create, the last
     *     token written wins the file and ONLY that writer proceeds; the
     *     other treats its "successful" create as contention. Release
-    *     re-verifies the token, so a writer whose lock was (mis-)stolen
-    *     mid-hold never deletes the thief's live lock.
+    *     re-verifies the token and then renames-to-grave before
+    *     deleting, narrowing (not eliminating — see the release-site
+    *     comment) the window in which a writer whose lock was stolen
+    *     mid-hold could take down the thief's live lock.
     *   - **Steal by rename, not delete**: a lock left by a crashed
     *     writer (it only ever guards a sub-second section) is presumed
     *     stale past [[ParquetWarehouse.LockStaleMs]] — but deleting it
@@ -142,7 +151,8 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     *
     * Younger contention waits briefly, then fails loudly (retryable
     * [[ParquetWarehouse.ConcurrentWriteException]]) rather than wedging. */
-  private[graft] def withCommitLock[A](t: TableRef)(body: => A): A = {
+  private[graft] def withCommitLock[A](t: TableRef,
+      waitBudgetMs: Long = 2000)(body: => A): A = {
     val lock = new Path(s"${tableDir(t)}/_COMMIT_LOCK")
     fs.mkdirs(new Path(tableDir(t)))
     val token = java.util.UUID.randomUUID().toString
@@ -162,15 +172,36 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
             java.util.UUID.randomUUID().toString.take(8))
           try { if (fs.rename(lock, grave)) fs.delete(grave, false) }
           catch { case _: java.io.IOException => () } // another stealer won
-        } else if (waitedMs >= 2000)
+        } else if (waitedMs >= waitBudgetMs)
           throw new ConcurrentWriteException(
             s"commit lock on ${t.qualified} held for ${waitedMs} ms by a " +
               s"live writer ($lock) — concurrent load in progress; retry")
         else { Thread.sleep(50); waitedMs += 50 }
       }
     }
+    // Release by ATOMIC RENAME to a private grave, then post-verify:
+    // token-check-then-delete is itself a TOCTOU (a steal landing
+    // between the check and the delete would lose the thief's live
+    // lock — reachable only on a >LockStaleMs hold). Rename claims
+    // whatever sits at the lock path atomically; the post-rename token
+    // re-read on the GRAVE (a path only we name) then distinguishes a
+    // clean self-release (delete the grave) from a yanked thief lock
+    // (rename it back; if a fourth writer already created a fresh lock,
+    // delete the grave — the displaced thief's own release token-check
+    // fails loudly rather than deleting the fourth's lock). This
+    // narrows the hazard to a double failure inside a microsecond
+    // window rather than eliminating it — exclusion is ultimately
+    // time-bounded by LockStaleMs, as any lease without fencing is.
     try body finally {
-      if (readLockToken(lock).contains(token)) fs.delete(lock, false)
+      if (readLockToken(lock).contains(token)) {
+        val grave = new Path(s"${tableDir(t)}/_COMMIT_LOCK.rel.${token.take(8)}")
+        try {
+          if (fs.rename(lock, grave)) {
+            if (readLockToken(grave).contains(token)) fs.delete(grave, false)
+            else if (!fs.rename(grave, lock)) fs.delete(grave, false)
+          }
+        } catch { case _: java.io.IOException => () }
+      }
     }
   }
 
@@ -180,18 +211,32 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
   private def tryCreateExclusive(lock: Path, token: String): Boolean = {
     val uri = lock.toUri
     if (uri.getScheme == null || uri.getScheme == "file") {
-      try {
-        val p = java.nio.file.Paths.get(uri.getPath)
-        java.nio.file.Files.createFile(p)
-        java.nio.file.Files.write(p, token.getBytes("UTF-8"))
-        true
-      } catch { case _: java.io.IOException => false }
+      val p = java.nio.file.Paths.get(uri.getPath)
+      try java.nio.file.Files.createFile(p)
+      catch { case _: java.io.IOException => return false }
+      // The create was O_EXCL, so the file is provably OURS until the
+      // token lands — a failed stamp must not orphan an unowned fresh
+      // lock that stalls every writer until the 30 s stale steal
+      // (ADVICE r15): delete best-effort and report contention.
+      try { java.nio.file.Files.write(p, token.getBytes("UTF-8")); true }
+      catch { case _: java.io.IOException =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () }
+        false
+      }
     } else {
-      try {
-        val out = fs.create(lock, false)
-        try out.write(token.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      // Remote FS: fs.create(overwrite = false) is atomic at the
+      // namenode, so a created-but-unstamped lock is likewise ours to
+      // reap on a failed token write.
+      val out =
+        try fs.create(lock, false)
+        catch { case _: java.io.IOException => return false }
+      try { try out.write(token.getBytes("UTF-8")) finally out.close(); true }
+      catch { case _: java.io.IOException =>
+        try fs.delete(lock, false)
+        catch { case _: java.io.IOException => () }
+        false
+      }
     }
   }
 
@@ -215,13 +260,39 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     * before the swap can still finish against the old file set — the
     * same reader-grace idea snapshot formats use. Disk cost is bounded
     * at one extra generation per table. */
+  /** The `_app_<uuid>` append markers currently present at a version
+    * dir's root — the file-set fingerprint the insert-vs-merge close
+    * rides on (one flat listing; markers never nest into partition
+    * subdirs). Underscore-prefixed, so parquet readers ignore them. */
+  private def appendMarkers(t: TableRef, v: String): Set[String] =
+    try fs.listStatus(new Path(s"${tableDir(t)}/$v"))
+      .map(_.getPath.getName).filter(_.startsWith("_app_")).toSet
+    catch { case _: java.io.FileNotFoundException => Set.empty }
+
   private def commitNewVersion(t: TableRef, df: DataFrame,
-      base: Option[String]): Unit = {
+      base: Option[String], baseMarkers: Option[Set[String]] = None): Unit = {
     val v = s"v_${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
     val w = df.write.mode("errorifexists")
     val parts = partitioning(t)
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+    // Materialization failures are reclassified as retryable contention
+    // when the pointer moved mid-write: a concurrent winner's retention
+    // sweep may have deleted our in-flight dir out from under the job
+    // (on object stores that surfaces as an arbitrary IO error, not a
+    // ConcurrentWriteException), and re-running the load against the
+    // new current is exactly the X2 answer. A write failure with the
+    // pointer UNMOVED is a genuine storage error and rethrows as-is.
+    try (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .parquet(s"${tableDir(t)}/$v")
+    catch { case e: Throwable if !e.isInstanceOf[ConcurrentWriteException] =>
+      try fs.delete(new Path(s"${tableDir(t)}/$v"), true)
+      catch { case _: java.io.IOException => () }
+      if (currentVersion(t) != base)
+        throw new ConcurrentWriteException(
+          s"write of ${t.qualified}/$v failed after a concurrent commit " +
+            s"moved the pointer (likely its retention sweep): ${e.getMessage}" +
+            " — re-run the load against the new current")
+      else throw e
+    }
     // The locked section is ONLY read-pointer / CAS / write-pointer /
     // list — sub-millisecond metadata ops, which is what justifies the
     // 30 s staleness bound. Recursive deletes (the retention sweep and
@@ -231,25 +302,46 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     // current and the reader-grace generation — a later commit always
     // mints a fresh unique name, so nothing captured can become live),
     // making the deferred deletes idempotent garbage collection.
-    val sweep: Either[Option[String], Seq[String]] = withCommitLock(t) {
+    // Scope: only names sorting STRICTLY BELOW base (the fixed-width
+    // millis prefix makes lexicographic order chronological) — any
+    // writer that read base as its starting pointer stamped its dir
+    // AFTER base's own write began, so those in-flight dirs sort above
+    // base and are never swept (the ADVICE r15 hazard: sweeping them
+    // failed the loser's write with a non-retryable error on object
+    // stores). A writer still materializing from a PRE-base pointer can
+    // sort below base and lose its dir to this sweep — that residual is
+    // what the write-failure-to-ConcurrentWriteException reclassification
+    // above closes (its CAS was doomed anyway; it now retries cleanly).
+    // The loser cleans its own orphan in the Left branch; first-commit
+    // case (base None): nothing to sweep.
+    val sweep: Either[String, Seq[String]] = withCommitLock(t) {
       val cur = currentVersion(t)
-      if (cur != base) Left(cur)
+      if (cur != base) Left(
+        s"lost update on ${t.qualified}: computed from " +
+          s"${base.getOrElse("<absent>")} but live version is " +
+          s"${cur.getOrElse("<absent>")} — a concurrent writer " +
+          "committed first; re-run the load against the new current")
+      // Marker re-check (insert-vs-merge close): a file-granular append
+      // that landed in the pinned base AFTER this rewrite listed its
+      // files would be silently dropped by the swap — the marker set
+      // diff catches it while the pointer is still unmoved.
+      else if (baseMarkers.exists(m0 =>
+          base.exists(b => appendMarkers(t, b) != m0))) Left(
+        s"late append on ${t.qualified}: new files landed in " +
+          s"${base.get} after this rewrite pinned its file set — " +
+          "re-run the load to merge them")
       else {
         setVersion(t, v)
         Right(fs.listStatus(new Path(tableDir(t)))
           .filter(_.isDirectory).map(_.getPath.getName)
-          .filter(n => n.startsWith("v_") && n != v && !base.contains(n))
+          .filter(n => n.startsWith("v_") && base.exists(b => n < b))
           .toSeq)
       }
     }
     sweep match {
-      case Left(cur) =>
+      case Left(msg) =>
         fs.delete(new Path(s"${tableDir(t)}/$v"), true) // orphan, not a lost table
-        throw new ConcurrentWriteException(
-          s"lost update on ${t.qualified}: computed from " +
-            s"${base.getOrElse("<absent>")} but live version is " +
-            s"${cur.getOrElse("<absent>")} — a concurrent writer " +
-            "committed first; re-run the load against the new current")
+        throw new ConcurrentWriteException(msg)
       case Right(olds) =>
         olds.foreach(o => fs.delete(new Path(s"${tableDir(t)}/$o"), true))
     }
@@ -278,6 +370,12 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
             val parts = partitioning(t)
             (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
               .parquet(s"${tableDir(t)}/$v")
+            // Append marker AFTER the parts land (marker ⇒ data
+            // complete): any concurrent pinned-read rewrite whose CAS
+            // runs after this create sees the marker-set diff and
+            // retries with our files included.
+            fs.create(new Path(s"${tableDir(t)}/$v/_app_" +
+              java.util.UUID.randomUUID().toString.take(12)), false).close()
             // Post-append race check: if a concurrent writer swapped the
             // pointer while we appended, our files landed in a RETIRED
             // generation (invisible, swept by the commit after next) —
@@ -301,9 +399,15 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
             // Merge reads the PINNED base dir, not the live pointer: the
             // CAS below certifies exactly "merged from what is still
             // current", so the read and the check must name one version.
+            // Markers are listed BEFORE the read builds its file index:
+            // an append landing in between is INCLUDED in the merge and
+            // merely costs a conservative retry; the reverse order would
+            // let it slip past both the index and the marker check.
+            val m0 = appendMarkers(t, v)
             val baseDf = spark.read.option("mergeSchema", "true")
               .parquet(s"${tableDir(t)}/$v")
-            commitNewVersion(t, LoadOps.merge(baseDf, staged, idField), base)
+            commitNewVersion(t, LoadOps.merge(baseDf, staged, idField),
+              base, baseMarkers = Some(m0))
         }
     }
 
@@ -384,19 +488,22 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
       .foreach(o => fs.delete(new Path(s"${tableDir(t)}/$o"), true))
   }
 
-  /** Current version + a read PINNED to it (one resolution serves both
-    * the rewrite input and the CAS expectation — the compact/zorder
-    * twin of the upsert path's pinned base). */
-  private def pinnedRead(t: TableRef): (Option[String], DataFrame) = {
+  /** Current version + its append-marker set + a read PINNED to it (one
+    * resolution serves the rewrite input, the CAS expectation, and the
+    * late-append check — the compact/zorder twin of the upsert path's
+    * pinned base; markers listed before the file index, same ordering
+    * argument). */
+  private def pinnedRead(t: TableRef): (Option[String], Set[String], DataFrame) = {
     val v = currentVersion(t).getOrElse(
       throw new IllegalArgumentException(s"no such table: ${t.qualified}"))
-    (Some(v), spark.read.option("mergeSchema", "true")
+    val m0 = appendMarkers(t, v)
+    (Some(v), m0, spark.read.option("mergeSchema", "true")
       .parquet(s"${tableDir(t)}/$v"))
   }
 
   def compact(t: TableRef, nFiles: Int): Unit = {
-    val (base, df) = pinnedRead(t)
-    commitNewVersion(t, df.repartition(nFiles), base)
+    val (base, m0, df) = pinnedRead(t)
+    commitNewVersion(t, df.repartition(nFiles), base, baseMarkers = Some(m0))
   }
 
   /** Z-order compaction (the OPTIMIZE ZORDER BY analog): rewrite the
@@ -406,10 +513,11 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     * [[compact]] — readers never see a half-written layout. */
   def compactZorder(t: TableRef, x: String, y: String, nFiles: Int,
       bits: Int = 16): Unit = {
-    val (base, df) = pinnedRead(t)
+    val (base, m0, df) = pinnedRead(t)
     commitNewVersion(t, graft.operators.LayoutOps.zorder(
       df, org.apache.spark.sql.functions.col(x),
-      org.apache.spark.sql.functions.col(y), nFiles, bits), base)
+      org.apache.spark.sql.functions.col(y), nFiles, bits), base,
+      baseMarkers = Some(m0))
   }
 
   /** Data files of the live version (for file-count/size accounting).

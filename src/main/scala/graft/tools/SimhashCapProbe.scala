@@ -9,25 +9,28 @@ import graft.operators.DedupOps
 /** Adversarial SimHash near-dup probe — [[LshCapProbe]]'s twin for the
   * chunk-space banding, whose failure mode is WORSE than MinHash's:
   * the 12-bit chunk key space is fixed at 4×4096 values, so one
-  * byte-identical mega-family lands ALL its members in the same 4
-  * buckets and the uncapped (c, chunk) self-join is k²/2·4 pairs that
-  * ALL pass the hamming filter (hamming = 0 — no downstream threshold
-  * saves you, unlike MinHash where est-jaccard prunes cross-family
-  * noise). Checked at ~100× the spec-fixture size:
+  * byte-identical mega-family would land ALL its members in the same 4
+  * buckets and an unguarded member-level (c, chunk) self-join is
+  * k²/2·4 pairs that ALL pass the hamming filter (hamming = 0 — no
+  * downstream threshold saves you, unlike MinHash where est-jaccard
+  * prunes cross-family noise). Post-round-16 the first line of defense
+  * is the DISTINCT-simhash banding (the family is ONE banding member);
+  * the k-member identical-simhash GROUP then degrades from its intra
+  * clique to the (k−1)-edge id-ordered path. Checked at ~100× the
+  * spec-fixture size:
   *
-  *   1. candidate pairs stay LINEAR: each of the 4 over-cap buckets
-  *      degrades to a (simhash, id)-ordered path ⇒ distinct pairs
-  *      ≤ 4·(k−1) (≈ k−1 in practice: identical simhashes order
-  *      identically in every chunk);
-  *   2. every family edge carries hamming = 0 (within an
-  *      identical-simhash run), surviving any maxHamming;
+  *   1. candidate pairs stay LINEAR: the family emits exactly the
+  *      k−1 id-ordered path edges (plus honest coincidences);
+  *   2. every family edge carries hamming = 0 (identical simhashes),
+  *      surviving any maxHamming;
   *   3. [[DedupOps.connectedComponents]] still collapses the family to
   *      ONE component of size k (pointer doubling absorbs path depth);
   *   4. honest unique-text documents contribute only hash-coincidence
   *      candidates and land in singleton components;
-  *   5. [[DedupOps.simhashBucketLedger]] reports exactly the 4
-  *      over-cap buckets (the in-gate dormancy instrument, here
-  *      proven to FIRE when it must).
+  *   5. [[DedupOps.simhashBucketLedger]] reports the mega-GROUP
+  *      (max_group = k, n_over_cap_groups = 1) while the distinct-sim
+  *      buckets stay honest-sized (the in-gate instrument, here proven
+  *      to FIRE on the axis that now carries the exposure).
   *
   * Usage: graft.tools.SimhashCapProbe [jsonOut] [k] [honest]
   * Emits a markdown table + JSON twin; FAILS (nonzero exit) on any
@@ -68,6 +71,7 @@ object SimhashCapProbe {
     val led = DedupOps.simhashBucketLedger(corpus, "doc_id", "text").head()
     val (nBuckets, maxBucket, nOverCap) =
       (led.getLong(0), led.getLong(1), led.getLong(2))
+    val (maxGroup, nOverCapGroups) = (led.getLong(3), led.getLong(4))
 
     val t1 = System.nanoTime()
     val (labels, rounds) = DedupOps.connectedComponentsWithRounds(
@@ -78,17 +82,18 @@ object SimhashCapProbe {
     val ccSecs = (System.nanoTime() - t1) / 1e9
     spark.stop()
 
-    val pairBound = 4L * (k - 1)
+    val pairBound = k - 1
     println(s"\n## SimHash cap + CC end-to-end adversarial probe " +
       s"(k=$k identical docs + $honest honest, SimMaxBucket=" +
       s"${DedupOps.SimMaxBucket}, 4x12-bit chunks, local[$cpus])\n")
     println("| check | measured | bound/expected | secs |")
     println("|---|---|---|---|")
-    println(f"| candidate pairs (clique would be ${k * (k - 1) / 2}, ALL passing hamming<=$maxHamming) | $nCand | <= $pairBound (+ honest coincidences) | $candSecs%.2f |")
+    println(f"| candidate pairs (intra clique would be ${k * (k - 1) / 2}, ALL passing hamming<=$maxHamming) | $nCand | <= $pairBound (+ honest coincidences) | $candSecs%.2f |")
     println(s"| planted-family pairs | $nFam | >= ${k - 1} (path connectivity) | |")
-    println(s"| max hamming on family edges | $maxFamHam | = 0 (identical-simhash runs) | |")
+    println(s"| max hamming on family edges | $maxFamHam | = 0 (identical-simhash group) | |")
     println(s"| honest-side candidate pairs | $nHon | small (hash coincidences, reported) | |")
-    println(s"| ledger over-cap buckets | $nOverCap (max pop $maxBucket of $nBuckets) | = 4 (the guard FIRES here) | |")
+    println(s"| ledger mega-group | max_group $maxGroup, over-cap groups $nOverCapGroups | = ($k, 1) (the guard FIRES on the group axis) | |")
+    println(s"| ledger distinct-sim buckets | max $maxBucket of $nBuckets, over-cap $nOverCap | honest-sized (family is ONE banding member) | |")
     println(f"| CC rounds over the capped path | $rounds | HookDelay + O(log2 n) | $ccSecs%.2f |")
     println(s"| largest component | $famSize | = $k (family intact) | |")
     println(s"| total components | $nComps | >= ${honest / 2} (honest mostly singleton) | |")
@@ -96,19 +101,19 @@ object SimhashCapProbe {
     require(nCand <= pairBound + 4L * honest,
       s"candidate stage emitted $nCand pairs > path bound $pairBound (+ coincidence allowance)")
     require(maxFamHam == 0, s"family edge hamming $maxFamHam != 0")
-    require(nOverCap == 4L, s"ledger reported $nOverCap over-cap buckets != 4")
-    // >= not ==: a 12-bit chunk has only 4096 values, so a few honest
-    // docs legitimately share the family's chunk in some band (observed
-    // +1 at the 20k smoke) — they enter the same path, get hamming-
-    // filtered out, and never reach the family's component.
-    require(maxBucket >= k, s"ledger max bucket $maxBucket < $k")
+    require(nOverCapGroups == 1L,
+      s"ledger reported $nOverCapGroups over-cap groups != 1")
+    require(maxGroup == k, s"ledger max group $maxGroup != $k")
+    require(nOverCap == 0L,
+      s"distinct-sim banding saw $nOverCap over-cap buckets: the family " +
+        "leaked past the distinct reduction")
     require(famSize == k, s"family fragmented: largest component $famSize != $k")
     require(nComps >= honest / 2,
       s"$nComps components: honest docs improbably merged")
 
     val pw = new PrintWriter(new File(jsonOut))
     try pw.println(
-      f"""{"k":$k,"honest":$honest,"sim_max_bucket":${DedupOps.SimMaxBucket},"max_hamming":$maxHamming,"candidates":$nCand,"pair_bound":$pairBound,"family_pairs":$nFam,"max_family_hamming":$maxFamHam,"honest_pairs":$nHon,"n_buckets":$nBuckets,"max_bucket":$maxBucket,"n_over_cap":$nOverCap,"cc_rounds":$rounds,"largest_component":$famSize,"components":$nComps,"cand_secs":$candSecs%.3f,"cc_secs":$ccSecs%.3f}""")
+      f"""{"k":$k,"honest":$honest,"sim_max_bucket":${DedupOps.SimMaxBucket},"max_hamming":$maxHamming,"candidates":$nCand,"pair_bound":$pairBound,"family_pairs":$nFam,"max_family_hamming":$maxFamHam,"honest_pairs":$nHon,"n_buckets":$nBuckets,"max_bucket":$maxBucket,"n_over_cap":$nOverCap,"max_group":$maxGroup,"n_over_cap_groups":$nOverCapGroups,"cc_rounds":$rounds,"largest_component":$famSize,"components":$nComps,"cand_secs":$candSecs%.3f,"cc_secs":$ccSecs%.3f}""")
     finally pw.close()
     System.err.println(s"wrote $jsonOut")
   }

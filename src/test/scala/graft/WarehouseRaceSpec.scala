@@ -141,6 +141,45 @@ class WarehouseRaceSpec extends AnyFunSuite with SparkSuite {
     assert(rows(wh, t) == Set((1L, "base"), (2L, "slow"), (3L, "fast")))
   }
 
+  test("insert landing inside a concurrent merge's pinned base is never " +
+      "silently dropped (append-marker check fails the merge's CAS)") {
+    import spark.implicits._
+    // The r15 'documented optimism gap', now closed: the upsert pins v0
+    // and builds its file index, a file-granular INSERT lands new parts
+    // in v0 and reports SUCCESS (pointer unmoved — its own re-check
+    // passes), then the upsert swaps. Without the marker check the swap
+    // replaces v0 with a merge that never saw the insert's files —
+    // a silent drop of successfully-reported rows. With it, the merge's
+    // CAS sees the marker-set diff, throws ConcurrentWriteException,
+    // and loadWithRetry re-merges WITH the late files.
+    val wh = new ParquetWarehouse(spark, tmp())
+    val t = TableRef("", "race7")
+    wh.create(t, Seq((1L, "base")).toDF("id", "v"))
+
+    WarehouseRaceSpec.writing = new CountDownLatch(1)
+    WarehouseRaceSpec.release = new CountDownLatch(1)
+    val slowStaged = Seq((2L, "merge")).toDF("id", "v")
+      .withColumn("id", slowId(col("id")))
+    val err = new AtomicReference[Throwable]
+    val merger = new Thread(() =>
+      try wh.loadWithRetry(LoadMode.Upsert, t, slowStaged, "id", sleeper = _ => ())
+      catch { case e: Throwable => err.set(e) })
+    merger.start()
+    WarehouseRaceSpec.writing.await() // upsert pinned v0, mid-merge
+    // The insert completes fully while the merge is in flight: pointer
+    // still v0, so the insert's own re-check passes and it reports
+    // success — these rows are COMMITTED from the caller's view.
+    wh.load(LoadMode.Insert, t, Seq((3L, "late")).toDF("id", "v"), "id")
+    assert(rows(wh, t) == Set((1L, "base"), (3L, "late")),
+      "insert must be visible before the merge swaps")
+    WarehouseRaceSpec.release.countDown()
+    merger.join()
+
+    assert(err.get() == null, s"auto-retry must absorb the conflict: ${err.get()}")
+    assert(rows(wh, t) == Set((1L, "base"), (2L, "merge"), (3L, "late")),
+      "the successfully-reported insert row must survive the merge swap")
+  }
+
   test("release after a mid-hold steal leaves the thief's lock intact " +
       "(ownership token guards the delete)") {
     import spark.implicits._
@@ -187,8 +226,13 @@ class WarehouseRaceSpec extends AnyFunSuite with SparkSuite {
     val active = new java.util.concurrent.atomic.AtomicInteger(0)
     val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    // Generous contention budget (ADVICE r15): 6 waiters at 50 ms
+    // polling with 20 ms holds fit in well under a second on an idle
+    // box, but a loaded CI machine can starve an unlucky thread past
+    // the production 2 s default — the budget is injectable precisely
+    // so this spec asserts the admission invariant, not the timeout.
     val threads = (1 to 6).map(_ => new Thread(() =>
-      try wh.withCommitLock(t) {
+      try wh.withCommitLock(t, waitBudgetMs = 20000) {
         val a = active.incrementAndGet()
         maxActive.updateAndGet(m => math.max(m, a))
         Thread.sleep(20)
