@@ -962,9 +962,15 @@ object SparkEntry {
     // 0.773 (sf0.01) → 0.114 (sf0.1); this is the fix, re-measured
     // every round.
     "simhash_recall" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      def form(cap: Int) = DedupOps.simhashCandidates(docs, "doc_id",
-        "text", SimhashMaxHamming, maxBucket = cap)
+      // Signature aggregation computed ONCE for both forms (the
+      // shingle-once pattern) — the contrast is about the candidate
+      // stages, not about paying the tokenize+bit-sum twice.
+      val sig = DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint(true)
+      // Each form feeds BOTH the intersect and its own count — pin the
+      // candidate pipelines so neither runs twice.
+      def form(cap: Int) = DedupOps.simhashCandidatesFromSig(sig, "doc_id",
+        SimhashMaxHamming, maxBucket = cap).localCheckpoint(true)
       val exact = form(Int.MaxValue)
       val capped = form(SimhashRecallCap)
       val hits = exact.intersect(capped)
@@ -984,12 +990,13 @@ object SparkEntry {
     // mega-near-ball); this row keeps its quality a number the gate
     // re-measures, not a docstring.
     "simhash_recall_window" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val exact = DedupOps.simhashCandidates(docs, "doc_id", "text",
-        SimhashMaxHamming, maxBucket = Int.MaxValue)
-      val capped = DedupOps.simhashCandidates(docs, "doc_id", "text",
+      val sig = DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint(true)
+      val exact = DedupOps.simhashCandidatesFromSig(sig, "doc_id",
+        SimhashMaxHamming, maxBucket = Int.MaxValue).localCheckpoint(true)
+      val capped = DedupOps.simhashCandidatesFromSig(sig, "doc_id",
         SimhashMaxHamming, maxBucket = SimhashRecallCap,
-        variantCap = SimhashRecallCap)
+        variantCap = SimhashRecallCap).localCheckpoint(true)
       val hits = exact.intersect(capped)
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(capped.agg(count(lit(1)).as("n_capped")))

@@ -986,12 +986,29 @@ object DedupOps {
     * (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming. */
   def simhashCandidates(df: DataFrame, id: String, text: String,
       maxHamming: Int, maxBucket: Int = SimMaxBucket,
+      variantCap: Int = SimMaxBucket): DataFrame =
+    // The signature frame feeds SIX consumers (distinct banding, both
+    // expansion sides, both intra-clique sides, the path) — without a
+    // materialization each one re-runs the tokenize+48-bit-sum
+    // aggregation, the pipeline's dominant cost (measured 1.9-5.4x on
+    // the paired bench before this checkpoint). Two narrow columns per
+    // document, so the stored footprint is rows x ~16 bytes.
+    simhashCandidatesFromSig(simhash(df, id, text).localCheckpoint(true),
+      id, maxHamming, maxBucket, variantCap)
+
+  /** [[simhashCandidates]] over a PRECOMPUTED (id, simhash) frame — the
+    * shingle-once pattern (CONTRACTS: compute signatures once, feed
+    * every consumer): callers holding several forms over one corpus
+    * (e.g. the `simhash_recall` contrast of exact vs capped) pay the
+    * signature aggregation once. `sig` should be materialized
+    * (localCheckpoint) — this pipeline consumes it six times. */
+  def simhashCandidatesFromSig(sig: DataFrame, id: String,
+      maxHamming: Int, maxBucket: Int = SimMaxBucket,
       variantCap: Int = SimMaxBucket): DataFrame = {
     require(maxHamming <= SimVariantMaxHamming,
       s"simhashCandidates: maxHamming $maxHamming > $SimVariantMaxHamming " +
         "breaks the variant-join exactness pigeonhole (some other chunk " +
         "within hamming 2); band wider chunks or verify externally")
-    val sig = simhash(df, id, text)
     val sigM = sig.withColumn("__m",
       count(lit(1)).over(Window.partitionBy(col("simhash"))))
 
@@ -1089,15 +1106,20 @@ object DedupOps {
     * exists for; `max_group` grows with duplication. */
   def simhashBucketLedger(df: DataFrame, id: String, text: String,
       maxBucket: Int = SimMaxBucket): DataFrame = {
-    val sig = simhash(df, id, text)
-    val buckets = sig.select(col("simhash")).distinct()
+    // One pass over the corpus: the per-signature group frame (tiny —
+    // one row per DISTINCT simhash) is the only thing materialized;
+    // both the bucket and the group aggregates derive from it.
+    val g = simhash(df, id, text)
+      .groupBy(col("simhash")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val buckets = g
       .select(explode(sequence(lit(0), lit(3))).as("c"), col("simhash"))
       .withColumn("chunk",
         shr(col("simhash"), col("c").cast("int") * 12).bitwiseAND(4095L))
       .groupBy(col("c"), col("chunk")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
         count(when(col("n") > maxBucket, 1)).as("n_over_cap"))
-    val groups = sig.groupBy(col("simhash")).agg(count(lit(1)).as("m"))
+    val groups = g
       .agg(max(col("m")).as("max_group"),
         count(when(col("m") > maxBucket, 1)).as("n_over_cap_groups"))
     buckets.crossJoin(groups)

@@ -184,6 +184,59 @@ object ScalingLedger {
   val ProbeCounts: Map[String, Int] =
     LedgerOnlyQueries.keys.map(_ -> FixedProbeCount).toMap
 
+  /** Rows whose second-decade law depends on VOCABULARY growth: on the
+    * default generator (fixed ~31-word vocab, df ∝ n) their 100× ratios
+    * measure the fixture saturating, not the operator — the
+    * authoritative second-decade number for each lives in the
+    * Heaps-law ledger (`run_scaling_heaps.sh` →
+    * `SCALING_LEDGER_HEAPS.json`, V = V₀·mult^0.5). Every such row is
+    * tagged in the emitted JSON so a reader of the default-fixture
+    * ledger cannot mistake a saturation artifact for an operator law
+    * (r14 ask #4 / r15 verdict missing-item 2). */
+  val DiversitySensitive: Set[String] = Set(
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_exact", "jaccard_df_ledger",
+    "fuzzy_name_match", "fuzzy_block_ledger",
+    "dedup_minhash_lsh", "dedup_lsh_bucket_ledger",
+    "dedup_minhash_recall", "dedup_minhash_recall_tuned",
+    "dedup_incremental_candidates", "dedup_near_keep",
+    "dedup_near_keep_verified",
+    "tfidf_top_terms", "bigram_counts", "bigram_lm_scores",
+    "bpe_token_counts", "boilerplate_dict_train", "boilerplate_scrub",
+    "dedup_token_yield", "doc_commonness", "hybrid_search_rrf",
+    "simhash_near_dup", "simhash_bucket_ledger",
+    "dedup_substring", "substring_scrub", "sequence_pack_plan_bpe")
+
+  /** recall@k of a fixed-probe ANN twin vs the brute-force truth over
+    * the SAME corpus it searched (merged corpus for the incremental
+    * row), as (n_true, n_hit). Untimed evidence pass — the truth cost
+    * is bounded by the fixed 1,000-probe batch (probes × N exact
+    * distances through the codegen'd kernel), which is exactly why the
+    * probe batch being fixed makes recall affordable at EVERY ledger
+    * scale (r14 ask #5: per-probe ms without recall at the same scale
+    * could be "fast because it probes nothing"). */
+  def annRecall(s: SparkSession, dir: String, name: String): (Long, Long) = {
+    val corpus =
+      if (name == "knn_ivf_incremental_p1k") {
+        val emb = SparkEntry.embCorpus(s, dir)
+        val arrivals = emb.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            concat(slice(col("vec"), 1, 63), array(lit(0.0f))).as("vec"))
+        emb.unionByName(arrivals)
+      } else SparkEntry.embCorpus(s, dir)
+    val truth = graft.operators.SimilarityOps.bruteForceKnn(
+        syntheticProbes(s), corpus, SparkEntry.KnnK)
+      .select(col("probe_id"), col("vec_id"))
+    val c = LedgerOnlyQueries(name)(s, dir)
+      .select(col("probe_id"), col("vec_id"))
+      .dropDuplicates("probe_id", "vec_id").localCheckpoint(true)
+    val r = truth.join(c.withColumn("__c", lit(1)),
+        Seq("probe_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_true"), count(col("__c")).as("n_hit"))
+      .head()
+    graft.ToolSession.clearStorage(s)
+    (r.getLong(0), r.getLong(1))
+  }
+
   private def resolve(name: String): (SparkSession, String) => DataFrame =
     SparkEntry.queries.getOrElse(name, LedgerOnlyQueries(name))
 
@@ -209,6 +262,10 @@ object ScalingLedger {
     val mult = if (args.length > 2) args(2).toDouble else 10.0
     val jsonOut = if (args.length > 3) args(3) else "SCALING_LEDGER.json"
     val names = if (args.length > 4) args.drop(4).toSeq else DefaultQueries
+    // Which generator produced the SCALED corpus — stamped per-row so
+    // the JSON is self-describing ("default" = fixed-vocab GenData,
+    // "heaps" = diversity-scaled; set by the run scripts).
+    val fixture = sys.env.getOrElse("GRAFT_LEDGER_FIXTURE", "default")
     val cpus = graft.ToolSession.cpus("32")
     val spark = graft.ToolSession.local(cpus)
 
@@ -236,6 +293,16 @@ object ScalingLedger {
 
     val base = names.map { n => val r = timeQuery(spark, n, baseDir); System.err.println(f"base   ${r.query}%-32s run2=${r.run2}%7.3fs"); r }
     val scaled = names.map { n => val r = timeQuery(spark, n, scaledDir); System.err.println(f"scaled ${r.query}%-32s run2=${r.run2}%7.3fs"); r }
+    // Untimed recall evidence for every ANN twin in the run, at BOTH
+    // scales (after all timing — the brute-force truth pass must not
+    // warm or contend with the measured rows).
+    val annNames = names.filter(ProbeCounts.contains)
+    val recall: Map[(String, String), (Long, Long)] =
+      (annNames.map(n => (n, "base") -> annRecall(spark, baseDir, n)) ++
+       annNames.map(n => (n, "scaled") -> annRecall(spark, scaledDir, n))).toMap
+    recall.toSeq.sortBy(_._1).foreach { case ((n, side), (t, h)) =>
+      System.err.println(f"recall $n%-32s $side%-6s $h/$t")
+    }
     spark.stop()
 
     val paired = base.zip(scaled)
@@ -258,12 +325,23 @@ object ScalingLedger {
 
     val json = paired.map { case (b, s) =>
       val probeFields = ProbeCounts.get(b.query).fold("") { n =>
-        f""","probes":$n,"per_probe_ms_base":${b.run2 * 1000 / n}%.3f,"per_probe_ms_scaled":${s.run2 * 1000 / n}%.3f"""
+        val rb = recall.get((b.query, "base"))
+        val rs = recall.get((b.query, "scaled"))
+        val recallFields = (rb, rs) match {
+          case (Some((tb, hb)), Some((ts, hs))) =>
+            f""","recall_base":${hb.toDouble / math.max(tb, 1L)}%.4f,"recall_scaled":${hs.toDouble / math.max(ts, 1L)}%.4f,"recall_k":${SparkEntry.KnnK}"""
+          case _ => ""
+        }
+        f""","probes":$n,"per_probe_ms_base":${b.run2 * 1000 / n}%.3f,"per_probe_ms_scaled":${s.run2 * 1000 / n}%.3f$recallFields"""
       }
-      f""""${b.query}":{"base_run2":${b.run2}%.3f,"scaled_run2":${s.run2}%.3f,"ratio":${s.run2 / math.max(b.run2, 1e-9)}%.2f,"base_rows":${b.rows},"scaled_rows":${s.rows},"base_run1":${b.run1}%.3f,"scaled_run1":${s.run1}%.3f$probeFields}"""
+      val fixtureTag =
+        if (DiversitySensitive(b.query))
+          s""","fixture":"$fixture","diversity_sensitive":true"""
+        else s""","fixture":"$fixture""""
+      f""""${b.query}":{"base_run2":${b.run2}%.3f,"scaled_run2":${s.run2}%.3f,"ratio":${s.run2 / math.max(b.run2, 1e-9)}%.2f,"base_rows":${b.rows},"scaled_rows":${s.rows},"base_run1":${b.run1}%.3f,"scaled_run1":${s.run1}%.3f$probeFields$fixtureTag}"""
     }.mkString(",")
     val pw = new PrintWriter(new File(jsonOut))
-    try pw.println(s"""{"base_dir":"$baseDir","scaled_dir":"$scaledDir","mult":$mult,"cpus":$cpus,"queries":{$json}}""")
+    try pw.println(s"""{"base_dir":"$baseDir","scaled_dir":"$scaledDir","mult":$mult,"cpus":$cpus,"fixture":"$fixture","queries":{$json}}""")
     finally pw.close()
     System.err.println(s"wrote $jsonOut")
   }
