@@ -170,8 +170,25 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
         if (age > ParquetWarehouse.LockStaleMs) {
           val grave = new Path(s"${tableDir(t)}/_COMMIT_LOCK.stale." +
             java.util.UUID.randomUUID().toString.take(8))
-          try { if (fs.rename(lock, grave)) fs.delete(grave, false) }
-          catch { case _: java.io.IOException => () } // another stealer won
+          // Steal-then-VERIFY: the stat above and the rename below are
+          // not atomic — a second stealer can reap the corpse and a new
+          // writer create a fresh LIVE lock in between, so the rename
+          // may have yanked a live lock (observed as a real two-holders
+          // flake in the stampede spec). Rename preserves mtime and the
+          // grave name is private to this waiter, so re-stat the GRAVE:
+          // stale ⇒ it was the corpse, reap it; fresh ⇒ put it back
+          // (if a newer lock already took the path, drop the grave —
+          // the displaced holder's token-guarded release stays safe;
+          // the residual exclusion hole now needs a triple failure
+          // inside a microsecond window, the no-fencing floor).
+          try {
+            if (fs.rename(lock, grave)) {
+              val gAge = System.currentTimeMillis() -
+                fs.getFileStatus(grave).getModificationTime
+              if (gAge > ParquetWarehouse.LockStaleMs) fs.delete(grave, false)
+              else if (!fs.rename(grave, lock)) fs.delete(grave, false)
+            }
+          } catch { case _: java.io.IOException => () } // another stealer won
         } else if (waitedMs >= waitBudgetMs)
           throw new ConcurrentWriteException(
             s"commit lock on ${t.qualified} held for ${waitedMs} ms by a " +

@@ -46,6 +46,10 @@ object ScalingLedger {
     // no longer what the ledger times (their ratios were probe-count
     // arithmetic, not operator behavior)
     "knn_ivf_p1k", "knn_ivf_pq_p1k", "knn_ivf_pq_autoc_p1k",
+    // round-16: the nprobe=9 cost point promoted into the standing sets
+    // so the "auto-C np9 dominates fixed-C" claim is re-verified WITH
+    // recall at every ledger scale, not just the gate scales
+    "knn_ivf_pq_autoc_np9_p1k",
     "knn_ivf_pq_residual_p1k", "kmeans_centroids", "bpe_token_counts",
     "fuzzy_name_match", "boilerplate_dict_train", "boilerplate_scrub",
     "crawl_curation_pipeline", "dedup_incremental_candidates",
@@ -145,8 +149,8 @@ object ScalingLedger {
           SparkEntry.KnnK, SparkEntry.coarseCentroidsAuto(s, dir),
           SparkEntry.pqBooks(s, dir), SparkEntry.PqSubDim,
           nprobe = SparkEntry.IvfNprobe, rerank = SparkEntry.PqRerank)),
-      // Ad-hoc (not in the standing sets): the nprobe=9 cost point of
-      // the auto-C recall lever, for the SCALING.md trade curve.
+      // The nprobe=9 cost point of the auto-C recall lever (standing
+      // in both decade sets since round 16, with recall fields).
       "knn_ivf_pq_autoc_np9_p1k" -> ((s, dir) =>
         graft.operators.SimilarityOps.ivfPqSearch(syntheticProbes(s),
           SparkEntry.embCorpus(s, dir), SparkEntry.pqIndexAuto(s, dir),
