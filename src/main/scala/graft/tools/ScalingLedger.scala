@@ -157,6 +157,21 @@ object ScalingLedger {
           SparkEntry.KnnK, SparkEntry.coarseCentroidsAuto(s, dir),
           SparkEntry.pqBooks(s, dir), SparkEntry.PqSubDim,
           nprobe = 3 * SparkEntry.IvfNprobe, rerank = SparkEntry.PqRerank)),
+      // The off-manifold RERANK lever (round 16): same auto-C artifacts
+      // and nprobe as knn_ivf_pq_autoc_p1k, exact-rerank depth 5x
+      // (600 vs 120). The 100x regen showed exact-in-cell search holds
+      // recall 0.167 where PQ@rerank-120 reads 0.049 AT THE SAME cells
+      // and nprobe — i.e. the true neighbor IS in a probed cell but ADC
+      // ranks it below 120 for far-from-manifold probes. Rerank cost is
+      // probes x depth exact distances (corpus-size-independent), so
+      // depth — not nprobe (measured tied at np9) — is the off-manifold
+      // recall knob. This twin prices it.
+      "knn_ivf_pq_autoc_rrdeep_p1k" -> ((s, dir) =>
+        graft.operators.SimilarityOps.ivfPqSearch(syntheticProbes(s),
+          SparkEntry.embCorpus(s, dir), SparkEntry.pqIndexAuto(s, dir),
+          SparkEntry.KnnK, SparkEntry.coarseCentroidsAuto(s, dir),
+          SparkEntry.pqBooks(s, dir), SparkEntry.PqSubDim,
+          nprobe = SparkEntry.IvfNprobe, rerank = 5 * SparkEntry.PqRerank)),
       "knn_ivf_pq_residual_p1k" -> ((s, dir) =>
         graft.operators.SimilarityOps.ivfPqResidualSearch(
           syntheticProbes(s), SparkEntry.embCorpus(s, dir),
