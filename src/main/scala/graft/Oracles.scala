@@ -1251,10 +1251,23 @@ object Oracles {
     * in ANY stage breaks the gate hash — the can't-drift pattern. */
   private def simhashCandCtes(maxHamming: Int, cap: String, vcap: String,
       w: Int): String = {
-    val winSelects = (1 to w).map(i =>
-      s"""SELECT simhash AS sa, lead(simhash, $i)
-         |      OVER (PARTITION BY c, chunk, c2, vkey ORDER BY simhash) AS sb
-         |    FROM vover""".stripMargin).mkString("\n    UNION ALL ")
+    // One sorted order per SimVariantRotations bit-rotation (MJU
+    // permuted orders), leads 1..w under each; the 48-bit rotate is the
+    // same masked-shift arithmetic as the Spark side (exact on BIGINT,
+    // values < 2^48). least/greatest normalize: a rotated-order lead
+    // can be smaller in raw value.
+    val winSelects = (for {
+      r <- graft.operators.DedupOps.SimVariantRotations
+      i <- 1 to w
+    } yield {
+      val rot =
+        if (r == 0) "simhash"
+        else s"(((simhash & ${(1L << (48 - r)) - 1}) << $r) | (simhash >> ${48 - r}))"
+      s"""SELECT least(simhash, nx) AS sa, greatest(simhash, nx) AS sb FROM (
+         |      SELECT simhash, lead(simhash, $i)
+         |        OVER (PARTITION BY c, chunk, c2, vkey ORDER BY $rot, simhash) AS nx
+         |      FROM vover) WHERE nx IS NOT NULL""".stripMargin
+    }).mkString("\n    UNION ALL ")
     s"""ds AS (SELECT DISTINCT simhash FROM sig),
        |dch AS (SELECT simhash, c, (simhash >> (c * 12)) & 4095 AS chunk
        |  FROM ds, (SELECT unnest([0, 1, 2, 3]) AS c)),

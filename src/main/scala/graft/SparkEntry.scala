@@ -983,8 +983,9 @@ object SparkEntry {
     // value, so the variant stage's own guard fires and the final
     // Manku-Jindal-Ullman sorted-window degrade (the only approximate
     // stage left in the SimHash family) is priced in-gate — measured
-    // recall 0.864 at sf0.1 / 0.773-equivalent regime at sf0.01 under
-    // cap 32+32, vs 0.114 for the r15 path walk. In production the
+    // recall 0.9203 at sf0.1 (multi-rotation MJU windows; 0.8639 with
+    // a single order) / 1.0 at sf0.01 under cap 32+32, vs 0.114 for
+    // the r15 path walk. In production the
     // window regime is reachable only by >= SimMaxBucket DISTINCT
     // simhashes agreeing on ~24 of 48 bits (an adversarial flood or a
     // mega-near-ball); this row keeps its quality a number the gate

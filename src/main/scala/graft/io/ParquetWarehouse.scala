@@ -141,13 +141,18 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     *     deleting, narrowing (not eliminating — see the release-site
     *     comment) the window in which a writer whose lock was stolen
     *     mid-hold could take down the thief's live lock.
-    *   - **Steal by rename, not delete**: a lock left by a crashed
-    *     writer (it only ever guards a sub-second section) is presumed
-    *     stale past [[ParquetWarehouse.LockStaleMs]] — but deleting it
-    *     has a TOCTOU (the waiter could delete a lock another stealer
-    *     just re-created). Rename is atomic on POSIX and HDFS: only the
-    *     one waiter whose rename succeeds reaps the corpse; everyone
-    *     then competes for a fresh create.
+    *   - **Reap by per-incarnation ticket, never by touching a
+    *     maybe-live path**: a lock left by a crashed writer (it only
+    *     ever guards a sub-second section) is presumed stale past
+    *     [[ParquetWarehouse.LockStaleMs]], but any stat-then-reap is a
+    *     TOCTOU against a concurrent reap + fresh re-create. The statted
+    *     incarnation is identified by its mtime; an O_EXCL
+    *     `_COMMIT_LOCK.reap.<mtime>` ticket elects exactly one reaper
+    *     for it, and the winner re-stats immediately before deleting —
+    *     a fresh lock's mtime can never equal a >=30s-old corpse's, so
+    *     live locks are structurally un-reapable (two prior designs,
+    *     delete-based and rename-restore-based, each lost this race in
+    *     the stampede spec).
     *
     * Younger contention waits briefly, then fails loudly (retryable
     * [[ParquetWarehouse.ConcurrentWriteException]]) rather than wedging. */
@@ -156,39 +161,76 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     val lock = new Path(s"${tableDir(t)}/_COMMIT_LOCK")
     fs.mkdirs(new Path(tableDir(t)))
     val token = java.util.UUID.randomUUID().toString
+    def trace(msg: => String): Unit =
+      if (ParquetWarehouse.LockTrace) System.err.println(
+        f"[lock ${System.nanoTime()}%d ${Thread.currentThread().getName}%s ${token.take(6)}%s] $msg")
     var acquired = false
     var waitedMs = 0L
     while (!acquired) {
-      if (tryCreateExclusive(lock, token) && readLockToken(lock).contains(token))
+      if (tryCreateExclusive(lock, token) && readLockToken(lock).contains(token)) {
         acquired = true
+        trace("ACQUIRED")
+      }
       else {
-        val age = try System.currentTimeMillis() -
-          fs.getFileStatus(lock).getModificationTime
+        // ONE stat serves both the staleness decision and the reap
+        // ticket's incarnation identity — a second stat inside the reap
+        // branch reintroduces the exact TOCTOU the ticket closes (trace-
+        // caught: the age-stat hit the corpse, a concurrent reap+create
+        // landed, the identity-stat hit the FRESH lock, and the "stale"
+        // incarnation it ticketed was a live writer's lock).
+        val statMtime = try Some(fs.getFileStatus(lock).getModificationTime)
         // Lock vanished between create-fail and stat (owner released):
-        // age 0 → no steal, immediate re-try of the create.
-        catch { case _: java.io.FileNotFoundException => 0L }
+        // no steal, immediate re-try of the create.
+        catch { case _: java.io.FileNotFoundException => None }
+        val age = statMtime.fold(0L)(m => System.currentTimeMillis() - m)
         if (age > ParquetWarehouse.LockStaleMs) {
-          val grave = new Path(s"${tableDir(t)}/_COMMIT_LOCK.stale." +
-            java.util.UUID.randomUUID().toString.take(8))
-          // Steal-then-VERIFY: the stat above and the rename below are
-          // not atomic — a second stealer can reap the corpse and a new
-          // writer create a fresh LIVE lock in between, so the rename
-          // may have yanked a live lock (observed as a real two-holders
-          // flake in the stampede spec). Rename preserves mtime and the
-          // grave name is private to this waiter, so re-stat the GRAVE:
-          // stale ⇒ it was the corpse, reap it; fresh ⇒ put it back
-          // (if a newer lock already took the path, drop the grave —
-          // the displaced holder's token-guarded release stays safe;
-          // the residual exclusion hole now needs a triple failure
-          // inside a microsecond window, the no-fencing floor).
-          try {
-            if (fs.rename(lock, grave)) {
-              val gAge = System.currentTimeMillis() -
-                fs.getFileStatus(grave).getModificationTime
-              if (gAge > ParquetWarehouse.LockStaleMs) fs.delete(grave, false)
-              else if (!fs.rename(grave, lock)) fs.delete(grave, false)
+          // Reap by PER-INCARNATION TICKET, never by touching a maybe-
+          // live path. The naive stat-then-reap is a TOCTOU: a second
+          // stealer can reap the corpse and a new writer create a fresh
+          // LIVE lock between this waiter's stat and its reap, which
+          // yanked live locks (a real 1-in-6 two-holders flake in the
+          // stampede spec, twice: delete-based AND rename-restore-based
+          // steals — the restore dance also left the path empty long
+          // enough to admit a third writer). Instead: the statted
+          // incarnation is identified by its mtime; `_COMMIT_LOCK.reap.
+          // <mtime>` is created O_EXCL so exactly ONE reaper per
+          // incarnation exists, and that winner re-stats the lock
+          // IMMEDIATELY before deleting — a fresh lock has a fresh
+          // mtime (a corpse is >= LockStaleMs old by definition, so the
+          // two cannot collide), and no one else can delete the corpse
+          // between the winner's re-check and its delete (deleters are
+          // this ticket's winner, release paths token-guarded to their
+          // own lock, and other incarnations' winners whose re-check
+          // fails). Crashed-winner tickets are themselves reaped by
+          // age; a duplicate winner after that re-checks the same dead
+          // mtime, so a double delete hits only the corpse.
+          val mtime = statMtime.get
+          if (mtime > 0) {
+            trace(s"REAP-TRY mtime=$mtime")
+            val ticket = new Path(s"${tableDir(t)}/_COMMIT_LOCK.reap.$mtime")
+            val won =
+              try { fs.create(ticket, false).close(); true }
+              catch { case _: java.io.IOException =>
+                // Ticket taken: reap a crashed winner's stale ticket so
+                // incarnation `mtime` cannot wedge forever.
+                try {
+                  val tAge = System.currentTimeMillis() -
+                    fs.getFileStatus(ticket).getModificationTime
+                  if (tAge > ParquetWarehouse.LockStaleMs)
+                    fs.delete(ticket, false)
+                } catch { case _: java.io.IOException => () }
+                false
+              }
+            if (won) try {
+              val cur = try Some(fs.getFileStatus(lock).getModificationTime)
+                catch { case _: java.io.FileNotFoundException => None }
+              trace(s"REAP-WON mtime=$mtime cur=$cur -> ${if (cur.contains(mtime)) "DELETE" else "abort"}")
+              if (cur.contains(mtime)) fs.delete(lock, false)
+            } finally {
+              try fs.delete(ticket, false)
+              catch { case _: java.io.IOException => () }
             }
-          } catch { case _: java.io.IOException => () } // another stealer won
+          }
         } else if (waitedMs >= waitBudgetMs)
           throw new ConcurrentWriteException(
             s"commit lock on ${t.qualified} held for ${waitedMs} ms by a " +
@@ -209,12 +251,21 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     // narrows the hazard to a double failure inside a microsecond
     // window rather than eliminating it — exclusion is ultimately
     // time-bounded by LockStaleMs, as any lease without fencing is.
+    // Release by token-check then ATOMIC RENAME to a private grave,
+    // post-verifying the grave token before the delete: with ticketed
+    // reaps never touching sub-30s locks, the only writer that can
+    // displace a live lock is a reaper of a >LockStaleMs hold — the
+    // rename+verify narrows even that to a double failure (exclusion
+    // without fencing is ultimately time-bounded by LockStaleMs).
     try body finally {
+      trace(s"RELEASE token-at-path=${readLockToken(lock).map(_.take(6))}")
       if (readLockToken(lock).contains(token)) {
-        val grave = new Path(s"${tableDir(t)}/_COMMIT_LOCK.rel.${token.take(8)}")
+        val grave =
+          new Path(s"${tableDir(t)}/_COMMIT_LOCK.rel.${token.take(8)}")
         try {
           if (fs.rename(lock, grave)) {
-            if (readLockToken(grave).contains(token)) fs.delete(grave, false)
+            if (readLockToken(grave).contains(token))
+              fs.delete(grave, false)
             else if (!fs.rename(grave, lock)) fs.delete(grave, false)
           }
         } catch { case _: java.io.IOException => () }
@@ -568,6 +619,10 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
 }
 
 object ParquetWarehouse {
+  /** Dev-only lock tracing (env GRAFT_LOCK_TRACE=1). */
+  private[graft] val LockTrace: Boolean =
+    sys.env.get("GRAFT_LOCK_TRACE").contains("1")
+
 
   /** A version swap (or file-granular append) lost a concurrent-writer
     * race: the operation's contents were computed from a base that is no

@@ -923,9 +923,10 @@ object DedupOps {
     *      EXACT - recall 1.0 by pigeonhole - for `maxHamming` <= 8;
     *   3. only the variant stage's own guard (this constant again)
     *      degrades lossily, to Manku-Jindal-Ullman sorted windows
-    *      (WWW'07) of width [[SimVariantWindow]], and only on
+    *      (WWW'07) of width [[SimVariantWindow]] under the
+    *      [[SimVariantRotations]] permuted orders, and only on
     *      >=`SimMaxBucket` distinct simhashes agreeing on ~24 bits -
-    *      measured at sf0.1 with both caps forced to 32: recall 0.864
+    *      measured at sf0.1 with both caps forced to 32: recall 0.9203
     *      (vs 0.114 for the old path walk under the same cap).
     * Identical-simhash groups (hamming 0, true duplicates) expand to
     * intra-group cliques up to this cap and degrade to an id-ordered
@@ -936,11 +937,21 @@ object DedupOps {
 
   /** Sorted-window width for the variant stage's final degrade: each
     * member of an over-[[SimMaxBucket]] variant bucket is compared to
-    * its next `SimVariantWindow` successors in simhash order
-    * (Manku-Jindal-Ullman WWW'07 sliding windows; w > 1 restores the
-    * locality a single consecutive-pair walk destroys). Work stays
-    * linear per bucket: w comparisons per member. */
+    * its next `SimVariantWindow` successors under EVERY
+    * [[SimVariantRotations]] bit-rotation of the signature
+    * (Manku-Jindal-Ullman WWW'07: multiple permuted sorted orders ×
+    * sliding windows — one order's locality misses pairs whose
+    * differing bits are high-significant in that order; a rotation that
+    * moves them low restores adjacency). Work stays linear per bucket:
+    * |rotations| · w comparisons per member. Measured on the gate
+    * corpus with both caps forced to 32 (`simhash_recall_window`):
+    * single order w=8 recall 0.8639 → 4 rotations 0.9203 at sf0.1. */
   val SimVariantWindow = 8
+
+  /** Bit-rotations (48-bit) providing the MJU permuted sort orders for
+    * the window degrade — one per 12-bit chunk boundary, so each chunk
+    * takes a turn as the most-significant sort key. */
+  val SimVariantRotations: Seq[Int] = Seq(0, 12, 24, 36)
 
   /** Largest `maxHamming` for which the variant join is provably exact:
     * a candidate pair inside a (c, chunk) bucket agrees on chunk c, so
@@ -972,9 +983,11 @@ object DedupOps {
     *     mega-near-balls only: >= variantCap distinct simhashes
     *     agreeing on chunk c and within 2 bits on chunk c2): sorted
     *     windows of width [[SimVariantWindow]] in simhash order -
-    *     linear work, measured recall 0.864 at sf0.1 with both caps
+    *     linear work, measured recall 0.9203 at sf0.1 with both caps
     *     forced to 32 (the `simhash_recall_window` gate contract
-    *     re-measures it every round).
+    *     re-measures it every round) and 0.5571 on a FULL dense
+    *     4096-id near-ball (the SimhashCapProbe phase-2 regime where
+    *     the true output is the complete clique).
     *   - Identical-simhash groups: intra-group cliques (the true
     *     hamming-0 pairs) up to `maxBucket` members, id-ordered path
     *     beyond (output-linear; connectivity preserved; every edge
@@ -1050,17 +1063,37 @@ object DedupOps {
           col("x.c2") === col("y.c2") && col("x.vkey") === col("y.vkey") &&
           col("x.simhash") < col("y.simhash"))
       .select(col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-    // Final degrade: MJU sorted windows of width SimVariantWindow in
-    // simhash order (ascending, so lead > current and sa < sb holds).
-    val wvo = Window.partitionBy(col("c"), col("chunk"), col("c2"),
-      col("vkey")).orderBy(col("simhash"))
-    val vOver = vkn.filter(col("__vn") > variantCap)
-      .select(Seq(col("simhash"), col("c"), col("chunk"), col("c2"),
-        col("vkey")) ++ (1 to SimVariantWindow).map(i =>
-        lead(col("simhash"), i).over(wvo).as(s"__nx$i")): _*)
-    val winPairs = (1 to SimVariantWindow).map { i =>
-      vOver.filter(col(s"__nx$i").isNotNull)
-        .select(col("simhash").as("sa"), col(s"__nx$i").as("sb"))
+    // Final degrade: MJU sorted windows of width SimVariantWindow
+    // under each SimVariantRotations bit-rotation (48-bit rotate via
+    // masked shifts — values stay < 2^48 so long arithmetic is exact
+    // and byte-equal to the DuckDB replay). Rotated order is a
+    // bijection of the distinct signatures (no ties); leads can be
+    // smaller in RAW value, so pairs normalize via least/greatest.
+    val vOverBase = vkn.filter(col("__vn") > variantCap)
+      .select(col("simhash"), col("c"), col("chunk"), col("c2"),
+        col("vkey"))
+    def rot(r: Int): Column =
+      if (r == 0) col("simhash")
+      else shl(col("simhash").bitwiseAND(lit((1L << (48 - r)) - 1)),
+          lit(r))
+        .bitwiseOR(shr(col("simhash"), lit(48 - r)))
+    // One plan leg per rotation (leads packed into an array and
+    // exploded) — w unioned legs per rotation quadrupled by rotations
+    // made the PLAN itself the cost on queries where this stage is
+    // provably empty (paired-measured: near_dup 1.3x -> 2.8x from plan
+    // growth alone; this shape restores it).
+    val winPairs = SimVariantRotations.map { r =>
+      val wvo = Window.partitionBy(col("c"), col("chunk"), col("c2"),
+        col("vkey")).orderBy(rot(r), col("simhash"))
+      vOverBase
+        .select(Seq(col("simhash")) ++ (1 to SimVariantWindow).map(i =>
+          lead(col("simhash"), i).over(wvo).as(s"__nx$i")): _*)
+        .select(col("simhash"),
+          explode(array((1 to SimVariantWindow).map(i =>
+            col(s"__nx$i")): _*)).as("__nx"))
+        .filter(col("__nx").isNotNull)
+        .select(least(col("simhash"), col("__nx")).as("sa"),
+          greatest(col("simhash"), col("__nx")).as("sb"))
     }.reduce(_ unionByName _)
 
     // ---- distinct-level union, hamming filter, member expansion ------

@@ -80,7 +80,6 @@ object SimhashCapProbe {
     val famSize = sizes.agg(max(col("count"))).head().getLong(0)
     val nComps = sizes.count()
     val ccSecs = (System.nanoTime() - t1) / 1e9
-    spark.stop()
 
     val pairBound = k - 1
     println(s"\n## SimHash cap + CC end-to-end adversarial probe " +
@@ -111,10 +110,82 @@ object SimhashCapProbe {
     require(nComps >= honest / 2,
       s"$nComps components: honest docs improbably merged")
 
+    // ---- Phase 2: the WINDOW regime fired at scale (mega-near-ball) --
+    // The identical-family phase above never reaches the variant stage
+    // (one distinct signature). The only lossy stage left — the MJU
+    // multi-rotation sorted windows — fires on >= SimMaxBucket DISTINCT
+    // signatures agreeing on ~24 bits. Text cannot plant that without
+    // inverting the hash, but simhashCandidatesFromSig takes signatures
+    // directly: a deterministic near-ball of nBall distinct sims (one
+    // shared high-24-bit prefix = chunks 2,3 pinned; <= 4 random flips
+    // in the low 24 bits => EVERY pair within hamming 8 and chunk-
+    // sharing, so the exact candidate set is the full C(n,2) clique)
+    // mixed with nHon random honest sims. This is the adversarial
+    // regime the r15 verdict called the 100 TB dedup story's weakest
+    // link — now a checked probe, not a caveat.
+    val nBall = 4096L
+    val nHon2 = 50000L
+    val mask48 = (1L << 48) - 1
+    val center = 0x5a5a5a000000L // low 24 bits zero; chunks 2,3 pinned
+    val ballSig = spark.range(0, nBall).select(
+      col("id").as("doc_id"),
+      (lit(center).bitwiseOR(
+        // <= 4 flips in the low 24 bits: 4 hash-picked bit positions
+        // (collisions between picks just mean fewer flips)
+        (0 until 4).map(j =>
+          call_function("shiftleft", lit(1L),
+            pmod(xxhash64(col("id"), lit(j)), lit(24)).cast("int")))
+          .reduce((a, b) => a.bitwiseOR(b))))
+        .as("simhash"))
+    val honSig = spark.range(0, nHon2).select(
+      (col("id") + 1000000L).as("doc_id"),
+      pmod(xxhash64(col("id"), lit(99)), lit(mask48)).as("simhash"))
+    val sig2 = ballSig.unionByName(honSig).localCheckpoint(true)
+    // Distinct-signature count inside the ball (flip masks can collide;
+    // the ball is dense by construction — many ids share a signature).
+    val nBallSims = sig2.filter(col("doc_id") < nBall)
+      .select(col("simhash")).distinct().count()
+
+    val t2 = System.nanoTime()
+    val cand2 = DedupOps.simhashCandidatesFromSig(sig2, "doc_id",
+        maxHamming = 8).localCheckpoint(true)
+    val cand2Secs = (System.nanoTime() - t2) / 1e9
+    val nCand2 = cand2.count()
+    val exact2 = DedupOps.simhashCandidatesFromSig(sig2, "doc_id",
+      maxHamming = 8, maxBucket = Int.MaxValue).localCheckpoint(true)
+    val nExact2 = exact2.count()
+    val nHit2 = exact2.intersect(cand2).count()
+    val recall2 = nHit2.toDouble / nExact2
+    // Every ball pair is true (<= 8 flips apart, chunks 2,3 shared):
+    // the exact set must contain the full ball clique.
+    val ballClique = nBall * (nBall - 1) / 2
+    val comps2 = DedupOps.connectedComponents(
+      sig2.select(col("doc_id")).filter(col("doc_id") < nBall),
+      cand2.filter(col("id_a") < nBall && col("id_b") < nBall)
+        .select(col("id_a"), col("id_b")), "doc_id")
+      .agg(countDistinct(col("component"))).head().getLong(0)
+
+    println(s"\n## Phase 2: mega-near-ball (window regime fired; " +
+      s"$nBall ball ids over $nBallSims distinct sims + $nHon2 honest)\n")
+    println("| check | measured | bound/expected | secs |")
+    println("|---|---|---|---|")
+    println(f"| exact pairs (ball clique $ballClique + coincidences) | $nExact2 | >= $ballClique | |")
+    println(f"| capped candidates | $nCand2 | << exact (window regime) | $cand2Secs%.2f |")
+    println(f"| recall under fired window degrade | $recall2%.4f | >= 0.35 (MJU floor on a FULL ball — the gate corpus regime measures 0.92) | |")
+    println(s"| ball stays ONE component | $comps2 | = 1 (every window edge hamming <= 8) | |")
+
+    require(nExact2 >= ballClique,
+      s"exact set $nExact2 < full ball clique $ballClique: ball construction broke")
+    require(recall2 >= 0.35,
+      f"window-regime recall $recall2%.4f < 0.35 floor on the dense ball")
+    require(comps2 == 1L,
+      s"ball fragmented into $comps2 components under the window degrade")
+
     val pw = new PrintWriter(new File(jsonOut))
     try pw.println(
-      f"""{"k":$k,"honest":$honest,"sim_max_bucket":${DedupOps.SimMaxBucket},"max_hamming":$maxHamming,"candidates":$nCand,"pair_bound":$pairBound,"family_pairs":$nFam,"max_family_hamming":$maxFamHam,"honest_pairs":$nHon,"n_buckets":$nBuckets,"max_bucket":$maxBucket,"n_over_cap":$nOverCap,"max_group":$maxGroup,"n_over_cap_groups":$nOverCapGroups,"cc_rounds":$rounds,"largest_component":$famSize,"components":$nComps,"cand_secs":$candSecs%.3f,"cc_secs":$ccSecs%.3f}""")
+      f"""{"k":$k,"honest":$honest,"sim_max_bucket":${DedupOps.SimMaxBucket},"max_hamming":$maxHamming,"candidates":$nCand,"pair_bound":$pairBound,"family_pairs":$nFam,"max_family_hamming":$maxFamHam,"honest_pairs":$nHon,"n_buckets":$nBuckets,"max_bucket":$maxBucket,"n_over_cap":$nOverCap,"max_group":$maxGroup,"n_over_cap_groups":$nOverCapGroups,"cc_rounds":$rounds,"largest_component":$famSize,"components":$nComps,"cand_secs":$candSecs%.3f,"cc_secs":$ccSecs%.3f,"ball_n":$nBall,"ball_distinct_sims":$nBallSims,"ball_exact":$nExact2,"ball_capped":$nCand2,"ball_recall":$recall2%.4f,"ball_components":$comps2,"ball_cand_secs":$cand2Secs%.3f}""")
     finally pw.close()
     System.err.println(s"wrote $jsonOut")
+    spark.stop()
   }
 }
