@@ -211,7 +211,7 @@ class WarehouseRaceSpec extends AnyFunSuite with SparkSuite {
     assert(!Files.exists(lock), "owner's release must delete its own lock")
   }
 
-  test("stale-lock stampede: rename-steal admits exactly one holder at a time") {
+  test("stale-lock stampede: ticketed reap admits exactly one holder at a time") {
     import spark.implicits._
     val root = tmp()
     val wh = new ParquetWarehouse(spark, root)
