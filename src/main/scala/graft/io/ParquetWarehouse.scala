@@ -205,22 +205,34 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
           // age; a duplicate winner after that re-checks the same dead
           // mtime, so a double delete hits only the corpse.
           val mtime = statMtime.get
+          var won = false
           if (mtime > 0) {
             trace(s"REAP-TRY mtime=$mtime")
             val ticket = new Path(s"${tableDir(t)}/_COMMIT_LOCK.reap.$mtime")
-            val won =
-              try { fs.create(ticket, false).close(); true }
-              catch { case _: java.io.IOException =>
-                // Ticket taken: reap a crashed winner's stale ticket so
-                // incarnation `mtime` cannot wedge forever.
-                try {
-                  val tAge = System.currentTimeMillis() -
-                    fs.getFileStatus(ticket).getModificationTime
-                  if (tAge > ParquetWarehouse.LockStaleMs)
-                    fs.delete(ticket, false)
-                } catch { case _: java.io.IOException => () }
-                false
-              }
+            // The ticket election MUST go through the same O_EXCL
+            // primitive as the lock itself (ADVICE r16): raw
+            // `fs.create(…, overwrite = false)` on Hadoop
+            // LocalFileSystem is exists-check-then-create, so two
+            // waiters could both "win" one incarnation's ticket — and
+            // the second winner's re-stat→delete can land after a fresh
+            // live lock appears, reopening the two-holders race the
+            // ticket design closes. tryCreateExclusive uses NIO
+            // Files.createFile (true O_EXCL) on the local scheme and
+            // namenode-atomic create elsewhere; the token re-read is
+            // the same belt-and-braces as the lock acquisition for any
+            // filesystem where even that create races.
+            won = tryCreateExclusive(ticket, token) &&
+              readLockToken(ticket).contains(token)
+            if (!won) {
+              // Ticket taken: reap a crashed winner's stale ticket so
+              // incarnation `mtime` cannot wedge forever.
+              try {
+                val tAge = System.currentTimeMillis() -
+                  fs.getFileStatus(ticket).getModificationTime
+                if (tAge > ParquetWarehouse.LockStaleMs)
+                  fs.delete(ticket, false)
+              } catch { case _: java.io.IOException => () }
+            }
             if (won) try {
               val cur = try Some(fs.getFileStatus(lock).getModificationTime)
                 catch { case _: java.io.FileNotFoundException => None }
@@ -231,6 +243,19 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
               catch { case _: java.io.IOException => () }
             }
           }
+          // Losing the ticket race (or a 0-mtime stat artifact) must
+          // DEGRADE TO POLLING, not hot-spin filesystem ops for up to
+          // LockStaleMs while a ticket winner finishes (or a crashed
+          // winner's ticket ages out) — and the wait budget must keep
+          // bounding the total wait in this branch too (ADVICE r16).
+          if (!won) {
+            if (waitedMs >= waitBudgetMs)
+              throw new ConcurrentWriteException(
+                s"commit lock on ${t.qualified} stale for ${age} ms but " +
+                  s"its reap is contended after ${waitedMs} ms ($lock) — " +
+                  "another waiter is reaping; retry")
+            Thread.sleep(50); waitedMs += 50
+          }
         } else if (waitedMs >= waitBudgetMs)
           throw new ConcurrentWriteException(
             s"commit lock on ${t.qualified} held for ${waitedMs} ms by a " +
@@ -238,24 +263,16 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
         else { Thread.sleep(50); waitedMs += 50 }
       }
     }
-    // Release by ATOMIC RENAME to a private grave, then post-verify:
-    // token-check-then-delete is itself a TOCTOU (a steal landing
-    // between the check and the delete would lose the thief's live
-    // lock — reachable only on a >LockStaleMs hold). Rename claims
-    // whatever sits at the lock path atomically; the post-rename token
-    // re-read on the GRAVE (a path only we name) then distinguishes a
-    // clean self-release (delete the grave) from a yanked thief lock
-    // (rename it back; if a fourth writer already created a fresh lock,
-    // delete the grave — the displaced thief's own release token-check
-    // fails loudly rather than deleting the fourth's lock). This
-    // narrows the hazard to a double failure inside a microsecond
-    // window rather than eliminating it — exclusion is ultimately
-    // time-bounded by LockStaleMs, as any lease without fencing is.
     // Release by token-check then ATOMIC RENAME to a private grave,
-    // post-verifying the grave token before the delete: with ticketed
-    // reaps never touching sub-30s locks, the only writer that can
-    // displace a live lock is a reaper of a >LockStaleMs hold — the
-    // rename+verify narrows even that to a double failure (exclusion
+    // post-verifying the grave token before the delete: a bare
+    // check-then-delete is itself a TOCTOU, and the rename claims
+    // whatever sits at the lock path atomically — a yanked thief lock
+    // is renamed back (or, if a fresh lock already replaced it, the
+    // displaced thief's own release token-check fails loudly instead
+    // of deleting the fresh one). With ticketed reaps never touching
+    // sub-30s locks, the only writer that can displace a live lock is
+    // a reaper of a >LockStaleMs hold — the rename+verify narrows even
+    // that to a double failure inside a microsecond window (exclusion
     // without fencing is ultimately time-bounded by LockStaleMs).
     try body finally {
       trace(s"RELEASE token-at-path=${readLockToken(lock).map(_.take(6))}")
@@ -380,6 +397,12 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     // sort below base and lose its dir to this sweep — that residual is
     // what the write-failure-to-ConcurrentWriteException reclassification
     // above closes (its CAS was doomed anyway; it now retries cleanly).
+    // The just-committed dir `v` is ALSO excluded unconditionally
+    // (ADVICE r16): lexicographic order is chronological only while the
+    // clock is monotone — a backward clock step (or a shared-millisecond
+    // uuid ordering) can make v sort below base, and "set pointer to v,
+    // then sweep v" would destroy the live table. `n != v` makes the
+    // new current structurally un-sweepable regardless of clock skew.
     // The loser cleans its own orphan in the Left branch; first-commit
     // case (base None): nothing to sweep.
     val sweep: Either[String, Seq[String]] = withCommitLock(t) {
@@ -402,7 +425,8 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
         setVersion(t, v)
         Right(fs.listStatus(new Path(tableDir(t)))
           .filter(_.isDirectory).map(_.getPath.getName)
-          .filter(n => n.startsWith("v_") && base.exists(b => n < b))
+          .filter(n => n.startsWith("v_") && n != v &&
+            base.exists(b => n < b))
           .toSeq)
       }
     }
@@ -441,20 +465,31 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
             // Append marker AFTER the parts land (marker ⇒ data
             // complete): any concurrent pinned-read rewrite whose CAS
             // runs after this create sees the marker-set diff and
-            // retries with our files included.
-            fs.create(new Path(s"${tableDir(t)}/$v/_app_" +
-              java.util.UUID.randomUUID().toString.take(12)), false).close()
-            // Post-append race check: if a concurrent writer swapped the
-            // pointer while we appended, our files landed in a RETIRED
-            // generation (invisible, swept by the commit after next) —
-            // fail loudly so the caller re-runs, never silently "loads"
-            // rows no reader will see.
-            val nowCur = currentVersion(t)
-            if (nowCur != Some(v))
-              throw new ConcurrentWriteException(
-                s"lost append on ${t.qualified}: appended into $v but " +
-                  s"live version is ${nowCur.getOrElse("<absent>")} — a " +
-                  "concurrent writer swapped mid-append; re-run the load")
+            // retries with our files included. Marker creation and the
+            // pointer re-check run UNDER the commit lock (ADVICE r16):
+            // unlocked, the marker could land after a merge's in-lock
+            // marker re-check while this insert's pointer re-check
+            // still read the pre-swap version — both sides report
+            // success and the swap silently drops the appended rows.
+            // Serializing this metadata-only pair (sub-ms) against the
+            // merge's marker-check-and-swap section restores the header
+            // guarantee: marker visible to the merge's in-lock re-check
+            // XOR pointer already moved when we re-check here.
+            withCommitLock(t) {
+              fs.create(new Path(s"${tableDir(t)}/$v/_app_" +
+                java.util.UUID.randomUUID().toString.take(12)), false).close()
+              // Post-append race check: if a concurrent writer swapped
+              // the pointer while we appended, our files landed in a
+              // RETIRED generation (invisible, swept by the commit
+              // after next) — fail loudly so the caller re-runs, never
+              // silently "loads" rows no reader will see.
+              val nowCur = currentVersion(t)
+              if (nowCur != Some(v))
+                throw new ConcurrentWriteException(
+                  s"lost append on ${t.qualified}: appended into $v but " +
+                    s"live version is ${nowCur.getOrElse("<absent>")} — a " +
+                    "concurrent writer swapped mid-append; re-run the load")
+            }
           case None => commitNewVersion(t, staged, base = None)
         }
       case LoadMode.TruncateInsert =>

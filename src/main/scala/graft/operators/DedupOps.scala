@@ -1018,10 +1018,17 @@ object DedupOps {
   def simhashCandidatesFromSig(sig: DataFrame, id: String,
       maxHamming: Int, maxBucket: Int = SimMaxBucket,
       variantCap: Int = SimMaxBucket): DataFrame = {
-    require(maxHamming <= SimVariantMaxHamming,
+    // The pigeonhole bound applies only when the variant-rescue stage
+    // can actually run: maxBucket = Int.MaxValue means no bucket is
+    // ever over-cap, the variant stage is provably empty, and the
+    // docstring's "disables every guard" contract holds for any
+    // maxHamming (the banding itself is recall-lossy past 8, which is
+    // the caller's explicit trade at that setting — ADVICE r16).
+    require(maxBucket == Int.MaxValue || maxHamming <= SimVariantMaxHamming,
       s"simhashCandidates: maxHamming $maxHamming > $SimVariantMaxHamming " +
         "breaks the variant-join exactness pigeonhole (some other chunk " +
-        "within hamming 2); band wider chunks or verify externally")
+        "within hamming 2); band wider chunks, verify externally, or pass " +
+        "maxBucket = Int.MaxValue to disable the capped path entirely")
     val sigM = sig.withColumn("__m",
       count(lit(1)).over(Window.partitionBy(col("simhash"))))
 
