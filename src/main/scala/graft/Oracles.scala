@@ -2310,6 +2310,19 @@ object Oracles {
     * prefix of every trained-quantizer oracle. Exposed as a value so
     * composing oracles append to it instead of re-parsing rendered SQL
     * (round-5 ADVICE: the old `indexOf("\\nSELECT cent_id")` surgery). */
+  /** Scale-aware exact-rerank depth as a DuckDB scalar subquery over
+    * the corpus CTE `v` — the SQL restatement of
+    * [[graft.operators.SimilarityOps.autoRerankStats]]'s `auto_r`:
+    * `greatest(floor, (⌈√N⌉·4) // 3)`. √, ⌈⌉ and integer division are
+    * exact in both engines, so the depth the oracle applies equals the
+    * engine's at ANY corpus scale (the gate scales sit at the floor;
+    * the sf1/100× ledger corpora exercise the √N branch). Pass as the
+    * `rerank` argument of the knn generators; fixed-depth callers pass
+    * the literal. */
+  def autoRerankSql: String =
+    s"SELECT greatest(${graft.operators.SimilarityOps.AutoRerankFloor}, " +
+      "(cast(ceil(sqrt(cast(count(*) as double))) as bigint) * 4) // 3) FROM v"
+
   private def kmeansCtePrefix(targetC: Int, iters: Int): String =
     s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
        |${kmeansChain("", 64, targetC, iters)}""".stripMargin
@@ -2376,7 +2389,7 @@ object Oracles {
     * exact fold-ordered cosine on the `rerank` shortlist only. */
   def knnIvfPq(probeEvery: Int, k: Int, targetC: Int, iters: Int,
       nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
-      rerank: Int): String = {
+      rerank: String): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (a, b) -> a + b)"
     def d2(a: String, b: String, dim: Int) =
@@ -2434,7 +2447,7 @@ object Oracles {
        |  GROUP BY cp.probe_id, cp.vec_id),
        |sl AS (SELECT probe_id, vec_id FROM (
        |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS ar
-       |  FROM adc) WHERE ar <= $rerank),
+       |  FROM adc) WHERE ar <= ($rerank)),
        |n AS (SELECT vec_id, vec, sqrt(${dot("vec", "vec")}) AS nrm FROM v),
        |s AS (SELECT sl.probe_id, sl.vec_id,
        |    ${dot("p.vec", "x.vec")} / (p.nrm * x.nrm) AS sim
@@ -2456,7 +2469,7 @@ object Oracles {
     * "append without retraining". Probes come from the original corpus. */
   def knnIvfIncremental(probeEvery: Int, k: Int, targetC: Int, iters: Int,
       nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
-      rerank: Int): String = {
+      rerank: String): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (a, b) -> a + b)"
     def d2(a: String, b: String, dim: Int) =
@@ -2522,7 +2535,7 @@ object Oracles {
        |  GROUP BY cp.probe_id, cp.vec_id),
        |sl AS (SELECT probe_id, vec_id FROM (
        |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS ar
-       |  FROM adc) WHERE ar <= $rerank),
+       |  FROM adc) WHERE ar <= ($rerank)),
        |n AS (SELECT vec_id, vec, sqrt(${dot("vec", "vec")}) AS nrm FROM va),
        |s AS (SELECT sl.probe_id, sl.vec_id,
        |    ${dot("p.vec", "x.vec")} / (p.nrm * x.nrm) AS sim
@@ -2544,7 +2557,7 @@ object Oracles {
     * [[knnIvfPq]]); same pattern as [[dedupMinhashRecall]]. */
   def knnPqRecall(probeEvery: Int, k: Int, targetC: Int, iters: Int,
       nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
-      rerank: Int): String =
+      rerank: String): String =
     s"""WITH truth AS (
        |${knnBruteForce(probeEvery, k)}
        |),
@@ -2595,7 +2608,7 @@ object Oracles {
     * recall and the residual-coding gain is a measured delta. */
   def knnPqResidualRecall(probeEvery: Int, k: Int, targetC: Int, iters: Int,
       nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
-      rerank: Int): String =
+      rerank: String): String =
     s"""WITH truth AS (
        |${knnBruteForce(probeEvery, k)}
        |),
@@ -2610,7 +2623,7 @@ object Oracles {
 
   def knnIvfPqResidual(probeEvery: Int, k: Int, targetC: Int, iters: Int,
       nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
-      rerank: Int): String = {
+      rerank: String): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (a, b) -> a + b)"
     def d2(a: String, b: String, dim: Int) =
@@ -2678,7 +2691,7 @@ object Oracles {
        |  GROUP BY cp.probe_id, cp.vec_id),
        |sl AS (SELECT probe_id, vec_id FROM (
        |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS ar
-       |  FROM adc) WHERE ar <= $rerank),
+       |  FROM adc) WHERE ar <= ($rerank)),
        |n AS (SELECT vec_id, vec, sqrt(${dot("vec", "vec")}) AS nrm FROM v),
        |s AS (SELECT sl.probe_id, sl.vec_id,
        |    ${dot("p.vec", "x.vec")} / (p.nrm * x.nrm) AS sim

@@ -3470,7 +3470,7 @@ object SparkEntry {
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
       SimilarityOps.ivfPqSearch(probes, corpus, pqIndexAuto(s, dir), KnnK,
           coarseCentroidsAuto(s, dir), pqBooks(s, dir), PqSubDim,
-          nprobe = IvfNprobe, rerank = PqRerank)
+          nprobe = IvfNprobe, rerank = PqAutoRerank)
         .select(col("probe_id"), col("vec_id"),
           round(col("sim"), 9).as("sim"), col("rank"))
     },
@@ -3496,7 +3496,7 @@ object SparkEntry {
       knnRecallCounts(s, dir, "n_pq") { (probes, corpus) =>
         SimilarityOps.ivfPqSearch(probes, corpus, pqIndexAuto(s, dir),
           KnnK, coarseCentroidsAuto(s, dir), pqBooks(s, dir), PqSubDim,
-          nprobe = IvfNprobe, rerank = PqRerank)
+          nprobe = IvfNprobe, rerank = PqAutoRerank)
       }
     },
 
@@ -3509,8 +3509,19 @@ object SparkEntry {
       knnRecallCounts(s, dir, "n_pq") { (probes, corpus) =>
         SimilarityOps.ivfPqSearch(probes, corpus, pqIndexAuto(s, dir),
           KnnK, coarseCentroidsAuto(s, dir), pqBooks(s, dir), PqSubDim,
-          nprobe = 3 * IvfNprobe, rerank = PqRerank)
+          nprobe = 3 * IvfNprobe, rerank = PqAutoRerank)
       }
+    },
+
+    // The committed auto-rerank ARITHMETIC, oracle-pinned (the auto-C
+    // pattern: when a default is derived from the corpus, the gate must
+    // reproduce the derivation, not trust it): one row of the exact
+    // integer/IEEE quantities the rerank<=0 path computes in-query.
+    // Any change to the formula, floor or coupling moves this row and
+    // fails the hash gate — the scale policy is a pinned contract, not
+    // a constant hidden in a default argument.
+    "knn_pq_auto_rerank" -> { (s, dir) =>
+      SimilarityOps.autoRerankStats(embCorpus(s, dir))
     },
 
     // Untrained-IVF recall contract: with scale-aware C = ceil(sqrt(N))
@@ -3690,7 +3701,19 @@ object SparkEntry {
   // sf0.1, nprobe=3: recall@5 19%→35% plain / 26%→37% residual going
   // 40→120, while nprobe beyond ~5 only dilutes the pool — SCALING.md
   // round-11 table). 24·k costs one slightly wider per-probe top-N.
+  // The FIXED-C gate family keeps this fixed depth; the auto-C family
+  // runs the committed scale-aware default below.
   val PqRerank = 24 * KnnK
+  // The committed scale-aware rerank default for the auto-C family:
+  // rerank <= 0 selects R = max(AutoRerankFloor, (⌈√N⌉·4) div 3) inside
+  // the search (SimilarityOps.autoRerankStats — the round-16
+  // off-manifold ledger's measured fix, committed as an operator
+  // default this round). The floor equals PqRerank, so both gate
+  // scales produce byte-identical results while the 100×/sf1 ledger
+  // corpora exercise the √N branch (597 at N = 200 k ≈ the measured
+  // R = 600 lever point). The arithmetic itself is oracle-pinned by
+  // `knn_pq_auto_rerank`.
+  val PqAutoRerank = 0
   // Sub-codebooks converge with one Lloyd pass from the hash seeds
   // (16-dim subspaces are easy); the coarse quantizer keeps KmeansIters.
   val PqIters = 1
@@ -4169,27 +4192,38 @@ object SparkEntry {
     "knn_ivf_trained" -> Oracles.knnIvfTrained(
       KnnProbeEvery, KnnK, KmeansK, KmeansIters, IvfNprobe),
     "knn_ivf_pq" -> Oracles.knnIvfPq(KnnProbeEvery, KnnK, KmeansK,
-      KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters, PqRerank),
+      KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
+      PqRerank.toString),
     "knn_ivf_pq_autoc" -> Oracles.knnIvfPq(KnnProbeEvery, KnnK, IvfAutoC,
-      KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters, PqRerank),
+      KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
+      Oracles.autoRerankSql),
     "knn_ivf_incremental" -> Oracles.knnIvfIncremental(KnnProbeEvery, KnnK,
       KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
-      PqRerank),
+      PqRerank.toString),
     "knn_ivf_pq_residual" -> Oracles.knnIvfPqResidual(KnnProbeEvery, KnnK,
       KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
-      PqRerank),
+      PqRerank.toString),
     "knn_pq_recall" -> Oracles.knnPqRecall(KnnProbeEvery, KnnK,
       KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
-      PqRerank),
+      PqRerank.toString),
     "knn_pq_autoc_recall" -> Oracles.knnPqRecall(KnnProbeEvery, KnnK,
       IvfAutoC, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
-      PqRerank),
+      Oracles.autoRerankSql),
     "knn_pq_autoc_recall_np9" -> Oracles.knnPqRecall(KnnProbeEvery, KnnK,
       IvfAutoC, KmeansIters, 3 * IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
-      PqRerank),
+      Oracles.autoRerankSql),
+    "knn_pq_auto_rerank" -> (
+      s"SELECT count(*) AS n_corpus, " +
+        "greatest(4, cast(ceil(sqrt(cast(count(*) as double))) as bigint)) " +
+        "AS auto_c, " +
+        "(cast(ceil(sqrt(cast(count(*) as double))) as bigint) * 4) // 3 " +
+        "AS auto_r_raw, " +
+        s"greatest(${graft.operators.SimilarityOps.AutoRerankFloor}, " +
+        "(cast(ceil(sqrt(cast(count(*) as double))) as bigint) * 4) // 3) " +
+        "AS auto_r FROM embeddings"),
     "knn_pq_residual_recall" -> Oracles.knnPqResidualRecall(KnnProbeEvery,
       KnnK, KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
-      PqRerank),
+      PqRerank.toString),
     "knn_ivf_recall" -> Oracles.knnIvfRecall(KnnProbeEvery, KnnK,
       IvfAutoC, IvfNprobe),
     "knn_lsh_recall" -> Oracles.knnLshRecall(KnnProbeEvery, KnnK,

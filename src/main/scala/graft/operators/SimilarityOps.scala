@@ -139,6 +139,49 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Scale-aware exact-rerank depth statistics, derived in-query from
+    * the corpus count (the [[ivfCentroids]] auto-C pattern applied to
+    * the OTHER recall knob): one row
+    * `(n_corpus, auto_c, auto_r_raw, auto_r)` where
+    * `auto_r = max(AutoRerankFloor, (⌈√N⌉·4) div 3)`.
+    *
+    * Why this formula (the round-16 off-manifold ledger,
+    * `ANN_OFFMANIFOLD_LEDGER.json` / SCALING.md): at auto-C the probed
+    * CELL COUNT grows as √N, so the ADC shortlist competes with √N-many
+    * near-tied cells and a FIXED rerank depth collapses off-manifold
+    * recall across decades (measured 0.279 → 0.049 at 100× with
+    * rerank 120). Rerank cost is probes × depth exact distances —
+    * independent of corpus size — and the measured lever point
+    * (rerank 600 at the 100× fixture, N = 200 k) recovered 3.0× the
+    * recall (0.146 vs 0.049; 87% of the exact-in-cell ceiling at 1/5
+    * its per-probe cost). `(⌈√N⌉·4) div 3` reproduces that point
+    * (⌈√200000⌉ = 448 → 597) and stays at the floor for N ≤ 8,100, so
+    * every gate-scale result is byte-identical to the previous fixed
+    * default. √/⌈⌉ and integer div are IEEE-/integer-exact in DuckDB
+    * too, so the arithmetic is oracle-pinned (gate row
+    * `knn_pq_auto_rerank`). */
+  def autoRerankStats(corpus: DataFrame): DataFrame =
+    corpus.agg(count(lit(1)).as("n_corpus"))
+      .withColumn("auto_c", expr("greatest(cast(4 as bigint), " +
+        "cast(ceil(sqrt(cast(n_corpus as double))) as bigint))"))
+      .withColumn("auto_r_raw", expr(
+        "(cast(ceil(sqrt(cast(n_corpus as double))) as bigint) * 4) div 3"))
+      .withColumn("auto_r",
+        greatest(lit(AutoRerankFloor.toLong), col("auto_r_raw")))
+
+  /** Exact-rerank floor: the fixed depth the gate scales ran before the
+    * scale-aware default existed (24·k at k = 5) — [[autoRerankStats]]
+    * returns exactly this for N ≤ 8,100, which keeps the auto default
+    * byte-stable on every oracle-gated corpus. */
+  val AutoRerankFloor = 120
+
+  /** One-row `(auto_r)` frame for the `rerank <= 0` search paths —
+    * broadcast-crossJoined into the shortlist filter so the depth is
+    * derived from the SAME coded index the search scans (a pure lazy
+    * scalar subquery, no driver-side count). */
+  private def autoRerankOf(corpusCoded: DataFrame): DataFrame =
+    autoRerankStats(corpusCoded).select(col("auto_r").as("__rr"))
+
   /** L2 rank-≤n nearest-centroid bucketing against a broadcast (trained)
     * centroid table — the shared coarse-quantization pass of every
     * trained-quantizer search ([[ivfKnnTrained]], [[ivfPqKnn]],
@@ -286,7 +329,7 @@ object SimilarityOps {
   def ivfPqSearch(
       probes: DataFrame, corpus: DataFrame, corpusCoded: DataFrame, k: Int,
       coarseCentroids: DataFrame, codebooks: DataFrame,
-      subDim: Int, nprobe: Int = 3, rerank: Int = 15,
+      subDim: Int, nprobe: Int = 3, rerank: Int = 0,
       probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
     val cents = coarseCentroids.select(col("cent_id"), col("cent_vec"))
     val buckets = l2Buckets(cents) _
@@ -316,7 +359,7 @@ object SimilarityOps {
       .select(col(probeId), col("cent_id"))
       .join(lut, probeId)
 
-    val shortlist = corpusCoded.join(broadcast(probeBuckets), Seq("cent_id"))
+    val adcRanked = corpusCoded.join(broadcast(probeBuckets), Seq("cent_id"))
       .filter(col(probeId) =!= col(corpusId))
       .select(col(probeId), col(corpusId),
         aggregate(
@@ -324,7 +367,16 @@ object SimilarityOps {
           lit(0.0), (acc, x) => acc + x).as("adc"))
       .withColumn("__ar", rank().over(
         Window.partitionBy(col(probeId)).orderBy(col("adc"), col(corpusId))))
-      .filter(col("__ar") <= rerank)
+    // rerank <= 0 selects the scale-aware depth ([[autoRerankStats]]) —
+    // the committed default: a fixed depth collapses off-manifold recall
+    // as auto-C grows the cell count (the round-16 weak mark). The depth
+    // arrives as a broadcast 1-row scalar (no driver count); the literal
+    // path keeps the WindowGroupLimit partial top-R, the auto path
+    // trades it for a post-window filter — bounded by the candidate set
+    // being only ~nprobe·N/C ≈ nprobe·√N rows per probe to begin with.
+    val shortlist = (if (rerank > 0) adcRanked.filter(col("__ar") <= rerank)
+      else adcRanked.crossJoin(broadcast(autoRerankOf(corpusCoded)))
+        .filter(col("__ar") <= col("__rr")))
       .select(col(probeId), col(corpusId))
 
     // Exact re-rank on the shortlist only: fetch the few full vectors by
@@ -349,7 +401,7 @@ object SimilarityOps {
   def ivfPqKnn(
       probes: DataFrame, corpus: DataFrame, k: Int,
       coarseCentroids: DataFrame, codebooks: DataFrame,
-      subDim: Int, nprobe: Int = 3, rerank: Int = 15,
+      subDim: Int, nprobe: Int = 3, rerank: Int = 0,
       probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame =
     ivfPqSearch(probes, corpus,
       ivfPqIndex(corpus, coarseCentroids, codebooks, subDim, corpusId),
@@ -412,7 +464,7 @@ object SimilarityOps {
   def ivfPqResidualSearch(
       probes: DataFrame, corpus: DataFrame, corpusCoded: DataFrame, k: Int,
       coarseCentroids: DataFrame, codebooks: DataFrame,
-      subDim: Int, nprobe: Int = 3, rerank: Int = 15,
+      subDim: Int, nprobe: Int = 3, rerank: Int = 0,
       probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
     val cents = coarseCentroids.select(col("cent_id"), col("cent_vec"))
     val buckets = l2Buckets(cents) _
@@ -445,7 +497,7 @@ object SimilarityOps {
           |       when l.sub > r.sub then 1 else 0 end), x -> x.mp)"""
           .stripMargin).as("luts"))
 
-    val shortlist = corpusCoded.join(broadcast(lut), Seq("cent_id"))
+    val adcRanked = corpusCoded.join(broadcast(lut), Seq("cent_id"))
       .filter(col(probeId) =!= col(corpusId))
       .select(col(probeId), col(corpusId),
         aggregate(
@@ -453,7 +505,10 @@ object SimilarityOps {
           lit(0.0), (acc, x) => acc + x).as("adc"))
       .withColumn("__ar", rank().over(
         Window.partitionBy(col(probeId)).orderBy(col("adc"), col(corpusId))))
-      .filter(col("__ar") <= rerank)
+    // Same scale-aware depth contract as [[ivfPqSearch]].
+    val shortlist = (if (rerank > 0) adcRanked.filter(col("__ar") <= rerank)
+      else adcRanked.crossJoin(broadcast(autoRerankOf(corpusCoded)))
+        .filter(col("__ar") <= col("__rr")))
       .select(col(probeId), col(corpusId))
 
     val c = corpus.select(col(corpusId), col("vec"),
@@ -477,7 +532,7 @@ object SimilarityOps {
   def ivfPqResidualKnn(
       probes: DataFrame, corpus: DataFrame, k: Int,
       coarseCentroids: DataFrame, m: Int, subDim: Int, ks: Int,
-      subIters: Int, nprobe: Int = 3, rerank: Int = 15,
+      subIters: Int, nprobe: Int = 3, rerank: Int = 0,
       probeId: String = "probe_id", corpusId: String = "vec_id"): DataFrame = {
     val books = pqResidualCodebooks(corpus, coarseCentroids, m, subDim, ks,
       subIters, corpusId)

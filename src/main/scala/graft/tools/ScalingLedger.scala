@@ -50,6 +50,9 @@ object ScalingLedger {
     // so the "auto-C np9 dominates fixed-C" claim is re-verified WITH
     // recall at every ledger scale, not just the gate scales
     "knn_ivf_pq_autoc_np9_p1k",
+    // round-17: the pre-migration fixed-120 depth pinned as a contrast
+    // row (the committed auto default is what autoc_p1k now runs)
+    "knn_ivf_pq_autoc_rr120_p1k",
     "knn_ivf_pq_residual_p1k", "kmeans_centroids", "bpe_token_counts",
     "fuzzy_name_match", "boilerplate_dict_train", "boilerplate_scrub",
     "crawl_curation_pipeline", "dedup_incremental_candidates",
@@ -143,20 +146,36 @@ object ScalingLedger {
       // build) whose coarse C tracks the corpus (⌈√N⌉ at train time) —
       // per-probe scan ∝ √N, the configuration SCALING.md prescribes
       // for 100 TB. Gate twin: knn_ivf_pq_autoc (oracle-checked).
+      // Since round 17 this row runs the COMMITTED default (rerank 0 =
+      // scale-aware auto depth), so its recall/cost across decades is
+      // the number a user of the default configuration gets.
       "knn_ivf_pq_autoc_p1k" -> ((s, dir) =>
+        graft.operators.SimilarityOps.ivfPqSearch(syntheticProbes(s),
+          SparkEntry.embCorpus(s, dir), SparkEntry.pqIndexAuto(s, dir),
+          SparkEntry.KnnK, SparkEntry.coarseCentroidsAuto(s, dir),
+          SparkEntry.pqBooks(s, dir), SparkEntry.PqSubDim,
+          nprobe = SparkEntry.IvfNprobe, rerank = SparkEntry.PqAutoRerank)),
+      // The PRE-round-17 fixed-depth configuration, pinned as the
+      // contrast row: what the default used to collapse to across
+      // decades (0.279 → 0.049 recall@5 at 100× with rerank 120). Kept
+      // so every future regen re-measures the committed default's gain
+      // against the configuration it replaced.
+      "knn_ivf_pq_autoc_rr120_p1k" -> ((s, dir) =>
         graft.operators.SimilarityOps.ivfPqSearch(syntheticProbes(s),
           SparkEntry.embCorpus(s, dir), SparkEntry.pqIndexAuto(s, dir),
           SparkEntry.KnnK, SparkEntry.coarseCentroidsAuto(s, dir),
           SparkEntry.pqBooks(s, dir), SparkEntry.PqSubDim,
           nprobe = SparkEntry.IvfNprobe, rerank = SparkEntry.PqRerank)),
       // The nprobe=9 cost point of the auto-C recall lever (standing
-      // in both decade sets since round 16, with recall fields).
+      // in both decade sets since round 16, with recall fields) — at
+      // the committed auto depth since round 17.
       "knn_ivf_pq_autoc_np9_p1k" -> ((s, dir) =>
         graft.operators.SimilarityOps.ivfPqSearch(syntheticProbes(s),
           SparkEntry.embCorpus(s, dir), SparkEntry.pqIndexAuto(s, dir),
           SparkEntry.KnnK, SparkEntry.coarseCentroidsAuto(s, dir),
           SparkEntry.pqBooks(s, dir), SparkEntry.PqSubDim,
-          nprobe = 3 * SparkEntry.IvfNprobe, rerank = SparkEntry.PqRerank)),
+          nprobe = 3 * SparkEntry.IvfNprobe,
+          rerank = SparkEntry.PqAutoRerank)),
       // The off-manifold RERANK lever (round 16): same auto-C artifacts
       // and nprobe as knn_ivf_pq_autoc_p1k, exact-rerank depth 5x
       // (600 vs 120). The 100x regen showed exact-in-cell search holds
