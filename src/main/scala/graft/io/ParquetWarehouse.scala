@@ -623,6 +623,15 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
       baseMarkers = Some(m0))
   }
 
+  /** Path of the LIVE version's data directory (what [[table]] reads),
+    * or None when the table has no live pointer — the listing target
+    * for metadata-scale corpus statistics
+    * ([[graft.io.ModelStore.corpusStat]]): the table ROOT also holds
+    * the reader-grace generation, so statting it would double-count
+    * every byte for the one commit after a rewrite. */
+  def currentDataPath(t: TableRef): Option[String] =
+    currentVersion(t).map(v => s"${tableDir(t)}/$v")
+
   /** Data files of the live version (for file-count/size accounting).
     * Recursive: partitioned tables keep their parquet parts inside
     * partition subdirectories. */

@@ -1145,24 +1145,49 @@ object DedupOps {
     * with DISTINCT corpus content - the linear-growth signal the guard
     * exists for; `max_group` grows with duplication. */
   def simhashBucketLedger(df: DataFrame, id: String, text: String,
-      maxBucket: Int = SimMaxBucket): DataFrame = {
+      maxBucket: Int = SimMaxBucket, variantCap: Int = SimMaxBucket): DataFrame = {
     // One pass over the corpus: the per-signature group frame (tiny —
     // one row per DISTINCT simhash) is the only thing materialized;
-    // both the bucket and the group aggregates derive from it.
+    // the bucket, group AND variant-stage aggregates derive from it.
     val g = simhash(df, id, text)
       .groupBy(col("simhash")).agg(count(lit(1)).as("m"))
       .localCheckpoint(true)
-    val buckets = g
+    val ch = g
       .select(explode(sequence(lit(0), lit(3))).as("c"), col("simhash"))
       .withColumn("chunk",
         shr(col("simhash"), col("c").cast("int") * 12).bitwiseAND(4095L))
+    val buckets = ch
       .groupBy(col("c"), col("chunk")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
         count(when(col("n") > maxBucket, 1)).as("n_over_cap"))
     val groups = g
       .agg(max(col("m")).as("max_group"),
         count(when(col("m") > maxBucket, 1)).as("n_over_cap_groups"))
-    buckets.crossJoin(groups)
+    // The RESCUE stage's own exposure (r16 verdict ask #6): the
+    // 13-keys-per-(sim, other-chunk) expansion is linear, but the
+    // variant-bucket CLIQUE is quadratic wherever >= 24 bits
+    // near-agree across the corpus — exactly like the level-1 buckets,
+    // so it gets the same committed population columns. Mirrors the
+    // vk construction of [[simhashCandidatesFromSig]] (over-cap level-1
+    // buckets only — the variant join never runs elsewhere).
+    val ck = ch.withColumn("__k",
+      count(lit(1)).over(Window.partitionBy(col("c"), col("chunk"))))
+    val flips = array((0L +: (0 until 12).map(b => 1L << b)).map(lit): _*)
+    val variants = ck.filter(col("__k") > maxBucket)
+      .select(col("simhash"), col("c"), col("chunk"),
+        explode(sequence(lit(0), lit(3))).as("c2"))
+      .filter(col("c2") =!= col("c"))
+      .select(col("simhash"), col("c"), col("chunk"), col("c2"),
+        explode(flips).as("__flip"))
+      .withColumn("vkey",
+        shr(col("simhash"), col("c2").cast("int") * 12).bitwiseAND(4095L)
+          .bitwiseXOR(col("__flip")))
+      .groupBy(col("c"), col("chunk"), col("c2"), col("vkey"))
+      .agg(count(lit(1)).as("vn"))
+      .agg(count(lit(1)).as("n_vkey_buckets"),
+        coalesce(max(col("vn")), lit(0L)).as("max_vkey_bucket"),
+        count(when(col("vn") > variantCap, 1)).as("n_over_variant_cap"))
+    buckets.crossJoin(groups).crossJoin(variants)
   }
 
   // ---- Edit-distance similarity join (symmetric-delete blocking) -------

@@ -93,6 +93,71 @@ class ModelStoreSpec extends AnyFunSuite with SparkSuite {
     assert(again.dropped.isEmpty && again.skippedConcurrent.isEmpty)
   }
 
+  test("getOrTrainDrifted: serve-stale inside the drift budget, retrain past it, never on rewrite") {
+    import spark.implicits._
+    val store = ModelStore(spark, freshRoot("drift"))
+    val trains = new AtomicInteger(0)
+    def train(v: Long) = { trains.incrementAndGet(); Seq((1, v)).toDF("k", "n") }
+    def servedV(stat: ModelStore.CorpusStat): Long =
+      store.getOrTrainDrifted("q", stat)(sys.error("must not retrain"))
+        .collect().head.getLong(1)
+    val fpA = "a" * 16; val fpB = "b" * 16; val fpC = "c" * 16
+    val fpD = "d" * 16; val fpE = "e" * 16; val fpF = "f" * 16
+
+    // First resolution trains at the current fingerprint.
+    store.getOrTrainDrifted("q", ModelStore.CorpusStat(fpA, 1000L, 4))(train(1))
+    assert(trains.get() == 1)
+    assert(store.servedFingerprint("q").contains(fpA))
+    // Append growth 1.8x (fingerprint MOVED — getOrTrain would retrain
+    // here): inside the 2x budget, the stale generation is served.
+    assert(servedV(ModelStore.CorpusStat(fpB, 1800L, 7)) == 1L)
+    assert(store.servedFingerprint("q").contains(fpA))
+    // Compaction/rewrite: fingerprint moves, bytes do not — no retrain.
+    assert(servedV(ModelStore.CorpusStat(fpC, 1000L, 1)) == 1L)
+    // Crossing the 2x decade retrains at the CURRENT fingerprint.
+    store.getOrTrainDrifted("q", ModelStore.CorpusStat(fpD, 2500L, 9))(train(2))
+    assert(trains.get() == 2)
+    assert(store.servedFingerprint("q").contains(fpD))
+    // The budget resets to the NEW trained point: 2500 -> 4800 < 2x.
+    assert(servedV(ModelStore.CorpusStat(fpE, 4800L, 12)) == 2L)
+    // A dropped/gc'd served artifact forces a fresh train even in-budget.
+    store.drop("q", fpD)
+    store.getOrTrainDrifted("q", ModelStore.CorpusStat(fpF, 4900L, 12))(train(3))
+    assert(trains.get() == 3)
+    assert(store.servedFingerprint("q").contains(fpF))
+  }
+
+  test("gc racing a drift retrain: skew margin defers the fresh generation, served one stays live") {
+    import spark.implicits._
+    val store = ModelStore(spark, freshRoot("driftgc"))
+    val (fp1, fp2) = ("1" * 16, "2" * 16)
+    store.getOrTrainDrifted("q", ModelStore.CorpusStat(fp1, 1000L, 1))(
+      Seq((1, 10L)).toDF("k", "n"))
+    // Drift-threshold retrain (the round-17 policy path, not a plain
+    // fingerprint-move getOrTrain — the skew guard must cover BOTH).
+    store.getOrTrainDrifted("q", ModelStore.CorpusStat(fp2, 3000L, 3))(
+      Seq((1, 20L), (2, 21L)).toDF("k", "n"))
+    assert(store.servedFingerprint("q").contains(fp2))
+    // A maintenance gc whose live set was computed BEFORE the retrain
+    // (so fp2 is "not live"): the fresh generation committed inside the
+    // skew margin must be DEFERRED, not dropped — a reader resolving
+    // through the policy right now is being handed fp2's table.
+    val rep = store.gc(Set(fp1))
+    assert(rep.dropped.isEmpty,
+      s"nothing may drop inside the skew margin, got ${rep.dropped}")
+    assert(rep.skippedConcurrent.contains(("q", fp2)),
+      s"the fresh generation must be reported deferred, got $rep")
+    assert(store.exists("q", fp2) && store.exists("q", fp1))
+    assert(store.getOrTrainDrifted("q", ModelStore.CorpusStat(fp2, 3000L, 3))(
+      sys.error("must not retrain")).count() == 2)
+    // Steady state (margin elapsed, live set refreshed from the policy):
+    // the superseded generation is reclaimed, the served one survives.
+    val rep2 = store.gc(Set(store.servedFingerprint("q").get),
+      skewMarginMs = 0L)
+    assert(rep2.dropped == Seq(("q", fp1)), s"got ${rep2.dropped}")
+    assert(store.exists("q", fp2) && !store.exists("q", fp1))
+  }
+
   test("retrain commits a new version; previous generation time-travels") {
     import spark.implicits._
     val store = ModelStore(spark, freshRoot("ver"))

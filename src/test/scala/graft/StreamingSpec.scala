@@ -673,6 +673,120 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       s"streamed/batch drift: ${streamed.diff(batch)} | ${batch.diff(streamed)}")
   }
 
+  test("pqIndexStreamDrifted: serve-stale inside a size decade, retrain across it; recall >= frozen twin") {
+    import graft.operators.{ClusterOps, SimilarityOps}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_pqdrift").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val ms = graft.io.ModelStore(spark, s"$root/models")
+    val (corpusT, idx) = (TableRef("", "vec_corpus"), TableRef("", "pq_index"))
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("vec", ArrayType(FloatType))))
+    val dim = 8; val subDim = 4; val m = 2
+    // Region A (the 1x training corpus): dyadic rationals in [-1, 1).
+    def vecA(id: Long): Seq[Float] =
+      (0 until dim).map(d => (((id * 7 + d * 3) % 33) - 16) / 16.0f)
+    // Region B (the simulated decade of appends): 8 tight clusters FAR
+    // off A's manifold (centers in {-16,-8,0,8,16}, jitter 1/4) — the
+    // regime where 1x-trained quantizers collapse (every B component
+    // saturates to the same A-trained sub-code, so ADC cannot rank).
+    def vecB(id: Long): Seq[Float] = {
+      val c = id % 8
+      (0 until dim).map { d =>
+        val center = (((c * 13 + d * 5) % 5) - 2) * 8.0f
+        center + (((id * 11 + d * 7) % 9) - 4) / 16.0f
+      }
+    }
+    def line(id: Long, v: Seq[Float]): String =
+      s"""{"vec_id":$id,"vec":[${v.mkString(",")}]}"""
+    def run(): Unit = StreamingLoad.pqIndexStreamDrifted(spark, src,
+      vecSchema, wh, corpusT, idx, ms, "pqdrift", m, subDim, ks = 4,
+      kmeansIters = 2, "vec_id", s"$root/ckpt").awaitTermination()
+
+    // Batch 1: region A only (200 vectors) — first train.
+    writeFile(src, "a.json",
+      (0L until 200L).map(i => line(i, vecA(i))).mkString("\n"))
+    run()
+    val fp1 = ms.servedFingerprint("pqdrift_coarse").get
+    assert(wh.table(idx).count() == 200)
+
+    // Batch 2: 10 B arrivals — bytes stay inside the drift budget, so
+    // the quantizers are SERVED STALE and only the fresh rows are coded
+    // (the batch-scale contract; no corpus-scale work).
+    writeFile(src, "b.json",
+      (1000L until 1010L).map(i => line(i, vecB(i))).mkString("\n"))
+    run()
+    assert(ms.servedFingerprint("pqdrift_coarse").contains(fp1),
+      "a 5% append must not retrain")
+    assert(wh.table(idx).count() == 210)
+    assert(wh.table(idx).select("qfp").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(fp1),
+      "no-retrain batch must append under the served generation")
+
+    // Batch 3: 1,000 more B vectors — the corpus crosses the 2x drift
+    // threshold: retrain + one atomic full recode under the new
+    // generation (auto-C/auto-R re-derive with it).
+    writeFile(src, "c.json",
+      (1010L until 2010L).map(i => line(i, vecB(i))).mkString("\n"))
+    run()
+    val fp2 = ms.servedFingerprint("pqdrift_coarse").get
+    assert(fp2 != fp1, "crossing the drift decade must retrain")
+    assert(wh.table(idx).count() == 1210)
+    assert(wh.table(idx).select("qfp").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(fp2),
+      "a decade crossing must recode the WHOLE index — mixed-generation " +
+        "codes are structurally invalid")
+
+    // Recall re-measured: probes from region B (where staleness hurts)
+    // against the brute-force truth, drifted-served artifacts vs the
+    // FROZEN twin (the same recipe trained on region A only — what
+    // pqIndexStream with 1x artifacts would still serve).
+    val corpus = wh.table(corpusT).select(col("vec_id"), col("vec"))
+      .localCheckpoint(true)
+    val probes = (0 until 16).map { j =>
+      val id = 1000L + j * 61L
+      (900000L + j, vecB(id))
+    }.toDF("probe_id", "probe_vec")
+    val truth = SimilarityOps.bruteForceKnn(probes, corpus, 5)
+      .select(col("probe_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(cents: org.apache.spark.sql.DataFrame,
+        books: org.apache.spark.sql.DataFrame,
+        coded: org.apache.spark.sql.DataFrame): Double = {
+      val got = SimilarityOps.ivfPqSearch(probes, corpus, coded, 5,
+          cents, books, subDim, nprobe = 3)
+        .select(col("probe_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    // Served (post-retrain) artifacts: resolving them again must NOT
+    // retrain — the train thunk is a tripwire.
+    val statNow = graft.io.ModelStore.corpusStat(spark,
+      wh.currentDataPath(corpusT).toSeq)
+    val servedCents = ms.getOrTrainDrifted("pqdrift_coarse", statNow)(
+      sys.error("serve-time resolution must not retrain"))
+    val servedBooks = ms.getOrTrainDrifted("pqdrift_books", statNow)(
+      sys.error("serve-time resolution must not retrain"))
+    val rDrifted = recallOf(servedCents, servedBooks,
+      wh.table(idx).drop("qfp"))
+    val corpusA = (0L until 200L).map(i => (i, vecA(i))).toDF("vec_id", "vec")
+    val frozenInit = SimilarityOps.ivfCentroids(corpusA, 0)
+      .select(col("cent_id"),
+        transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+    val frozenCents = ClusterOps.kmeans(corpusA, frozenInit, 2)
+      .localCheckpoint(true)
+    val frozenBooks = SimilarityOps.pqCodebooks(corpusA, m, subDim, 4, 2)
+      .localCheckpoint(true)
+    val rFrozen = recallOf(frozenCents, frozenBooks,
+      SimilarityOps.ivfPqIndex(corpus, frozenCents, frozenBooks, subDim))
+    assert(rDrifted >= rFrozen,
+      f"retrained recall $rDrifted%.3f < frozen recall $rFrozen%.3f")
+    assert(rDrifted >= 0.6,
+      f"retrained recall $rDrifted%.3f below floor 0.6 (frozen: $rFrozen%.3f)")
+  }
+
   test("qualityGateStream: frozen trained gate == batch filter; spam rejected") {
     import graft.operators.QualityModelOps
     import spark.implicits._
