@@ -244,6 +244,23 @@ object ScalingLedger {
     "simhash_near_dup", "simhash_bucket_ledger",
     "dedup_substring", "substring_scrub", "sequence_pack_plan_bpe")
 
+  /** Gate rows that RETURN recall counts as one row (truth count first,
+    * hit count last): their recall_base/recall_scaled come from the row
+    * itself — one extra untimed execution per scale (r16 verdict ask
+    * #3: the Heaps ledger had fixture tags but no recall columns, so
+    * banding recall under honest vocabulary growth was unmeasured). */
+  val CountsRecallQueries: Set[String] = Set(
+    "dedup_minhash_recall", "dedup_minhash_recall_tuned",
+    "simhash_recall", "simhash_recall_window", "session_topk_recall")
+
+  /** (truth, hit) read from a counts-contract row — untimed evidence
+    * pass, after all timing like [[annRecall]]. */
+  def countsRecall(s: SparkSession, dir: String, name: String): (Long, Long) = {
+    val r = resolve(name)(s, dir).head()
+    graft.ToolSession.clearStorage(s)
+    (r.getLong(0), r.getLong(r.size - 1))
+  }
+
   /** recall@k of a fixed-probe ANN twin vs the brute-force truth over
     * the SAME corpus it searched (merged corpus for the incremental
     * row), as (n_true, n_hit). Untimed evidence pass — the truth cost
@@ -335,9 +352,12 @@ object ScalingLedger {
     // scales (after all timing — the brute-force truth pass must not
     // warm or contend with the measured rows).
     val annNames = names.filter(ProbeCounts.contains)
+    val countsNames = names.filter(CountsRecallQueries.contains)
     val recall: Map[(String, String), (Long, Long)] =
       (annNames.map(n => (n, "base") -> annRecall(spark, baseDir, n)) ++
-       annNames.map(n => (n, "scaled") -> annRecall(spark, scaledDir, n))).toMap
+       annNames.map(n => (n, "scaled") -> annRecall(spark, scaledDir, n)) ++
+       countsNames.map(n => (n, "base") -> countsRecall(spark, baseDir, n)) ++
+       countsNames.map(n => (n, "scaled") -> countsRecall(spark, scaledDir, n))).toMap
     recall.toSeq.sortBy(_._1).foreach { case ((n, side), (t, h)) =>
       System.err.println(f"recall $n%-32s $side%-6s $h/$t")
     }
@@ -362,14 +382,19 @@ object ScalingLedger {
     }
 
     val json = paired.map { case (b, s) =>
-      val probeFields = ProbeCounts.get(b.query).fold("") { n =>
-        val rb = recall.get((b.query, "base"))
-        val rs = recall.get((b.query, "scaled"))
-        val recallFields = (rb, rs) match {
-          case (Some((tb, hb)), Some((ts, hs))) =>
-            f""","recall_base":${hb.toDouble / math.max(tb, 1L)}%.4f,"recall_scaled":${hs.toDouble / math.max(ts, 1L)}%.4f,"recall_k":${SparkEntry.KnnK}"""
-          case _ => ""
-        }
+      // Recall fields for any query with measured recall evidence —
+      // the fixed-probe ANN twins (recall vs brute truth, recall_k
+      // tagged) and the counts-contract rows (recall from their own
+      // (truth, …, hit) row, no k — the contract defines the truth).
+      val recallFields = (recall.get((b.query, "base")),
+          recall.get((b.query, "scaled"))) match {
+        case (Some((tb, hb)), Some((ts, hs))) =>
+          val kTag = if (ProbeCounts.contains(b.query))
+            s""","recall_k":${SparkEntry.KnnK}""" else ""
+          f""","recall_base":${hb.toDouble / math.max(tb, 1L)}%.4f,"recall_scaled":${hs.toDouble / math.max(ts, 1L)}%.4f$kTag"""
+        case _ => ""
+      }
+      val probeFields = ProbeCounts.get(b.query).fold(recallFields) { n =>
         f""","probes":$n,"per_probe_ms_base":${b.run2 * 1000 / n}%.3f,"per_probe_ms_scaled":${s.run2 * 1000 / n}%.3f$recallFields"""
       }
       val fixtureTag =

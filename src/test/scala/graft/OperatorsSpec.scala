@@ -199,13 +199,19 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
         s"${(rescued -- exact).size} pairs under a level-1 cap of 2")
     // Both caps forced: the sorted-window degrade is the only lossy
     // stage. Precision stays structural (every emitted pair shares a
-    // chunk and passed the hamming filter); recall is the measured
-    // floor — 0.864 at sf0.1/cap 32 (gate row simhash_recall_window),
-    // asserted here at >= 0.5 on the harder cap-2 regime.
+    // chunk and passed the hamming filter); recall floors, tightened
+    // r17 to the measured values minus a band (r16 verdict ask #4):
+    // this fixture measures 1.0 (the 4-rotation windows recover every
+    // pair at cap 2 on sf0.001) — floor 0.9, so a deliberate 10-point
+    // regression fails HERE even if code and oracle are changed
+    // consistently; the gate rows pin 0.9203 at sf0.1/cap 32
+    // (simhash_recall_window) and SimhashCapProbe floors the dense
+    // near-ball regime at 0.5 (measured 0.557).
     val windowed = pairs(2, vc = 2)
     assert(windowed.subsetOf(exact), "window degrade emitted a false pair")
-    assert(windowed.size * 2 >= exact.size,
-      s"window-degrade recall ${windowed.size}/${exact.size} below 0.5 floor")
+    assert(windowed.size * 10 >= exact.size * 9,
+      s"window-degrade recall ${windowed.size}/${exact.size} below 0.9 floor " +
+        "(this fixture measured 1.0 at r17)")
   }
 
   test("connectedComponents collapses transitive chains; keepClusterMin keeps one per cluster") {
