@@ -6,6 +6,8 @@
 #   LshCapProbe      — MinHash bucket cap end-to-end (candidates + CC)
 #   SimhashCapProbe  — SimHash chunk cap end-to-end (candidates + CC)
 #   IvfAppendProbe   — incremental ANN append (exactly-once, work, recall)
+#   DriftRetrainProbe — committed drift-threshold retrain policy at 1M
+#                     (log2 cadence, one generation, recall vs frozen twin)
 #   IncCcProbe       — incremental CC (parity, batch-sized work, replay)
 #   CurationStreamProbe — composed url/scrub/quality/near-dup ingest stream
 #                     (exact per-stage growth, flat batch wall, replay=0)
@@ -20,9 +22,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 JAVA="java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp target/scala-2.13/classes:/opt/spark/jars/*"
-PROBES=${@:-CcProbe LshCapProbe SimhashCapProbe IvfAppendProbe IncCcProbe CurationStreamProbe}
+PROBES=${@:-CcProbe LshCapProbe SimhashCapProbe IvfAppendProbe DriftRetrainProbe IncCcProbe CurationStreamProbe}
 declare -A OUT=( [CcProbe]=CC_PROBE.json [LshCapProbe]=LSH_CAP_PROBE.json \
   [SimhashCapProbe]=SIMHASH_CAP_PROBE.json [IvfAppendProbe]=IVF_APPEND_PROBE.json \
+  [DriftRetrainProbe]=DRIFT_RETRAIN_PROBE.json \
   [IncCcProbe]=INC_CC_PROBE.json [CurationStreamProbe]=CURATION_STREAM_PROBE.json )
 for p in $PROBES; do
   if [[ -z "${OUT[$p]:-}" ]]; then

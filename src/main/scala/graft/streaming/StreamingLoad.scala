@@ -574,64 +574,92 @@ object StreamingLoad {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         batchStorageScope(spark) {
-        import org.apache.spark.sql.functions._
-        val ops = graft.operators.SimilarityOps
-        val batch = onePerId(batch0, idField)
-        // Replay/dup guard against the system of record, then append —
-        // the corpus table is committed FIRST (its presence is what the
-        // index is rebuilt from; index-first + crash would strand coded
-        // rows with no raw vectors behind them, CONTRACTS §8c order).
-        val fresh = (if (warehouse.exists(corpusTable))
-            batch.join(warehouse.table(corpusTable).select(col(idField)),
-              Seq(idField), "left_anti")
-          else batch).select(col(idField), col("vec"))
-          .localCheckpoint(true)
-        if (warehouse.exists(corpusTable))
-          warehouse.load(LoadMode.Insert, corpusTable, fresh, idField)
-        else warehouse.create(corpusTable, fresh)
-        // Metadata-only size/identity stat of the live corpus dir.
-        val stat = graft.io.ModelStore.corpusStat(spark,
-          warehouse.currentDataPath(corpusTable).toSeq)
-        val corpus = warehouse.table(corpusTable)
-          .select(col(idField), col("vec"))
-        val cents = modelStore.getOrTrainDrifted(
-            s"${artifactPrefix}_coarse", stat, driftFactor) {
-          val initial = ops.ivfCentroids(corpus, 0, idField)
-            .select(col("cent_id"),
-              transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
-          graft.operators.ClusterOps.kmeans(corpus, initial, kmeansIters, idField)
-        }
-        val books = modelStore.getOrTrainDrifted(
-            s"${artifactPrefix}_books", stat, driftFactor)(
-          ops.pqCodebooks(corpus, m, subDim, ks, kmeansIters, idField))
-        val qfp = modelStore.servedFingerprint(s"${artifactPrefix}_coarse")
-          .getOrElse(sys.error(s"no served quantizer for $artifactPrefix"))
-        val indexedQfp =
-          if (!warehouse.exists(indexTable)) None
-          else warehouse.table(indexTable).select(col("qfp")).head(1)
-            .headOption.map(_.getString(0))
-        indexedQfp match {
-          case Some(old) if old == qfp =>
-            // Same quantizer generation: code the fresh rows only.
-            val newRows = fresh.join(
-              warehouse.table(indexTable).select(col(idField)),
-              Seq(idField), "left_anti")
-            val coded = ops.ivfPqIndex(newRows, cents, books, subDim, idField)
-              .withColumn("qfp", lit(qfp)).localCheckpoint(true)
-            warehouse.load(LoadMode.Insert, indexTable, coded, idField)
-          case _ =>
-            // First build, or this batch crossed a drift decade: recode
-            // the ENTIRE corpus under the served quantizers (one atomic
-            // swap — readers see the old index until the pointer moves).
-            val coded = ops.ivfPqIndex(corpus, cents, books, subDim, idField)
-              .withColumn("qfp", lit(qfp)).localCheckpoint(true)
-            if (warehouse.exists(indexTable))
-              warehouse.load(LoadMode.TruncateInsert, indexTable, coded, idField)
-            else warehouse.create(indexTable, coded)
-        }
+          pqIndexBatchDrifted(spark, warehouse, corpusTable, indexTable,
+            modelStore, artifactPrefix, m, subDim, ks, kmeansIters, idField,
+            driftFactor)(batch0)
+          ()
         }
       }
       .start()
+
+  /** One micro-batch of [[pqIndexStreamDrifted]] — the committed
+    * per-batch body, extracted so the 1M-scale probe
+    * ([[graft.tools.DriftRetrainProbe]]) drives the EXACT code path the
+    * stream runs (parquet-sourced batches instead of the JSON stream
+    * plumbing, which StreamingSpec covers). Returns true iff this batch
+    * RETRAINED (recoded the whole index under a new quantizer
+    * generation). */
+  private[graft] def pqIndexBatchDrifted(
+      spark: SparkSession,
+      warehouse: ParquetWarehouse,
+      corpusTable: TableRef,
+      indexTable: TableRef,
+      modelStore: graft.io.ModelStore,
+      artifactPrefix: String,
+      m: Int,
+      subDim: Int,
+      ks: Int,
+      kmeansIters: Int,
+      idField: String,
+      driftFactor: Double)(batch0: DataFrame): Boolean = {
+    import org.apache.spark.sql.functions._
+    val ops = graft.operators.SimilarityOps
+    val batch = onePerId(batch0, idField)
+    // Replay/dup guard against the system of record, then append —
+    // the corpus table is committed FIRST (its presence is what the
+    // index is rebuilt from; index-first + crash would strand coded
+    // rows with no raw vectors behind them, CONTRACTS §8c order).
+    val fresh = (if (warehouse.exists(corpusTable))
+        batch.join(warehouse.table(corpusTable).select(col(idField)),
+          Seq(idField), "left_anti")
+      else batch).select(col(idField), col("vec"))
+      .localCheckpoint(true)
+    if (warehouse.exists(corpusTable))
+      warehouse.load(LoadMode.Insert, corpusTable, fresh, idField)
+    else warehouse.create(corpusTable, fresh)
+    // Metadata-only size/identity stat of the live corpus dir.
+    val stat = graft.io.ModelStore.corpusStat(spark,
+      warehouse.currentDataPath(corpusTable).toSeq)
+    val corpus = warehouse.table(corpusTable)
+      .select(col(idField), col("vec"))
+    val cents = modelStore.getOrTrainDrifted(
+        s"${artifactPrefix}_coarse", stat, driftFactor) {
+      val initial = ops.ivfCentroids(corpus, 0, idField)
+        .select(col("cent_id"),
+          transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+      graft.operators.ClusterOps.kmeans(corpus, initial, kmeansIters, idField)
+    }
+    val books = modelStore.getOrTrainDrifted(
+        s"${artifactPrefix}_books", stat, driftFactor)(
+      ops.pqCodebooks(corpus, m, subDim, ks, kmeansIters, idField))
+    val qfp = modelStore.servedFingerprint(s"${artifactPrefix}_coarse")
+      .getOrElse(sys.error(s"no served quantizer for $artifactPrefix"))
+    val indexedQfp =
+      if (!warehouse.exists(indexTable)) None
+      else warehouse.table(indexTable).select(col("qfp")).head(1)
+        .headOption.map(_.getString(0))
+    indexedQfp match {
+      case Some(old) if old == qfp =>
+        // Same quantizer generation: code the fresh rows only.
+        val newRows = fresh.join(
+          warehouse.table(indexTable).select(col(idField)),
+          Seq(idField), "left_anti")
+        val coded = ops.ivfPqIndex(newRows, cents, books, subDim, idField)
+          .withColumn("qfp", lit(qfp)).localCheckpoint(true)
+        warehouse.load(LoadMode.Insert, indexTable, coded, idField)
+        false
+      case _ =>
+        // First build, or this batch crossed a drift decade: recode
+        // the ENTIRE corpus under the served quantizers (one atomic
+        // swap — readers see the old index until the pointer moves).
+        val coded = ops.ivfPqIndex(corpus, cents, books, subDim, idField)
+          .withColumn("qfp", lit(qfp)).localCheckpoint(true)
+        if (warehouse.exists(indexTable))
+          warehouse.load(LoadMode.TruncateInsert, indexTable, coded, idField)
+        else warehouse.create(indexTable, coded)
+        true
+    }
+  }
 
   /** Incremental boilerplate-dictionary maintenance — keeps the
     * [[graft.operators.TextOps.boilerplateDict]] artifact fresh as the
