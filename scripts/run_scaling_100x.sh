@@ -66,7 +66,7 @@ exec $JAVA graft.tools.ScalingLedger "$BASE" "$SF10" 100 SCALING_LEDGER_100X.jso
   knn_ivf_pq_residual_p1k kmeans_centroids bpe_token_counts \
   fuzzy_name_match boilerplate_dict_train boilerplate_scrub \
   crawl_curation_pipeline dedup_incremental_candidates \
-  dedup_minhash_recall dedup_minhash_recall_tuned \
+  dedup_minhash_recall dedup_minhash_recall_r8 \
   dedup_ngram_jaccard domain_cap_sample quality_model_filter \
   url_canonicalize url_dedup \
   knn_ivf_incremental_p1k dedup_lsh_bucket_ledger \

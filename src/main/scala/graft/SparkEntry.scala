@@ -929,23 +929,25 @@ object SparkEntry {
         .filter(col("est_jaccard") >= MinhashMinEst)
     },
 
-    // The MinHash recall CONTRACT, measured in-gate: banding is a
-    // recall/cost trade (SCALING.md documents 45% at t=0.5 on this
-    // degenerate ~40-word vocabulary), so the gate pins the exact
-    // numbers — true pairs at the Jaccard threshold, banded candidate
-    // pairs, and their overlap — rather than trusting the S-curve math
-    // blindly. Composes the two already-oracle-green chains; 1-row
-    // aggregate crossJoins are broadcast-bounded by construction.
+    // The MinHash recall CONTRACT, measured in-gate at the COMMITTED
+    // production banding (8 bands of r=4, DedupOps.Bands: per-band
+    // collision sim^4, so the planted J~0.8 pairs collide with prob
+    // ~1-(1-0.41)^8 ~ 0.985): true pairs at the Jaccard threshold,
+    // banded candidate pairs, and their overlap as integer-exact
+    // counts — the S-curve math pinned by measurement, not trusted.
+    // Composes the two already-oracle-green chains; 1-row aggregate
+    // crossJoins are broadcast-bounded by construction.
     "dedup_minhash_recall" -> ((s, dir) => minhashRecallCounts(s, dir,
       DedupOps.Bands)),
 
-    // Same measurement at the recall-TUNED banding (8 bands of r=4:
-    // per-band collision sim^4, so the planted J~0.8 pairs collide with
-    // prob ~1-(1-0.41)^8 ~ 0.985 vs ~0.32 at the default r=8). The
-    // operator takes any bands | K; the gate pins BOTH configs so the
-    // trade is a measured table, not a docstring claim.
-    "dedup_minhash_recall_tuned" -> ((s, dir) => minhashRecallCounts(s, dir,
-      bands = 8)),
+    // Same measurement at the r=8 CONTRAST banding (4 bands of r=8 —
+    // the pre-r18 default, collision sim^8, S-curve midpoint ~0.84):
+    // kept in-gate so the trade that motivated the flip stays a
+    // measured table (~0.3 recall here vs ~0.94 above at t=0.5) and so
+    // the exact-leaning configuration callers can still pick
+    // (`bands = 4` for t >~ 0.85 duty) keeps its own pinned numbers.
+    "dedup_minhash_recall_r8" -> ((s, dir) => minhashRecallCounts(s, dir,
+      bands = 4)),
 
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")),
@@ -3753,7 +3755,7 @@ object SparkEntry {
     * sanity-checked against [[queries]] at Bench startup. */
   lazy val ContractQueries: Set[String] = {
     val cq = Set(
-      "dedup_minhash_recall", "dedup_minhash_recall_tuned",
+      "dedup_minhash_recall", "dedup_minhash_recall_r8",
       "simhash_recall", "simhash_recall_window", "simhash_bucket_ledger",
       "dedup_lsh_bucket_ledger", "fuzzy_block_ledger", "jaccard_df_ledger",
       "knn_ivf_recall", "knn_lsh_recall", "knn_pq_recall",
@@ -3929,9 +3931,9 @@ object SparkEntry {
     "dedup_minhash_recall" ->
       Oracles.dedupMinhashRecall(Oracles.plantedDocs, NgramMinJaccard,
         sampleMod = RecallSampleMod),
-    "dedup_minhash_recall_tuned" ->
+    "dedup_minhash_recall_r8" ->
       Oracles.dedupMinhashRecall(Oracles.plantedDocs, NgramMinJaccard,
-        r = 4, sampleMod = RecallSampleMod),
+        r = 8, sampleMod = RecallSampleMod),
     "dedup_cc_components" ->
       Oracles.ccComponentsBanded(Oracles.plantedDocs, MinhashMinEst),
     "dedup_cc_components_exact" ->

@@ -83,21 +83,56 @@ final class ModelStore(spark: SparkSession, val root: String) {
     * forever (the measured 100× collapse: per-probe 2.8 → 61 ms,
     * recall@5 0.338 → 0.013 against 1×-trained centroids —
     * `SCALING.md`, round 16's weak mark). This entry point serves the
-    * artifact trained at the last retrain point until the corpus DATA
-    * BYTES (from the same listStatus-only pass as the fingerprint —
-    * `stat`, no data read) exceed `driftFactor` × the bytes it was
-    * trained on, then retrains at the current fingerprint and moves
-    * the policy row. Consequences, all intended:
+    * artifact trained at the last retrain point until EITHER of two
+    * listing-only signals (from the same listStatus pass as the
+    * fingerprint — `stat`, no data read) exceeds `driftFactor` × the
+    * bytes it was trained on, then retrains at the current fingerprint
+    * and moves the policy row:
     *
-    *   - retrains happen on size DECADES (factor 2 ⇒ log₂(growth)
-    *     retrains over a corpus's lifetime: 2×, 4×, 8× …), matching
+    *   - GROWTH: live corpus data bytes — the r17 trigger;
+    *   - CHURN: cumulative bytes of NEW-IDENTITY files observed since
+    *     the trained point (each call diffs the live listing's
+    *     (path, length, mtime) keys against the last observed set and
+    *     accrues the fresh files' bytes into the policy row). This
+    *     covers the axis the growth trigger is blind to: a
+    *     steady-state-size, upsert-heavy corpus whose CONTENT drifts —
+    *     bytes never cross the growth budget, but every rewritten file
+    *     is churn, so the policy retrains once per `driftFactor`
+    *     corpus-rewrites of fresh data. The signal is PHYSICAL new
+    *     bytes: in a rewrite-style store (this warehouse's Upsert
+    *     rewrites the version dir) it upper-bounds logical churn —
+    *     the retrain is then amortized against rewrite I/O the
+    *     pipeline already paid — while in file-granular stores
+    *     (append + partition rewrite) it tracks logical turnover.
+    *
+    * Consequences, all intended:
+    *
+    *   - retrains happen on size OR churn decades (factor 2 ⇒ log₂
+    *     retrains over a corpus's lifetime on either axis), matching
     *     how auto-C/auto-R degrade — quantizer quality is a function
-    *     of relative, not absolute, growth;
-    *   - a compaction/rewrite (bytes ≈ const) moves the fingerprint
-    *     but NOT the served artifact — no spurious retrain where
-    *     [[getOrTrain]] would pay one;
-    *   - shrinkage (heavy dedup) also retrains only via growth past
-    *     the trained point, never thrash.
+    *     of relative, not absolute, change;
+    *   - a SINGLE compaction/rewrite (bytes ≈ const) still never
+    *     retrains at the default factor 2 — one full rewrite is 1×
+    *     churn, inside the budget; only a second full rewrite (which
+    *     is indistinguishable metadata-only from full content
+    *     replacement, so retraining is the correct conservative
+    *     choice) crosses it;
+    *   - shrinkage (heavy dedup) retrains only via the churn its
+    *     rewrite generates, never thrash;
+    *   - a caller whose `stat` carries no file entries (legacy
+    *     [[ModelStore.CorpusStat]] construction) gets the r17
+    *     growth-only behavior — the churn trigger arms itself the
+    *     first time entries flow.
+    *
+    * Concurrency: the decide-train-update sequence is serialized by a
+    * JVM-local key lock only — the store assumes ONE logical writer
+    * per (store root, artifact name), the same single-maintainer
+    * contract as [[gc]]/[[ParquetWarehouse.vacuum]]. Two driver
+    * processes sharing a root can both pass the drift check and train
+    * redundantly; both produce the same deterministic artifact and the
+    * meta row is last-writer-wins, so the damage is wasted work and a
+    * skewed cadence baseline, never a wrong artifact ([[getOrTrain]]
+    * shares the assumption).
     *
     * Callers that gc must keep [[servedFingerprint]] in `liveFps` —
     * the served generation can be arbitrarily old by design. */
@@ -107,40 +142,80 @@ final class ModelStore(spark: SparkSession, val root: String) {
     require(driftFactor >= 1.0, s"driftFactor $driftFactor < 1 would retrain on shrink-only")
     val mr = metaRef(name)
     ModelStore.keyLock(s"$root/${mr.qualified}").synchronized {
-      val meta =
-        if (wh.exists(mr)) {
-          val r = wh.table(mr).select("fp", "bytes").head()
-          Some((r.getString(0), r.getLong(1)))
-        } else None
+      val meta = readMeta(mr)
+      val liveKeys = stat.fileEntries
+      // Fresh-identity bytes this call: live files whose key the last
+      // observed listing did not contain. Diff over driver-side key
+      // sets — listing-scale (one Long per file), never a data read.
+      val newBytes = meta match {
+        case Some(m) if m.seenKeys.nonEmpty && liveKeys.nonEmpty =>
+          liveKeys.iterator.filterNot(e => m.seenKeys.contains(e._1))
+            .map(_._2).sum
+        case _ => 0L
+      }
       val serveFp = meta match {
-        // Serve the trained generation while growth stays inside the
-        // drift budget (and the artifact still exists — a gc'd or
-        // dropped artifact forces a fresh train regardless).
-        case Some((fp0, b0))
-            if exists(name, fp0) && stat.bytes.toDouble <= driftFactor * b0 =>
-          fp0
+        // Serve the trained generation while growth AND accumulated
+        // churn stay inside the drift budget (and the artifact still
+        // exists — a gc'd or dropped artifact forces a fresh train).
+        case Some(m)
+            if exists(name, m.fp) &&
+              stat.bytes.toDouble <= driftFactor * m.trainedBytes &&
+              (m.churn + newBytes).toDouble <= driftFactor * m.trainedBytes =>
+          // Persist the churn accumulator + observed listing iff new
+          // identities appeared (or the trigger is arming for the
+          // first time) — steady state stays a read-only serve path.
+          if (newBytes > 0 || (m.seenKeys.isEmpty && liveKeys.nonEmpty))
+            writeMeta(mr, m.fp, m.trainedBytes, m.trainedFiles,
+              m.churn + newBytes, liveKeys)
+          m.fp
         case _ =>
           getOrTrain(name, stat.fp)(train)
-          val metaDf = {
-            import spark.implicits._
-            Seq((stat.fp, stat.bytes, stat.files)).toDF("fp", "bytes", "files")
-          }
-          if (wh.exists(mr)) wh.load(LoadMode.TruncateInsert, mr, metaDf, "fp")
-          else wh.create(mr, metaDf)
+          writeMeta(mr, stat.fp, stat.bytes, stat.files, 0L, liveKeys)
           stat.fp
       }
       wh.table(ref(name, serveFp))
     }
   }
 
+  private case class Meta(fp: String, trainedBytes: Long,
+      trainedFiles: Long, churn: Long, seenKeys: Set[Long])
+
+  /** Policy row + last observed file-identity keys from the `__meta`
+    * table — ONE table, one atomic TruncateInsert per update, so the
+    * accumulator and its baseline listing can never be torn by a crash.
+    * Legacy single-row (fp, bytes, files) metas read as churn 0 / no
+    * keys (the r17 growth-only behavior until entries flow). */
+  private def readMeta(mr: TableRef): Option[Meta] =
+    if (!wh.exists(mr)) None
+    else {
+      val df = wh.table(mr)
+      if (!df.columns.contains("kind")) {
+        val r = df.select("fp", "bytes", "files").head()
+        Some(Meta(r.getString(0), r.getLong(1), r.getLong(2), 0L, Set.empty))
+      } else {
+        val p = df.filter(org.apache.spark.sql.functions.col("kind") === "policy")
+          .select("fp", "bytes", "files", "churn").head()
+        val keys = df.filter(org.apache.spark.sql.functions.col("kind") === "fkey")
+          .select("fkey").collect().map(_.getLong(0)).toSet
+        Some(Meta(p.getString(0), p.getLong(1), p.getLong(2), p.getLong(3), keys))
+      }
+    }
+
+  private def writeMeta(mr: TableRef, fp: String, bytes: Long, files: Long,
+      churn: Long, seen: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val rows = ("policy", fp, bytes, files, churn, 0L) +:
+      seen.map { case (k, _) => ("fkey", fp, 0L, 0L, 0L, k) }
+    val metaDf = rows.toDF("kind", "fp", "bytes", "files", "churn", "fkey")
+    if (wh.exists(mr)) wh.load(LoadMode.TruncateInsert, mr, metaDf, "fkey")
+    else wh.create(mr, metaDf)
+  }
+
   /** Fingerprint the drift policy currently serves for `name` (None
     * before the first train). Include in [[gc]]'s `liveFps`: the served
     * generation is old by design between retrain points. */
-  def servedFingerprint(name: String): Option[String] = {
-    val mr = metaRef(name)
-    if (!wh.exists(mr)) None
-    else Some(wh.table(mr).select("fp").head().getString(0))
-  }
+  def servedFingerprint(name: String): Option[String] =
+    readMeta(metaRef(name)).map(_.fp)
 
   /** Retained version ids of an artifact (oldest first). */
   def versions(name: String, corpusFp: String): Seq[String] =
@@ -254,9 +329,13 @@ object ModelStore {
 
   /** What one listStatus pass over a corpus yields: the identity
     * fingerprint plus the size signals the drift-threshold policy
-    * compares ([[ModelStore.getOrTrainDrifted]]). Metadata-only, like
-    * [[fingerprint]]. */
-  final case class CorpusStat(fp: String, bytes: Long, files: Long)
+    * compares ([[ModelStore.getOrTrainDrifted]]). `fileEntries` is the
+    * per-file identity (64-bit key over path|length|mtime, data bytes)
+    * the churn trigger diffs — one Long pair per file (≈16 MB driver
+    * memory per million files), still listing-only. An empty seq
+    * (legacy construction) disables the churn axis. */
+  final case class CorpusStat(fp: String, bytes: Long, files: Long,
+      fileEntries: Seq[(Long, Long)] = Nil)
 
   /** Growth factor past the trained corpus size at which
     * [[ModelStore.getOrTrainDrifted]] retrains: 2 ⇒ retrain at 2×, 4×,
@@ -275,6 +354,7 @@ object ModelStore {
   def corpusStat(spark: SparkSession, paths: Seq[String]): CorpusStat = {
     val conf = spark.sessionState.newHadoopConf()
     val entries = Seq.newBuilder[String]
+    val fileEntries = Seq.newBuilder[(Long, Long)]
     var bytes = 0L
     var files = 0L
     paths.sorted.foreach { p =>
@@ -286,7 +366,9 @@ object ModelStore {
           val st = it.next()
           val n = st.getPath.getName
           if (!n.startsWith("_") && !n.startsWith(".")) {
-            entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+            val e = s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+            entries += e
+            fileEntries += ((entryKey(e), st.getLen))
             bytes += st.getLen
             files += 1
           }
@@ -296,6 +378,14 @@ object ModelStore {
     CorpusStat(
       org.apache.commons.codec.digest.DigestUtils
         .md5Hex(entries.result().sorted.mkString("\n")).take(16),
-      bytes, files)
+      bytes, files, fileEntries.result())
   }
+
+  /** Stable 63-bit identity key of one file's (path, length, mtime)
+    * entry — md5-derived so it is reproducible across JVMs/sessions
+    * (String.hashCode is only 32-bit and JVM-pinned by spec, but 63
+    * md5 bits keep accidental collisions at ~n²/2⁶³). */
+  private[io] def entryKey(entry: String): Long =
+    java.lang.Long.parseUnsignedLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(entry).take(15), 16)
 }

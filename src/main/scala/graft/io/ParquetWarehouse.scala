@@ -157,7 +157,23 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     * Younger contention waits briefly, then fails loudly (retryable
     * [[ParquetWarehouse.ConcurrentWriteException]]) rather than wedging. */
   private[graft] def withCommitLock[A](t: TableRef,
-      waitBudgetMs: Long = 2000)(body: => A): A = {
+      waitBudgetMs: Long = 2000)(body: => A): A =
+    withCommitLockFenced(t, waitBudgetMs)(_ => body)
+
+  /** [[withCommitLock]] handing the body a FENCE: `verifyHeld()` re-reads
+    * the lock token and throws a retryable
+    * [[ParquetWarehouse.ConcurrentWriteException]] if this holder's token
+    * is no longer at the lock path. Time-bounded exclusion alone leaves a
+    * residual on multi-node deployments with >LockStaleMs clock skew: a
+    * live hold can be reaped mid-critical-section and a second writer
+    * admitted, after which two `cur == base` CAS checks can both pass
+    * before either pointer write — silently dropping one commit. Calling
+    * the fence immediately before the pointer write shrinks that window
+    * from "rest of the critical section" to the metadata-read-to-rename
+    * gap (microseconds): a reaped holder now aborts retryably instead of
+    * overwriting the usurper's swap. One extra metadata read per commit. */
+  private[graft] def withCommitLockFenced[A](t: TableRef,
+      waitBudgetMs: Long = 2000)(body: (() => Unit) => A): A = {
     val lock = new Path(s"${tableDir(t)}/_COMMIT_LOCK")
     fs.mkdirs(new Path(tableDir(t)))
     val token = java.util.UUID.randomUUID().toString
@@ -272,9 +288,21 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     // of deleting the fresh one). With ticketed reaps never touching
     // sub-30s locks, the only writer that can displace a live lock is
     // a reaper of a >LockStaleMs hold — the rename+verify narrows even
-    // that to a double failure inside a microsecond window (exclusion
-    // without fencing is ultimately time-bounded by LockStaleMs).
-    try body finally {
+    // that to a double failure inside a microsecond window. Exclusion
+    // is time-bounded by LockStaleMs, but the POINTER WRITES are now
+    // token-fenced ([[withCommitLockFenced]]): a reaped holder re-reads
+    // its token immediately before setVersion and aborts retryably, so
+    // the cross-node-skew double-commit residual is the fence-read-to-
+    // rename gap, not the rest of the critical section.
+    val verifyHeld: () => Unit = () =>
+      if (!readLockToken(lock).contains(token))
+        throw new ConcurrentWriteException(
+          s"commit-lock fence failed on ${t.qualified}: this holder's " +
+            s"token is no longer at $lock (the hold exceeded " +
+            s"${ParquetWarehouse.LockStaleMs} ms and was reaped, or the " +
+            "lock was externally removed) — aborting before the pointer " +
+            "write; re-run the load")
+    try body(verifyHeld) finally {
       trace(s"RELEASE token-at-path=${readLockToken(lock).map(_.take(6))}")
       if (readLockToken(lock).contains(token)) {
         val grave =
@@ -405,7 +433,7 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     // new current structurally un-sweepable regardless of clock skew.
     // The loser cleans its own orphan in the Left branch; first-commit
     // case (base None): nothing to sweep.
-    val sweep: Either[String, Seq[String]] = withCommitLock(t) {
+    val sweep: Either[String, Seq[String]] = withCommitLockFenced(t) { fence =>
       val cur = currentVersion(t)
       if (cur != base) Left(
         s"lost update on ${t.qualified}: computed from " +
@@ -422,6 +450,10 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
           s"${base.get} after this rewrite pinned its file set — " +
           "re-run the load to merge them")
       else {
+        // Fence immediately before the pointer write: if this hold was
+        // reaped (>LockStaleMs, cross-node skew), abort retryably
+        // instead of racing the usurper's CAS (header note above).
+        fence()
         setVersion(t, v)
         Right(fs.listStatus(new Path(tableDir(t)))
           .filter(_.isDirectory).map(_.getPath.getName)
@@ -475,7 +507,12 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
             // merge's marker-check-and-swap section restores the header
             // guarantee: marker visible to the merge's in-lock re-check
             // XOR pointer already moved when we re-check here.
-            withCommitLock(t) {
+            withCommitLockFenced(t) { fence =>
+              // Fence before the marker create: the marker-visible-XOR-
+              // pointer-moved guarantee assumes this section excludes
+              // the merge's marker-check-and-swap — a reaped hold
+              // doesn't, so abort retryably instead.
+              fence()
               fs.create(new Path(s"${tableDir(t)}/$v/_app_" +
                 java.util.UUID.randomUUID().toString.take(12)), false).close()
               // Post-append race check: if a concurrent writer swapped
@@ -569,12 +606,13 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
   /** Roll the CURRENT pointer back to the previous retained version (the
     * load-went-bad escape hatch; the bad version stays on disk until the
     * next commit's retention pass). */
-  def rollback(t: TableRef): Unit = withCommitLock(t) {
+  def rollback(t: TableRef): Unit = withCommitLockFenced(t) { fence =>
     val cur = currentVersion(t).getOrElse(
       throw new IllegalArgumentException(s"no such table: ${t.qualified}"))
     val prev = versions(t).filter(_ != cur).lastOption.getOrElse(
       throw new IllegalStateException(
         s"no previous version retained for ${t.qualified}"))
+    fence()
     setVersion(t, prev)
   }
 

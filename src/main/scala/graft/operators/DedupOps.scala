@@ -56,8 +56,20 @@ object DedupOps {
     * est-Jaccard resolution is 1/k; a pair collides in a band with
     * probability sim^r. */
   val K = 32
-  val Bands = 4 // r=8: collision prob sim^8 — keeps buckets bounded even on
-                // self-similar corpora (this synthetic vocab is ~40 words)
+  /** Production banding: 8 bands of r=4 — per-band collision sim^4, so
+    * the S-curve midpoint (1/b)^(1/r) ≈ 0.595 sits inside the t ≈ 0.5-0.8
+    * near-dup duty band. Measured (SCALING_LEDGER_HEAPS / _100X recall
+    * columns): r=4 holds 0.94-0.97 recall at t = 0.5 across two decades
+    * on both fixtures where the old r=8 default (midpoint ≈ 0.84 — an
+    * exact-dup banding, not a near-dup one) held 0.43-0.48, at
+    * essentially the same gate cost. Saturated/self-similar corpora are
+    * the [[MaxBucket]] cap's job, not the banding's: over-cap buckets
+    * degrade clique→path with the ledger (`dedup_lsh_bucket_ledger`,
+    * n_over_cap) as the committed evidence, so recall is no longer
+    * traded away up front to keep degenerate buckets small. r=8 stays
+    * available per-call (`bands = 4`) for t ≳ 0.85 exact-leaning duty —
+    * the gate pins both configs (`dedup_minhash_recall{,_r8}`). */
+  val Bands = 8
   val R = K / Bands
   val P = 1000000007L
 

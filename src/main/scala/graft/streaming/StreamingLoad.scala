@@ -539,8 +539,10 @@ object StreamingLoad {
     *      retrain when bytes exceed
     *      [[graft.io.ModelStore.DriftRetrainFactor]] × the trained
     *      point — auto-C and auto-rerank re-derive with them,
-    *   3. codes ONLY the fresh vectors against the served quantizers
-    *      (batch-scale work, the [[pqIndexStream]] contract) — unless
+    *   3. codes ONLY the vectors the index is missing (batch
+    *      anti-joined against the index table, the [[pqIndexStream]]
+    *      replay guard — so a crash between the corpus append and the
+    *      index append self-heals on redelivery) — unless
     *      this batch CROSSED a decade, in which case the whole index
     *      is recoded under the new quantizers in one TruncateInsert
     *      (corpus-scale work on a log₂-rare event; every index row
@@ -640,8 +642,14 @@ object StreamingLoad {
         .headOption.map(_.getString(0))
     indexedQfp match {
       case Some(old) if old == qfp =>
-        // Same quantizer generation: code the fresh rows only.
-        val newRows = fresh.join(
+        // Same quantizer generation: code the rows the INDEX is
+        // missing. Anti-join the batch against the index table, not
+        // against `fresh` — `fresh` is the corpus-table replay guard,
+        // and after a crash between the corpus Insert and the index
+        // Insert a replayed batch finds `fresh` empty while the index
+        // still lacks the rows; deduping against the index itself
+        // makes that window self-heal (the pqIndexStream contract).
+        val newRows = batch.select(col(idField), col("vec")).join(
           warehouse.table(indexTable).select(col(idField)),
           Seq(idField), "left_anti")
         val coded = ops.ivfPqIndex(newRows, cents, books, subDim, idField)

@@ -56,7 +56,7 @@ object ScalingLedger {
     "knn_ivf_pq_residual_p1k", "kmeans_centroids", "bpe_token_counts",
     "fuzzy_name_match", "boilerplate_dict_train", "boilerplate_scrub",
     "crawl_curation_pipeline", "dedup_incremental_candidates",
-    "dedup_minhash_recall", "dedup_minhash_recall_tuned",
+    "dedup_minhash_recall", "dedup_minhash_recall_r8",
     "dedup_ngram_jaccard", "domain_cap_sample", "quality_model_filter",
     "url_canonicalize", "url_dedup",
     // round-12 additions: incremental ANN maintenance + the cap ledger,
@@ -235,7 +235,7 @@ object ScalingLedger {
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_exact", "jaccard_df_ledger",
     "fuzzy_name_match", "fuzzy_block_ledger",
     "dedup_minhash_lsh", "dedup_lsh_bucket_ledger",
-    "dedup_minhash_recall", "dedup_minhash_recall_tuned",
+    "dedup_minhash_recall", "dedup_minhash_recall_r8",
     "dedup_incremental_candidates", "dedup_near_keep",
     "dedup_near_keep_verified",
     "tfidf_top_terms", "bigram_counts", "bigram_lm_scores",
@@ -250,15 +250,26 @@ object ScalingLedger {
     * #3: the Heaps ledger had fixture tags but no recall columns, so
     * banding recall under honest vocabulary growth was unmeasured). */
   val CountsRecallQueries: Set[String] = Set(
-    "dedup_minhash_recall", "dedup_minhash_recall_tuned",
+    "dedup_minhash_recall", "dedup_minhash_recall_r8",
     "simhash_recall", "simhash_recall_window", "session_topk_recall")
 
   /** (truth, hit) read from a counts-contract row — untimed evidence
     * pass, after all timing like [[annRecall]]. */
   def countsRecall(s: SparkSession, dir: String, name: String): (Long, Long) = {
-    val r = resolve(name)(s, dir).head()
+    // Columns resolved BY NAME, not position: the five contract rows
+    // share "truth is n_true or n_exact, hits are n_hit" but differ in
+    // their middle columns, and a silent positional read would turn any
+    // future reshape of one gate query into wrong recall_base/
+    // recall_scaled fields instead of a loud failure here.
+    val df = resolve(name)(s, dir)
+    val truthCol = df.columns.find(c => c == "n_true" || c == "n_exact")
+      .getOrElse(sys.error(
+        s"countsRecall($name): no n_true/n_exact column in ${df.columns.mkString(",")}"))
+    require(df.columns.contains("n_hit"),
+      s"countsRecall($name): no n_hit column in ${df.columns.mkString(",")}")
+    val r = df.head()
     graft.ToolSession.clearStorage(s)
-    (r.getLong(0), r.getLong(r.size - 1))
+    (r.getLong(r.fieldIndex(truthCol)), r.getLong(r.fieldIndex("n_hit")))
   }
 
   /** recall@k of a fixed-probe ANN twin vs the brute-force truth over

@@ -127,6 +127,55 @@ class ModelStoreSpec extends AnyFunSuite with SparkSuite {
     assert(store.servedFingerprint("q").contains(fpF))
   }
 
+  test("getOrTrainDrifted: churn trigger retrains a steady-size corpus once fresh bytes exceed the budget") {
+    import spark.implicits._
+    val store = ModelStore(spark, freshRoot("churn"))
+    val trains = new AtomicInteger(0)
+    def train(v: Long) = { trains.incrementAndGet(); Seq((1, v)).toDF("k", "n") }
+    def servedV(stat: ModelStore.CorpusStat): Long =
+      store.getOrTrainDrifted("q", stat)(sys.error("must not retrain"))
+        .collect().head.getLong(1)
+    // Four 250-byte files per generation; every rewrite replaces all
+    // identities at constant total size — the upsert-heavy steady-state
+    // corpus the growth trigger is blind to (bytes never move).
+    def gen(idBase: Long) = (0 until 4).map(i => (idBase + i, 250L))
+    def fp(c: Char) = c.toString * 16
+
+    // Train at generation 0 (1000 bytes, keys 0-3).
+    store.getOrTrainDrifted("q",
+      ModelStore.CorpusStat(fp('a'), 1000L, 4, gen(0)))(train(1))
+    assert(trains.get() == 1)
+    // Rewrite 1 (keys 10-13): churn 1000 <= 2x1000 — serve stale.
+    assert(servedV(ModelStore.CorpusStat(fp('b'), 1000L, 4, gen(10))) == 1L)
+    // Rewrite 2 (keys 20-23): churn 2000 <= 2000 — still inside (the
+    // budget is strict-exceed, same comparison as the growth axis).
+    assert(servedV(ModelStore.CorpusStat(fp('c'), 1000L, 4, gen(20))) == 1L)
+    // Re-presenting the SAME listing accrues nothing (replay/idle calls).
+    assert(servedV(ModelStore.CorpusStat(fp('c'), 1000L, 4, gen(20))) == 1L)
+    assert(trains.get() == 1)
+    // Rewrite 3 (keys 30-33): churn 3000 > 2000 — retrain at the
+    // current fingerprint; accumulator and baseline listing reset.
+    store.getOrTrainDrifted("q",
+      ModelStore.CorpusStat(fp('d'), 1000L, 4, gen(30)))(train(2))
+    assert(trains.get() == 2)
+    assert(store.servedFingerprint("q").contains(fp('d')))
+    // Partial churn after the reset: 2 of 4 files replaced = 500 fresh
+    // bytes — far inside the new budget, serve stale.
+    assert(servedV(ModelStore.CorpusStat(fp('e'), 1000L, 4,
+      Seq((30L, 250L), (31L, 250L), (40L, 250L), (41L, 250L)))) == 2L)
+    assert(trains.get() == 2)
+    // The growth axis still fires independently of churn state.
+    store.getOrTrainDrifted("q",
+      ModelStore.CorpusStat(fp('f'), 2500L, 10, gen(50)))(train(3))
+    assert(trains.get() == 3)
+    // Legacy stats (no file entries) keep the r17 growth-only behavior:
+    // rewrites without identity information never trip the churn axis.
+    assert(servedV(ModelStore.CorpusStat(fp('1'), 2500L, 10)) == 3L)
+    assert(servedV(ModelStore.CorpusStat(fp('2'), 2500L, 10)) == 3L)
+    assert(servedV(ModelStore.CorpusStat(fp('3'), 2500L, 10)) == 3L)
+    assert(trains.get() == 3)
+  }
+
   test("gc racing a drift retrain: skew margin defers the fresh generation, served one stays live") {
     import spark.implicits._
     val store = ModelStore(spark, freshRoot("driftgc"))

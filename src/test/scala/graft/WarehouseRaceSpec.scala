@@ -211,6 +211,47 @@ class WarehouseRaceSpec extends AnyFunSuite with SparkSuite {
     assert(!Files.exists(lock), "owner's release must delete its own lock")
   }
 
+  test("fenced pointer write: a reaped holder aborts retryably instead of " +
+      "racing the usurper's CAS") {
+    import spark.implicits._
+    val root = tmp()
+    val wh = new ParquetWarehouse(spark, root)
+    val t = TableRef("", "race8")
+    wh.create(t, Seq((1L, "base")).toDF("id", "v"))
+    val lock = Paths.get(s"$root/race8/_COMMIT_LOCK")
+
+    // Holder enters the fenced section; mid-hold its lock is reaped and
+    // a usurper's fresh lock takes the path (the >LockStaleMs cross-node
+    // skew scenario, compressed: delete + replace while parked).
+    val in = new CountDownLatch(1); val go = new CountDownLatch(1)
+    val outcome = new AtomicReference[Either[Throwable, String]]()
+    val h = new Thread(() => {
+      try wh.withCommitLockFenced(t) { fence =>
+        in.countDown(); go.await()
+        fence() // immediately-before-setVersion position
+        outcome.set(Right("fence passed"))
+      } catch { case e: Throwable => outcome.set(Left(e)) }
+    })
+    h.start(); in.await()
+    assert(Files.exists(lock))
+    Files.delete(lock) // the reap
+    Files.write(lock, "usurper-token".getBytes) // the admitted second writer
+    go.countDown(); h.join()
+    outcome.get() match {
+      case Left(e: ParquetWarehouse.ConcurrentWriteException) =>
+        assert(e.getMessage.contains("fence"),
+          s"retryable, but not the fence: ${e.getMessage}")
+      case other => fail(
+        s"reaped holder must abort retryably at the fence, got $other")
+    }
+    // The usurper's lock survives the displaced holder's release path.
+    assert(Files.exists(lock), "displaced holder deleted the usurper's lock")
+    Files.delete(lock)
+    // And with the lock intact, the same fenced body passes.
+    wh.withCommitLockFenced(t) { fence => fence() }
+    assert(!Files.exists(lock))
+  }
+
   test("stale-lock stampede: ticketed reap admits exactly one holder at a time") {
     import spark.implicits._
     val root = tmp()
