@@ -63,7 +63,7 @@ exec $JAVA graft.tools.ScalingLedger "$BASE" "$SF10" 100 SCALING_LEDGER_100X.jso
   tfidf_top_terms binary_file_ingest dedup_near_keep \
   q8_market_share q21_waiting_supplier \
   dedup_minhash_lsh dedup_substring substring_scrub knn_ivf_p1k knn_ivf_pq_p1k knn_ivf_pq_autoc_p1k knn_ivf_pq_autoc_np9_p1k knn_ivf_pq_autoc_rr120_p1k \
-  knn_ivf_pq_residual_p1k kmeans_centroids bpe_token_counts \
+  knn_ivf_pq_residual_p1k knn_ivf_pq_residual_autoc_p1k kmeans_centroids bpe_token_counts \
   fuzzy_name_match boilerplate_dict_train boilerplate_scrub \
   crawl_curation_pipeline dedup_incremental_candidates \
   dedup_minhash_recall dedup_minhash_recall_r8 \

@@ -530,10 +530,11 @@ object Oracles {
 
   /** Scale-path CC: components over the banded-MinHash candidate graph
     * ([[minhashPairs]]), the same edges the Spark entries feed from
-    * DedupOps.minhashCandidates. Banding is the recall-tuned r=4
-    * (8 bands of K=32): measured 96.4% recall / zero false candidates
-    * on the zipfian realistic-vocabulary fixture, vs 42% at the
-    * default r=8 — the est_jaccard >= minEst filter supplies the
+    * DedupOps.minhashCandidates. Banding is r=4 (8 bands of K=32) —
+    * since r18 also the PRODUCTION default (DedupOps.Bands): measured
+    * 96.4% recall / zero false candidates on the zipfian
+    * realistic-vocabulary fixture, vs 42% at the r=8 contrast
+    * banding — the est_jaccard >= minEst filter supplies the
     * precision, so the wider banding costs only bucket-join fan-out. */
   val CcR: Int = 4
   def ccComponentsBanded(t0Sql: String, minEst: Double): String =

@@ -183,6 +183,25 @@ object SparkEntry {
       SimilarityOps.ivfPqResidualIndex(embCorpus(s, dir),
         coarseCentroids(s, dir), pqResBooks(s, dir), PqSubDim))
 
+  /** Residual PQ sub-codebooks trained against the AUTO-C coarse
+    * quantizer. Unlike raw-vector books (coarse-independent, shared by
+    * the fixed and auto families), residual books are a FUNCTION of the
+    * coarse quantizer — training them against C = ⌈√N⌉ cells is what
+    * makes the residual family's committed scale policy measurable
+    * (`knn_ivf_pq_residual_autoc_p1k`, r17 verdict ask #4). */
+  private[graft] def pqResBooksAuto(s: SparkSession, dir: String): DataFrame =
+    model(s, dir,
+        s"pq_res_books_auto_m${PqM}_ks${PqKs}_i$PqIters", "embeddings")(
+      SimilarityOps.pqResidualCodebooks(embCorpus(s, dir),
+        coarseCentroidsAuto(s, dir), PqM, PqSubDim, PqKs, PqIters))
+
+  /** Residual IVF-PQ coded index against the auto-C coarse quantizer. */
+  private[graft] def pqResIndexAuto(s: SparkSession, dir: String): DataFrame =
+    model(s, dir,
+        s"ivfpq_res_index_auto_m${PqM}_ks${PqKs}", "embeddings")(
+      SimilarityOps.ivfPqResidualIndex(embCorpus(s, dir),
+        coarseCentroidsAuto(s, dir), pqResBooksAuto(s, dir), PqSubDim))
+
   /** Corpus-tracking coarse quantizer artifact: C = ⌈√N⌉ derived from
     * the corpus count at TRAIN time (the `ivfCentroids` auto path),
     * Lloyd-refined like [[coarseCentroids]]. The scale story the fixed

@@ -106,7 +106,7 @@ object DedupOps {
       .select(col(id), posexplode(col("sig")).as(Seq("i", "mh")))
 
   /** LSH banding over the signature array: bucket key = xxhash64 of the
-    * band's r minhashes joined in order (pure projection + 4-way
+    * band's r minhashes joined in order (pure projection + bands-way
     * explode). The 64-bit key keeps the bucket self-join shuffling and
     * comparing longs, not ~90-char strings; a cross-bucket hash
     * collision (≈ rows²/2⁶⁵) only adds a candidate pair, which the

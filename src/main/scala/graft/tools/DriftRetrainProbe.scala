@@ -37,6 +37,18 @@ import graft.operators.SimilarityOps
   *      twin's (the served C tracks √N, so probed cells stay thinner).
   *   4. The drift-served recall clears an absolute 0.5 floor on the
   *      clustered fixture.
+  *   5. CEILING series (r17 verdict ask #3 — the cadence priced
+  *      against its upper bound): the same schedule at driftFactor 1
+  *      retrains on EVERY growth batch (recodes = batches + 1). The
+  *      committed factor-2 policy must hold ≥ 0.8× the ceiling's
+  *      recall while paying for strictly fewer recodes — the measured
+  *      recall-vs-recode-cost curve CONTRACTS §15 quotes.
+  *   6. CHURN series (r17 verdict ask #2 — the axis the growth
+  *      trigger is blind to): a CONSTANT-SIZE corpus whose content is
+  *      progressively replaced off-manifold by Upserts. The committed
+  *      policy must retrain ≥ 1× via the churn accumulator (bytes
+  *      never cross the growth budget) and beat the frozen twin's
+  *      recall by ≥ 2× at the final state.
   *
   * Usage: graft.tools.DriftRetrainProbe [jsonOut] [base] [batch] [nBatches]
   */
@@ -105,6 +117,33 @@ object DriftRetrainProbe {
     val qfps = wh.table(idxT).select("qfp").distinct().count()
     val servedFp = ms.servedFingerprint("driftprobe_coarse").get
 
+    // ---- CEILING series: retrain-EVERY-batch (driftFactor 1.0 — any
+    // growth trips the budget). Same schedule, fresh state; the final
+    // corpus content is identical, so the committed run's probes/truth
+    // frames (built below, AFTER this loop's clearStorage calls — a
+    // checkpointed frame does not survive them) measure this index
+    // too. This is the recall ceiling the factor-2 cadence is priced
+    // against: its recode bill is the per-batch corpus-scale work
+    // CONTRACTS §15 calls degenerate.
+    val rootCeil = java.nio.file.Files
+      .createTempDirectory("graft_driftceil").toString
+    val whCeil = new ParquetWarehouse(spark, s"$rootCeil/wh")
+    val msCeil = ModelStore(spark, s"$rootCeil/models")
+    val resultsCeil = bounds.map { case (lo, hi) =>
+      val b = vecs(spark.range(lo, hi).toDF()).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val retrained = graft.streaming.StreamingLoad.pqIndexBatchDrifted(
+        spark, whCeil, corpusT, idxT, msCeil, "driftceil", m, subDim, ks,
+        kmeansIters = 1, "vec_id", driftFactor = 1.0)(b)
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.ToolSession.clearStorage(spark)
+      System.err.println(f"[probe/ceil] -> $hi%7d rows: " +
+        f"${if (retrained) "RECODE " else "append "} $secs%6.1f s")
+      (hi, retrained, secs)
+    }
+    val nRecodesCeil = resultsCeil.count(_._2)
+    val recodeCeilSecs = resultsCeil.filter(_._2).map(_._3).sum
+
     // Final-state search: drift-served configuration vs the FROZEN twin.
     val corpus = wh.table(corpusT).select(col("vec_id"), col("vec"))
       .localCheckpoint(true)
@@ -151,6 +190,125 @@ object DriftRetrainProbe {
       .localCheckpoint(true)
     val (recallFrozen, searchFrozenSecs) = recallAndSecs(
       frozenCents, frozenBooks, frozenIdx)
+    // Ceiling recall over the SAME corpus/probes/truth frames (its
+    // series ran before they were checkpointed; nothing has cleared
+    // storage since).
+    val statCeil = ModelStore.corpusStat(spark,
+      whCeil.currentDataPath(corpusT).toSeq)
+    val ceilCents = msCeil.getOrTrainDrifted("driftceil_coarse", statCeil,
+      driftFactor = 1.0)(sys.error("serve-time resolution must not retrain"))
+    val ceilBooks = msCeil.getOrTrainDrifted("driftceil_books", statCeil,
+      driftFactor = 1.0)(sys.error("serve-time resolution must not retrain"))
+    val (recallCeil, searchCeilSecs) = recallAndSecs(
+      ceilCents, ceilBooks, whCeil.table(idxT).drop("qfp"))
+
+    // ---- CHURN series: constant-size corpus, content progressively
+    // replaced off-manifold by Upserts — corpus bytes never cross the
+    // growth budget, so only the churn accumulator can retrain. Each
+    // batch replaces half the ids with generation-b content (center
+    // shift +2·b per component, the same off-manifold recipe); the
+    // index is recoded under the SERVED artifacts each batch (replaced
+    // rows' codes are stale regardless — index maintenance is the
+    // workload's cost, quantizer retrains are the policy's).
+    val churnN = 200000L
+    val churnHalf = churnN / 2
+    val churnBatches = 6
+    val churnClusters = 2000L
+    def churnVecs(ids: DataFrame, gen: Int): DataFrame = {
+      val c = pmod(xxhash64(col("id")), lit(churnClusters))
+      ids.select(col("id").as("vec_id"), array((0 until dim).map { i =>
+        (lit(gen.toDouble * 2.0) +
+          (pmod(xxhash64(c, lit(gen * dim + i)), lit(2001L)) - 1000L)
+            .cast("double") / 1000.0 +
+          (pmod(xxhash64(col("id"), lit(i + dim)), lit(201L)) - 100L)
+            .cast("double") / 1000.0).cast("float")
+      }: _*).as("vec"))
+    }
+    val rootChurn = java.nio.file.Files
+      .createTempDirectory("graft_driftchurn").toString
+    val whCh = new ParquetWarehouse(spark, s"$rootChurn/wh")
+    val msCh = ModelStore(spark, s"$rootChurn/models")
+    val chT = TableRef("", "churn_vecs")
+    val chIdxT = TableRef("", "churn_index")
+    val churnTrains = new java.util.concurrent.atomic.AtomicInteger(0)
+    def churnResolve(stat: ModelStore.CorpusStat, corpus: DataFrame):
+        (DataFrame, DataFrame) = {
+      val cents = msCh.getOrTrainDrifted("churn_coarse", stat) {
+        churnTrains.incrementAndGet()
+        val initial = SimilarityOps.ivfCentroids(corpus, 0, "vec_id")
+          .select(col("cent_id"),
+            transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+        graft.operators.ClusterOps.kmeans(corpus, initial, 1, "vec_id")
+      }
+      val books = msCh.getOrTrainDrifted("churn_books", stat)(
+        SimilarityOps.pqCodebooks(corpus, m, subDim, ks, 1, "vec_id"))
+      (cents, books)
+    }
+    def churnRecode(): Unit = {
+      val corpus = whCh.table(chT).select(col("vec_id"), col("vec"))
+      val stat = ModelStore.corpusStat(spark,
+        whCh.currentDataPath(chT).toSeq)
+      val (cents, books) = churnResolve(stat, corpus)
+      val coded = SimilarityOps.ivfPqIndex(corpus, cents, books, subDim,
+        "vec_id").localCheckpoint(true)
+      if (whCh.exists(chIdxT))
+        whCh.load(graft.core.LoadMode.TruncateInsert, chIdxT, coded, "vec_id")
+      else whCh.create(chIdxT, coded)
+      graft.ToolSession.clearStorage(spark)
+    }
+    whCh.create(chT,
+      churnVecs(spark.range(0L, churnN).toDF(), 0).localCheckpoint(true))
+    val churnBytes0 = ModelStore.corpusStat(spark,
+      whCh.currentDataPath(chT).toSeq).bytes
+    churnRecode()
+    (1 to churnBatches).foreach { b =>
+      val lo = ((b - 1).toLong * churnHalf) % churnN
+      val upd = churnVecs(spark.range(lo, lo + churnHalf).toDF(), b)
+        .localCheckpoint(true)
+      whCh.load(graft.core.LoadMode.Upsert, chT, upd, "vec_id")
+      churnRecode()
+      System.err.println(s"[probe/churn] batch $b: trains=${churnTrains.get()}")
+    }
+    val churnBytesEnd = ModelStore.corpusStat(spark,
+      whCh.currentDataPath(chT).toSeq).bytes
+    val churnRetrains = churnTrains.get() - 1 // beyond the initial train
+    // Final-state recall: committed-policy artifacts vs a twin FROZEN at
+    // the initial generation (what the r17 growth-only policy serves
+    // forever on this workload — bytes never move).
+    val chCorpus = whCh.table(chT).select(col("vec_id"), col("vec"))
+      .localCheckpoint(true)
+    val chProbes = chCorpus.filter(col("vec_id") % (churnN / 100) === 3L)
+      .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"))
+      .localCheckpoint(true)
+    val chTruth = SimilarityOps.bruteForceKnn(chProbes, chCorpus, k)
+      .select(col("probe_id"), col("vec_id")).localCheckpoint(true)
+    val nChTruth = chTruth.count()
+    def churnRecallOf(cents: DataFrame, books: DataFrame,
+        coded: DataFrame): Double = {
+      val found = SimilarityOps.ivfPqSearch(chProbes, chCorpus, coded, k,
+          cents, books, subDim, nprobe = 3)
+        .select(col("probe_id"), col("vec_id")).localCheckpoint(true)
+      val hit = chTruth.join(found, Seq("probe_id", "vec_id"), "left_semi")
+        .count()
+      hit.toDouble / nChTruth
+    }
+    val chStatNow = ModelStore.corpusStat(spark,
+      whCh.currentDataPath(chT).toSeq)
+    val (chCents, chBooks) = churnResolve(chStatNow, chCorpus)
+    val recallChurn = churnRecallOf(chCents, chBooks,
+      whCh.table(chIdxT))
+    val corpus0 = churnVecs(spark.range(0L, churnN).toDF(), 0)
+      .localCheckpoint(true)
+    val frozen0Init = SimilarityOps.ivfCentroids(corpus0, 0, "vec_id")
+      .select(col("cent_id"),
+        transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+    val frozen0Cents = graft.operators.ClusterOps
+      .kmeans(corpus0, frozen0Init, 1, "vec_id").localCheckpoint(true)
+    val frozen0Books = SimilarityOps
+      .pqCodebooks(corpus0, m, subDim, ks, 1, "vec_id").localCheckpoint(true)
+    val recallChurnFrozen = churnRecallOf(frozen0Cents, frozen0Books,
+      SimilarityOps.ivfPqIndex(chCorpus, frozen0Cents, frozen0Books, subDim,
+        "vec_id").localCheckpoint(true))
     spark.stop()
 
     val appendSecs = results.filterNot(_._2).map(_._3)
@@ -166,6 +324,11 @@ object DriftRetrainProbe {
     println(f"| recall@$k drift-served (${nTruth / k} probes) | $recallDrift%.3f | >= 0.5 and >= 2x frozen | $searchDriftSecs%.1f |")
     println(f"| recall@$k frozen twin (r16 collapsing config) | $recallFrozen%.3f | the baseline being fixed | $searchFrozenSecs%.1f |")
     println(f"| drift/frozen search cost | ${searchDriftSecs / searchFrozenSecs}%.2f | <= 1.2 (served C tracks sqrt(N): thinner cells) | |")
+    println(f"| CEILING recodes (retrain-every-batch, factor 1) | $nRecodesCeil | = ${bounds.size} (every growth batch) | $recodeCeilSecs%.1f |")
+    println(f"| CEILING recall@$k | $recallCeil%.3f | committed >= 0.8x this | $searchCeilSecs%.1f |")
+    println(f"| committed recode bill vs ceiling | ${recodeSecs.sum / recodeCeilSecs}%.2f | < 1 (the cadence's saving) | |")
+    println(f"| CHURN retrains (constant-size, 6 half-rewrites) | $churnRetrains | >= 1 via the churn axis (bytes flat: $churnBytes0 -> $churnBytesEnd) | |")
+    println(f"| CHURN recall@$k committed vs frozen-at-gen-0 | $recallChurn%.3f vs $recallChurnFrozen%.3f | >= 2x frozen | |")
 
     require(nRecodes == 3,
       s"$nRecodes full recodes != 3: the drift cadence is not the documented log2 schedule")
@@ -177,14 +340,28 @@ object DriftRetrainProbe {
       f"drift-served recall $recallDrift%.3f < 2x frozen $recallFrozen%.3f — the policy is not paying for itself on a drifting corpus")
     require(searchDriftSecs <= 1.2 * searchFrozenSecs,
       f"drift-served search $searchDriftSecs%.1fs > 1.2x frozen $searchFrozenSecs%.1fs")
+    require(nRecodesCeil == bounds.size,
+      s"ceiling series recoded $nRecodesCeil of ${bounds.size} batches — factor 1.0 must retrain on every growth batch")
+    require(recallDrift >= 0.8 * recallCeil,
+      f"committed recall $recallDrift%.3f < 0.8x ceiling $recallCeil%.3f — the factor-2 cadence gives up too much recall for its recode saving")
+    require(recodeSecs.sum < recodeCeilSecs,
+      f"committed recode bill ${recodeSecs.sum}%.1fs not below the ceiling's $recodeCeilSecs%.1fs")
+    require(churnBytesEnd <= (1.2 * churnBytes0).toLong,
+      s"churn corpus grew ($churnBytes0 -> $churnBytesEnd) — the series must keep the growth trigger silent")
+    require(churnRetrains >= 1,
+      "constant-size churn never retrained — the churn accumulator is not covering the turnover axis")
+    require(recallChurn >= 2.0 * recallChurnFrozen,
+      f"churn-policy recall $recallChurn%.3f < 2x frozen-at-gen-0 $recallChurnFrozen%.3f")
 
     val pw = new PrintWriter(new File(jsonOut))
     try pw.println(
-      f"""{"base":$base,"batch":$batch,"n_batches":$nBatches,"total":$total,"recodes":$nRecodes,"append_batches":${results.size - nRecodes},"index_rows":$idxRows,"generations":$qfps,"served_fp":"$servedFp","recall_drift":$recallDrift%.4f,"recall_frozen":$recallFrozen%.4f,"search_drift_secs":$searchDriftSecs%.3f,"search_frozen_secs":$searchFrozenSecs%.3f,"append_secs_total":${appendSecs.sum}%.3f,"recode_secs_total":${recodeSecs.sum}%.3f,"n_probes":${nTruth / k},"k":$k}""")
+      f"""{"base":$base,"batch":$batch,"n_batches":$nBatches,"total":$total,"recodes":$nRecodes,"append_batches":${results.size - nRecodes},"index_rows":$idxRows,"generations":$qfps,"served_fp":"$servedFp","recall_drift":$recallDrift%.4f,"recall_frozen":$recallFrozen%.4f,"search_drift_secs":$searchDriftSecs%.3f,"search_frozen_secs":$searchFrozenSecs%.3f,"append_secs_total":${appendSecs.sum}%.3f,"recode_secs_total":${recodeSecs.sum}%.3f,"n_probes":${nTruth / k},"k":$k,"ceiling_recodes":$nRecodesCeil,"ceiling_recall":$recallCeil%.4f,"ceiling_recode_secs_total":$recodeCeilSecs%.3f,"ceiling_search_secs":$searchCeilSecs%.3f,"churn_rows":$churnN,"churn_batches":$churnBatches,"churn_retrains":$churnRetrains,"churn_bytes_start":$churnBytes0,"churn_bytes_end":$churnBytesEnd,"churn_recall":$recallChurn%.4f,"churn_recall_frozen":$recallChurnFrozen%.4f,"churn_probes":${nChTruth / k}}""")
     finally pw.close()
     System.err.println(s"wrote $jsonOut")
-    // Temp-state hygiene: the probe's warehouse/models are throwaway.
-    try org.apache.commons.io.FileUtils.deleteDirectory(new File(root))
-    catch { case _: java.io.IOException => () }
+    // Temp-state hygiene: the probe's warehouses/models are throwaway.
+    Seq(root, rootCeil, rootChurn).foreach { r =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(new File(r))
+      catch { case _: java.io.IOException => () }
+    }
   }
 }
