@@ -262,9 +262,16 @@ object ScalingLedger {
           rerank = SparkEntry.PqRerank)
       })
 
-  /** Probe batch sizes for the per-probe JSON fields. */
+  /** Probe batch sizes for the per-probe JSON fields — the ANN rows
+    * only. Keyed by the `knn_` prefix, NOT all of [[LedgerOnlyQueries]]:
+    * that map also carries counts-contract lever twins
+    * (`simhash_recall_vc4`), whose one-row (n_exact, n_capped, n_hit)
+    * shape has no probe_id and goes through [[countsRecall]] instead —
+    * feeding one to [[annRecall]] is an AnalysisException at the end of
+    * a full ledger run. */
   val ProbeCounts: Map[String, Int] =
-    LedgerOnlyQueries.keys.map(_ -> FixedProbeCount).toMap
+    LedgerOnlyQueries.keys.filter(_.startsWith("knn_"))
+      .map(_ -> FixedProbeCount).toMap
 
   /** Rows whose second-decade law depends on VOCABULARY growth: on the
     * default generator (fixed ~31-word vocab, df ∝ n) their 100× ratios
