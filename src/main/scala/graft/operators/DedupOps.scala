@@ -933,19 +933,38 @@ object DedupOps {
     *   2. over-cap buckets are rescued by a 1-bit-flip VARIANT
     *      equi-join (HmSearch-style, Zhang et al., SIGMOD'13) that is
     *      EXACT - recall 1.0 by pigeonhole - for `maxHamming` <= 8;
-    *   3. only the variant stage's own guard (this constant again)
-    *      degrades lossily, to Manku-Jindal-Ullman sorted windows
-    *      (WWW'07) of width [[SimVariantWindow]] under the
-    *      [[SimVariantRotations]] permuted orders, and only on
-    *      >=`SimMaxBucket` distinct simhashes agreeing on ~24 bits -
-    *      measured at sf0.1 with both caps forced to 32: recall 0.9203
-    *      (vs 0.114 for the old path walk under the same cap).
+    *   3. only the variant stage's own guard ([[SimVariantCap]], 4x
+    *      this constant since r18) degrades lossily, to
+    *      Manku-Jindal-Ullman sorted windows (WWW'07) of width
+    *      [[SimVariantWindow]] under the [[SimVariantRotations]]
+    *      permuted orders, and only on >=`SimVariantCap` distinct
+    *      simhashes agreeing on ~24 bits - measured at sf0.1 with both
+    *      caps forced to 32: recall 0.9203 (vs 0.114 for the old path
+    *      walk under the same cap).
     * Identical-simhash groups (hamming 0, true duplicates) expand to
     * intra-group cliques up to this cap and degrade to an id-ordered
     * path beyond it - output-linear, connectivity-preserving, every
     * path edge hamming 0 (the [[graft.tools.SimhashCapProbe]] 1M-family
     * bound). */
   val SimMaxBucket = 1024
+
+  /** Production cap on the variant stage's EXACT rescue join — the
+    * point past which an over-[[SimMaxBucket]] variant bucket degrades
+    * from the pigeonhole-exact 1-bit-flip equi-join to the lossy MJU
+    * sorted windows. 4× the level-1 cap, set on the r18 ledger twin
+    * (the r18 `simhash_recall` twin at cap ×4 vs the then-default, Heaps-100×; the standing contrast row is now `simhash_recall_vc1k`): at the
+    * old cap (= SimMaxBucket) the production pipeline's recall read
+    * 0.891 with the whole 10.9-point loss accounted to 294
+    * over-variant-cap buckets; at 4× the same contract reads recall
+    * 1.000 for 1.53× the contract row's wall (354 s vs 231 s — and the
+    * contract carries the constant exact-truth side both times, so the
+    * production-stage delta is smaller). Per-bucket clique work stays
+    * bounded at ≤ SimVariantCap²/2 ≈ 8.4 M comparisons; work
+    * concentrates exactly where the TRUE output is quadratic (≥ 2
+    * chunks near-agreeing), so it tracks output, not corpus. Above
+    * this cap the window degrade still applies (floor re-measured by
+    * `simhash_recall_window` and SimhashCapProbe every round). */
+  val SimVariantCap = 4 * SimMaxBucket
 
   /** Sorted-window width for the variant stage's final degrade: each
     * member of an over-[[SimMaxBucket]] variant bucket is compared to
@@ -1011,7 +1030,7 @@ object DedupOps {
     * (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming. */
   def simhashCandidates(df: DataFrame, id: String, text: String,
       maxHamming: Int, maxBucket: Int = SimMaxBucket,
-      variantCap: Int = SimMaxBucket): DataFrame =
+      variantCap: Int = SimVariantCap): DataFrame =
     // The signature frame feeds SIX consumers (distinct banding, both
     // expansion sides, both intra-clique sides, the path) — without a
     // materialization each one re-runs the tokenize+48-bit-sum
@@ -1029,7 +1048,7 @@ object DedupOps {
     * (localCheckpoint) — this pipeline consumes it six times. */
   def simhashCandidatesFromSig(sig: DataFrame, id: String,
       maxHamming: Int, maxBucket: Int = SimMaxBucket,
-      variantCap: Int = SimMaxBucket): DataFrame = {
+      variantCap: Int = SimVariantCap): DataFrame = {
     // The pigeonhole bound applies only when the variant-rescue stage
     // can actually run: maxBucket = Int.MaxValue means no bucket is
     // ever over-cap, the variant stage is provably empty, and the
@@ -1157,7 +1176,7 @@ object DedupOps {
     * with DISTINCT corpus content - the linear-growth signal the guard
     * exists for; `max_group` grows with duplication. */
   def simhashBucketLedger(df: DataFrame, id: String, text: String,
-      maxBucket: Int = SimMaxBucket, variantCap: Int = SimMaxBucket): DataFrame = {
+      maxBucket: Int = SimMaxBucket, variantCap: Int = SimVariantCap): DataFrame = {
     // One pass over the corpus: the per-signature group frame (tiny —
     // one row per DISTINCT simhash) is the only thing materialized;
     // the bucket, group AND variant-stage aggregates derive from it.

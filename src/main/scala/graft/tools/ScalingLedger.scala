@@ -217,16 +217,19 @@ object ScalingLedger {
           SparkEntry.pqResBooksAuto(s, dir),
           SparkEntry.PqSubDim, nprobe = SparkEntry.IvfNprobe,
           rerank = SparkEntry.PqAutoRerank)),
-      // The variant-cap LEVER twin of the `simhash_recall` gate
-      // contract (r17 verdict ask #5): same test-capped level-1 regime
-      // (maxBucket 32 — fires at every ledger scale), variant-stage
-      // guard raised x4 (4096 vs the production 1024). At Heaps-100x
-      // the production configuration reads 0.891 with the 10.9-point
-      // loss accounted to 294 over-variant-cap buckets; this row
-      // prices whether those buckets' recall is purchasable by cap
-      // alone (clique work grows <= 16x per fired bucket, still
-      // bounded) — keep or reject on the measurement.
-      "simhash_recall_vc4" -> { (s, dir) =>
+      // The variant-cap CONTRAST twin of the `simhash_recall` gate
+      // contract. History (r17 verdict ask #5): this row started life
+      // as the x4 lever twin pricing a raise of the then-1024 variant
+      // cap — it measured recall 1.000 at Heaps-100x vs 0.891 at 1024
+      // for 1.53x the contract wall, and on that measurement r18
+      // COMMITTED 4096 as the production default
+      // (DedupOps.SimVariantCap). `simhash_recall` (vcap inherited)
+      // now measures the committed configuration, so this twin pins
+      // the REPLACED 1024 cap instead — the same replaced-default
+      // bookkeeping as `dedup_minhash_recall_r8` — keeping the
+      // recall-vs-cap gap a regenerable number rather than a one-round
+      // anecdote.
+      "simhash_recall_vc1k" -> { (s, dir) =>
         val sig = graft.operators.DedupOps.simhash(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
           .localCheckpoint(true)
@@ -236,7 +239,7 @@ object ScalingLedger {
             variantCap = vcap).localCheckpoint(true)
         val exact = form(Int.MaxValue, Int.MaxValue)
         val capped = form(SparkEntry.SimhashRecallCap,
-          4 * graft.operators.DedupOps.SimMaxBucket)
+          graft.operators.DedupOps.SimMaxBucket)
         val hits = exact.intersect(capped)
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
@@ -265,7 +268,7 @@ object ScalingLedger {
   /** Probe batch sizes for the per-probe JSON fields — the ANN rows
     * only. Keyed by the `knn_` prefix, NOT all of [[LedgerOnlyQueries]]:
     * that map also carries counts-contract lever twins
-    * (`simhash_recall_vc4`), whose one-row (n_exact, n_capped, n_hit)
+    * (`simhash_recall_vc1k`), whose one-row (n_exact, n_capped, n_hit)
     * shape has no probe_id and goes through [[countsRecall]] instead —
     * feeding one to [[annRecall]] is an AnalysisException at the end of
     * a full ledger run. */
@@ -302,7 +305,7 @@ object ScalingLedger {
     * banding recall under honest vocabulary growth was unmeasured). */
   val CountsRecallQueries: Set[String] = Set(
     "dedup_minhash_recall", "dedup_minhash_recall_r8",
-    "simhash_recall", "simhash_recall_window", "simhash_recall_vc4",
+    "simhash_recall", "simhash_recall_window", "simhash_recall_vc1k",
     "session_topk_recall")
 
   /** (truth, hit) read from a counts-contract row — untimed evidence

@@ -146,22 +146,41 @@ object SimhashCapProbe {
     val nBallSims = sig2.filter(col("doc_id") < nBall)
       .select(col("simhash")).distinct().count()
 
+    // Two capped runs since r18's SimVariantCap (= 4x SimMaxBucket)
+    // default flip: the PRODUCTION DEFAULT (this ball's ~3.5k distinct
+    // sims sit under the 4096 variant cap, so the pigeonhole-exact
+    // rescue runs — recall must be structurally 1.0), and the WINDOW
+    // REGIME forced by pinning variantCap back to SimMaxBucket (the
+    // over-SimVariantCap fallback still needs its floor re-measured —
+    // a production corpus can always present a >4096-sim near-ball).
     val t2 = System.nanoTime()
     val cand2 = DedupOps.simhashCandidatesFromSig(sig2, "doc_id",
         maxHamming = 8).localCheckpoint(true)
     val cand2Secs = (System.nanoTime() - t2) / 1e9
     val nCand2 = cand2.count()
+    val t2w = System.nanoTime()
+    val cand2w = DedupOps.simhashCandidatesFromSig(sig2, "doc_id",
+        maxHamming = 8, variantCap = DedupOps.SimMaxBucket)
+      .localCheckpoint(true)
+    val cand2wSecs = (System.nanoTime() - t2w) / 1e9
+    val nCand2w = cand2w.count()
     val exact2 = DedupOps.simhashCandidatesFromSig(sig2, "doc_id",
       maxHamming = 8, maxBucket = Int.MaxValue).localCheckpoint(true)
     val nExact2 = exact2.count()
-    val nHit2 = exact2.intersect(cand2).count()
+    val nHit2prod = exact2.intersect(cand2).count()
+    val recall2prod = nHit2prod.toDouble / nExact2
+    val nHit2 = exact2.intersect(cand2w).count()
     val recall2 = nHit2.toDouble / nExact2
     // Every ball pair is true (<= 8 flips apart, chunks 2,3 shared):
     // the exact set must contain the full ball clique.
     val ballClique = nBall * (nBall - 1) / 2
+    // Connectivity is asserted on the WINDOW-FORCED edge set — the
+    // production default's full in-cap clique connects trivially; the
+    // degrade regime is the one whose sparse window edges must still
+    // hold the ball together.
     val comps2 = DedupOps.connectedComponents(
       sig2.select(col("doc_id")).filter(col("doc_id") < nBall),
-      cand2.filter(col("id_a") < nBall && col("id_b") < nBall)
+      cand2w.filter(col("id_a") < nBall && col("id_b") < nBall)
         .select(col("id_a"), col("id_b")), "doc_id")
       .agg(countDistinct(col("component"))).head().getLong(0)
 
@@ -170,12 +189,18 @@ object SimhashCapProbe {
     println("| check | measured | bound/expected | secs |")
     println("|---|---|---|---|")
     println(f"| exact pairs (ball clique $ballClique + coincidences) | $nExact2 | >= $ballClique | |")
-    println(f"| capped candidates | $nCand2 | << exact (window regime) | $cand2Secs%.2f |")
+    println(f"| production-default candidates (SimVariantCap=${DedupOps.SimVariantCap}) | $nCand2 | exact rescue fires: recall 1.0 | $cand2Secs%.2f |")
+    println(f"| production-default recall | $recall2prod%.4f | = 1.0 (ball under the variant cap => pigeonhole-exact) | |")
+    println(f"| window-forced candidates (variantCap=${DedupOps.SimMaxBucket}) | $nCand2w | << exact (window regime) | $cand2wSecs%.2f |")
     println(f"| recall under fired window degrade | $recall2%.4f | >= 0.5 (MJU floor on a FULL ball, tightened r17 to measured 0.557 minus a band; the gate corpus regime measures 0.92) | |")
     println(s"| ball stays ONE component | $comps2 | = 1 (every window edge hamming <= 8) | |")
 
     require(nExact2 >= ballClique,
       s"exact set $nExact2 < full ball clique $ballClique: ball construction broke")
+    require(recall2prod >= 0.9999,
+      f"production-default recall $recall2prod%.4f < 1.0 on an under-" +
+        "variant-cap ball — the exact rescue is pigeonhole-exact by " +
+        "construction; anything below 1.0 is a broken rescue stage")
     require(recall2 >= 0.5,
       f"window-regime recall $recall2%.4f < 0.5 floor on the dense ball " +
         "(measured 0.557 at r16/r17 on this deterministic fixture — a " +
@@ -185,7 +210,7 @@ object SimhashCapProbe {
 
     val pw = new PrintWriter(new File(jsonOut))
     try pw.println(
-      f"""{"k":$k,"honest":$honest,"sim_max_bucket":${DedupOps.SimMaxBucket},"max_hamming":$maxHamming,"candidates":$nCand,"pair_bound":$pairBound,"family_pairs":$nFam,"max_family_hamming":$maxFamHam,"honest_pairs":$nHon,"n_buckets":$nBuckets,"max_bucket":$maxBucket,"n_over_cap":$nOverCap,"max_group":$maxGroup,"n_over_cap_groups":$nOverCapGroups,"cc_rounds":$rounds,"largest_component":$famSize,"components":$nComps,"cand_secs":$candSecs%.3f,"cc_secs":$ccSecs%.3f,"ball_n":$nBall,"ball_distinct_sims":$nBallSims,"ball_exact":$nExact2,"ball_capped":$nCand2,"ball_recall":$recall2%.4f,"ball_components":$comps2,"ball_cand_secs":$cand2Secs%.3f}""")
+      f"""{"k":$k,"honest":$honest,"sim_max_bucket":${DedupOps.SimMaxBucket},"max_hamming":$maxHamming,"candidates":$nCand,"pair_bound":$pairBound,"family_pairs":$nFam,"max_family_hamming":$maxFamHam,"honest_pairs":$nHon,"n_buckets":$nBuckets,"max_bucket":$maxBucket,"n_over_cap":$nOverCap,"max_group":$maxGroup,"n_over_cap_groups":$nOverCapGroups,"cc_rounds":$rounds,"largest_component":$famSize,"components":$nComps,"cand_secs":$candSecs%.3f,"cc_secs":$ccSecs%.3f,"ball_n":$nBall,"ball_distinct_sims":$nBallSims,"ball_exact":$nExact2,"ball_prod_capped":$nCand2,"ball_prod_recall":$recall2prod%.4f,"ball_prod_cand_secs":$cand2Secs%.3f,"sim_variant_cap":${DedupOps.SimVariantCap},"ball_capped":$nCand2w,"ball_recall":$recall2%.4f,"ball_components":$comps2,"ball_cand_secs":$cand2wSecs%.3f}""")
     finally pw.close()
     System.err.println(s"wrote $jsonOut")
     spark.stop()
