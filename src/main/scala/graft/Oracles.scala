@@ -1335,7 +1335,7 @@ object Oracles {
     * rescue is EXACT by pigeonhole, so the contract pins
     * n_hit = n_capped = n_exact while 100+ level-1 buckets fire. */
   def simhashRecall(maxHamming: Int, cap: Int,
-      vcap: Int = graft.operators.DedupOps.SimVariantCap): String =
+      vcap: Int = graft.operators.DedupOps.SimMaxBucket): String =
     s"""WITH $simhashSigCte,
        |${simhashCandCtes(maxHamming, cap.toString, vcap.toString,
            graft.operators.DedupOps.SimVariantWindow)},

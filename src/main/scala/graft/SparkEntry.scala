@@ -4193,7 +4193,7 @@ object SparkEntry {
     "simhash_near_dup" -> Oracles.simhashNearDup(SimhashMaxHamming),
     "simhash_bucket_ledger" ->
       Oracles.simhashBucketLedger(DedupOps.SimMaxBucket,
-        DedupOps.SimVariantCap),
+        DedupOps.SimMaxBucket),
     "simhash_recall" ->
       Oracles.simhashRecall(SimhashMaxHamming, SimhashRecallCap),
     "simhash_recall_window" ->

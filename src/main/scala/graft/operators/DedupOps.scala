@@ -933,14 +933,14 @@ object DedupOps {
     *   2. over-cap buckets are rescued by a 1-bit-flip VARIANT
     *      equi-join (HmSearch-style, Zhang et al., SIGMOD'13) that is
     *      EXACT - recall 1.0 by pigeonhole - for `maxHamming` <= 8;
-    *   3. only the variant stage's own guard ([[SimVariantCap]], 4x
-    *      this constant since r18) degrades lossily, to
-    *      Manku-Jindal-Ullman sorted windows (WWW'07) of width
-    *      [[SimVariantWindow]] under the [[SimVariantRotations]]
-    *      permuted orders, and only on >=`SimVariantCap` distinct
-    *      simhashes agreeing on ~24 bits - measured at sf0.1 with both
-    *      caps forced to 32: recall 0.9203 (vs 0.114 for the old path
-    *      walk under the same cap).
+    *   3. only the variant stage's own guard (this constant again by
+    *      default; [[SimVariantCap]] is the measured ×4 per-call
+    *      lever) degrades lossily, to Manku-Jindal-Ullman sorted
+    *      windows (WWW'07) of width [[SimVariantWindow]] under the
+    *      [[SimVariantRotations]] permuted orders, and only on
+    *      >=`variantCap` distinct simhashes agreeing on ~24 bits -
+    *      measured at sf0.1 with both caps forced to 32: recall 0.9203
+    *      (vs 0.114 for the old path walk under the same cap).
     * Identical-simhash groups (hamming 0, true duplicates) expand to
     * intra-group cliques up to this cap and degrade to an id-ordered
     * path beyond it - output-linear, connectivity-preserving, every
@@ -948,22 +948,36 @@ object DedupOps {
     * bound). */
   val SimMaxBucket = 1024
 
-  /** Production cap on the variant stage's EXACT rescue join — the
-    * point past which an over-[[SimMaxBucket]] variant bucket degrades
-    * from the pigeonhole-exact 1-bit-flip equi-join to the lossy MJU
-    * sorted windows. 4× the level-1 cap, set on the r18 ledger twin
-    * (the r18 `simhash_recall` twin at cap ×4 vs the then-default, Heaps-100×; the standing contrast row is now `simhash_recall_vc1k`): at the
-    * old cap (= SimMaxBucket) the production pipeline's recall read
-    * 0.891 with the whole 10.9-point loss accounted to 294
-    * over-variant-cap buckets; at 4× the same contract reads recall
-    * 1.000 for 1.53× the contract row's wall (354 s vs 231 s — and the
-    * contract carries the constant exact-truth side both times, so the
-    * production-stage delta is smaller). Per-bucket clique work stays
-    * bounded at ≤ SimVariantCap²/2 ≈ 8.4 M comparisons; work
-    * concentrates exactly where the TRUE output is quadratic (≥ 2
-    * chunks near-agreeing), so it tracks output, not corpus. Above
-    * this cap the window degrade still applies (floor re-measured by
-    * `simhash_recall_window` and SimhashCapProbe every round). */
+  /** The variant stage's ×4 exact-rescue cap — a MEASURED PER-CALL
+    * LEVER, deliberately NOT the default. Pass it as `variantCap` to
+    * run the pigeonhole-exact 1-bit-flip equi-join on variant buckets
+    * up to 4× [[SimMaxBucket]] before the MJU window degrade fires.
+    * Both sides of the trade are regenerable ledger rows (r18):
+    *
+    *   - KEEP case (honest diversity): at Heaps-100× the default's
+    *     recall loss is 10.9 points (0.891), all of it the window
+    *     regime firing on 294 buckets of ≤ 3,790 sims; at this cap the
+    *     same contract reads recall 1.000 for 1.53× the contract wall
+    *     (`simhash_recall_vc4` vs the default-cap `simhash_recall` in
+    *     SCALING_LEDGER_HEAPS, and SimhashCapProbe's dense-ball
+    *     phase requires the 1.0).
+    *   - REJECT case (why it is not the default): the rescue's join
+    *     work grows ~16× per admitted bucket, and work-boundedness is
+    *     the guard's whole job. On the near-agreement-SATURATED 100×
+    *     default fixture (sf10: 4,084 buckets over 1024, max 13,499)
+    *     the raised cap's exact rescue exhausted 77 GB of shuffle disk
+    *     on a 2.1 GB input before completing — the blanket default
+    *     would do the same on any 100 TB corpus with dense
+    *     near-agreement, exactly the corpora the cap exists for.
+    *
+    * The switch signal is committed: `simhash_bucket_ledger`'s
+    * `n_over_variant_cap` > 0 on a corpus whose diversity is verified
+    * honest (Heaps-shaped vocabulary growth, bounded near-balls) is
+    * the documented cue to pass this lever explicitly; on anything
+    * else the default window degrade keeps work linear and
+    * connectivity intact (SimhashCapProbe: the ball stays ONE
+    * component under windows — CC consumers lose little even where
+    * pairwise recall drops). */
   val SimVariantCap = 4 * SimMaxBucket
 
   /** Sorted-window width for the variant stage's final degrade: each
@@ -1030,7 +1044,7 @@ object DedupOps {
     * (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming. */
   def simhashCandidates(df: DataFrame, id: String, text: String,
       maxHamming: Int, maxBucket: Int = SimMaxBucket,
-      variantCap: Int = SimVariantCap): DataFrame =
+      variantCap: Int = SimMaxBucket): DataFrame =
     // The signature frame feeds SIX consumers (distinct banding, both
     // expansion sides, both intra-clique sides, the path) — without a
     // materialization each one re-runs the tokenize+48-bit-sum
@@ -1048,7 +1062,7 @@ object DedupOps {
     * (localCheckpoint) — this pipeline consumes it six times. */
   def simhashCandidatesFromSig(sig: DataFrame, id: String,
       maxHamming: Int, maxBucket: Int = SimMaxBucket,
-      variantCap: Int = SimVariantCap): DataFrame = {
+      variantCap: Int = SimMaxBucket): DataFrame = {
     // The pigeonhole bound applies only when the variant-rescue stage
     // can actually run: maxBucket = Int.MaxValue means no bucket is
     // ever over-cap, the variant stage is provably empty, and the
@@ -1176,7 +1190,7 @@ object DedupOps {
     * with DISTINCT corpus content - the linear-growth signal the guard
     * exists for; `max_group` grows with duplication. */
   def simhashBucketLedger(df: DataFrame, id: String, text: String,
-      maxBucket: Int = SimMaxBucket, variantCap: Int = SimVariantCap): DataFrame = {
+      maxBucket: Int = SimMaxBucket, variantCap: Int = SimMaxBucket): DataFrame = {
     // One pass over the corpus: the per-signature group frame (tiny —
     // one row per DISTINCT simhash) is the only thing materialized;
     // the bucket, group AND variant-stage aggregates derive from it.

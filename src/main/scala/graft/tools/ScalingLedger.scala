@@ -217,19 +217,21 @@ object ScalingLedger {
           SparkEntry.pqResBooksAuto(s, dir),
           SparkEntry.PqSubDim, nprobe = SparkEntry.IvfNprobe,
           rerank = SparkEntry.PqAutoRerank)),
-      // The variant-cap CONTRAST twin of the `simhash_recall` gate
-      // contract. History (r17 verdict ask #5): this row started life
-      // as the x4 lever twin pricing a raise of the then-1024 variant
-      // cap — it measured recall 1.000 at Heaps-100x vs 0.891 at 1024
-      // for 1.53x the contract wall, and on that measurement r18
-      // COMMITTED 4096 as the production default
-      // (DedupOps.SimVariantCap). `simhash_recall` (vcap inherited)
-      // now measures the committed configuration, so this twin pins
-      // the REPLACED 1024 cap instead — the same replaced-default
-      // bookkeeping as `dedup_minhash_recall_r8` — keeping the
-      // recall-vs-cap gap a regenerable number rather than a one-round
-      // anecdote.
-      "simhash_recall_vc1k" -> { (s, dir) =>
+      // The variant-cap ×4 LEVER twin of the `simhash_recall` gate
+      // contract (r17 verdict ask #5: price whether the Heaps-100x
+      // 10.9-point simhash loss is purchasable by cap alone). It is —
+      // recall 1.000 vs 0.891 at 1.53x the contract wall under honest
+      // diversity — and r18 REJECTED it as the blanket default anyway:
+      // the same raise on the near-agreement-SATURATED 100x default
+      // fixture grew the rescue's equi-join work ~16x per admitted
+      // bucket and exhausted 77 GB of shuffle on a 2.1 GB input
+      // (sf10 simhash_near_dup, mid-run disk-full). The lever stays
+      // per-call (DedupOps.SimVariantCap, keyed to the committed
+      // n_over_variant_cap switch signal); this row keeps BOTH facts
+      // regenerable: its recall column is the keep case, and any
+      // attempt to re-default it must survive the default-fixture
+      // 100x ledger this row's near_dup sibling runs in.
+      "simhash_recall_vc4" -> { (s, dir) =>
         val sig = graft.operators.DedupOps.simhash(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
           .localCheckpoint(true)
@@ -239,7 +241,7 @@ object ScalingLedger {
             variantCap = vcap).localCheckpoint(true)
         val exact = form(Int.MaxValue, Int.MaxValue)
         val capped = form(SparkEntry.SimhashRecallCap,
-          graft.operators.DedupOps.SimMaxBucket)
+          graft.operators.DedupOps.SimVariantCap)
         val hits = exact.intersect(capped)
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
@@ -268,7 +270,7 @@ object ScalingLedger {
   /** Probe batch sizes for the per-probe JSON fields — the ANN rows
     * only. Keyed by the `knn_` prefix, NOT all of [[LedgerOnlyQueries]]:
     * that map also carries counts-contract lever twins
-    * (`simhash_recall_vc1k`), whose one-row (n_exact, n_capped, n_hit)
+    * (`simhash_recall_vc4`), whose one-row (n_exact, n_capped, n_hit)
     * shape has no probe_id and goes through [[countsRecall]] instead —
     * feeding one to [[annRecall]] is an AnalysisException at the end of
     * a full ledger run. */
@@ -305,7 +307,7 @@ object ScalingLedger {
     * banding recall under honest vocabulary growth was unmeasured). */
   val CountsRecallQueries: Set[String] = Set(
     "dedup_minhash_recall", "dedup_minhash_recall_r8",
-    "simhash_recall", "simhash_recall_window", "simhash_recall_vc1k",
+    "simhash_recall", "simhash_recall_window", "simhash_recall_vc4",
     "session_topk_recall")
 
   /** (truth, hit) read from a counts-contract row — untimed evidence
