@@ -124,15 +124,19 @@ final class ModelStore(spark: SparkSession, val root: String) {
     *     growth-only behavior — the churn trigger arms itself the
     *     first time entries flow.
     *
-    * Concurrency: the decide-train-update sequence is serialized by a
-    * JVM-local key lock only — the store assumes ONE logical writer
-    * per (store root, artifact name), the same single-maintainer
-    * contract as [[gc]]/[[ParquetWarehouse.vacuum]]. Two driver
-    * processes sharing a root can both pass the drift check and train
-    * redundantly; both produce the same deterministic artifact and the
-    * meta row is last-writer-wins, so the damage is wasted work and a
-    * skewed cadence baseline, never a wrong artifact ([[getOrTrain]]
-    * shares the assumption).
+    * Concurrency: ONE logical writer per (store root, artifact name)
+    * remains the contract ([[gc]]/[[ParquetWarehouse.vacuum]]'s
+    * single-maintainer rule; [[getOrTrain]] shares it), but since r19
+    * the meta row's read-modify-writes are additionally serialized
+    * CROSS-PROCESS by a side commit lock (`<name>__meta_rmw`) held
+    * around decide+accumulate and around the post-train publish —
+    * never across the train itself, which at 100 TB outlives
+    * [[ParquetWarehouse.LockStaleMs]] and would be reaped mid-hold.
+    * Two driver processes sharing a root can therefore still train
+    * redundantly (same deterministic artifact — wasted work), but the
+    * cadence baseline can no longer be torn: a serve-path churn
+    * accumulation cannot resurrect over a concurrent retrain's reset,
+    * and a retrain's publish re-reads under the lock before writing.
     *
     * Callers that gc must keep [[servedFingerprint]] in `liveFps` —
     * the served generation can be arbitrarily old by design. */
@@ -141,37 +145,70 @@ final class ModelStore(spark: SparkSession, val root: String) {
       train: => DataFrame): DataFrame = {
     require(driftFactor >= 1.0, s"driftFactor $driftFactor < 1 would retrain on shrink-only")
     val mr = metaRef(name)
+    // Cross-PROCESS serialization of the meta read-modify-write (the
+    // r18 doc'd single-writer residual, now insured): a SIDE commit
+    // lock — not `mr`'s own, which writeMeta's TruncateInsert takes
+    // internally and the file lock is not reentrant — held around the
+    // decide + serve-path accumulator update, and re-taken around the
+    // post-train publish, but NEVER across the train itself: trains
+    // run minutes at 100 TB and a >LockStaleMs (30 s) hold gets
+    // reaped, voiding the exclusion it pretended to buy. Two racing
+    // drivers can therefore still both TRAIN (same deterministic
+    // artifact — wasted work, the contract's documented cost), but
+    // the meta row can no longer be torn: a serve-path churn
+    // accumulation cannot resurrect over a concurrent retrain's
+    // reset, and a reset cannot lose churn a racer's serve observed
+    // in between (it re-reads under the lock before publishing).
+    val rmwRef = TableRef("models", s"${name}__meta_rmw")
+    def lockedRmw[A](body: => A): A = wh.withCommitLock(rmwRef, 30000L)(body)
     ModelStore.keyLock(s"$root/${mr.qualified}").synchronized {
-      val meta = readMeta(mr)
       val liveKeys = stat.fileEntries
-      // Fresh-identity bytes this call: live files whose key the last
-      // observed listing did not contain. Diff over driver-side key
-      // sets — listing-scale (one Long per file), never a data read.
-      val newBytes = meta match {
-        case Some(m) if m.seenKeys.nonEmpty && liveKeys.nonEmpty =>
+      // Fresh-identity bytes vs a baseline listing: live files whose
+      // key the last observed listing did not contain. Diff over
+      // driver-side key sets — listing-scale (one Long per file),
+      // never a data read.
+      def freshBytes(m: Meta): Long =
+        if (m.seenKeys.nonEmpty && liveKeys.nonEmpty)
           liveKeys.iterator.filterNot(e => m.seenKeys.contains(e._1))
             .map(_._2).sum
-        case _ => 0L
+        else 0L
+      // Phase 1, under the RMW lock: decide, and commit the serve-path
+      // accumulator update atomically with the read that justified it.
+      val decision: Option[String] = lockedRmw {
+        readMeta(mr) match {
+          // Serve the trained generation while growth AND accumulated
+          // churn stay inside the drift budget (and the artifact still
+          // exists — a gc'd or dropped artifact forces a fresh train).
+          case Some(m)
+              if exists(name, m.fp) &&
+                stat.bytes.toDouble <= driftFactor * m.trainedBytes &&
+                (m.churn + freshBytes(m)).toDouble <=
+                  driftFactor * m.trainedBytes =>
+            val newBytes = freshBytes(m)
+            // Persist the churn accumulator + observed listing iff new
+            // identities appeared (or the trigger is arming for the
+            // first time) — steady state stays a read-only serve path.
+            if (newBytes > 0 || (m.seenKeys.isEmpty && liveKeys.nonEmpty))
+              writeMeta(mr, m.fp, m.trainedBytes, m.trainedFiles,
+                m.churn + newBytes, liveKeys)
+            Some(m.fp)
+          case _ => None
+        }
       }
-      val serveFp = meta match {
-        // Serve the trained generation while growth AND accumulated
-        // churn stay inside the drift budget (and the artifact still
-        // exists — a gc'd or dropped artifact forces a fresh train).
-        case Some(m)
-            if exists(name, m.fp) &&
-              stat.bytes.toDouble <= driftFactor * m.trainedBytes &&
-              (m.churn + newBytes).toDouble <= driftFactor * m.trainedBytes =>
-          // Persist the churn accumulator + observed listing iff new
-          // identities appeared (or the trigger is arming for the
-          // first time) — steady state stays a read-only serve path.
-          if (newBytes > 0 || (m.seenKeys.isEmpty && liveKeys.nonEmpty))
-            writeMeta(mr, m.fp, m.trainedBytes, m.trainedFiles,
-              m.churn + newBytes, liveKeys)
-          m.fp
-        case _ =>
-          getOrTrain(name, stat.fp)(train)
-          writeMeta(mr, stat.fp, stat.bytes, stat.files, 0L, liveKeys)
-          stat.fp
+      val serveFp = decision.getOrElse {
+        // Phase 2: train OUTSIDE the lock (fingerprint-keyed and
+        // idempotent — a racer training the same stat produces the
+        // same artifact), then publish the policy reset under it. A
+        // racer that already published this fingerprint makes the
+        // publish a skip; one that published a DIFFERENT generation is
+        // last-decider-wins, benign and self-correcting (the next
+        // call's drift check re-evaluates against whatever won).
+        getOrTrain(name, stat.fp)(train)
+        lockedRmw {
+          if (!readMeta(mr).exists(_.fp == stat.fp))
+            writeMeta(mr, stat.fp, stat.bytes, stat.files, 0L, liveKeys)
+        }
+        stat.fp
       }
       wh.table(ref(name, serveFp))
     }

@@ -957,10 +957,11 @@ object DedupOps {
     *   - KEEP case (honest diversity): at Heaps-100× the default's
     *     recall loss is 10.9 points (0.891), all of it the window
     *     regime firing on 294 buckets of ≤ 3,790 sims; at this cap the
-    *     same contract reads recall 1.000 for 1.53× the contract wall
-    *     (`simhash_recall_vc4` vs the default-cap `simhash_recall` in
-    *     SCALING_LEDGER_HEAPS, and SimhashCapProbe's dense-ball
-    *     phase requires the 1.0).
+    *     same contract reads recall 1.000 for 1.14× the contract wall
+    *     at Heaps-100× (287.7 vs 252.0 s scaled_run2; 1.46× at base,
+    *     6.84 vs 4.70 s — `simhash_recall_vc4` vs the default-cap
+    *     `simhash_recall` in the committed SCALING_LEDGER_HEAPS, and
+    *     SimhashCapProbe's dense-ball phase requires the 1.0).
     *   - REJECT case (why it is not the default): the rescue's join
     *     work grows ~16× per admitted bucket, and work-boundedness is
     *     the guard's whole job. On the near-agreement-SATURATED 100×

@@ -220,8 +220,11 @@ object ScalingLedger {
       // The variant-cap ×4 LEVER twin of the `simhash_recall` gate
       // contract (r17 verdict ask #5: price whether the Heaps-100x
       // 10.9-point simhash loss is purchasable by cap alone). It is —
-      // recall 1.000 vs 0.891 at 1.53x the contract wall under honest
-      // diversity — and r18 REJECTED it as the blanket default anyway:
+      // recall 1.000 vs 0.891 under honest diversity, for 1.14x the
+      // contract wall at Heaps-100x (287.7 vs 252.0 s scaled_run2) and
+      // 1.46x at base (6.84 vs 4.70 s), per the committed
+      // SCALING_LEDGER_HEAPS — and r18 REJECTED it as the blanket
+      // default anyway:
       // the same raise on the near-agreement-SATURATED 100x default
       // fixture grew the rescue's equi-join work ~16x per admitted
       // bucket and exhausted 77 GB of shuffle on a 2.1 GB input

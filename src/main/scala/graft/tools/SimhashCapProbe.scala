@@ -155,12 +155,19 @@ object SimhashCapProbe {
     // keep-case evidence for the lever that r18 measured and REJECTED
     // as the blanket default after the saturated 100× fixture's rescue
     // join exhausted shuffle disk — see DedupOps.SimVariantCap).
+    // Discarded warm-up pass (same plan shape as the timed window run):
+    // the lever run used to execute first over the cold JVM/shuffle
+    // machinery, handing the second (window) run a 12.3 s -> 7.9 s
+    // warm-up discount and biasing the lever-vs-default seconds
+    // comparison in the default's favor. Warm both timed passes.
+    DedupOps.simhashCandidatesFromSig(sig2, "doc_id", maxHamming = 8)
+      .count()
     val t2v = System.nanoTime()
-    val cand2 = DedupOps.simhashCandidatesFromSig(sig2, "doc_id",
+    val cand2lever = DedupOps.simhashCandidatesFromSig(sig2, "doc_id",
         maxHamming = 8, variantCap = DedupOps.SimVariantCap)
       .localCheckpoint(true)
-    val cand2Secs = (System.nanoTime() - t2v) / 1e9
-    val nCand2 = cand2.count()
+    val cand2leverSecs = (System.nanoTime() - t2v) / 1e9
+    val nCand2lever = cand2lever.count()
     val t2w = System.nanoTime()
     val cand2w = DedupOps.simhashCandidatesFromSig(sig2, "doc_id",
         maxHamming = 8).localCheckpoint(true)
@@ -169,8 +176,8 @@ object SimhashCapProbe {
     val exact2 = DedupOps.simhashCandidatesFromSig(sig2, "doc_id",
       maxHamming = 8, maxBucket = Int.MaxValue).localCheckpoint(true)
     val nExact2 = exact2.count()
-    val nHit2prod = exact2.intersect(cand2).count()
-    val recall2prod = nHit2prod.toDouble / nExact2
+    val nHit2lever = exact2.intersect(cand2lever).count()
+    val recall2lever = nHit2lever.toDouble / nExact2
     val nHit2 = exact2.intersect(cand2w).count()
     val recall2 = nHit2.toDouble / nExact2
     // Every ball pair is true (<= 8 flips apart, chunks 2,3 shared):
@@ -191,16 +198,16 @@ object SimhashCapProbe {
     println("| check | measured | bound/expected | secs |")
     println("|---|---|---|---|")
     println(f"| exact pairs (ball clique $ballClique + coincidences) | $nExact2 | >= $ballClique | |")
-    println(f"| SimVariantCap lever candidates (vcap=${DedupOps.SimVariantCap}, per-call) | $nCand2 | exact rescue fires: recall 1.0 | $cand2Secs%.2f |")
-    println(f"| SimVariantCap lever recall | $recall2prod%.4f | = 1.0 (ball under the lever cap => pigeonhole-exact) | |")
+    println(f"| SimVariantCap lever candidates (vcap=${DedupOps.SimVariantCap}, per-call) | $nCand2lever | exact rescue fires: recall 1.0 | $cand2leverSecs%.2f |")
+    println(f"| SimVariantCap lever recall | $recall2lever%.4f | = 1.0 (ball under the lever cap => pigeonhole-exact) | |")
     println(f"| production-default candidates (vcap=${DedupOps.SimMaxBucket}) | $nCand2w | << exact (window regime) | $cand2wSecs%.2f |")
     println(f"| recall under fired window degrade | $recall2%.4f | >= 0.5 (MJU floor on a FULL ball, tightened r17 to measured 0.557 minus a band; the gate corpus regime measures 0.92) | |")
     println(s"| ball stays ONE component | $comps2 | = 1 (every window edge hamming <= 8) | |")
 
     require(nExact2 >= ballClique,
       s"exact set $nExact2 < full ball clique $ballClique: ball construction broke")
-    require(recall2prod >= 0.9999,
-      f"SimVariantCap-lever recall $recall2prod%.4f < 1.0 on an under-" +
+    require(recall2lever >= 0.9999,
+      f"SimVariantCap-lever recall $recall2lever%.4f < 1.0 on an under-" +
         "lever-cap ball — the exact rescue is pigeonhole-exact by " +
         "construction; anything below 1.0 is a broken rescue stage")
     require(recall2 >= 0.5,
@@ -212,7 +219,7 @@ object SimhashCapProbe {
 
     val pw = new PrintWriter(new File(jsonOut))
     try pw.println(
-      f"""{"k":$k,"honest":$honest,"sim_max_bucket":${DedupOps.SimMaxBucket},"max_hamming":$maxHamming,"candidates":$nCand,"pair_bound":$pairBound,"family_pairs":$nFam,"max_family_hamming":$maxFamHam,"honest_pairs":$nHon,"n_buckets":$nBuckets,"max_bucket":$maxBucket,"n_over_cap":$nOverCap,"max_group":$maxGroup,"n_over_cap_groups":$nOverCapGroups,"cc_rounds":$rounds,"largest_component":$famSize,"components":$nComps,"cand_secs":$candSecs%.3f,"cc_secs":$ccSecs%.3f,"ball_n":$nBall,"ball_distinct_sims":$nBallSims,"ball_exact":$nExact2,"ball_lever_capped":$nCand2,"ball_lever_recall":$recall2prod%.4f,"ball_lever_cand_secs":$cand2Secs%.3f,"sim_variant_cap":${DedupOps.SimVariantCap},"ball_capped":$nCand2w,"ball_recall":$recall2%.4f,"ball_components":$comps2,"ball_cand_secs":$cand2wSecs%.3f}""")
+      f"""{"k":$k,"honest":$honest,"sim_max_bucket":${DedupOps.SimMaxBucket},"max_hamming":$maxHamming,"candidates":$nCand,"pair_bound":$pairBound,"family_pairs":$nFam,"max_family_hamming":$maxFamHam,"honest_pairs":$nHon,"n_buckets":$nBuckets,"max_bucket":$maxBucket,"n_over_cap":$nOverCap,"max_group":$maxGroup,"n_over_cap_groups":$nOverCapGroups,"cc_rounds":$rounds,"largest_component":$famSize,"components":$nComps,"cand_secs":$candSecs%.3f,"cc_secs":$ccSecs%.3f,"ball_n":$nBall,"ball_distinct_sims":$nBallSims,"ball_exact":$nExact2,"ball_lever_capped":$nCand2lever,"ball_lever_recall":$recall2lever%.4f,"ball_lever_cand_secs":$cand2leverSecs%.3f,"sim_variant_cap":${DedupOps.SimVariantCap},"ball_capped":$nCand2w,"ball_recall":$recall2%.4f,"ball_components":$comps2,"ball_cand_secs":$cand2wSecs%.3f}""")
     finally pw.close()
     System.err.println(s"wrote $jsonOut")
     spark.stop()
