@@ -1006,6 +1006,68 @@ object DedupOps {
     * 1-bit-flip variant keys (one flip on each side) cover exactly. */
   val SimVariantMaxHamming = 8
 
+  /** Per-distinct-signature allowance for the BUDGETED variant-stage
+    * auto-escalation (r19, the `escalateBudget` parameter of
+    * [[simhashCandidatesFromSig]]): over-`variantCap` variant buckets
+    * are admitted to the exact rescue SMALLEST-FIRST while their
+    * cumulative clique work Σ vn·(vn−1)/2 stays within
+    * `escalateBudget × (distinct signatures in the corpus)` — the
+    * remainder degrades to the MJU windows exactly as before. The
+    * admitted extra work is therefore LINEAR in corpus size by
+    * construction, the same shape as the level-1 clique stage's own
+    * 4·maxBucket-pairs-per-signature bound — which is what this
+    * default matches (4 × [[SimMaxBucket]] = 4096 extra pairs per
+    * signature: escalation may at most double the pipeline's existing
+    * admitted-work envelope).
+    *
+    * Why a WORK budget and not per-bucket honesty (the r18 verdict's
+    * hypothesis, MEASURED and refuted by SimVariantDiag, r19): over-cap
+    * variant buckets on BOTH committed fixtures are coherent near-balls
+    * — every bucket's mean member-to-centroid Hamming distance is
+    * 4.1-7.9 bits on heaps100 AND 4.5-7.8 on sf10, with sampled
+    * true-pair yields 0.23-0.70 (heaps) and 0.40-0.73 (sf10) — so no
+    * bucket-local statistic separates the corpus where the blanket ×4
+    * lever bought recall 0.891 → 1.000 for 1.14× wall from the one
+    * where it exhausted 77 GB of shuffle. The saturated fixture's
+    * escalation work is HONEST-yield and simply unaffordable: what
+    * distinguishes the fixtures is AGGREGATE volume — 294 buckets /
+    * 3.5e8 clique pairs (heaps100) vs 4,084 buckets / 9.1e9 (sf10).
+    * Work-boundedness therefore has to be enforced on work itself:
+    * smallest-first admission under a linear-in-n budget keeps the
+    * first regime whole and takes only a bounded, highest-yield-first
+    * bite of the second. Measured on both regimes before any
+    * default decision: SimhashCapProbe phases 2-3 (ball escalates to
+    * recall 1.0; saturated cloud's admitted work ≤ budget) and the
+    * `simhash_recall_auto` Heaps-ledger row. NOT the default (pass
+    * `escalateBudget = SimVariantEscalateBudget` to opt in): the
+    * committed 100×/Heaps ledgers describe the shipped default, and a
+    * default flip is a next-round decision against those numbers. */
+  val SimVariantEscalateBudget = 4 * SimMaxBucket
+
+  /** The budgeted-escalation size cut, as a pure function of the
+    * over-cap bucket-size histogram (ascending (size, bucketCount)
+    * classes): admit WHOLE size classes in ascending order while their
+    * cumulative clique work Σ count·size·(size−1)/2 fits `budget`,
+    * stopping at the FIRST class that does not — the cut must be a
+    * prefix of the size order, or the budget would be spent on the
+    * lower-yield (larger, more-diffuse) buckets first. Returns
+    * (cut size, admitted work); cut = `variantCap` means nothing
+    * escalates. Exposed so [[graft.tools.SimhashCapProbe]] asserts the
+    * same arithmetic the candidate pipeline executes. */
+  def escalationCut(hist: Seq[(Long, Long)], variantCap: Int,
+      budget: Long): (Long, Long) = {
+    var cum = 0L
+    var cut = variantCap.toLong
+    var open = true
+    hist.sortBy(_._1).foreach { case (vn, nb) =>
+      val work = nb * (vn * (vn - 1) / 2)
+      if (open && vn > variantCap && cum + work <= budget) {
+        cum += work; cut = vn
+      } else if (vn > variantCap) open = false
+    }
+    (cut, cum)
+  }
+
   /** Near-duplicate candidates by SimHash: band the 48 bits into 4
     * 12-bit chunks over DISTINCT simhashes; distinct pairs sharing any
     * chunk are candidates; emit member pairs within `maxHamming`.
@@ -1045,7 +1107,7 @@ object DedupOps {
     * (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming. */
   def simhashCandidates(df: DataFrame, id: String, text: String,
       maxHamming: Int, maxBucket: Int = SimMaxBucket,
-      variantCap: Int = SimMaxBucket): DataFrame =
+      variantCap: Int = SimMaxBucket, escalateBudget: Int = 0): DataFrame =
     // The signature frame feeds SIX consumers (distinct banding, both
     // expansion sides, both intra-clique sides, the path) — without a
     // materialization each one re-runs the tokenize+48-bit-sum
@@ -1053,17 +1115,29 @@ object DedupOps {
     // the paired bench before this checkpoint). Two narrow columns per
     // document, so the stored footprint is rows x ~16 bytes.
     simhashCandidatesFromSig(simhash(df, id, text).localCheckpoint(true),
-      id, maxHamming, maxBucket, variantCap)
+      id, maxHamming, maxBucket, variantCap, escalateBudget)
 
   /** [[simhashCandidates]] over a PRECOMPUTED (id, simhash) frame — the
     * shingle-once pattern (CONTRACTS: compute signatures once, feed
     * every consumer): callers holding several forms over one corpus
     * (e.g. the `simhash_recall` contrast of exact vs capped) pay the
     * signature aggregation once. `sig` should be materialized
-    * (localCheckpoint) — this pipeline consumes it six times. */
+    * (localCheckpoint) — this pipeline consumes it six times.
+    *
+    * `escalateBudget` > 0 enables the budgeted variant-stage
+    * auto-escalation ([[SimVariantEscalateBudget]]): over-`variantCap`
+    * variant buckets are admitted to the exact rescue smallest-first
+    * while cumulative clique work stays within `escalateBudget` pairs
+    * per distinct signature; only the remainder degrades to windows.
+    * The admission threshold is a bucket-SIZE cut (every bucket of an
+    * admitted size is in), computed from a per-size work histogram —
+    * a driver-side read bounded by the number of DISTINCT over-cap
+    * bucket sizes (≤ the over-cap bucket count the ledger reports:
+    * hundreds to thousands), capped fail-loud. 0 (the default) is
+    * bit-for-bit the pre-r19 pipeline. */
   def simhashCandidatesFromSig(sig: DataFrame, id: String,
       maxHamming: Int, maxBucket: Int = SimMaxBucket,
-      variantCap: Int = SimMaxBucket): DataFrame = {
+      variantCap: Int = SimMaxBucket, escalateBudget: Int = 0): DataFrame = {
     // The pigeonhole bound applies only when the variant-rescue stage
     // can actually run: maxBucket = Int.MaxValue means no bucket is
     // ever over-cap, the variant stage is provably empty, and the
@@ -1109,7 +1183,33 @@ object DedupOps {
       .drop("__flip")
     val vkn = vk.withColumn("__vn", count(lit(1)).over(
       Window.partitionBy(col("c"), col("chunk"), col("c2"), col("vkey"))))
-    val vUnder = vkn.filter(col("__vn") <= variantCap)
+    // Budgeted auto-escalation (opt-in): lift the effective cap to the
+    // largest bucket SIZE whose cumulative over-cap clique work fits
+    // the linear-in-n budget. The histogram is one row per distinct
+    // over-cap bucket size — metadata-scale next to the buckets
+    // themselves — and the cut is deterministic (sizes ascend).
+    val effCap: Long =
+      if (escalateBudget <= 0) variantCap.toLong
+      else {
+        val nSims = sig.select(col("simhash")).distinct().count()
+        val budget = escalateBudget.toLong * nSims
+        val hist = vkn
+          .filter(col("__vn") > variantCap)
+          .select(col("c"), col("chunk"), col("c2"), col("vkey"),
+            col("__vn"))
+          .distinct()
+          .groupBy(col("__vn")).agg(count(lit(1)).as("__nb"))
+          .orderBy(col("__vn"))
+          .limit(100001)
+          .collect()
+        require(hist.length <= 100000,
+          "simhashCandidatesFromSig: over 100k distinct over-cap bucket " +
+            "sizes — the variant-key space is 4×4096×4096 values, so this " +
+            "is a broken population column, not a real corpus")
+        escalationCut(hist.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+          variantCap, budget)._1
+      }
+    val vUnder = vkn.filter(col("__vn") <= effCap)
     val vClique = vUnder.hint("merge").as("x")
       .join(vUnder.hint("merge").as("y"),
         col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
@@ -1122,7 +1222,7 @@ object DedupOps {
     // and byte-equal to the DuckDB replay). Rotated order is a
     // bijection of the distinct signatures (no ties); leads can be
     // smaller in RAW value, so pairs normalize via least/greatest.
-    val vOverBase = vkn.filter(col("__vn") > variantCap)
+    val vOverBase = vkn.filter(col("__vn") > effCap)
       .select(col("simhash"), col("c"), col("chunk"), col("c2"),
         col("vkey"))
     def rot(r: Int): Column =

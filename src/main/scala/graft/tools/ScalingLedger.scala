@@ -250,6 +250,32 @@ object ScalingLedger {
           .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
           .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
       },
+      // The BUDGETED auto-escalation twin (r19, verdict ask #3): same
+      // contract as simhash_recall/simhash_recall_vc4, with the
+      // variant stage escalated smallest-first under the committed
+      // 4096-pairs-per-signature budget instead of a raised per-bucket
+      // cap. KEEP-case evidence on the real honest-diversity corpus:
+      // the Heaps over-cap work fits the linear budget, so this row
+      // should read the vc4 recall (1.0) while the REJECT case — the
+      // saturated fixture where vc4 exhausted 77 GB — is bounded by
+      // construction (SimhashCapProbe phase 3 asserts admitted work
+      // <= budget there). The default decision rides BOTH numbers.
+      "simhash_recall_auto" -> { (s, dir) =>
+        val sig = graft.operators.DedupOps.simhash(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+          .localCheckpoint(true)
+        def form(cap: Int, eb: Int) =
+          graft.operators.DedupOps.simhashCandidatesFromSig(sig, "doc_id",
+            SparkEntry.SimhashMaxHamming, maxBucket = cap,
+            escalateBudget = eb).localCheckpoint(true)
+        val exact = form(Int.MaxValue, 0)
+        val capped = form(SparkEntry.SimhashRecallCap,
+          graft.operators.DedupOps.SimVariantEscalateBudget)
+        val hits = exact.intersect(capped)
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      },
       "knn_ivf_incremental_p1k" -> { (s, dir) =>
         // Same arrival construction as the gate twin (every 20th vector,
         // last component zeroed, appended without retraining); only the
@@ -311,7 +337,7 @@ object ScalingLedger {
   val CountsRecallQueries: Set[String] = Set(
     "dedup_minhash_recall", "dedup_minhash_recall_r8",
     "simhash_recall", "simhash_recall_window", "simhash_recall_vc4",
-    "session_topk_recall")
+    "simhash_recall_auto", "session_topk_recall")
 
   /** (truth, hit) read from a counts-contract row — untimed evidence
     * pass, after all timing like [[annRecall]]. */

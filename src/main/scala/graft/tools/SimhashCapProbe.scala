@@ -217,9 +217,131 @@ object SimhashCapProbe {
     require(comps2 == 1L,
       s"ball fragmented into $comps2 components under the window degrade")
 
+    // ---- Phase 2c: the ball under BUDGETED AUTO-ESCALATION -----------
+    // escalateBudget admits over-cap variant buckets smallest-first
+    // within 4096 clique pairs per distinct signature. On this fixture
+    // the ball's over-cap work (~2.0e8 pairs) fits the ~2.2e8 budget
+    // (3.5k ball sims + 50k honest), so the exact rescue must fire and
+    // recall must be structurally 1.0 — the KEEP case, reproduced
+    // without naming a per-bucket cap. The fixture is deterministic
+    // (xxhash64 over fixed ids), so this is a pin, not a flake.
+    val t2a = System.nanoTime()
+    val cand2auto = DedupOps.simhashCandidatesFromSig(sig2, "doc_id",
+        maxHamming = 8,
+        escalateBudget = DedupOps.SimVariantEscalateBudget)
+      .localCheckpoint(true)
+    val cand2autoSecs = (System.nanoTime() - t2a) / 1e9
+    val nCand2auto = cand2auto.count()
+    val nHit2auto = exact2.intersect(cand2auto).count()
+    val recall2auto = nHit2auto.toDouble / nExact2
+    println(f"| budgeted auto-escalation candidates (${DedupOps.SimVariantEscalateBudget} pairs/sim) | $nCand2auto | ball fits the budget => exact rescue | $cand2autoSecs%.2f |")
+    println(f"| auto-escalation recall | $recall2auto%.4f | = 1.0 (admitted => pigeonhole-exact) | |")
+    require(nCand2auto >= nCand2w,
+      s"auto candidates $nCand2auto < window candidates $nCand2w — " +
+        "escalation replaced window pairs with a SUBSET, which is " +
+        "structurally impossible (windows emit a subset of each " +
+        "bucket's clique)")
+    require(recall2auto >= 0.9999,
+      f"auto-escalation recall $recall2auto%.4f < 1.0 on a ball whose " +
+        "over-cap work fits the budget — the size-cut admitted the " +
+        "wrong classes or the rescue broke")
+
+    // ---- Phase 3: near-agreement-SATURATED cloud (the REJECT case) ---
+    // 30k distinct sims agreeing exactly on chunk 0 and within 1 bit
+    // on chunk 1 (so the variant stage's (c=0, c2=1) vkey buckets are
+    // huge), but DIFFUSE on chunks 2-3 (24 random bits => pairwise
+    // hamming ~12, true output ~zero). This is the zero-yield
+    // ADVERSARIAL edge of the saturation regime; the real sf10 corpus
+    // that exhausted 77 GB under the blanket vc4 raise is its
+    // honest-yield sibling (SimVariantDiag: sf10's over-cap buckets
+    // are coherent balls with 0.40-0.73 true-pair yield — 9.1e9
+    // clique pairs of honest work that is simply unaffordable). The
+    // budget rule bounds BOTH identically, because it bounds work
+    // rather than judging honesty: it must (a) face total over-cap
+    // work >> budget here (else the phase tests nothing), (b) admit
+    // at most the budget, (c) still complete the candidate run in
+    // bounded work — windows for everything past the cut.
+    val nCloud = 30000L
+    val c1center = 0x123L
+    val cloudSig = spark.range(0, nCloud).select(
+      col("id").as("doc_id"),
+      (lit(0xABCL)
+        .bitwiseOR(call_function("shiftleft",
+          lit(c1center).bitwiseXOR(call_function("shiftleft", lit(1L),
+            pmod(xxhash64(col("id"), lit(7)), lit(12)).cast("int"))),
+          lit(12)))
+        .bitwiseOR(call_function("shiftleft",
+          pmod(xxhash64(col("id"), lit(8)), lit(1L << 24)),
+          lit(24)))).as("simhash"))
+      .localCheckpoint(true)
+    val nCloudSims = cloudSig.select(col("simhash")).distinct().count()
+    val cloudBudget = DedupOps.SimVariantEscalateBudget.toLong * nCloudSims
+    // Replicate the candidate pipeline's over-cap histogram (distinct
+    // sims -> level-1 bands -> over-cap bands expand 13 variant keys)
+    // to assert the cut arithmetic against the same numbers the
+    // pipeline will compute.
+    val cChunks = cloudSig.select(col("simhash")).distinct()
+      .select(col("simhash"), explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", call_function("shiftright", col("simhash"),
+        col("c").cast("int") * 12).bitwiseAND(4095L))
+    val cCk = cChunks.withColumn("__k", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c"), col("chunk"))))
+    val cFlips = array((0L +: (0 until 12).map(b => 1L << b)).map(lit): _*)
+    val cVk = cCk.filter(col("__k") > DedupOps.SimMaxBucket)
+      .select(col("simhash"), col("c"), col("chunk"),
+        explode(sequence(lit(0), lit(3))).as("c2"))
+      .filter(col("c2") =!= col("c"))
+      .select(col("simhash"), col("c"), col("chunk"), col("c2"),
+        explode(cFlips).as("__flip"))
+      .withColumn("vkey", call_function("shiftright", col("simhash"),
+        col("c2").cast("int") * 12).bitwiseAND(4095L)
+          .bitwiseXOR(col("__flip")))
+    val cloudHist = cVk
+      .groupBy(col("c"), col("chunk"), col("c2"), col("vkey"))
+      .agg(count(lit(1)).as("vn"))
+      .filter(col("vn") > DedupOps.SimMaxBucket)
+      .groupBy(col("vn")).agg(count(lit(1)).as("nb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cloudWorkAll = cloudHist
+      .map { case (vn, nb) => nb * (vn * (vn - 1) / 2) }.sum
+    val (cloudCut, cloudWorkAdm) = DedupOps.escalationCut(cloudHist,
+      DedupOps.SimMaxBucket, cloudBudget)
+    val t3w = System.nanoTime()
+    val cloudWin = DedupOps.simhashCandidatesFromSig(cloudSig, "doc_id",
+      maxHamming = 8).localCheckpoint(true)
+    val nCloudWin = cloudWin.count()
+    val cloudWinSecs = (System.nanoTime() - t3w) / 1e9
+    val t3a = System.nanoTime()
+    val cloudAuto = DedupOps.simhashCandidatesFromSig(cloudSig, "doc_id",
+        maxHamming = 8,
+        escalateBudget = DedupOps.SimVariantEscalateBudget)
+      .localCheckpoint(true)
+    val nCloudAuto = cloudAuto.count()
+    val cloudAutoSecs = (System.nanoTime() - t3a) / 1e9
+
+    println(s"\n## Phase 3: saturated cloud (auto-escalation REJECT case; " +
+      s"$nCloudSims distinct sims, 24 diffuse bits)\n")
+    println("| check | measured | bound/expected | secs |")
+    println("|---|---|---|---|")
+    println(s"| total over-cap clique work | $cloudWorkAll | >> budget $cloudBudget (the fixture saturates) | |")
+    println(s"| admitted work at the cut (size <= $cloudCut) | $cloudWorkAdm | <= budget | |")
+    println(f"| window-default candidates | $nCloudWin | output-bounded | $cloudWinSecs%.2f |")
+    println(f"| auto-escalation candidates | $nCloudAuto | >= window (superset) | $cloudAutoSecs%.2f |")
+
+    require(cloudWorkAll > cloudBudget,
+      s"cloud over-cap work $cloudWorkAll <= budget $cloudBudget: the " +
+        "fixture no longer saturates — rebuild it before trusting the " +
+        "REJECT-case evidence")
+    require(cloudWorkAdm <= cloudBudget,
+      s"admitted work $cloudWorkAdm exceeds budget $cloudBudget — the " +
+        "prefix cut is broken")
+    require(nCloudAuto >= nCloudWin,
+      s"auto candidates $nCloudAuto < window candidates $nCloudWin")
+
     val pw = new PrintWriter(new File(jsonOut))
     try pw.println(
-      f"""{"k":$k,"honest":$honest,"sim_max_bucket":${DedupOps.SimMaxBucket},"max_hamming":$maxHamming,"candidates":$nCand,"pair_bound":$pairBound,"family_pairs":$nFam,"max_family_hamming":$maxFamHam,"honest_pairs":$nHon,"n_buckets":$nBuckets,"max_bucket":$maxBucket,"n_over_cap":$nOverCap,"max_group":$maxGroup,"n_over_cap_groups":$nOverCapGroups,"cc_rounds":$rounds,"largest_component":$famSize,"components":$nComps,"cand_secs":$candSecs%.3f,"cc_secs":$ccSecs%.3f,"ball_n":$nBall,"ball_distinct_sims":$nBallSims,"ball_exact":$nExact2,"ball_lever_capped":$nCand2lever,"ball_lever_recall":$recall2lever%.4f,"ball_lever_cand_secs":$cand2leverSecs%.3f,"sim_variant_cap":${DedupOps.SimVariantCap},"ball_capped":$nCand2w,"ball_recall":$recall2%.4f,"ball_components":$comps2,"ball_cand_secs":$cand2wSecs%.3f}""")
+      f"""{"k":$k,"honest":$honest,"sim_max_bucket":${DedupOps.SimMaxBucket},"max_hamming":$maxHamming,"candidates":$nCand,"pair_bound":$pairBound,"family_pairs":$nFam,"max_family_hamming":$maxFamHam,"honest_pairs":$nHon,"n_buckets":$nBuckets,"max_bucket":$maxBucket,"n_over_cap":$nOverCap,"max_group":$maxGroup,"n_over_cap_groups":$nOverCapGroups,"cc_rounds":$rounds,"largest_component":$famSize,"components":$nComps,"cand_secs":$candSecs%.3f,"cc_secs":$ccSecs%.3f,"ball_n":$nBall,"ball_distinct_sims":$nBallSims,"ball_exact":$nExact2,"ball_lever_capped":$nCand2lever,"ball_lever_recall":$recall2lever%.4f,"ball_lever_cand_secs":$cand2leverSecs%.3f,"sim_variant_cap":${DedupOps.SimVariantCap},"ball_capped":$nCand2w,"ball_recall":$recall2%.4f,"ball_components":$comps2,"ball_cand_secs":$cand2wSecs%.3f,"escalate_budget_per_sim":${DedupOps.SimVariantEscalateBudget},"ball_auto_capped":$nCand2auto,"ball_auto_recall":$recall2auto%.4f,"ball_auto_cand_secs":$cand2autoSecs%.3f,"cloud_n":$nCloud,"cloud_distinct_sims":$nCloudSims,"cloud_budget":$cloudBudget,"cloud_work_all":$cloudWorkAll,"cloud_cut":$cloudCut,"cloud_work_admitted":$cloudWorkAdm,"cloud_window_cand":$nCloudWin,"cloud_window_secs":$cloudWinSecs%.3f,"cloud_auto_cand":$nCloudAuto,"cloud_auto_secs":$cloudAutoSecs%.3f}""")
     finally pw.close()
     System.err.println(s"wrote $jsonOut")
     spark.stop()

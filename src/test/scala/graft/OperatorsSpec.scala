@@ -214,6 +214,44 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
         "(this fixture measured 1.0 at r17)")
   }
 
+  test("budgeted variant-stage auto-escalation: prefix cut arithmetic; " +
+      "covering budget reproduces the exact set; zero budget is the old pipeline") {
+    // The cut is a pure prefix over ascending size classes — assert the
+    // arithmetic the candidate pipeline and SimhashCapProbe both use.
+    // Classes: 2 buckets of size 3 (work 2·3=6), 1 of 5 (10), 1 of 10 (45).
+    val hist = Seq((3L, 2L), (5L, 1L), (10L, 1L))
+    assert(DedupOps.escalationCut(hist, 2, 5L) == ((2L, 0L)),
+      "a budget below the smallest class must admit nothing")
+    assert(DedupOps.escalationCut(hist, 2, 6L) == ((3L, 6L)))
+    assert(DedupOps.escalationCut(hist, 2, 16L) == ((5L, 16L)))
+    assert(DedupOps.escalationCut(hist, 2, 17L) == ((5L, 16L)),
+      "a class that does not fit must STOP the cut, not be skipped")
+    assert(DedupOps.escalationCut(hist, 2, 61L) == ((10L, 61L)))
+    // Classes at or below variantCap never count against the budget.
+    assert(DedupOps.escalationCut(Seq((2L, 100L)) ++ hist, 2, 6L) == ((3L, 6L)))
+
+    // End-to-end: with both caps forced to 2 the windows fire on this
+    // corpus (previous spec); a budget that covers the whole over-cap
+    // work must reproduce the exact candidate set bit-for-bit, and a
+    // zero budget must equal the committed window pipeline exactly.
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    def pairs(eb: Int) =
+      DedupOps.simhashCandidates(docs, "doc_id", "text", maxHamming = 8,
+          maxBucket = 2, variantCap = 2, escalateBudget = eb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = DedupOps.simhashCandidates(docs, "doc_id", "text",
+        maxHamming = 8, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val windowed = pairs(0)
+    val auto = pairs(1 << 20)
+    assert(auto == exact,
+      s"covering budget lost ${(exact -- auto).size} / gained " +
+        s"${(auto -- exact).size} pairs vs the exact set")
+    assert(windowed.subsetOf(auto),
+      "escalation must only ADD pairs over the window pipeline")
+  }
+
   test("connectedComponents collapses transitive chains; keepClusterMin keeps one per cluster") {
     import spark.implicits._
     // The ADVICE counter-example: edges (2,3) and (1,3) only. Pairwise
