@@ -2650,6 +2650,28 @@ object Oracles {
        |  (SELECT count(*) FROM hit) AS n_hit""".stripMargin
   }
 
+  /** Residual-coder twin of [[knnPqRecallOffManifold]] — the off-manifold
+    * contract over the [[knnIvfPqResidualFrom]] chain. With the r19
+    * default flip (residual coding under auto-C/auto-rerank is the
+    * committed production configuration) this is the SQL the
+    * `knn_offmanifold_recall` gate row checks against. */
+  def knnPqResidualRecallOffManifold(nProbes: Int, amp: String, k: Int,
+      targetC: Int, iters: Int, nprobe: Int, m: Int, subDim: Int, ks: Int,
+      subIters: Int, rerank: String): String = {
+    val probes = offManifoldProbesSql(nProbes, amp)
+    s"""WITH truth AS (
+       |${knnBruteForceFrom(probes, k)}
+       |),
+       |cand AS (
+       |${knnIvfPqResidualFrom(probes, k, targetC, iters, nprobe, m, subDim, ks, subIters, rerank)}
+       |),
+       |hit AS (SELECT t.probe_id FROM truth t
+       |  JOIN cand c USING (probe_id, vec_id))
+       |SELECT (SELECT count(*) FROM truth) AS n_true,
+       |  (SELECT count(*) FROM cand) AS n_pq,
+       |  (SELECT count(*) FROM hit) AS n_hit""".stripMargin
+  }
+
   /** The synthetic off-manifold probe batch: probe p's component d is
     * `((md5_60('omp:p:d') % 2^20) / 2^20 - 0.5) * amp`, cast through
     * FLOAT — the [[graft.SparkEntry.offManifoldProbes]] twin, same
@@ -2715,6 +2737,17 @@ object Oracles {
 
   def knnIvfPqResidual(probeEvery: Int, k: Int, targetC: Int, iters: Int,
       nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
+      rerank: String): String =
+    knnIvfPqResidualFrom(defaultProbesSql(probeEvery), k, targetC, iters,
+      nprobe, m, subDim, ks, subIters, rerank)
+
+  /** [[knnIvfPqResidual]] over an EXPLICIT probe source (the `pv` CTE) —
+    * the off-manifold recall contract passes hash-synthesized probes
+    * here; the corpus/training side is byte-identical either way (the
+    * [[knnIvfPqFrom]] pattern applied to the residual coder, which the
+    * r19 default flip made the committed production configuration). */
+  def knnIvfPqResidualFrom(probesSql: String, k: Int, targetC: Int,
+      iters: Int, nprobe: Int, m: Int, subDim: Int, ks: Int, subIters: Int,
       rerank: String): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (a, b) -> a + b)"
@@ -2744,6 +2777,7 @@ object Oracles {
     val lutUnion = (0 until m).map(s0 => s"SELECT * FROM lut$s0")
       .mkString(" UNION ALL ")
     s"""WITH ${kmeansCtePrefix(targetC, iters)},
+       |pv AS ($probesSql),
        |caw AS (SELECT v.vec_id, c.cent_id,
        |    ${d2("v.vec", "c.cent_vec", 64)} AS cd2
        |  FROM v, c$iters c),
@@ -2757,14 +2791,14 @@ object Oracles {
        |  JOIN c$iters c ON c.cent_id = ca.cent_id),
        |pw AS (SELECT p.vec_id AS probe_id, c.cent_id,
        |    ${d2("p.vec", "c.cent_vec", 64)} AS cd2
-       |  FROM (SELECT * FROM v WHERE vec_id % $probeEvery = 0) p, c$iters c),
+       |  FROM pv p, c$iters c),
        |pb AS (SELECT probe_id, cent_id FROM (
        |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY cd2, cent_id) AS cr
        |  FROM pw) WHERE cr <= $nprobe),
        |pbr AS (SELECT pb.probe_id, pb.cent_id,
        |    list_transform(generate_series(1, 64),
-       |      i -> v.vec[i] - c.cent_vec[i]) AS prvec
-       |  FROM pb JOIN v ON v.vec_id = pb.probe_id
+       |      i -> pv.vec[i] - c.cent_vec[i]) AS prvec
+       |  FROM pb JOIN pv ON pv.vec_id = pb.probe_id
        |  JOIN c$iters c ON c.cent_id = pb.cent_id),
        |$subChains,
        |$codeCtes,
@@ -2785,10 +2819,11 @@ object Oracles {
        |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS ar
        |  FROM adc) WHERE ar <= ($rerank)),
        |n AS (SELECT vec_id, vec, sqrt(${dot("vec", "vec")}) AS nrm FROM v),
+       |pn AS (SELECT vec_id, vec, sqrt(${dot("vec", "vec")}) AS nrm FROM pv),
        |s AS (SELECT sl.probe_id, sl.vec_id,
        |    ${dot("p.vec", "x.vec")} / (p.nrm * x.nrm) AS sim
        |  FROM sl JOIN n x ON x.vec_id = sl.vec_id
-       |  JOIN n p ON p.vec_id = sl.probe_id)
+       |  JOIN pn p ON p.vec_id = sl.probe_id)
        |SELECT probe_id, vec_id, round(sim, 9) AS sim, rank FROM (
        |  SELECT *, rank() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
        |  FROM s) WHERE rank <= $k""".stripMargin

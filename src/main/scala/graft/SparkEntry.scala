@@ -3509,8 +3509,14 @@ object SparkEntry {
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
       val probes = emb.filter(col("vec_id") % KnnProbeEvery === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      SimilarityOps.ivfPqSearch(probes, corpus, pqIndexAuto(s, dir), KnnK,
-          coarseCentroidsAuto(s, dir), pqBooks(s, dir), PqSubDim,
+      // r19 default flip: residual coding under the auto-C/auto-rerank
+      // policy is the committed production configuration — it beats the
+      // non-residual autoc search at 1x/10x/100x on recall AND per-probe
+      // cost (SCALING.md round-19 ledger pair), so this row, the recall
+      // contracts below, and the streaming drifted index all serve it.
+      SimilarityOps.ivfPqResidualSearch(probes, corpus,
+          pqResIndexAuto(s, dir), KnnK, coarseCentroidsAuto(s, dir),
+          pqResBooksAuto(s, dir), PqSubDim,
           nprobe = IvfNprobe, rerank = PqAutoRerank)
         .select(col("probe_id"), col("vec_id"),
           round(col("sim"), 9).as("sim"), col("rank"))
@@ -3535,8 +3541,9 @@ object SparkEntry {
     // could be "fast because it probes nothing".
     "knn_pq_autoc_recall" -> { (s, dir) =>
       knnRecallCounts(s, dir, "n_pq") { (probes, corpus) =>
-        SimilarityOps.ivfPqSearch(probes, corpus, pqIndexAuto(s, dir),
-          KnnK, coarseCentroidsAuto(s, dir), pqBooks(s, dir), PqSubDim,
+        SimilarityOps.ivfPqResidualSearch(probes, corpus,
+          pqResIndexAuto(s, dir), KnnK, coarseCentroidsAuto(s, dir),
+          pqResBooksAuto(s, dir), PqSubDim,
           nprobe = IvfNprobe, rerank = PqAutoRerank)
       }
     },
@@ -3548,8 +3555,9 @@ object SparkEntry {
     // every gate scale instead of a tuning folk theorem.
     "knn_pq_autoc_recall_np9" -> { (s, dir) =>
       knnRecallCounts(s, dir, "n_pq") { (probes, corpus) =>
-        SimilarityOps.ivfPqSearch(probes, corpus, pqIndexAuto(s, dir),
-          KnnK, coarseCentroidsAuto(s, dir), pqBooks(s, dir), PqSubDim,
+        SimilarityOps.ivfPqResidualSearch(probes, corpus,
+          pqResIndexAuto(s, dir), KnnK, coarseCentroidsAuto(s, dir),
+          pqResBooksAuto(s, dir), PqSubDim,
           nprobe = 3 * IvfNprobe, rerank = PqAutoRerank)
       }
     },
@@ -3578,8 +3586,9 @@ object SparkEntry {
     "knn_offmanifold_recall" -> { (s, dir) =>
       knnRecallCounts(s, dir, "n_pq",
           probesOpt = Some(offManifoldProbes(s))) { (probes, corpus) =>
-        SimilarityOps.ivfPqSearch(probes, corpus, pqIndexAuto(s, dir),
-          KnnK, coarseCentroidsAuto(s, dir), pqBooks(s, dir), PqSubDim,
+        SimilarityOps.ivfPqResidualSearch(probes, corpus,
+          pqResIndexAuto(s, dir), KnnK, coarseCentroidsAuto(s, dir),
+          pqResBooksAuto(s, dir), PqSubDim,
           nprobe = IvfNprobe, rerank = PqAutoRerank)
       }
     },
@@ -4287,8 +4296,8 @@ object SparkEntry {
     "knn_ivf_pq" -> Oracles.knnIvfPq(KnnProbeEvery, KnnK, KmeansK,
       KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
       PqRerank.toString),
-    "knn_ivf_pq_autoc" -> Oracles.knnIvfPq(KnnProbeEvery, KnnK, IvfAutoC,
-      KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
+    "knn_ivf_pq_autoc" -> Oracles.knnIvfPqResidual(KnnProbeEvery, KnnK,
+      IvfAutoC, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
       Oracles.autoRerankSql),
     "knn_ivf_incremental" -> Oracles.knnIvfIncremental(KnnProbeEvery, KnnK,
       KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
@@ -4299,12 +4308,12 @@ object SparkEntry {
     "knn_pq_recall" -> Oracles.knnPqRecall(KnnProbeEvery, KnnK,
       KmeansK, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
       PqRerank.toString),
-    "knn_pq_autoc_recall" -> Oracles.knnPqRecall(KnnProbeEvery, KnnK,
-      IvfAutoC, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
+    "knn_pq_autoc_recall" -> Oracles.knnPqResidualRecall(KnnProbeEvery,
+      KnnK, IvfAutoC, KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
       Oracles.autoRerankSql),
-    "knn_pq_autoc_recall_np9" -> Oracles.knnPqRecall(KnnProbeEvery, KnnK,
-      IvfAutoC, KmeansIters, 3 * IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
-      Oracles.autoRerankSql),
+    "knn_pq_autoc_recall_np9" -> Oracles.knnPqResidualRecall(KnnProbeEvery,
+      KnnK, IvfAutoC, KmeansIters, 3 * IvfNprobe, PqM, PqSubDim, PqKs,
+      PqIters, Oracles.autoRerankSql),
     "knn_pq_auto_rerank" -> (
       s"SELECT count(*) AS n_corpus, " +
         "greatest(4, cast(ceil(sqrt(cast(count(*) as double))) as bigint)) " +
@@ -4314,7 +4323,7 @@ object SparkEntry {
         s"greatest(${graft.operators.SimilarityOps.AutoRerankFloor}, " +
         "(cast(ceil(sqrt(cast(count(*) as double))) as bigint) * 4) // 3) " +
         "AS auto_r FROM embeddings"),
-    "knn_offmanifold_recall" -> Oracles.knnPqRecallOffManifold(
+    "knn_offmanifold_recall" -> Oracles.knnPqResidualRecallOffManifold(
       OffManifoldProbeCount, OffManifoldAmp.toString, KnnK, IvfAutoC,
       KmeansIters, IvfNprobe, PqM, PqSubDim, PqKs, PqIters,
       Oracles.autoRerankSql),

@@ -553,7 +553,14 @@ object StreamingLoad {
     * The quantizer generation the index serves is re-read per batch
     * from the index itself (`qfp`), never cached across batches.
     * Training derives C/codebooks from the FULL corpus table at
-    * retrain time; `m`·`subDim` must equal the vector dimension. */
+    * retrain time; `m`·`subDim` must equal the vector dimension.
+    *
+    * Since the r19 default flip the index codes RESIDUALS
+    * (`vec − coarse_centroid`, [[graft.operators.SimilarityOps
+    * .ivfPqResidualIndex]]) and is served by `ivfPqResidualSearch`:
+    * residual coding under the auto-C/auto-rerank policy measured
+    * strictly better recall at strictly lower per-probe cost than the
+    * raw coder at 1×, 10× and 100× (SCALING.md round-19 ledger pair). */
   def pqIndexStreamDrifted(
       spark: SparkSession,
       srcDir: String,
@@ -631,9 +638,20 @@ object StreamingLoad {
           transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
       graft.operators.ClusterOps.kmeans(corpus, initial, kmeansIters, idField)
     }
+    // r19 default flip: the streamed index serves RESIDUAL coding (the
+    // measured-best configuration at 1x/10x/100x — SCALING.md round-19).
+    // Residual books are a function of the coarse quantizer, so the
+    // train closure captures `cents` (the generation getOrTrainDrifted
+    // just served or trained): both artifacts key on the same corpus
+    // stat and drift factor, so their retrain decisions coincide; if a
+    // crash ever tears the pair across generations, search stays
+    // SELF-CONSISTENT (coding and LUTs read the same stored books and
+    // cents) and the books are merely one decade stale until the next
+    // drift crossing retrains both.
     val books = modelStore.getOrTrainDrifted(
         s"${artifactPrefix}_books", stat, driftFactor)(
-      ops.pqCodebooks(corpus, m, subDim, ks, kmeansIters, idField))
+      ops.pqResidualCodebooks(corpus, cents, m, subDim, ks, kmeansIters,
+        idField))
     val qfp = modelStore.servedFingerprint(s"${artifactPrefix}_coarse")
       .getOrElse(sys.error(s"no served quantizer for $artifactPrefix"))
     val indexedQfp =
@@ -652,7 +670,8 @@ object StreamingLoad {
         val newRows = batch.select(col(idField), col("vec")).join(
           warehouse.table(indexTable).select(col(idField)),
           Seq(idField), "left_anti")
-        val coded = ops.ivfPqIndex(newRows, cents, books, subDim, idField)
+        val coded = ops.ivfPqResidualIndex(newRows, cents, books, subDim,
+            idField)
           .withColumn("qfp", lit(qfp)).localCheckpoint(true)
         warehouse.load(LoadMode.Insert, indexTable, coded, idField)
         false
@@ -660,7 +679,8 @@ object StreamingLoad {
         // First build, or this batch crossed a drift decade: recode
         // the ENTIRE corpus under the served quantizers (one atomic
         // swap — readers see the old index until the pointer moves).
-        val coded = ops.ivfPqIndex(corpus, cents, books, subDim, idField)
+        val coded = ops.ivfPqResidualIndex(corpus, cents, books, subDim,
+            idField)
           .withColumn("qfp", lit(qfp)).localCheckpoint(true)
         if (warehouse.exists(indexTable))
           warehouse.load(LoadMode.TruncateInsert, indexTable, coded, idField)

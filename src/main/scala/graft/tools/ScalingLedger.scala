@@ -465,14 +465,28 @@ object ScalingLedger {
     // on the external synthetic probes (measured 0.145 at the r17
     // close vs 0.049 for the replaced fixed-120 depth; recall counts
     // are deterministic, so the floor carries no run-to-run variance).
-    if (mult >= 100 && fixture == "default")
+    if (mult >= 100 && fixture == "default") {
       recall.get(("knn_ivf_pq_autoc_p1k", "scaled")).foreach { case (t, h) =>
         val r = h.toDouble / t
         require(r >= 0.14,
-          f"committed ANN default off-manifold recall@5 $r%.4f < 0.14 " +
+          f"non-residual autoc off-manifold recall@5 $r%.4f < 0.14 " +
             "floor at 100x (CONTRACTS: auto-rerank scale policy) — the " +
-            "default has regressed, do not commit this ledger")
+            "contrast row has regressed, do not commit this ledger")
       }
+      // r19 default flip: the COMMITTED production configuration is the
+      // residual coder under auto-C/auto-rerank (measured 0.1996 at
+      // 100x, r19 regen) — same ~10% headroom discipline as the probe
+      // floors. Counts are deterministic; no run-to-run variance.
+      recall.get(("knn_ivf_pq_residual_autoc_p1k", "scaled")).foreach {
+        case (t, h) =>
+          val r = h.toDouble / t
+          require(r >= 0.18,
+            f"committed ANN default (residual autoc) off-manifold " +
+              f"recall@5 $r%.4f < 0.18 floor at 100x (measured 0.1996 " +
+              "at the r19 flip) — the default has regressed, do not " +
+              "commit this ledger")
+      }
+    }
     spark.stop()
 
     val paired = base.zip(scaled)

@@ -755,7 +755,9 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     def recallOf(cents: org.apache.spark.sql.DataFrame,
         books: org.apache.spark.sql.DataFrame,
         coded: org.apache.spark.sql.DataFrame): Double = {
-      val got = SimilarityOps.ivfPqSearch(probes, corpus, coded, 5,
+      // r19 default flip: the drifted stream codes RESIDUALS, so both
+      // sides of the contrast search through the residual coder.
+      val got = SimilarityOps.ivfPqResidualSearch(probes, corpus, coded, 5,
           cents, books, subDim, nprobe = 3)
         .select(col("probe_id"), col("vec_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -777,10 +779,12 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
         transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
     val frozenCents = ClusterOps.kmeans(corpusA, frozenInit, 2)
       .localCheckpoint(true)
-    val frozenBooks = SimilarityOps.pqCodebooks(corpusA, m, subDim, 4, 2)
+    val frozenBooks = SimilarityOps.pqResidualCodebooks(corpusA,
+        frozenCents, m, subDim, 4, 2)
       .localCheckpoint(true)
     val rFrozen = recallOf(frozenCents, frozenBooks,
-      SimilarityOps.ivfPqIndex(corpus, frozenCents, frozenBooks, subDim))
+      SimilarityOps.ivfPqResidualIndex(corpus, frozenCents, frozenBooks,
+        subDim))
     // Margin floor, not just parity (r17 verdict ask #8), regime-aware:
     // at this toy scale the exact-rerank stage covers ~10% of the
     // corpus and can rescue even collapsed frozen quantizers (measured
@@ -842,7 +846,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       driftFactor = 1000.0)(sys.error("must not retrain"))
     val books = ms.getOrTrainDrifted("pqheal_books", statNow,
       driftFactor = 1000.0)(sys.error("must not retrain"))
-    val got = SimilarityOps.ivfPqSearch(probes,
+    val got = SimilarityOps.ivfPqResidualSearch(probes,
         wh.table(corpusT).select(col("vec_id"), col("vec")),
         wh.table(idx).drop("qfp"), 5, cents, books, subDim, nprobe = 3)
       .select("vec_id").collect().map(_.getLong(0)).toSet
