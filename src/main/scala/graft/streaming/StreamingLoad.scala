@@ -648,11 +648,25 @@ object StreamingLoad {
     // SELF-CONSISTENT (coding and LUTs read the same stored books and
     // cents) and the books are merely one decade stale until the next
     // drift crossing retrains both.
+    //
+    // CODER IDENTITY IS PART OF THE GENERATION (r20, ADVICE r19): the
+    // books artifact name carries the coder (`_books_res`, never the
+    // pre-r19 raw `_books` key — a raw-trained artifact persisted
+    // before the flip can therefore never be served to the residual
+    // coder), and the generation fingerprint written to every index
+    // row is `res1:<coarse fp>` rather than the bare coarse
+    // fingerprint. A warehouse/checkpoint persisted under the pre-flip
+    // RAW coder stores bare-fp qfp rows, so the first post-flip batch
+    // MISMATCHES below and takes the full-recode branch — without the
+    // tag it would silently append residual codes into a raw-coded
+    // index (the mixed-coder state CONTRACTS §15 forbids: same schema,
+    // no error, ADC applies residual LUTs to raw codes for every
+    // pre-flip row).
     val books = modelStore.getOrTrainDrifted(
-        s"${artifactPrefix}_books", stat, driftFactor)(
+        s"${artifactPrefix}_books_res", stat, driftFactor)(
       ops.pqResidualCodebooks(corpus, cents, m, subDim, ks, kmeansIters,
         idField))
-    val qfp = modelStore.servedFingerprint(s"${artifactPrefix}_coarse")
+    val qfp = "res1:" + modelStore.servedFingerprint(s"${artifactPrefix}_coarse")
       .getOrElse(sys.error(s"no served quantizer for $artifactPrefix"))
     val indexedQfp =
       if (!warehouse.exists(indexTable)) None

@@ -722,8 +722,9 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "a 5% append must not retrain")
     assert(wh.table(idx).count() == 210)
     assert(wh.table(idx).select("qfp").distinct().collect()
-      .map(_.getString(0)).toSeq == Seq(fp1),
-      "no-retrain batch must append under the served generation")
+      .map(_.getString(0)).toSeq == Seq("res1:" + fp1),
+      "no-retrain batch must append under the served generation " +
+        "(coder-tagged: the r20 qfp carries the coder identity)")
 
     // Batch 3: 1,000 more B vectors — the corpus crosses the 2x drift
     // threshold: retrain + one atomic full recode under the new
@@ -735,7 +736,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(fp2 != fp1, "crossing the drift decade must retrain")
     assert(wh.table(idx).count() == 1210)
     assert(wh.table(idx).select("qfp").distinct().collect()
-      .map(_.getString(0)).toSeq == Seq(fp2),
+      .map(_.getString(0)).toSeq == Seq("res1:" + fp2),
       "a decade crossing must recode the WHOLE index — mixed-generation " +
         "codes are structurally invalid")
 
@@ -769,7 +770,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       wh.currentDataPath(corpusT).toSeq)
     val servedCents = ms.getOrTrainDrifted("pqdrift_coarse", statNow)(
       sys.error("serve-time resolution must not retrain"))
-    val servedBooks = ms.getOrTrainDrifted("pqdrift_books", statNow)(
+    val servedBooks = ms.getOrTrainDrifted("pqdrift_books_res", statNow)(
       sys.error("serve-time resolution must not retrain"))
     val rDrifted = recallOf(servedCents, servedBooks,
       wh.table(idx).drop("qfp"))
@@ -844,13 +845,81 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       wh.currentDataPath(corpusT).toSeq)
     val cents = ms.getOrTrainDrifted("pqheal_coarse", statNow,
       driftFactor = 1000.0)(sys.error("must not retrain"))
-    val books = ms.getOrTrainDrifted("pqheal_books", statNow,
+    val books = ms.getOrTrainDrifted("pqheal_books_res", statNow,
       driftFactor = 1000.0)(sys.error("must not retrain"))
     val got = SimilarityOps.ivfPqResidualSearch(probes,
         wh.table(corpusT).select(col("vec_id"), col("vec")),
         wh.table(idx).drop("qfp"), 5, cents, books, subDim, nprobe = 3)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(got.contains(117L), s"healed row must be searchable, got $got")
+  }
+
+  test("pqIndexBatchDrifted recodes a pre-flip raw-coder index (coder-generation migration)") {
+    // ADVICE r19 (medium): a warehouse persisted BEFORE the r19
+    // raw→residual flip holds index rows stamped with the BARE coarse
+    // fingerprint (the pre-flip qfp convention) and codes produced by
+    // the raw coder. The coder identity is now part of the generation
+    // (`res1:` qfp tag + `_books_res` artifact key), so the first
+    // post-flip batch must MISMATCH the stored qfp and take the
+    // full-recode branch — never append residual codes into a
+    // raw-coded index (same schema, silently broken ADC).
+    import graft.operators.SimilarityOps
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_pqmigr").toString
+    val wh = new ParquetWarehouse(spark, s"$root/wh")
+    val ms = graft.io.ModelStore(spark, s"$root/models")
+    val (corpusT, idx) = (TableRef("", "vec_corpus"), TableRef("", "pq_index"))
+    val dim = 8; val subDim = 4; val m = 2
+    def vec(id: Long): Seq[Float] =
+      (0 until dim).map(d => (((id * 7 + d * 3) % 33) - 16) / 16.0f)
+    def batchDf(ids: Range) =
+      ids.map(i => (i.toLong, vec(i.toLong))).toDF("vec_id", "vec")
+    def runBatch(b: org.apache.spark.sql.DataFrame): Boolean =
+      StreamingLoad.pqIndexBatchDrifted(spark, wh, corpusT, idx, ms,
+        "pqmigr", m, subDim, ks = 4, kmeansIters = 2, "vec_id",
+        driftFactor = 1000.0 /* growth never retrains in this spec */)(b)
+
+    assert(runBatch(batchDf(0 until 100)), "first batch builds the index")
+    val coarseFp = ms.servedFingerprint("pqmigr_coarse").get
+    assert(wh.table(idx).select("qfp").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("res1:" + coarseFp))
+    // Rebuild the PRE-FLIP state by hand: the same 100 rows coded by
+    // the RAW coder and stamped with the bare coarse fingerprint —
+    // exactly what a pre-r19 warehouse serves to a post-flip process
+    // (the served coarse artifact itself is coder-agnostic and
+    // unchanged; only the books/codes/qfp carry the coder).
+    val statNow = graft.io.ModelStore.corpusStat(spark,
+      wh.currentDataPath(corpusT).toSeq)
+    val cents = ms.getOrTrainDrifted("pqmigr_coarse", statNow,
+      driftFactor = 1000.0)(sys.error("must not retrain"))
+    val corpus = wh.table(corpusT).select(col("vec_id"), col("vec"))
+    val rawBooks = SimilarityOps.pqCodebooks(corpus, m, subDim, 4, 2,
+      "vec_id")
+    val rawCoded = SimilarityOps.ivfPqIndex(corpus, cents, rawBooks,
+        subDim, "vec_id")
+      .withColumn("qfp", lit(coarseFp)).localCheckpoint(true)
+    wh.load(graft.core.LoadMode.TruncateInsert, idx, rawCoded, "vec_id")
+    assert(wh.table(idx).select("qfp").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(coarseFp),
+      "pre-flip state: bare (untagged) quantizer fingerprint")
+    // First post-flip batch: 10 new rows, growth far inside the drift
+    // budget — ONLY the coder-identity mismatch can force the recode.
+    assert(runBatch(batchDf(100 until 110)),
+      "a bare-qfp (raw-coder) index must take the full-recode branch")
+    assert(wh.table(idx).count() == 110,
+      "migration recode must cover the whole corpus, not just the batch")
+    assert(wh.table(idx).select("qfp").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("res1:" + coarseFp),
+      "post-migration index is single-generation under the tagged qfp")
+    // And the recoded index ranks through the residual search path.
+    val probes = Seq((999L, vec(57L))).toDF("probe_id", "probe_vec")
+    val books = ms.getOrTrainDrifted("pqmigr_books_res", statNow,
+      driftFactor = 1000.0)(sys.error("must not retrain"))
+    val got = SimilarityOps.ivfPqResidualSearch(probes,
+        wh.table(corpusT).select(col("vec_id"), col("vec")),
+        wh.table(idx).drop("qfp"), 5, cents, books, subDim, nprobe = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(57L), s"migrated row must be searchable, got $got")
   }
 
   test("qualityGateStream: frozen trained gate == batch filter; spam rejected") {
