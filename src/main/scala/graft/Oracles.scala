@@ -1261,9 +1261,19 @@ object Oracles {
     * maxHamming <= 8); Manku-Jindal-Ullman sorted windows of width `w`
     * for variant buckets over `vcap`; identical-simhash groups as
     * intra-group cliques up to `cap`, id-ordered path beyond. Any drift
-    * in ANY stage breaks the gate hash — the can't-drift pattern. */
+    * in ANY stage breaks the gate hash — the can't-drift pattern.
+    *
+    * `escalateBudget` > 0 replays the r20 budgeted variant-stage
+    * auto-escalation verbatim ([[graft.operators.DedupOps
+    * .escalationCut]]): the over-`vcap` bucket-size histogram, the
+    * cumulative clique-work prefix sum in ascending size order, and
+    * the size cut admitting whole classes while Σ nb·vn·(vn−1)/2 fits
+    * budget × (distinct signatures) — vn·(vn−1) is even, so the
+    * integer halving is exact in both engines. The effective cap the
+    * clique/window split reads is then the CUT, not `vcap`, exactly
+    * as the Spark pipeline computes it. */
   private def simhashCandCtes(maxHamming: Int, cap: String, vcap: String,
-      w: Int): String = {
+      w: Int, escalateBudget: Long = 0L): String = {
     // One sorted order per SimVariantRotations bit-rotation (MJU
     // permuted orders), leads 1..w under each; the 48-bit rotate is the
     // same masked-shift arithmetic as the Spark side (exact on BIGINT,
@@ -1281,6 +1291,26 @@ object Oracles {
          |        OVER (PARTITION BY c, chunk, c2, vkey ORDER BY $rot, simhash) AS nx
          |      FROM vover) WHERE nx IS NOT NULL""".stripMargin
     }).mkString("\n    UNION ALL ")
+    // Budgeted-escalation twin CTEs (r20): one histogram row per
+    // distinct over-cap bucket size, cumulative work in ascending size
+    // order (the window's default RANGE frame — sizes are distinct, so
+    // it is the running prefix sum), and the prefix cut. coalesce
+    // handles the empty histogram (nothing over-cap => cut = vcap),
+    // the same dormant short-circuit the Spark side takes.
+    val escCtes =
+      if (escalateBudget <= 0L) ""
+      else s"""
+         |ehist AS (SELECT vn, count(*) AS nb FROM (
+         |    SELECT DISTINCT c, chunk, c2, vkey, vn FROM vkn
+         |    WHERE vn > $vcap)
+         |  GROUP BY vn),
+         |ecum AS (SELECT vn, sum(nb * ((vn * (vn - 1)) // 2))
+         |    OVER (ORDER BY vn) AS cw FROM ehist),
+         |ecut AS (SELECT coalesce((SELECT max(vn) FROM ecum
+         |    WHERE cw <= $escalateBudget * (SELECT count(*) FROM ds)),
+         |  $vcap) AS cut),""".stripMargin
+    val effCap =
+      if (escalateBudget <= 0L) vcap else "(SELECT cut FROM ecut)"
     s"""ds AS (SELECT DISTINCT simhash FROM sig),
        |dch AS (SELECT simhash, c, (simhash >> (c * 12)) & 4095 AS chunk
        |  FROM ds, (SELECT unnest([0, 1, 2, 3]) AS c)),
@@ -1296,13 +1326,13 @@ object Oracles {
        |    (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048]) AS flip) f
        |  WHERE o.c2 <> b.c),
        |vkn AS (SELECT *, count(*) OVER (PARTITION BY c, chunk, c2, vkey) AS vn
-       |  FROM vk),
+       |  FROM vk),$escCtes
        |vcl AS (SELECT x.simhash AS sa, y.simhash AS sb
-       |  FROM (SELECT * FROM vkn WHERE vn <= $vcap) x
-       |  JOIN (SELECT * FROM vkn WHERE vn <= $vcap) y
+       |  FROM (SELECT * FROM vkn WHERE vn <= $effCap) x
+       |  JOIN (SELECT * FROM vkn WHERE vn <= $effCap) y
        |    ON x.c = y.c AND x.chunk = y.chunk AND x.c2 = y.c2
        |      AND x.vkey = y.vkey AND x.simhash < y.simhash),
-       |vover AS (SELECT * FROM vkn WHERE vn > $vcap),
+       |vover AS (SELECT * FROM vkn WHERE vn > $effCap),
        |vwin AS (SELECT sa, sb FROM ($winSelects) WHERE sb IS NOT NULL),
        |sp AS (SELECT DISTINCT sa, sb FROM
        |    (SELECT * FROM cl UNION ALL SELECT * FROM vcl
@@ -1335,10 +1365,11 @@ object Oracles {
     * rescue is EXACT by pigeonhole, so the contract pins
     * n_hit = n_capped = n_exact while 100+ level-1 buckets fire. */
   def simhashRecall(maxHamming: Int, cap: Int,
-      vcap: Int = graft.operators.DedupOps.SimMaxBucket): String =
+      vcap: Int = graft.operators.DedupOps.SimMaxBucket,
+      escalateBudget: Long = 0L): String =
     s"""WITH $simhashSigCte,
        |${simhashCandCtes(maxHamming, cap.toString, vcap.toString,
-           graft.operators.DedupOps.SimVariantWindow)},
+           graft.operators.DedupOps.SimVariantWindow, escalateBudget)},
        |cp AS (SELECT id_a, id_b, hamming FROM cand),
        |ex AS (SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
        |  FROM (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,

@@ -1001,7 +1001,13 @@ object SparkEntry {
     // the oracle replays every stage verbatim so any drift breaks the
     // hash. The r15 verdict measured the old clique→path degrade at
     // 0.773 (sf0.01) → 0.114 (sf0.1); this is the fix, re-measured
-    // every round.
+    // every round. Since the r20 flip the capped form runs the
+    // COMMITTED defaults (production variantCap + budgeted
+    // escalation) and the oracle replays the budget arithmetic — at
+    // the production variantCap the gate corpus has no over-cap
+    // variant bucket, so this row pins the escalation's DORMANT path
+    // (empty histogram => cut = vcap); the firing path is
+    // simhash_recall_auto's contract.
     "simhash_recall" -> { (s, dir) =>
       // Signature aggregation computed ONCE for both forms (the
       // shingle-once pattern) — the contrast is about the candidate
@@ -1021,16 +1027,19 @@ object SparkEntry {
     },
 
     // The LOSSY tail of the same contract: both caps forced to the test
-    // value, so the variant stage's own guard fires and the final
-    // Manku-Jindal-Ullman sorted-window degrade (the only approximate
-    // stage left in the SimHash family) is priced in-gate — measured
-    // recall 0.9203 at sf0.1 (multi-rotation MJU windows; 0.8639 with
-    // a single order) / 1.0 at sf0.01 under cap 32+32, vs 0.114 for
-    // the r15 path walk. In production the
-    // window regime is reachable only by >= SimMaxBucket DISTINCT
-    // simhashes agreeing on ~24 of 48 bits (an adversarial flood or a
-    // mega-near-ball); this row keeps its quality a number the gate
-    // re-measures, not a docstring.
+    // value AND the r20 budgeted escalation opted OUT (escalateBudget
+    // = 0), so the variant stage's own guard fires and the final
+    // Manku-Jindal-Ullman sorted-window degrade — the regime the
+    // committed pipeline falls back to once the escalation budget is
+    // spent — is priced in-gate: measured recall 0.9203 at sf0.1
+    // (multi-rotation MJU windows; 0.8639 with a single order) / 1.0
+    // at sf0.01 under cap 32+32, vs 0.114 for the r15 path walk. In
+    // production the window regime is reachable only by over-budget
+    // variant buckets (>= SimMaxBucket DISTINCT simhashes agreeing on
+    // ~24 of 48 bits, past the smallest-first admission cut); this row
+    // keeps its quality a number the gate re-measures, not a
+    // docstring. The committed default's own regime is the
+    // simhash_recall_auto twin below.
     "simhash_recall_window" -> { (s, dir) =>
       val sig = DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")
         .localCheckpoint(true)
@@ -1038,10 +1047,38 @@ object SparkEntry {
         SimhashMaxHamming, maxBucket = Int.MaxValue).localCheckpoint(true)
       val capped = DedupOps.simhashCandidatesFromSig(sig, "doc_id",
         SimhashMaxHamming, maxBucket = SimhashRecallCap,
-        variantCap = SimhashRecallCap).localCheckpoint(true)
+        variantCap = SimhashRecallCap, escalateBudget = 0)
+        .localCheckpoint(true)
       val hits = exact.intersect(capped)
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+    },
+
+    // The COMMITTED DEFAULT's regime under the same forced caps: the
+    // r20 flip made the budgeted variant-stage auto-escalation
+    // (DedupOps.SimVariantEscalateBudget = 4096 pairs per distinct
+    // signature, smallest-size-classes-first) the default, so this
+    // twin pins the admission arithmetic itself in-gate — the oracle
+    // replays the over-cap size histogram, the cumulative-work prefix
+    // sum, and the cut (Oracles.simhashCandCtes escalation CTEs), so
+    // any drift in escalationCut or the pipeline's use of it breaks
+    // the hash at a scale where the escalation measurably FIRES (the
+    // window twin above loses pairs at sf0.1 that this row recovers).
+    // Heaps-ledger evidence for the flip: recall 0.891 -> 1.000 at
+    // both decades at 1.15x the contract wall; the saturated fixture's
+    // admitted work stays <= budget (SimhashCapProbe phase 3).
+    "simhash_recall_auto" -> { (s, dir) =>
+      val sig = DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint(true)
+      val exact = DedupOps.simhashCandidatesFromSig(sig, "doc_id",
+        SimhashMaxHamming, maxBucket = Int.MaxValue).localCheckpoint(true)
+      val escalated = DedupOps.simhashCandidatesFromSig(sig, "doc_id",
+        SimhashMaxHamming, maxBucket = SimhashRecallCap,
+        variantCap = SimhashRecallCap).localCheckpoint(true)
+      val hits = exact.intersect(escalated)
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(escalated.agg(count(lit(1)).as("n_capped")))
         .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
     },
 
@@ -3784,7 +3821,8 @@ object SparkEntry {
   lazy val ContractQueries: Set[String] = {
     val cq = Set(
       "dedup_minhash_recall", "dedup_minhash_recall_r8",
-      "simhash_recall", "simhash_recall_window", "simhash_bucket_ledger",
+      "simhash_recall", "simhash_recall_window", "simhash_recall_auto",
+      "simhash_bucket_ledger",
       "dedup_lsh_bucket_ledger", "fuzzy_block_ledger", "jaccard_df_ledger",
       "knn_ivf_recall", "knn_lsh_recall", "knn_pq_recall",
       "knn_pq_autoc_recall", "knn_pq_autoc_recall_np9",
@@ -4204,10 +4242,15 @@ object SparkEntry {
       Oracles.simhashBucketLedger(DedupOps.SimMaxBucket,
         DedupOps.SimMaxBucket),
     "simhash_recall" ->
-      Oracles.simhashRecall(SimhashMaxHamming, SimhashRecallCap),
+      Oracles.simhashRecall(SimhashMaxHamming, SimhashRecallCap,
+        escalateBudget = DedupOps.SimVariantEscalateBudget.toLong),
     "simhash_recall_window" ->
       Oracles.simhashRecall(SimhashMaxHamming, SimhashRecallCap,
         vcap = SimhashRecallCap),
+    "simhash_recall_auto" ->
+      Oracles.simhashRecall(SimhashMaxHamming, SimhashRecallCap,
+        vcap = SimhashRecallCap,
+        escalateBudget = DedupOps.SimVariantEscalateBudget.toLong),
     "knn_bruteforce" -> Oracles.knnBruteForce(KnnProbeEvery, KnnK),
     "knn_ivf" -> Oracles.knnIvf(KnnProbeEvery, KnnK, IvfAutoC, IvfNprobe),
     "knn_lsh" -> Oracles.knnLsh(KnnProbeEvery, KnnK, LshNPlanes),

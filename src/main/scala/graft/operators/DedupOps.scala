@@ -1035,13 +1035,19 @@ object DedupOps {
     * Work-boundedness therefore has to be enforced on work itself:
     * smallest-first admission under a linear-in-n budget keeps the
     * first regime whole and takes only a bounded, highest-yield-first
-    * bite of the second. Measured on both regimes before any
-    * default decision: SimhashCapProbe phases 2-3 (ball escalates to
-    * recall 1.0; saturated cloud's admitted work ≤ budget) and the
-    * `simhash_recall_auto` Heaps-ledger row. NOT the default (pass
-    * `escalateBudget = SimVariantEscalateBudget` to opt in): the
-    * committed 100×/Heaps ledgers describe the shipped default, and a
-    * default flip is a next-round decision against those numbers. */
+    * bite of the second. Measured on both regimes before the default
+    * decision: SimhashCapProbe phases 2-3 (ball escalates to recall
+    * 1.0; saturated cloud's admitted work ≤ budget) and the
+    * `simhash_recall_auto` Heaps-ledger row (recall 1.000 at both
+    * Heaps decades at 1.15× the contract wall, vs 0.891 for the
+    * unescalated pipeline at Heaps-100×).
+    *
+    * THE DEFAULT since r20 (the r19 flip protocol: evidence first,
+    * then the flip with the gate oracles restated in the same commit —
+    * `Oracles.simhashCandCtes` replays the budgeted cut verbatim, so
+    * any drift in the admission arithmetic breaks the gate hash).
+    * Pass `escalateBudget = 0` to opt OUT (bit-for-bit the pre-r19
+    * window pipeline — what `simhash_recall_window` keeps priced). */
   val SimVariantEscalateBudget = 4 * SimMaxBucket
 
   /** The budgeted-escalation size cut, as a pure function of the
@@ -1089,13 +1095,18 @@ object DedupOps {
     *     not corpus.
     *   - Variant buckets over `variantCap` (adversarial floods /
     *     mega-near-balls only: >= variantCap distinct simhashes
-    *     agreeing on chunk c and within 2 bits on chunk c2): sorted
-    *     windows of width [[SimVariantWindow]] in simhash order -
-    *     linear work, measured recall 0.9203 at sf0.1 with both caps
-    *     forced to 32 (the `simhash_recall_window` gate contract
-    *     re-measures it every round) and 0.5571 on a FULL dense
-    *     4096-id near-ball (the SimhashCapProbe phase-2 regime where
-    *     the true output is the complete clique).
+    *     agreeing on chunk c and within 2 bits on chunk c2): since r20
+    *     the smallest size classes are ESCALATED back to the exact
+    *     rescue under the [[SimVariantEscalateBudget]] work budget
+    *     (linear in distinct signatures by construction; measured
+    *     recall 0.891 -> 1.000 at Heaps-100x for 1.15x wall); only the
+    *     post-budget remainder degrades to sorted windows of width
+    *     [[SimVariantWindow]] in simhash order - linear work, measured
+    *     recall 0.9203 at sf0.1 with both caps forced to 32 and the
+    *     budget opted out (the `simhash_recall_window` gate contract
+    *     re-measures that floor every round) and 0.5571 on a FULL
+    *     dense 4096-id near-ball (the SimhashCapProbe phase-2 regime
+    *     where the true output is the complete clique).
     *   - Identical-simhash groups: intra-group cliques (the true
     *     hamming-0 pairs) up to `maxBucket` members, id-ordered path
     *     beyond (output-linear; connectivity preserved; every edge
@@ -1107,7 +1118,8 @@ object DedupOps {
     * (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming. */
   def simhashCandidates(df: DataFrame, id: String, text: String,
       maxHamming: Int, maxBucket: Int = SimMaxBucket,
-      variantCap: Int = SimMaxBucket, escalateBudget: Int = 0): DataFrame =
+      variantCap: Int = SimMaxBucket,
+      escalateBudget: Int = SimVariantEscalateBudget): DataFrame =
     // The signature frame feeds SIX consumers (distinct banding, both
     // expansion sides, both intra-clique sides, the path) — without a
     // materialization each one re-runs the tokenize+48-bit-sum
@@ -1124,20 +1136,22 @@ object DedupOps {
     * signature aggregation once. `sig` should be materialized
     * (localCheckpoint) — this pipeline consumes it six times.
     *
-    * `escalateBudget` > 0 enables the budgeted variant-stage
-    * auto-escalation ([[SimVariantEscalateBudget]]): over-`variantCap`
-    * variant buckets are admitted to the exact rescue smallest-first
-    * while cumulative clique work stays within `escalateBudget` pairs
-    * per distinct signature; only the remainder degrades to windows.
-    * The admission threshold is a bucket-SIZE cut (every bucket of an
-    * admitted size is in), computed from a per-size work histogram —
-    * a driver-side read bounded by the number of DISTINCT over-cap
-    * bucket sizes (≤ the over-cap bucket count the ledger reports:
-    * hundreds to thousands), capped fail-loud. 0 (the default) is
-    * bit-for-bit the pre-r19 pipeline. */
+    * `escalateBudget` > 0 — the DEFAULT since r20
+    * ([[SimVariantEscalateBudget]]) — enables the budgeted
+    * variant-stage auto-escalation: over-`variantCap` variant buckets
+    * are admitted to the exact rescue smallest-first while cumulative
+    * clique work stays within `escalateBudget` pairs per distinct
+    * signature; only the remainder degrades to windows. The admission
+    * threshold is a bucket-SIZE cut (every bucket of an admitted size
+    * is in), computed from a per-size work histogram — a driver-side
+    * read bounded by the number of DISTINCT over-cap bucket sizes
+    * (≤ the over-cap bucket count the ledger reports: hundreds to
+    * thousands), capped fail-loud. Pass 0 to opt out — bit-for-bit
+    * the pre-r19 window pipeline. */
   def simhashCandidatesFromSig(sig: DataFrame, id: String,
       maxHamming: Int, maxBucket: Int = SimMaxBucket,
-      variantCap: Int = SimMaxBucket, escalateBudget: Int = 0): DataFrame = {
+      variantCap: Int = SimMaxBucket,
+      escalateBudget: Int = SimVariantEscalateBudget): DataFrame = {
     // The pigeonhole bound applies only when the variant-rescue stage
     // can actually run: maxBucket = Int.MaxValue means no bucket is
     // ever over-cap, the variant stage is provably empty, and the
@@ -1183,16 +1197,18 @@ object DedupOps {
       .drop("__flip")
     val vkn = vk.withColumn("__vn", count(lit(1)).over(
       Window.partitionBy(col("c"), col("chunk"), col("c2"), col("vkey"))))
-    // Budgeted auto-escalation (opt-in): lift the effective cap to the
-    // largest bucket SIZE whose cumulative over-cap clique work fits
-    // the linear-in-n budget. The histogram is one row per distinct
-    // over-cap bucket size — metadata-scale next to the buckets
-    // themselves — and the cut is deterministic (sizes ascend).
+    // Budgeted auto-escalation (the r20 default): lift the effective
+    // cap to the largest bucket SIZE whose cumulative over-cap clique
+    // work fits the linear-in-n budget. The histogram is one row per
+    // distinct over-cap bucket size — metadata-scale next to the
+    // buckets themselves — and the cut is deterministic (sizes
+    // ascend). Histogram FIRST, distinct-signature count only when it
+    // is non-empty: on a dormant corpus (no over-cap variant bucket —
+    // every gate-scale production-cap call) the default costs one
+    // empty-result aggregation, never the extra distinct count.
     val effCap: Long =
       if (escalateBudget <= 0) variantCap.toLong
       else {
-        val nSims = sig.select(col("simhash")).distinct().count()
-        val budget = escalateBudget.toLong * nSims
         val hist = vkn
           .filter(col("__vn") > variantCap)
           .select(col("c"), col("chunk"), col("c2"), col("vkey"),
@@ -1206,8 +1222,13 @@ object DedupOps {
           "simhashCandidatesFromSig: over 100k distinct over-cap bucket " +
             "sizes — the variant-key space is 4×4096×4096 values, so this " +
             "is a broken population column, not a real corpus")
-        escalationCut(hist.map(r => (r.getLong(0), r.getLong(1))).toSeq,
-          variantCap, budget)._1
+        if (hist.isEmpty) variantCap.toLong
+        else {
+          val nSims = sig.select(col("simhash")).distinct().count()
+          val budget = escalateBudget.toLong * nSims
+          escalationCut(hist.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+            variantCap, budget)._1
+        }
       }
     val vUnder = vkn.filter(col("__vn") <= effCap)
     val vClique = vUnder.hint("merge").as("x")

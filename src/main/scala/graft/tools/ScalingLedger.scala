@@ -250,27 +250,26 @@ object ScalingLedger {
           .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
           .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
       },
-      // The BUDGETED auto-escalation twin (r19, verdict ask #3): same
-      // contract as simhash_recall/simhash_recall_vc4, with the
-      // variant stage escalated smallest-first under the committed
-      // 4096-pairs-per-signature budget instead of a raised per-bucket
-      // cap. KEEP-case evidence on the real honest-diversity corpus:
-      // the Heaps over-cap work fits the linear budget, so this row
-      // should read the vc4 recall (1.0) while the REJECT case — the
-      // saturated fixture where vc4 exhausted 77 GB — is bounded by
-      // construction (SimhashCapProbe phase 3 asserts admitted work
-      // <= budget there). The default decision rides BOTH numbers.
-      "simhash_recall_auto" -> { (s, dir) =>
+      // The PRE-FLIP committed pipeline kept measured (r20: the
+      // budgeted escalation became the default, so `simhash_recall`
+      // now reads the escalated pipeline — this twin pins the regime
+      // the default LEFT, the r19 committed configuration whose
+      // Heaps-100x recall was 0.891, so the flip's benefit stays a
+      // regenerable contrast rather than a changelog claim). Forced
+      // level-1 cap, production variantCap, escalation opted out.
+      // (`simhash_recall_auto` is a GATE contract since r20 —
+      // SparkEntry's entry shadows ledger-only definitions — with
+      // BOTH caps forced so the admission cut fires at gate scale.)
+      "simhash_recall_noesc" -> { (s, dir) =>
         val sig = graft.operators.DedupOps.simhash(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
           .localCheckpoint(true)
-        def form(cap: Int, eb: Int) =
+        def form(cap: Int) =
           graft.operators.DedupOps.simhashCandidatesFromSig(sig, "doc_id",
             SparkEntry.SimhashMaxHamming, maxBucket = cap,
-            escalateBudget = eb).localCheckpoint(true)
-        val exact = form(Int.MaxValue, 0)
-        val capped = form(SparkEntry.SimhashRecallCap,
-          graft.operators.DedupOps.SimVariantEscalateBudget)
+            escalateBudget = 0).localCheckpoint(true)
+        val exact = form(Int.MaxValue)
+        val capped = form(SparkEntry.SimhashRecallCap)
         val hits = exact.intersect(capped)
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
@@ -337,7 +336,7 @@ object ScalingLedger {
   val CountsRecallQueries: Set[String] = Set(
     "dedup_minhash_recall", "dedup_minhash_recall_r8",
     "simhash_recall", "simhash_recall_window", "simhash_recall_vc4",
-    "simhash_recall_auto", "session_topk_recall")
+    "simhash_recall_auto", "simhash_recall_noesc", "session_topk_recall")
 
   /** (truth, hit) read from a counts-contract row — untimed evidence
     * pass, after all timing like [[annRecall]]. */

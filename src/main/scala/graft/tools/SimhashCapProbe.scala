@@ -169,8 +169,11 @@ object SimhashCapProbe {
     val cand2leverSecs = (System.nanoTime() - t2v) / 1e9
     val nCand2lever = cand2lever.count()
     val t2w = System.nanoTime()
+    // escalateBudget = 0 pins the WINDOW-DEGRADE regime (since the r20
+    // default flip the bare call escalates — phase 2c measures that;
+    // this run keeps the post-budget fallback floor priced).
     val cand2w = DedupOps.simhashCandidatesFromSig(sig2, "doc_id",
-        maxHamming = 8).localCheckpoint(true)
+        maxHamming = 8, escalateBudget = 0).localCheckpoint(true)
     val cand2wSecs = (System.nanoTime() - t2w) / 1e9
     val nCand2w = cand2w.count()
     val exact2 = DedupOps.simhashCandidatesFromSig(sig2, "doc_id",
@@ -200,7 +203,7 @@ object SimhashCapProbe {
     println(f"| exact pairs (ball clique $ballClique + coincidences) | $nExact2 | >= $ballClique | |")
     println(f"| SimVariantCap lever candidates (vcap=${DedupOps.SimVariantCap}, per-call) | $nCand2lever | exact rescue fires: recall 1.0 | $cand2leverSecs%.2f |")
     println(f"| SimVariantCap lever recall | $recall2lever%.4f | = 1.0 (ball under the lever cap => pigeonhole-exact) | |")
-    println(f"| production-default candidates (vcap=${DedupOps.SimMaxBucket}) | $nCand2w | << exact (window regime) | $cand2wSecs%.2f |")
+    println(f"| escalation-opted-out candidates (vcap=${DedupOps.SimMaxBucket}, eb=0) | $nCand2w | << exact (window regime) | $cand2wSecs%.2f |")
     println(f"| recall under fired window degrade | $recall2%.4f | >= 0.5 (MJU floor on a FULL ball, tightened r17 to measured 0.557 minus a band; the gate corpus regime measures 0.92) | |")
     println(s"| ball stays ONE component | $comps2 | = 1 (every window edge hamming <= 8) | |")
 
@@ -217,7 +220,9 @@ object SimhashCapProbe {
     require(comps2 == 1L,
       s"ball fragmented into $comps2 components under the window degrade")
 
-    // ---- Phase 2c: the ball under BUDGETED AUTO-ESCALATION -----------
+    // ---- Phase 2c: the ball under BUDGETED AUTO-ESCALATION — the
+    // COMMITTED DEFAULT since the r20 flip (bare call, no explicit
+    // budget: this run measures exactly what production callers get).
     // escalateBudget admits over-cap variant buckets smallest-first
     // within 4096 clique pairs per distinct signature. On this fixture
     // the ball's over-cap work (~2.0e8 pairs) fits the ~2.2e8 budget
@@ -227,14 +232,13 @@ object SimhashCapProbe {
     // (xxhash64 over fixed ids), so this is a pin, not a flake.
     val t2a = System.nanoTime()
     val cand2auto = DedupOps.simhashCandidatesFromSig(sig2, "doc_id",
-        maxHamming = 8,
-        escalateBudget = DedupOps.SimVariantEscalateBudget)
+        maxHamming = 8)
       .localCheckpoint(true)
     val cand2autoSecs = (System.nanoTime() - t2a) / 1e9
     val nCand2auto = cand2auto.count()
     val nHit2auto = exact2.intersect(cand2auto).count()
     val recall2auto = nHit2auto.toDouble / nExact2
-    println(f"| budgeted auto-escalation candidates (${DedupOps.SimVariantEscalateBudget} pairs/sim) | $nCand2auto | ball fits the budget => exact rescue | $cand2autoSecs%.2f |")
+    println(f"| committed-default candidates (budgeted escalation, ${DedupOps.SimVariantEscalateBudget} pairs/sim) | $nCand2auto | ball fits the budget => exact rescue | $cand2autoSecs%.2f |")
     println(f"| auto-escalation recall | $recall2auto%.4f | = 1.0 (admitted => pigeonhole-exact) | |")
     require(nCand2auto >= nCand2w,
       s"auto candidates $nCand2auto < window candidates $nCand2w — " +
@@ -309,13 +313,13 @@ object SimhashCapProbe {
       DedupOps.SimMaxBucket, cloudBudget)
     val t3w = System.nanoTime()
     val cloudWin = DedupOps.simhashCandidatesFromSig(cloudSig, "doc_id",
-      maxHamming = 8).localCheckpoint(true)
+      maxHamming = 8, escalateBudget = 0).localCheckpoint(true)
     val nCloudWin = cloudWin.count()
     val cloudWinSecs = (System.nanoTime() - t3w) / 1e9
     val t3a = System.nanoTime()
+    // Bare call = the committed default (budgeted escalation, r20).
     val cloudAuto = DedupOps.simhashCandidatesFromSig(cloudSig, "doc_id",
-        maxHamming = 8,
-        escalateBudget = DedupOps.SimVariantEscalateBudget)
+        maxHamming = 8)
       .localCheckpoint(true)
     val nCloudAuto = cloudAuto.count()
     val cloudAutoSecs = (System.nanoTime() - t3a) / 1e9
@@ -326,8 +330,8 @@ object SimhashCapProbe {
     println("|---|---|---|---|")
     println(s"| total over-cap clique work | $cloudWorkAll | >> budget $cloudBudget (the fixture saturates) | |")
     println(s"| admitted work at the cut (size <= $cloudCut) | $cloudWorkAdm | <= budget | |")
-    println(f"| window-default candidates | $nCloudWin | output-bounded | $cloudWinSecs%.2f |")
-    println(f"| auto-escalation candidates | $nCloudAuto | >= window (superset) | $cloudAutoSecs%.2f |")
+    println(f"| escalation-opted-out candidates | $nCloudWin | output-bounded | $cloudWinSecs%.2f |")
+    println(f"| committed-default (escalated) candidates | $nCloudAuto | >= window (superset) | $cloudAutoSecs%.2f |")
 
     require(cloudWorkAll > cloudBudget,
       s"cloud over-cap work $cloudWorkAll <= budget $cloudBudget: the " +

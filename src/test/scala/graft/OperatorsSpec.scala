@@ -187,9 +187,10 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     // chunks leave some chunk within hamming 2), not dormancy.
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
-    def pairs(mb: Int, vc: Int = DedupOps.SimMaxBucket) =
+    def pairs(mb: Int, vc: Int = DedupOps.SimMaxBucket,
+        eb: Int = DedupOps.SimVariantEscalateBudget) =
       DedupOps.simhashCandidates(docs, "doc_id", "text", maxHamming = 8,
-          maxBucket = mb, variantCap = vc)
+          maxBucket = mb, variantCap = vc, escalateBudget = eb)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val exact = pairs(Int.MaxValue)
     assert(exact.nonEmpty, "fixture has no hamming<=8 banded pairs")
@@ -207,11 +208,17 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     // consistently; the gate rows pin 0.9203 at sf0.1/cap 32
     // (simhash_recall_window) and SimhashCapProbe floors the dense
     // near-ball regime at 0.5 (measured 0.557).
-    val windowed = pairs(2, vc = 2)
+    val windowed = pairs(2, vc = 2, eb = 0)
     assert(windowed.subsetOf(exact), "window degrade emitted a false pair")
     assert(windowed.size * 10 >= exact.size * 9,
       s"window-degrade recall ${windowed.size}/${exact.size} below 0.9 floor " +
         "(this fixture measured 1.0 at r17)")
+    // The COMMITTED DEFAULT at the same forced caps (r20 flip): the
+    // over-cap work on this fixture fits the linear budget, so the
+    // escalation must recover the exact set bit-for-bit.
+    assert(pairs(2, vc = 2) == exact,
+      "default budgeted escalation must reproduce the exact set on an " +
+        "in-budget fixture")
   }
 
   test("budgeted variant-stage auto-escalation: prefix cut arithmetic; " +
