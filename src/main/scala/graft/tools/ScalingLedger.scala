@@ -424,6 +424,25 @@ object ScalingLedger {
       SparkEntry.queries.contains(n) || LedgerOnlyQueries.contains(n))
     require(missing.isEmpty, s"unknown queries: ${missing.mkString(", ")}")
 
+    // Sacrificial warm-up row per scale (r19 verdict ask #3): subset
+    // regens used to put the scaled corpus' one-time warm-up (JIT,
+    // shuffle machinery, page cache of a 100x parquet tree) on the
+    // FIRST timed row — measured 2-20x timing swings on unchanged code
+    // (knn_ivf_pq_autoc_p1k 19.4 ms in a 7-row subset regen vs 2.2 ms
+    // in the same-day full regen; recall columns were regen-stable, so
+    // no decision was wrong, but the subset timing columns lied). One
+    // discarded execution of the first query at each scale absorbs it
+    // — the SimhashCapProbe warm-up-discard pattern applied to the
+    // ledger tool.
+    names.headOption.foreach { n =>
+      System.err.println(s"warm-up (discarded): $n at both scales")
+      resolve(n)(spark, baseDir).count()
+      resolve(n)(spark, scaledDir).count()
+      graft.ToolSession.clearStorage(spark)
+    }
+    // (Placed BEFORE the cold-models wipe so a warm-up-trained
+    // artifact cannot hide the first query's run1-run2 train cost.)
+
     if (sys.env.get("GRAFT_LEDGER_COLD_MODELS").contains("1")) {
       // Cold-train evidence mode: wipe the persisted artifact warehouse
       // so every ModelStore train is paid inside this run's run1 and
@@ -465,25 +484,36 @@ object ScalingLedger {
     // close vs 0.049 for the replaced fixed-120 depth; recall counts
     // are deterministic, so the floor carries no run-to-run variance).
     if (mult >= 100 && fixture == "default") {
+      // §16 floors are DERIVED FRACTIONS of the committed measurement
+      // they guard, not free constants (r19 verdict ask #4): 0.9 x the
+      // regen that set them, so a deliberate fixture or k-means-iters
+      // change re-derives the margin from its new measurement instead
+      // of silently re-tuning against a stale absolute. Counts are
+      // deterministic (bit-for-bit across three r19 regens); the 10%
+      // band absorbs intentional small re-derivations, never ambient
+      // variance.
+      // Measured at the r19 residual-flip regen (commit ab190c3,
+      // SCALING_LEDGER_100X.json): raw-autoc contrast 0.1454.
+      val autocMeasured = 0.1454
+      // Same regen: committed default (residual + auto-C/auto-rerank)
+      // 0.1996.
+      val residualAutocMeasured = 0.1996
       recall.get(("knn_ivf_pq_autoc_p1k", "scaled")).foreach { case (t, h) =>
         val r = h.toDouble / t
-        require(r >= 0.14,
-          f"non-residual autoc off-manifold recall@5 $r%.4f < 0.14 " +
-            "floor at 100x (CONTRACTS: auto-rerank scale policy) — the " +
-            "contrast row has regressed, do not commit this ledger")
+        require(r >= 0.9 * autocMeasured,
+          f"non-residual autoc off-manifold recall@5 $r%.4f < 0.9 x " +
+            f"measured $autocMeasured (= ${0.9 * autocMeasured}%.4f) at " +
+            "100x (CONTRACTS: auto-rerank scale policy) — the contrast " +
+            "row has regressed, do not commit this ledger")
       }
-      // r19 default flip: the COMMITTED production configuration is the
-      // residual coder under auto-C/auto-rerank (measured 0.1996 at
-      // 100x, r19 regen) — same ~10% headroom discipline as the probe
-      // floors. Counts are deterministic; no run-to-run variance.
       recall.get(("knn_ivf_pq_residual_autoc_p1k", "scaled")).foreach {
         case (t, h) =>
           val r = h.toDouble / t
-          require(r >= 0.18,
+          require(r >= 0.9 * residualAutocMeasured,
             f"committed ANN default (residual autoc) off-manifold " +
-              f"recall@5 $r%.4f < 0.18 floor at 100x (measured 0.1996 " +
-              "at the r19 flip) — the default has regressed, do not " +
-              "commit this ledger")
+              f"recall@5 $r%.4f < 0.9 x measured $residualAutocMeasured " +
+              f"(= ${0.9 * residualAutocMeasured}%.4f) at 100x — the " +
+              "default has regressed, do not commit this ledger")
       }
     }
     spark.stop()
