@@ -68,6 +68,43 @@ object LockStressProbe {
       // Temp roots accumulate ~1 tiny table per round; leave to /tmp.
     }
     val secs = (System.nanoTime() - t0) / 1e9
+
+    // ---- Fence-window latency (r20, verdict ask #7): the documented
+    // cross-node double-commit residual is the gap between the commit
+    // fence's token re-read and the pointer rename
+    // (withCommitLockFenced header). Measure exactly that sequence —
+    // token read, tmp write, dest delete, rename (setVersion's ops) —
+    // so CONTRACTS can bound the residual with a number instead of the
+    // word "microseconds". A double commit additionally requires a
+    // reaper to decide 30 s staleness AND a second writer to finish
+    // its own CAS inside this window, so the measured p99 is the
+    // window's SIZE, not its probability.
+    val fenceRoot = Files.createTempDirectory("lockfence").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hfs = new org.apache.hadoop.fs.Path(fenceRoot).getFileSystem(hconf)
+    val lockP = new org.apache.hadoop.fs.Path(s"$fenceRoot/_COMMIT_LOCK")
+    val verP = new org.apache.hadoop.fs.Path(s"$fenceRoot/_VERSION")
+    val tmpP = new org.apache.hadoop.fs.Path(s"$fenceRoot/_VERSION.next")
+    def put(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val o = hfs.create(p, true); try o.write(s.getBytes("UTF-8")) finally o.close()
+    }
+    put(lockP, "tok-fence-probe")
+    put(verP, "v_0")
+    val nIters = 2000
+    val lat = new Array[Double](nIters)
+    (0 until nIters).foreach { i =>
+      val s0 = System.nanoTime()
+      val in = hfs.open(lockP)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      put(tmpP, s"v_$i")
+      hfs.delete(verP, false)
+      hfs.rename(tmpP, verP)
+      lat(i) = (System.nanoTime() - s0) / 1e3 // us
+    }
+    java.util.Arrays.sort(lat)
+    val (fP50, fP99, fMax) =
+      (lat(nIters / 2), lat(nIters * 99 / 100), lat(nIters - 1))
+
     println(s"\n## Commit-lock stampede stress: $rounds rounds x 6 threads, " +
       s"planted stale corpse each round\n")
     println("| check | measured | bound |")
@@ -75,8 +112,9 @@ object LockStressProbe {
     println(s"| max concurrent holders (worst round) | $worstMax | = 1 |")
     println(s"| contention errors | $errCount | = 0 |")
     println(f"| wall | $secs%.1f s | |")
+    println(f"| fence-read-to-rename window ($nIters iters) | p50 $fP50%.0f / p99 $fP99%.0f / max $fMax%.0f us | the documented residual's SIZE |")
     val pw = new PrintWriter(new File(jsonOut))
-    try pw.println(f"""{"rounds":$rounds,"threads":6,"worst_max_active":$worstMax,"errors":$errCount,"secs":$secs%.1f}""")
+    try pw.println(f"""{"rounds":$rounds,"threads":6,"worst_max_active":$worstMax,"errors":$errCount,"secs":$secs%.1f,"fence_window_iters":$nIters,"fence_window_us_p50":$fP50%.1f,"fence_window_us_p99":$fP99%.1f,"fence_window_us_max":$fMax%.1f}""")
     finally pw.close()
     System.err.println(s"wrote $jsonOut")
     spark.stop()
