@@ -1205,9 +1205,14 @@ object DedupOps {
     // ascend). Histogram FIRST, distinct-signature count only when it
     // is non-empty: on a dormant corpus (no over-cap variant bucket —
     // every gate-scale production-cap call) the default costs one
-    // empty-result aggregation, never the extra distinct count.
+    // empty-result aggregation, never the extra distinct count. With
+    // maxBucket = Int.MaxValue the variant stage is STRUCTURALLY empty
+    // (no level-1 bucket can be over-cap), so the exact/uncapped form
+    // skips even that aggregation — the escalation default costs the
+    // truth side of every recall contract nothing.
     val effCap: Long =
-      if (escalateBudget <= 0) variantCap.toLong
+      if (escalateBudget <= 0 || maxBucket == Int.MaxValue)
+        variantCap.toLong
       else {
         val hist = vkn
           .filter(col("__vn") > variantCap)
