@@ -1329,7 +1329,16 @@ object SparkEntry {
     // dedup_minhash_recall pattern): exact top-k rows, bounded top-k
     // rows, and their row-level intersection as one row of counts.
     "session_topk_recall" -> { (s, dir) =>
+      // Sessionize ONCE for all consumers (each form reads it twice —
+      // sessions + partners — and each form feeds both the intersect
+      // and its own count: 6 plan legs re-ran the sessionize window
+      // before this checkpoint). The FORMS deliberately stay
+      // un-checkpointed: materializing them serializes the two
+      // pipelines and measured 4.2 s vs 2.5 s with sess-only (r21
+      // XProf) — recomputing a form leg from the tiny checkpointed
+      // session frame is cheaper than the lost overlap.
       val sess = AnalyticOps.sessionize(t(s, dir, "events"), 30)
+        .localCheckpoint(true)
       def form(m: Int) = AnalyticOps.topKOverlapsPerSession(sess,
         "user_id", "session_start", "session_end",
         k = SessionTopK, bucketSec = 1800L, candM = m)

@@ -81,6 +81,22 @@ object GraftFunctions {
   def md5PrefixLong(s: Column, hexDigits: Int): Column =
     GraftColumns.column(Md5PrefixLong(GraftColumns.expression(s), hexDigits))
 
+  /** Codegen'd shingle array → MinHash signature array
+    * (see [[MinhashSigArray]]). */
+  def minhashSigs(shingles: Column, coeffA: Array[Long], coeffB: Array[Long],
+      modulus: Long): Column =
+    GraftColumns.column(MinhashSigArray(
+      GraftColumns.expression(shingles), coeffA, coeffB, modulus))
+
+  /** Codegen'd signature array → LSH band-key array
+    * (see [[LshBandKeys]]). */
+  def lshBandKeys(sig: Column, bands: Int, r: Int): Column =
+    GraftColumns.column(LshBandKeys(GraftColumns.expression(sig), bands, r))
+
+  /** Codegen'd token array → 48-bit SimHash (see [[SimhashLong]]). */
+  def simhashLong(tokens: Column): Column =
+    GraftColumns.column(SimhashLong(GraftColumns.expression(tokens)))
+
   /** Codegen'd hashed bag-of-grams bucket counts
     * (see [[BucketCountsMd5]]). */
   def bucketCounts(grams: Column, numBuckets: Int): Column =

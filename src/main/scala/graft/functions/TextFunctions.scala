@@ -163,5 +163,10 @@ object TextFunctions {
     * bigram shingles — one 60-bit "representative shingle" per document
     * (rolling-hash fingerprint family; pure projection + array fold). */
   def minShingleHash(text: Column): Column =
-    array_min(transform(wordBigrams(text), s => hash60(s)))
+    // The K=1 identity case of the codegen'd MinHash kernel (a=1, b=0,
+    // modulus > 2^60 leaves md5-prefix-15 values unchanged) — the
+    // composed array_min(transform(...)) ran an interpreted md5 lambda
+    // per shingle.
+    element_at(graft.expressions.GraftFunctions.minhashSigs(
+      wordBigrams(text), Array(1L), Array(0L), Long.MaxValue), 1)
 }

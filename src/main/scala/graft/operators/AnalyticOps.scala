@@ -203,14 +203,20 @@ object AnalyticOps {
     val all = bucketed(sessions.select(
       col(user).as("user_a"), col(start).as("start_a"), col(end).as("end_a")),
       "start_a", "end_a", "__bl")
-    val partners = bucketed(sessions.select(
-        col(user).as("user_b"), col(start).as("start_b"), col(end).as("end_b")),
-        "start_b", "end_b", "__br")
-      .withColumn("__len",
-        unix_timestamp(col("end_b")) - unix_timestamp(col("start_b")))
-      .withColumn("__r", row_number().over(Window.partitionBy(col("__br"))
-        .orderBy(col("__len").desc, col("user_b"), col("start_b"))))
-      .filter(col("__r") <= candM).drop("__len", "__r")
+    val partnersAll = bucketed(sessions.select(
+      col(user).as("user_b"), col(start).as("start_b"), col(end).as("end_b")),
+      "start_b", "end_b", "__br")
+    // candM = Int.MaxValue (the exact side of session_topk_recall) makes
+    // the longest-first pruning a tautology — skip the per-bucket
+    // row_number window (a full shuffle+sort of the bucketed rows)
+    // structurally; the kept row set is identical by construction.
+    val partners = if (candM == Int.MaxValue) partnersAll
+      else partnersAll
+        .withColumn("__len",
+          unix_timestamp(col("end_b")) - unix_timestamp(col("start_b")))
+        .withColumn("__r", row_number().over(Window.partitionBy(col("__br"))
+          .orderBy(col("__len").desc, col("user_b"), col("start_b"))))
+        .filter(col("__r") <= candM).drop("__len", "__r")
     all.join(partners,
         col("__bl") === col("__br") && col("user_a") =!= col("user_b"))
       .drop("__bl", "__br")

@@ -90,15 +90,16 @@ object DedupOps {
     * the whole signature computation (the earlier form exploded shingles
     * into a 32-aggregation groupBy — a full shuffle of every shingle
     * row); the LSH bucket join becomes the pipeline's only exchange. */
-  def minhashSignatureArr(df: DataFrame, id: String, text: String): DataFrame = {
-    val withH = df.select(col(id),
-      transform(array_distinct(wordBigrams(col(text))),
-        s => hash60(s) % P).as("harr"))
-    val mins = HashCoeffs.map { case (a, b) =>
-      array_min(transform(col("harr"), h => (lit(a) * h + lit(b)) % P))
-    }
-    withH.select(col(id), array(mins: _*).as("sig"))
-  }
+  def minhashSignatureArr(df: DataFrame, id: String, text: String): DataFrame =
+    // One codegen'd pass (dedup + md5 + all K affine minima,
+    // [[graft.expressions.MinhashSigArray]]) — the composed
+    // array_distinct/transform/array_min chain ran K+1 INTERPRETED
+    // higher-order lambdas per document (the signature pass's dominant
+    // CPU, r21 measurement); values are bit-identical by the
+    // min-over-set = min-over-multiset argument in the expression doc.
+    df.select(col(id), graft.expressions.GraftFunctions.minhashSigs(
+      wordBigrams(col(text)), HashCoeffs.map(_._1).toArray,
+      HashCoeffs.map(_._2).toArray, P).as("sig"))
 
   /** Signature rows `(id, i, mh)` — row view of [[minhashSignatureArr]]. */
   def minhashSignatures(df: DataFrame, id: String, text: String): DataFrame =
@@ -116,13 +117,12 @@ object DedupOps {
     require(bands >= 1 && K % bands == 0, s"bands must divide K=$K, got $bands")
     val r = K / bands
     val keep = col(id) +: carry.map(col)
-    sigArr.select(keep :+ explode(array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(array_join(transform(slice(col("sig"), b * r + 1, r),
-          x => x.cast("string")), "_")).as("bkey"))
-    }: _*)).as("bb"): _*)
-      .select(keep :+ col("bb.band").as("band") :+
-        col("bb.bkey").as("bkey"): _*)
+    // Codegen'd per-band keys ([[graft.expressions.LshBandKeys]]) +
+    // posexplode (pos = band) — the per-band slice/transform/array_join
+    // chain ran `bands` interpreted lambdas per row; keys bit-identical
+    // (same joined decimal strings, same seed-42 xxhash64).
+    sigArr.select(keep :+ posexplode(graft.expressions.GraftFunctions
+      .lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bkey")): _*)
   }
 
   /** Per-(band, bkey) population cap for the LSH bucket self-join: a
@@ -216,7 +216,10 @@ object DedupOps {
     // (variant members of a family sort by hash, not similarity; their
     // pairwise loss stays covered by the exact-dedup-first contract).
     val sigK = sigArr.withColumn("__skey",
-      xxhash64(array_join(transform(col("sig"), x => x.cast("string")), "_")))
+      // Full-signature key = the bands=1 case of the codegen'd band-key
+      // kernel (identical joined-decimal string, seed-42 xxhash64).
+      element_at(graft.expressions.GraftFunctions
+        .lshBandKeys(col("sig"), 1, K), 1))
     val w = Window.partitionBy(col("band"), col("bkey"))
       .orderBy(col("__skey"), col(id))
     val bkRaw = lshBuckets(sigK, id, bands, carry = Seq("__skey"))
@@ -895,23 +898,21 @@ object DedupOps {
 
   /** 48-bit SimHash per document over word unigrams (with multiplicity):
     * bit j of the signature is the sign of Σ_tokens (2·bit_j(hash48) − 1).
-    * One token explode, then ONE groupBy with 48 per-bit sum columns
-    * (no doc×token×bit explode — 48× less shuffled data), then a pure
-    * projection packs the sign bits. Exact, order-independent,
-    * oracle-reproducible. */
-  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
-    val tok = df.select(col(id), explode(tokens(normalized(col(text)))).as("t"))
-      .select(col(id), hash48(col("t")).as("h"))
-    val bitSums = (0 until SimBits).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1L) * 2 - 1).as(s"v$j")
-    }
-    tok.groupBy(col(id))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(id),
-        (0 until SimBits).map { j =>
-          when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
-        }.reduce(_ + _).as("simhash"))
-  }
+    * A PURE PROJECTION ([[graft.expressions.SimhashLong]] — one codegen
+    * loop per row): the per-document ±1 bit sums need no grouping when
+    * every row IS one document, which every caller guarantees (`id` is
+    * the document key) — the earlier explode → 48-column-sum groupBy
+    * paid a row-per-token explode plus a full shuffle to reassemble
+    * rows that were never apart (r21: the groupBy form's exchange was
+    * the signature pass's only shuffle; values bit-identical, same ±1
+    * integer sums). Documents whose token array is null (null text)
+    * are dropped, exactly as the explode dropped them. Exact,
+    * order-independent, oracle-reproducible. */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), tokens(normalized(col(text))).as("__toks"))
+      .filter(col("__toks").isNotNull)
+      .select(col(id), graft.expressions.GraftFunctions
+        .simhashLong(col("__toks")).as("simhash"))
 
   /** Per-(c, chunk) DISTINCT-SIMHASH cap for the SimHash chunk
     * self-join, and the population guard on the variant-join rescue
@@ -1163,8 +1164,16 @@ object DedupOps {
         "breaks the variant-join exactness pigeonhole (some other chunk " +
         "within hamming 2); band wider chunks, verify externally, or pass " +
         "maxBucket = Int.MaxValue to disable the capped path entirely")
-    val sigM = sig.withColumn("__m",
-      count(lit(1)).over(Window.partitionBy(col("simhash"))))
+    // maxBucket = Int.MaxValue (the truth side of every recall
+    // contract) makes every guard filter a tautology: NO bucket can be
+    // over-cap, so the per-(c, chunk) population window, the whole
+    // variant-rescue stage, and the per-signature group-size window
+    // are structurally dead. Skipping them (rather than letting the
+    // runtime evaluate windows whose filters keep everything) removes
+    // two full shuffle+sort window passes and the empty variant-join
+    // legs from the plan; the output is byte-identical by the same
+    // dormancy argument the docstring already states.
+    val guarded = maxBucket != Int.MaxValue
 
     // ---- distinct-simhash banding ------------------------------------
     val chunks = sig.select(col("simhash")).distinct()
@@ -1173,8 +1182,9 @@ object DedupOps {
         shr(col("simhash"), col("c").cast("int") * 12).bitwiseAND(4095L))
     val ck = chunks.withColumn("__k",
       count(lit(1)).over(Window.partitionBy(col("c"), col("chunk"))))
-    val under = ck.filter(col("__k") <= maxBucket)
-      .select(col("simhash"), col("c"), col("chunk"))
+    val under = if (!guarded) chunks
+      else ck.filter(col("__k") <= maxBucket)
+        .select(col("simhash"), col("c"), col("chunk"))
     val clique = under.hint("merge").as("x").join(under.hint("merge").as("y"),
         col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
           col("x.simhash") < col("y.simhash"))
@@ -1185,7 +1195,10 @@ object DedupOps {
     // one-bit flips. Two simhashes sharing a variant key have that
     // chunk within hamming 2 (0: id-id; 1: id-flip; 2: flip-flip).
     val flips = array((0L +: (0 until 12).map(b => 1L << b)).map(lit): _*)
-    val vk = ck.filter(col("__k") > maxBucket)
+    // Unguarded: the variant stage is structurally empty — the whole
+    // block below (including the ck population window `vk` reads) is
+    // only built when guarded; candidates are the clique pairs alone.
+    lazy val vk = ck.filter(col("__k") > maxBucket)
       .select(col("simhash"), col("c"), col("chunk"),
         explode(sequence(lit(0), lit(3))).as("c2"))
       .filter(col("c2") =!= col("c"))
@@ -1195,7 +1208,7 @@ object DedupOps {
         shr(col("simhash"), col("c2").cast("int") * 12).bitwiseAND(4095L)
           .bitwiseXOR(col("__flip")))
       .drop("__flip")
-    val vkn = vk.withColumn("__vn", count(lit(1)).over(
+    lazy val vkn = vk.withColumn("__vn", count(lit(1)).over(
       Window.partitionBy(col("c"), col("chunk"), col("c2"), col("vkey"))))
     // Budgeted auto-escalation (the r20 default): lift the effective
     // cap to the largest bucket SIZE whose cumulative over-cap clique
@@ -1210,7 +1223,7 @@ object DedupOps {
     // (no level-1 bucket can be over-cap), so the exact/uncapped form
     // skips even that aggregation — the escalation default costs the
     // truth side of every recall contract nothing.
-    val effCap: Long =
+    lazy val effCap: Long =
       if (escalateBudget <= 0 || maxBucket == Int.MaxValue)
         variantCap.toLong
       else {
@@ -1235,8 +1248,8 @@ object DedupOps {
             variantCap, budget)._1
         }
       }
-    val vUnder = vkn.filter(col("__vn") <= effCap)
-    val vClique = vUnder.hint("merge").as("x")
+    lazy val vUnder = vkn.filter(col("__vn") <= effCap)
+    lazy val vClique = vUnder.hint("merge").as("x")
       .join(vUnder.hint("merge").as("y"),
         col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
           col("x.c2") === col("y.c2") && col("x.vkey") === col("y.vkey") &&
@@ -1248,7 +1261,7 @@ object DedupOps {
     // and byte-equal to the DuckDB replay). Rotated order is a
     // bijection of the distinct signatures (no ties); leads can be
     // smaller in RAW value, so pairs normalize via least/greatest.
-    val vOverBase = vkn.filter(col("__vn") > effCap)
+    lazy val vOverBase = vkn.filter(col("__vn") > effCap)
       .select(col("simhash"), col("c"), col("chunk"), col("c2"),
         col("vkey"))
     def rot(r: Int): Column =
@@ -1261,7 +1274,7 @@ object DedupOps {
     // made the PLAN itself the cost on queries where this stage is
     // provably empty (paired-measured: near_dup 1.3x -> 2.8x from plan
     // growth alone; this shape restores it).
-    val winPairs = SimVariantRotations.map { r =>
+    lazy val winPairs = SimVariantRotations.map { r =>
       val wvo = Window.partitionBy(col("c"), col("chunk"), col("c2"),
         col("vkey")).orderBy(rot(r), col("simhash"))
       vOverBase
@@ -1276,7 +1289,9 @@ object DedupOps {
     }.reduce(_ unionByName _)
 
     // ---- distinct-level union, hamming filter, member expansion ------
-    val simPairs = clique.unionByName(vClique).unionByName(winPairs)
+    val simPairs = (if (guarded)
+        clique.unionByName(vClique).unionByName(winPairs)
+      else clique)
       .distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
@@ -1288,18 +1303,29 @@ object DedupOps {
         col("hamming"))
 
     // ---- identical-simhash groups (hamming 0 by construction) --------
-    val gUnder = sigM.filter(col("__m") <= maxBucket)
-    val gClique = gUnder.as("x").join(gUnder.as("y"),
-        col("x.simhash") === col("y.simhash") &&
-          col(s"x.$id") < col(s"y.$id"))
-      .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"))
-    val gPath = sigM.filter(col("__m") > maxBucket)
-      .withColumn("__nx", lead(col(id), 1).over(
-        Window.partitionBy(col("simhash")).orderBy(col(id))))
-      .filter(col("__nx").isNotNull)
-      .select(col(id).as("id_a"), col("__nx").as("id_b"))
-    val intra = gClique.unionByName(gPath)
-      .withColumn("hamming", bit_count(lit(0L)))
+    // Unguarded: every group is under-cap, so the per-signature size
+    // window and the path leg are dead — one plain self-join.
+    val intraPairs = if (!guarded) {
+      sig.as("x").join(sig.as("y"),
+          col("x.simhash") === col("y.simhash") &&
+            col(s"x.$id") < col(s"y.$id"))
+        .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"))
+    } else {
+      val sigM = sig.withColumn("__m",
+        count(lit(1)).over(Window.partitionBy(col("simhash"))))
+      val gUnder = sigM.filter(col("__m") <= maxBucket)
+      val gClique = gUnder.as("x").join(gUnder.as("y"),
+          col("x.simhash") === col("y.simhash") &&
+            col(s"x.$id") < col(s"y.$id"))
+        .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"))
+      val gPath = sigM.filter(col("__m") > maxBucket)
+        .withColumn("__nx", lead(col(id), 1).over(
+          Window.partitionBy(col("simhash")).orderBy(col(id))))
+        .filter(col("__nx").isNotNull)
+        .select(col(id).as("id_a"), col("__nx").as("id_b"))
+      gClique.unionByName(gPath)
+    }
+    val intra = intraPairs.withColumn("hamming", bit_count(lit(0L)))
 
     cross.unionByName(intra)
   }
