@@ -346,6 +346,19 @@ object SparkEntry {
       .select(col("n_true"), col(candCountCol), col("n_hit"))
   }
 
+  /** Row-level intersection of two DUPLICATE-FREE, null-free frames as
+    * a left-semi join on every column — value-identical to
+    * `a.intersect(b)` under those preconditions (INTERSECT's
+    * set-semantics distinct is a no-op on duplicate-free inputs, and
+    * null-safe vs plain equality coincide on null-free columns) while
+    * skipping the two distinct HashAggregates INTERSECT plans over both
+    * sides (r21, guide §2.4: the recall contracts' hit counts
+    * intersected two ~200 k-row candidate sets per call). Callers must
+    * argue uniqueness at the call site; every contract using this is
+    * additionally pinned by the DuckDB oracle's n_hit at both scales. */
+  private def uniqueRowIntersect(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, a.columns.toSeq, "left_semi")
+
   /** Thresholded banded-MinHash candidate pairs — the sub-quadratic
     * candidate stage the whole CC family feeds from (the same
     * (band, bkey) bucket join as `dedup_minhash_lsh`; its DuckDB twin
@@ -566,10 +579,12 @@ object SparkEntry {
     // aggregates over whitespace token counts.
     "dedup_token_yield" -> { (s, dir) =>
       val docs = plantedDocs(s, dir)
+      // Tokenize-count ONCE for the before and after aggregates (two
+      // narrow columns; the shingle-once pattern).
       val tok = docs.select(col("doc_id"),
         size(graft.functions.TextFunctions.tokens(
           graft.functions.TextFunctions.normalized(col("text"))))
-          .cast("long").as("nt"))
+          .cast("long").as("nt")).localCheckpoint(true)
       val kept = DedupOps.keepClusterMin(docs, bandedPairs(docs), "doc_id")
         .select(col("doc_id"))
       val before = tok.agg(count(lit(1)).as("n_docs_before"),
@@ -1020,7 +1035,12 @@ object SparkEntry {
         SimhashMaxHamming, maxBucket = cap).localCheckpoint(true)
       val exact = form(Int.MaxValue)
       val capped = form(SimhashRecallCap)
-      val hits = exact.intersect(capped)
+      // Both candidate sets are duplicate-free by construction (one
+      // simhash per id ⇒ a member pair appears under exactly one
+      // distinct-sim pair; cross pairs have hamming ≥ 1, intra pairs
+      // hamming = 0, clique/path groups are cap-disjoint), so the hit
+      // count rides the semi-join form of intersect.
+      val hits = uniqueRowIntersect(exact, capped)
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
         .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
@@ -1049,7 +1069,7 @@ object SparkEntry {
         SimhashMaxHamming, maxBucket = SimhashRecallCap,
         variantCap = SimhashRecallCap, escalateBudget = 0)
         .localCheckpoint(true)
-      val hits = exact.intersect(capped)
+      val hits = uniqueRowIntersect(exact, capped) // see simhash_recall
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
         .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
@@ -1076,7 +1096,7 @@ object SparkEntry {
       val escalated = DedupOps.simhashCandidatesFromSig(sig, "doc_id",
         SimhashMaxHamming, maxBucket = SimhashRecallCap,
         variantCap = SimhashRecallCap).localCheckpoint(true)
-      val hits = exact.intersect(escalated)
+      val hits = uniqueRowIntersect(exact, escalated) // see simhash_recall
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(escalated.agg(count(lit(1)).as("n_capped")))
         .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
@@ -1344,7 +1364,9 @@ object SparkEntry {
         k = SessionTopK, bucketSec = 1800L, candM = m)
       val exact = form(Int.MaxValue)
       val bounded = form(AnalyticOps.TopOverlapCandidates)
-      val hits = exact.intersect(bounded)
+      // Duplicate-free: one row per (session, rank ≤ k), rank distinct
+      // within its window partition; all columns non-null.
+      val hits = uniqueRowIntersect(exact, bounded)
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(bounded.agg(count(lit(1)).as("n_bounded")))
         .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
@@ -1504,8 +1526,10 @@ object SparkEntry {
     // one row of integer counts (the ANN recall-contract pattern):
     // justifies the sampled path with a number, not a docstring claim.
     "quality_sampled_agreement" -> { (s, dir) =>
+      // Feature-hash the corpus ONCE for both scorers (narrow
+      // (id, features) rows; the shingle-once pattern).
       val feats = QualityModelOps.hashedFeatures(
-        spamPlantedDocs(s, dir), "doc_id", "text")
+        spamPlantedDocs(s, dir), "doc_id", "text").localCheckpoint(true)
       val full = QualityModelOps.scores(feats, qualityWeights(s, dir), "doc_id")
         .withColumnRenamed("score", "score_full")
       val smp = QualityModelOps.scores(feats, qualityWeightsSampled(s, dir), "doc_id")

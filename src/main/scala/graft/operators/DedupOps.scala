@@ -787,9 +787,15 @@ object DedupOps {
   def ngramJaccardPrefix(df: DataFrame, id: String, text: String,
       minJaccard: Double, maxDf: Int = JaccardMaxDf): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    // The shingle index feeds FOUR consumers (per-doc sizes, df table,
+    // prefix index, verify sets) — materialize the narrow (id, sh)
+    // rows once instead of re-running the scan + tokenize + shingle +
+    // hash chain per consumer (r21; the connectedComponents edge
+    // pattern).
     val sh = df.select(col(id),
         explode(array_distinct(wordBigrams(col(text)))).as("shs"))
       .select(col(id), xxhash64(col("shs")).as("sh"))
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // Every build side here is CORPUS-DERIVED (df table, per-doc sizes,
@@ -866,9 +872,13 @@ object DedupOps {
     * rather than a worst-case story. */
   def jaccardDfLedger(df: DataFrame, id: String, text: String,
       minJaccard: Double, maxDf: Int = JaccardMaxDf): DataFrame = {
+    // Same shingle-once materialization as [[ngramJaccardPrefix]] (the
+    // shingle stats and the per-doc degradation count both read sh AND
+    // its df join).
     val sh = df.select(col(id),
         explode(array_distinct(wordBigrams(col(text)))).as("shs"))
       .select(col(id), xxhash64(col("shs")).as("sh"))
+      .localCheckpoint(true)
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val shingleStats = freq.agg(count(lit(1)).as("n_shingles"),
       max(col("df")).as("max_df"),
@@ -1208,8 +1218,19 @@ object DedupOps {
         shr(col("simhash"), col("c2").cast("int") * 12).bitwiseAND(4095L)
           .bitwiseXOR(col("__flip")))
       .drop("__flip")
-    lazy val vkn = vk.withColumn("__vn", count(lit(1)).over(
-      Window.partitionBy(col("c"), col("chunk"), col("c2"), col("vkey"))))
+    // With the escalation on, the histogram below is a SEPARATE driver
+    // action over this frame, and the final query reads it again for
+    // vUnder + vOverBase — without a materialization the 39-key explode
+    // and its population window run twice per call (r21: the guarded
+    // form spent 4.6 s vs the exact form's 0.9 s on the same sig, and
+    // this double execution was the largest share). Rows are
+    // vkey-metadata (5 narrow columns), bounded by 39 × over-cap
+    // members.
+    lazy val vkn = {
+      val w = vk.withColumn("__vn", count(lit(1)).over(
+        Window.partitionBy(col("c"), col("chunk"), col("c2"), col("vkey"))))
+      if (escalateBudget > 0) w.localCheckpoint(true) else w
+    }
     // Budgeted auto-escalation (the r20 default): lift the effective
     // cap to the largest bucket SIZE whose cumulative over-cap clique
     // work fits the linear-in-n budget. The histogram is one row per
@@ -1289,12 +1310,20 @@ object DedupOps {
     }.reduce(_ unionByName _)
 
     // ---- distinct-level union, hamming filter, member expansion ------
+    // Hamming filter BEFORE the distinct (r21, guide §2.3 "shuffle
+    // fewer bytes"): a candidate pair agrees on one 12-bit chunk and is
+    // random-ish on the other 36 bits, so the large majority fails
+    // `hamming <= maxHamming` — filtering first shrinks the distinct's
+    // exchange from every chunk-sharing candidate to just the true
+    // pairs. bit_count is evaluated in the join's output stage (no
+    // extra exchange); hamming is a pure function of (sa, sb) so
+    // filter∘distinct ≡ distinct∘filter.
     val simPairs = (if (guarded)
         clique.unionByName(vClique).unionByName(winPairs)
       else clique)
-      .distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
     val cross = simPairs
       .join(sig.as("a"), col("a.simhash") === col("sa"))
       .join(sig.as("b"), col("b.simhash") === col("sb"))
