@@ -1319,6 +1319,9 @@ object SparkEntry {
     // §4. This stays the labeled all-pairs truth row; committed
     // pipelines ride session_topk_overlaps below.)
     "session_overlap_pairs" -> { (s, dir) =>
+      // NOT checkpointed (r21: measured 1.03x — with only two
+      // consumer legs the exchange reuse already covers it, unlike
+      // session_topk_recall's six).
       val sess = AnalyticOps.sessionize(t(s, dir, "events"), 30)
       val a = sess.select(col("user_id").as("user_a"),
         col("session_start").as("start_a"), col("session_end").as("end_a"))
@@ -1340,6 +1343,8 @@ object SparkEntry {
     // entry, not promised.
     "session_topk_overlaps" -> { (s, dir) =>
       AnalyticOps.topKOverlapsPerSession(
+        // Not checkpointed (r21: measured 1.01x — two legs, covered
+        // by exchange reuse; see session_overlap_pairs).
         AnalyticOps.sessionize(t(s, dir, "events"), 30),
         "user_id", "session_start", "session_end",
         k = SessionTopK, bucketSec = 1800L)

@@ -97,6 +97,11 @@ object GraftFunctions {
   def simhashLong(tokens: Column): Column =
     GraftColumns.column(SimhashLong(GraftColumns.expression(tokens)))
 
+  /** Codegen'd shingle array → sorted distinct xxhash64 set
+    * (see [[SortedShingleHashes]]). */
+  def sortedShingleHashes(shingles: Column): Column =
+    GraftColumns.column(SortedShingleHashes(GraftColumns.expression(shingles)))
+
   /** Codegen'd hashed bag-of-grams bucket counts
     * (see [[BucketCountsMd5]]). */
   def bucketCounts(grams: Column, numBuckets: Int): Column =

@@ -735,8 +735,11 @@ object DedupOps {
     // optimizer pushes the jaccard filter into the join condition and
     // re-derives the whole shingling expression around it.
     val sets = df.select(col(id),
-        sort_array(transform(array_distinct(wordBigrams(col(text))),
-          s => xxhash64(s))).as("set"))
+        // Codegen'd dedup+hash+sort ([[graft.expressions
+        // .SortedShingleHashes]]) — the composed sort_array(transform(
+        // array_distinct(...))) ran an interpreted lambda per shingle.
+        graft.expressions.GraftFunctions.sortedShingleHashes(
+          wordBigrams(col(text))).as("set"))
       .withColumn("n", size(col("set")).cast("long"))
       .repartition(col(id))
     // Opaque pins the jaccard filter ABOVE this projection: pushed into
@@ -1195,6 +1198,11 @@ object DedupOps {
     val under = if (!guarded) chunks
       else ck.filter(col("__k") <= maxBucket)
         .select(col("simhash"), col("c"), col("chunk"))
+    // Join strategy note (r21): shuffled-hash was measured here and on
+    // the variant clique — neutral at gate scale (paired 0.89-1.09 in
+    // a quiet window) — so the sort-merge hint stays: it spills
+    // gracefully where a per-partition hash build can OOM at 100 TB
+    // (guide §3.1), and the sorts are on narrow metadata rows.
     val clique = under.hint("merge").as("x").join(under.hint("merge").as("y"),
         col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
           col("x.simhash") < col("y.simhash"))

@@ -106,6 +106,17 @@ class CodegenParitySpec extends AnyFunSuite with SparkSuite {
     assert(rows(kernel) == rows(composed))
   }
 
+  test("SortedShingleHashes ≡ composed sort_array(transform(array_distinct, xxhash64))") {
+    val docs = edgeDocs
+    val composed = docs.select(col("doc_id"),
+      sort_array(transform(array_distinct(wordBigrams(col("text"))),
+        s => xxhash64(s))).as("set"))
+    val kernel = docs.select(col("doc_id"),
+      graft.expressions.GraftFunctions.sortedShingleHashes(
+        wordBigrams(col("text"))).as("set"))
+    assert(rows(kernel) == rows(composed))
+  }
+
   test("unguarded simhashCandidatesFromSig (structural skip) ≡ guarded at a dormant cap") {
     // maxBucket = Int.MaxValue now PRUNES the population windows and the
     // variant stage from the plan; a finite cap larger than any bucket
