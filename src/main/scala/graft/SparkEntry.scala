@@ -2349,10 +2349,13 @@ object SparkEntry {
     // counts dictionary is compact (vocab-scale) so the dictionary join
     // broadcasts under AQE at any corpus size.
     "doc_commonness" -> { (s, dir) =>
+      // Shingle once (r21): the exploded bigram rows feed the counts
+      // dictionary AND the score join — materialized so the
+      // tokenize+bigram chain runs one pass, not two.
       val bigr = t(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.wordBigrams(col("text")))
-            .as("bigram"))
+            .as("bigram")).localCheckpoint(true)
       val counts = bigr.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       bigr.join(counts, "bigram")
         .groupBy(col("doc_id"))
@@ -2538,8 +2541,10 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val terms = docs.select(col("doc_id"),
         explode(tokens(normalized(col("text")))).as("term"))
+      // tf feeds the df dictionary AND the score join (r21): one
+      // materialization instead of re-running the explode+groupBy.
       val tf = terms.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("tf")).localCheckpoint(true)
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, "term").crossJoin(broadcast(nDocs))

@@ -102,6 +102,11 @@ object GraftFunctions {
   def sortedShingleHashes(shingles: Column): Column =
     GraftColumns.column(SortedShingleHashes(GraftColumns.expression(shingles)))
 
+  /** Codegen'd token array → per-query-term frequency array
+    * (see [[TermFreqArray]]). */
+  def termFreqs(tokens: Column, terms: Seq[String]): Column =
+    GraftColumns.column(TermFreqArray(GraftColumns.expression(tokens), terms))
+
   /** Codegen'd hashed bag-of-grams bucket counts
     * (see [[BucketCountsMd5]]). */
   def bucketCounts(grams: Column, numBuckets: Int): Column =

@@ -462,18 +462,33 @@ object TextOps {
       queryTerms: Seq[String], k1: Double, b: Double, idf: Column)
       : DataFrame = {
     require(queryTerms.nonEmpty)
-    val withTf = docs
+    // ONE tokenize pass for everything (r21): the per-term frequencies
+    // come from one codegen'd walk over the token array
+    // ([[graft.expressions.TermFreqArray]] — the composed
+    // size(filter(tokens, x === term)) ran |Q| interpreted lambda
+    // passes per document), and the narrow (id, dl, tfs) base is
+    // materialized once for its three consumers (corpus stats, df
+    // counts, the score join) — previously each re-ran the
+    // scan+tokenize chain. Values bit-identical: same exact-equality
+    // tf integers, same rows after the tf > 0 filter (null-token-array
+    // docs still contribute to n_docs and nothing else).
+    val base = docs
       .select(col(id), tokens(normalized(col(text))).as("__tk"))
-      .select(col(id), size(col("__tk")).as("dl"), col("__tk"),
-        explode(array(queryTerms.map(lit): _*)).as("term"))
-      .select(col(id), col("dl"), col("term"),
-        size(filter(col("__tk"), x => x === col("term"))).as("tf"))
+      .select(col(id), size(col("__tk")).as("dl"),
+        graft.expressions.GraftFunctions.termFreqs(col("__tk"), queryTerms)
+          .as("__tfs"))
+      .localCheckpoint(true)
+    val termArr = array(queryTerms.map(lit): _*)
+    val withTf = base
+      .select(col(id), col("dl"),
+        posexplode(col("__tfs")).as(Seq("__p", "tf")))
       .filter(col("tf") > 0)
+      .select(col(id), col("dl"),
+        element_at(termArr, col("__p") + 1).as("term"), col("tf"))
     val dfCounts = withTf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-    val stats = docs
-      .select(size(tokens(normalized(col(text)))).as("__dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("sum_dl"))
+    val stats = base
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val tfd = col("tf").cast("double")
     val comp = idf * ((tfd * lit(k1 + 1)) /

@@ -117,6 +117,23 @@ class CodegenParitySpec extends AnyFunSuite with SparkSuite {
     assert(rows(kernel) == rows(composed))
   }
 
+  test("TermFreqArray ≡ composed size(filter(tokens, x === term)) per term") {
+    val docs = edgeDocs
+    val terms = Seq("the", "dup", "a", "zzz_absent")
+    val composed = docs.select(col("doc_id") +: terms.zipWithIndex.map {
+      case (t, i) =>
+        size(filter(tokens(normalized(col("text"))), x => x === lit(t)))
+          .as(s"tf$i")
+    }: _*)
+    val kernel = docs.select(col("doc_id") +: terms.indices.map { i =>
+      element_at(graft.expressions.GraftFunctions.termFreqs(
+        tokens(normalized(col("text"))), terms), i + 1).as(s"tf$i")
+    }: _*)
+    // The composed form yields null tf per term for a null token array;
+    // the kernel yields a null ARRAY, so element_at is null too.
+    assert(rows(kernel) == rows(composed))
+  }
+
   test("unguarded simhashCandidatesFromSig (structural skip) ≡ guarded at a dormant cap") {
     // maxBucket = Int.MaxValue now PRUNES the population windows and the
     // variant stage from the plan; a finite cap larger than any bucket
