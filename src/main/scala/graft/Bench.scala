@@ -13,11 +13,17 @@ package graft
   * noise, not plans.
   *
   * Output size: per-query seconds are rounded to 4 decimals, emitted in
-  * small `bench_chunk` lines BEFORE the total line, and written in full
-  * to `SPARK_GRAFT_BENCH_OUT` (default `BENCH_LOCAL.json`). The printed
-  * total line itself carries only `n_queries` + the 10 slowest — every
-  * round-archive through r11 landed `parsed:null` because a 200+-query
-  * map on one line outgrows the driver's tail capture.
+  * small `bench_chunk` lines plus a top-10 summary line FIRST, and the
+  * FINAL stdout line is the full total JSON with the COMPLETE per-query
+  * map (also written to `SPARK_GRAFT_BENCH_OUT`, default
+  * `BENCH_LOCAL.json`). The r12-r21 shape printed only the 10 slowest
+  * on the total line out of fear the ~6 KB full map would outgrow the
+  * driver's tail capture — but the driver's parser verifiably REQUIRES
+  * the full map as the last line (BENCH_r20/r21 both landed
+  * parsed:null on the 1.4 KB top-10 line, and the r21 tail shows the
+  * capture window held it with room to spare), so the full-map line
+  * goes last and the redundant early lines remain as insurance against
+  * a head-side cut.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -100,12 +106,14 @@ object Bench {
       .mkString("{", ",", "}")
     val stdoutLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"n_queries":${results.size},$splitFields,"failed":$fails,"sf":"$sfDir","queries":$slowest}"""
-    // The total line prints FIRST *and* LAST (identical content): the
-    // driver's capture window has eaten one end or the other every
-    // round (r4-r11 tail-truncated the big map; a head-capture would
-    // cut a trailing line), and a byte-identical duplicate parses the
-    // same whichever line the driver finds. The chunk lines sit between
-    // so per-query timings survive a cut at either end too.
+    // Ordering (r21 verdict item 1): a compact top-10 summary prints
+    // FIRST (survives a tail-side cut), the bench_chunk lines follow
+    // (per-query timings survive a cut at either end), and the LAST
+    // stdout line is the full-map total JSON — the shape the driver's
+    // parser actually accepts. r12-r21 printed the top-10 line last and
+    // the driver landed parsed:null every round; the r21 tail capture
+    // demonstrably held ~1.4 KB of final line plus ~6 KB of chunks, so
+    // the ~6 KB full-map line fits the window.
     println(stdoutLine)
     val chunks = results.grouped(25).toSeq
     chunks.zipWithIndex.foreach { case (c, i) =>
@@ -122,7 +130,8 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
-    println(stdoutLine)
+    // THE driver contract line: full per-query map, printed last.
+    println(fileLine)
     spark.stop()
   }
 }
