@@ -336,22 +336,30 @@ object SimilarityOps {
 
     // Probe side: nprobe buckets + the per-subspace distance LUT
     // (map cent_id -> d2, ordered into an array by subspace).
+    // ONE aggregation builds the whole per-probe LUT array (r21 verdict
+    // item 5): the previous two-level groupBy — (probeId, sub) maps,
+    // then per-probeId collect — planned two Exchanges back to back
+    // (the second re-shuffles the first's output because the hash
+    // partitionings differ). Collect every (sub, code, d2c) triple in
+    // one pass and assemble the sub-ordered map array as a projection;
+    // the HOF assembly is interpreted but runs over probe-count ×
+    // (m·ks) rows — bounded model-scale work, while the removed
+    // Exchange was a per-query fixed stage. Map iteration order is
+    // irrelevant downstream (maps are only read via element_at), and
+    // the sub axis is sorted exactly as the old comparator sorted it.
     val lut = probes.crossJoin(broadcast(codebooks))
       .select(col(probeId), col("sub"), col("cent_id"),
         graft.expressions.GraftFunctions.l2DistSq(
           slice(col("probe_vec"), col("sub") * subDim + 1, lit(subDim)),
           col("cent_vec")).as("d2c"))
-      .groupBy(col(probeId), col("sub"))
-      .agg(map_from_entries(collect_list(struct(col("cent_id"), col("d2c"))))
-        .as("mp"))
       .groupBy(col(probeId))
-      .agg(collect_list(struct(col("sub"), col("mp"))).as("__lst"))
-      // Maps are not orderable, so sort the (sub, map) structs with an
-      // explicit comparator on `sub` alone.
+      .agg(collect_list(struct(col("sub"), col("cent_id"), col("d2c")))
+        .as("__lst"))
       .select(col(probeId), expr(
-        """transform(array_sort(__lst, (l, r) ->
-          |  case when l.sub < r.sub then -1
-          |       when l.sub > r.sub then 1 else 0 end), x -> x.mp)"""
+        """transform(array_sort(array_distinct(transform(__lst, x -> x.sub))),
+          |  s -> map_from_entries(transform(
+          |    filter(__lst, x -> x.sub = s),
+          |    x -> struct(x.cent_id, x.d2c))))"""
           .stripMargin).as("luts"))
     val probeBuckets = buckets(
         probes.select(col(probeId), col("probe_vec")), probeId, "probe_vec",
@@ -486,15 +494,18 @@ object SimilarityOps {
         graft.expressions.GraftFunctions.l2DistSq(
           slice(col("prvec"), col("sub") * subDim + 1, lit(subDim)),
           col("sub_vec")).as("d2c"))
-      .groupBy(col(probeId), col("cent_id"), col("sub"))
-      .agg(map_from_entries(collect_list(struct(col("code"), col("d2c"))))
-        .as("mp"))
+      // Same single-aggregation LUT assembly as [[ivfPqSearch]] (r21
+      // verdict item 5): one Exchange on (probeId, cent_id) instead of
+      // two, map array assembled as a projection over the bounded
+      // (nprobe·m·ks)-entry collect.
       .groupBy(col(probeId), col("cent_id"))
-      .agg(collect_list(struct(col("sub"), col("mp"))).as("__lst"))
+      .agg(collect_list(struct(col("sub"), col("code"), col("d2c")))
+        .as("__lst"))
       .select(col(probeId), col("cent_id"), expr(
-        """transform(array_sort(__lst, (l, r) ->
-          |  case when l.sub < r.sub then -1
-          |       when l.sub > r.sub then 1 else 0 end), x -> x.mp)"""
+        """transform(array_sort(array_distinct(transform(__lst, x -> x.sub))),
+          |  s -> map_from_entries(transform(
+          |    filter(__lst, x -> x.sub = s),
+          |    x -> struct(x.code, x.d2c))))"""
           .stripMargin).as("luts"))
 
     val adcRanked = corpusCoded.join(broadcast(lut), Seq("cent_id"))

@@ -451,4 +451,84 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(found.isEmpty,
       s"incremental remap pass shuffled the label table: $found")
   }
+
+  test("PQ ADC LUT builds in ONE aggregation: no shuffle carries the intermediate map") {
+    // r22: the LUT build used to aggregate twice — groupBy(probe, sub)
+    // into per-sub maps, then groupBy(probe) to collect them — so the
+    // second groupBy's exchange re-shuffled rows carrying the built
+    // MapType column. The fused form collects raw (sub, code, d2c)
+    // triples in one aggregation and assembles the map array as a
+    // projection; no exchange may ship a MapType column.
+    val df = SparkEntry.queries("knn_ivf_pq")(spark, sfDir)
+    df.collect() // finalize AQE stages
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffledTypes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[String] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case _ => p.children
+      }
+      (p match {
+        case s: ShuffleExchangeExec => s.output
+          .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          .map(a => s"${a.name}: ${a.dataType.simpleString}")
+        case _ => Nil
+      }) ++ kids.flatMap(shuffledTypes)
+    }
+    val bad = shuffledTypes(df.queryExecution.executedPlan)
+    assert(bad.isEmpty, s"LUT map column crossed a shuffle: $bad")
+  }
+
+  test("CC loop schedules one job per round (convergence check rides the round's own aggregation)") {
+    // r22: the eager per-round localCheckpoint ran a dedicated
+    // materialization job PLUS the checksum job. With lazy checkpoints
+    // the checksum aggregation is the materializing action, so the
+    // whole loop costs init-checksum + one job per round. A chain graph
+    // forces escalation past HookDelay, covering both round shapes.
+    val n = 512
+    val verts = spark.range(0, n).select(col("id").as("doc_id"))
+    val pairs = spark.range(0, n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    // Count driver ACTIONS THAT SCHEDULE WORK — distinct SQL execution
+    // ids observed on job-start events (raw job count measures AQE plan
+    // width: each query stage is its own job). The r22 lazy-checkpoint
+    // fusion removes the eager checkpoint's dedicated materialization
+    // job per round (measured 123 → 105 jobs / 8.1 → 7.0 s on a
+    // 13-round chain); TWO job-scheduling executions per round remain
+    // inherent under AQE — the checkpoint's toRdd materializes the
+    // round's query stages under its own execution id, and the checksum
+    // runs the final stage — so the canary bound is 2/round, guarding
+    // against a THIRD per-round action creeping in (e.g. an eager count
+    // or a stats job).
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val id = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+        execIds.add(id.getOrElse(s"raw-job-${js.jobId}")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (labels, rounds) = graft.operators.DedupOps
+        .connectedComponentsWithRounds(verts, pairs, "doc_id")
+      // Let the async listener bus drain before reading the counter.
+      var waited = 0
+      while (waited < 5000 && execIds.size() < 1 + rounds) {
+        Thread.sleep(50); waited += 50
+      }
+      val seen = execIds.size()
+      // ≤2 per round (stage materialization + checksum) + init labels
+      // checksum + edges + slack.
+      assert(seen <= 2 * rounds + 4,
+        s"CC loop ran $seen job-scheduling actions for $rounds rounds " +
+          "— a third per-round action crept in")
+      assert(labels.select(col("component")).distinct().count() == 1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
