@@ -1253,39 +1253,78 @@ object DedupOps {
     // work fits the linear-in-n budget. The histogram is one row per
     // distinct over-cap bucket size — metadata-scale next to the
     // buckets themselves — and the cut is deterministic (sizes
-    // ascend). Histogram FIRST, distinct-signature count only when it
-    // is non-empty: on a dormant corpus (no over-cap variant bucket —
-    // every gate-scale production-cap call) the default costs one
-    // empty-result aggregation, never the extra distinct count. With
-    // maxBucket = Int.MaxValue the variant stage is STRUCTURALLY empty
-    // (no level-1 bucket can be over-cap), so the exact/uncapped form
-    // skips even that aggregation — the escalation default costs the
-    // truth side of every recall contract nothing.
+    // ascend).
+    //
+    // r22: ONE driver action per escalated call (was up to two: the
+    // histogram, then a distinct-signature count when it fired). The
+    // union below collects, in a single job over metadata-scale
+    // aggregates: (b) the over-cap bucket-size histogram, (s) the max
+    // identical-signature group size + the distinct-signature count,
+    // (v) whether the checkpointed variant frame has any row at all.
+    // Facts (s) and (v) are what the plan assembly further down uses
+    // to PRUNE structurally dead legs — stages the runtime would
+    // otherwise schedule only to produce zero rows (the vClique
+    // sort-merge join's two exchanges+sorts when vkn is empty, the
+    // four MJU rotation-window sorts when nothing survives past the
+    // escalation cut, the per-signature group window passes when no
+    // group exceeds maxBucket). Every pruning decision reads the SAME
+    // materialized vkn blocks the final query reads (vkn is an eager
+    // localCheckpoint on this path), so there is no
+    // compute-then-recompute window for the facts to drift in; output
+    // equivalence is the plain "a filter nothing satisfies produces
+    // no rows" argument, re-pinned by the oracle and the parity specs.
+    lazy val escalFacts: (Seq[(Long, Long)], Boolean, Long, Long) = {
+      val bucketRows = vkn
+        .filter(col("__vn") > variantCap)
+        .select(col("c"), col("chunk"), col("c2"), col("vkey"),
+          col("__vn"))
+        .distinct()
+        .groupBy(col("__vn")).agg(count(lit(1)).as("__nb"))
+        .select(lit("b").as("__t"), col("__vn"), col("__nb"))
+      val sigRows = sig
+        .groupBy(col("simhash")).agg(count(lit(1)).as("__m"))
+        .agg(max(col("__m")).as("__vn"), count(lit(1)).as("__nb"))
+        .select(lit("s").as("__t"), col("__vn"), col("__nb"))
+      val vknRows = vkn
+        .groupBy().agg(count(lit(1)).as("__nb"))
+        .select(lit("v").as("__t"), lit(0L).as("__vn"), col("__nb"))
+      // "b" sorts before "s"/"v": a truncated collect loses the s/v
+      // rows, which the require below catches before any fact is read.
+      val rows = bucketRows.unionByName(sigRows).unionByName(vknRows)
+        .orderBy(col("__t"), col("__vn"))
+        .limit(100003)
+        .collect()
+      val hist = rows.filter(_.getString(0) == "b")
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      require(hist.length <= 100000 &&
+        rows.exists(_.getString(0) == "s") &&
+        rows.exists(_.getString(0) == "v"),
+        "simhashCandidatesFromSig: over 100k distinct over-cap bucket " +
+          "sizes — the variant-key space is 4×4096×4096 values, so this " +
+          "is a broken population column, not a real corpus")
+      val s = rows.find(_.getString(0) == "s").get
+      val maxGroup = if (s.isNullAt(1)) 0L else s.getLong(1)
+      val nSims = s.getLong(2)
+      val vknEmpty = rows.find(_.getString(0) == "v").get.getLong(2) == 0L
+      (hist, vknEmpty, maxGroup, nSims)
+    }
     lazy val effCap: Long =
       if (escalateBudget <= 0 || maxBucket == Int.MaxValue)
         variantCap.toLong
       else {
-        val hist = vkn
-          .filter(col("__vn") > variantCap)
-          .select(col("c"), col("chunk"), col("c2"), col("vkey"),
-            col("__vn"))
-          .distinct()
-          .groupBy(col("__vn")).agg(count(lit(1)).as("__nb"))
-          .orderBy(col("__vn"))
-          .limit(100001)
-          .collect()
-        require(hist.length <= 100000,
-          "simhashCandidatesFromSig: over 100k distinct over-cap bucket " +
-            "sizes — the variant-key space is 4×4096×4096 values, so this " +
-            "is a broken population column, not a real corpus")
+        val (hist, _, _, nSims) = escalFacts
         if (hist.isEmpty) variantCap.toLong
-        else {
-          val nSims = sig.select(col("simhash")).distinct().count()
-          val budget = escalateBudget.toLong * nSims
-          escalationCut(hist.map(r => (r.getLong(0), r.getLong(1))).toSeq,
-            variantCap, budget)._1
-        }
+        else escalationCut(hist, variantCap,
+          escalateBudget.toLong * nSims)._1
       }
+    // Leg-pruning facts — meaningful (and evaluated) only on the
+    // guarded escalated path, where vkn is a materialized checkpoint.
+    lazy val variantStageEmpty: Boolean =
+      escalateBudget > 0 && escalFacts._2
+    lazy val windowStageEmpty: Boolean =
+      escalateBudget > 0 && !escalFacts._1.exists(_._1 > effCap)
+    lazy val groupGuardDormant: Boolean =
+      escalateBudget > 0 && escalFacts._3 <= maxBucket
     lazy val vUnder = vkn.filter(col("__vn") <= effCap)
     lazy val vClique = vUnder.hint("merge").as("x")
       .join(vUnder.hint("merge").as("y"),
@@ -1335,9 +1374,20 @@ object DedupOps {
     // pairs. bit_count is evaluated in the join's output stage (no
     // extra exchange); hamming is a pure function of (sa, sb) so
     // filter∘distinct ≡ distinct∘filter.
-    val simPairs = (if (guarded)
-        clique.unionByName(vClique).unionByName(winPairs)
-      else clique)
+    // r22 leg pruning (escalated path only — the facts cost no extra
+    // job there, see escalFacts): an empty vkn makes BOTH variant legs
+    // produce zero rows (their source frame has none); an empty
+    // post-cut remainder makes the four rotation-window legs produce
+    // zero rows (vOverBase filters the same materialized blocks the
+    // facts counted). Dropping a leg whose source is provably empty is
+    // output-identical; what it saves is the leg's scheduled stages
+    // (vClique: two exchanges + two sorts + a sort-merge join;
+    // winPairs: four window sorts) — fixed plan cost at gate scale,
+    // data-proportional sorts at 100 TB.
+    val simPairs = (if (!guarded) clique
+      else if (variantStageEmpty) clique
+      else if (windowStageEmpty) clique.unionByName(vClique)
+      else clique.unionByName(vClique).unionByName(winPairs))
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
       .distinct()
@@ -1351,7 +1401,12 @@ object DedupOps {
     // ---- identical-simhash groups (hamming 0 by construction) --------
     // Unguarded: every group is under-cap, so the per-signature size
     // window and the path leg are dead — one plain self-join.
-    val intraPairs = if (!guarded) {
+    // groupGuardDormant (escalated path, no extra job): when the
+    // measured max identical-signature group size is <= maxBucket, the
+    // per-signature population window keeps every row and the path leg
+    // is empty — the guarded shape degenerates to the plain self-join,
+    // so build that directly and skip the two window passes over sig.
+    val intraPairs = if (!guarded || groupGuardDormant) {
       sig.as("x").join(sig.as("y"),
           col("x.simhash") === col("y.simhash") &&
             col(s"x.$id") < col(s"y.$id"))

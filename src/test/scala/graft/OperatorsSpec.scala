@@ -257,6 +257,17 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
         s"${(auto -- exact).size} pairs vs the exact set")
     assert(windowed.subsetOf(auto),
       "escalation must only ADD pairs over the window pipeline")
+    // Partial budgets (r22 leg pruning): the cut is a prefix over
+    // ascending size classes, so results are MONOTONE in the budget —
+    // each admitted class trades its window-degrade subset for the
+    // full clique. Small budgets land in the remainder-non-empty
+    // branch (winPairs legs kept); the chain pins the containment
+    // sandwich window ⊆ partial ⊆ partial' ⊆ exact across it.
+    val partials = Seq(1, 4, 64).map(pairs)
+    (windowed +: partials :+ auto).sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi),
+        s"budget escalation not monotone: ${lo.size} !⊆ ${hi.size}")
+    }
   }
 
   test("connectedComponents collapses transitive chains; keepClusterMin keeps one per cluster") {

@@ -531,4 +531,23 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       assert(labels.select(col("component")).distinct().count() == 1)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("dormant simhash guards leave no variant or group-window leg in the plan") {
+    // r22 leg pruning: at the production caps the gate corpus has no
+    // over-cap level-1 bucket (simhash_bucket_ledger n_over_cap = 0)
+    // and no over-cap identical-signature group, so the escalated
+    // pipeline's one metadata action proves the variant legs and the
+    // per-signature group windows structurally empty — the assembled
+    // plan must contain ONLY the two banding population windows (one
+    // per self-join side) and no vkey node at all. If a dead leg creeps
+    // back, the Window count or the vkey probe fails here, not on a
+    // cluster. Output equivalence is pinned separately (the
+    // unguarded≡guarded parity spec and the oracle rows).
+    val p = plan("simhash_near_dup")
+    assert(!p.contains("vkey"),
+      "variant-stage nodes present despite a provably empty vkn")
+    val windowCount = p.linesIterator.count(_.matches(".*\\bWindow\\b.*windowspecdefinition.*"))
+    assert(windowCount == 2,
+      s"expected exactly the 2 banding population windows, found $windowCount")
+  }
 }
