@@ -148,24 +148,35 @@ object AnalyticOps {
     * length/bucketSec + 1 (pick bucketSec near the typical interval
     * length). Column names must be disjoint between the two sides;
     * `extraCond` prunes candidates inside the join (e.g. key equality
-    * or an ordering to dedup a self-join). The bucket fan-out is
-    * collapsed with a whole-row distinct(), so input rows must be
-    * unique on each side: two byte-identical interval rows collapse to
-    * one output pair. Feed each side a unique id column (as the
-    * session-pair query does) when exact duplicates are possible. */
+    * or an ordering to dedup a self-join). Input rows must be unique
+    * on each side (feed a unique id column when exact duplicates are
+    * possible, as the session-pair query does): each overlapping input
+    * pair produces exactly ONE output row — the pair is emitted only
+    * at the FIRST bucket the two intervals share (the later interval's
+    * start bucket), so no cross-bucket dedup pass exists in the plan
+    * (r22: this equality replaced a full-width distinct() — an
+    * exchange plus two-phase aggregate over every candidate pair), and
+    * the exact overlap predicate rides the join condition, so
+    * non-overlapping bucket-mates die inside the join. */
   def intervalOverlapJoin(
       left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       bucketSec: Long, extraCond: Column): DataFrame = {
+    def bucket(c: Column) =
+      floor(unix_timestamp(c) / bucketSec).cast("long")
     def bucketed(df: DataFrame, s: String, e: String, b: String) =
-      df.withColumn(b, explode(sequence(
-        floor(unix_timestamp(col(s)) / bucketSec).cast("long"),
-        floor(unix_timestamp(col(e)) / bucketSec).cast("long"))))
+      df.withColumn(b, explode(sequence(bucket(col(s)), bucket(col(e)))))
+    // Overlap ⇒ the bucket ranges intersect ⇒ max(start buckets) is in
+    // BOTH exploded sequences, exactly once each — so the equality
+    // keeps one candidate row per pair and the old distinct() is a
+    // no-op, dropped. (A shared bucket alone does NOT imply overlap —
+    // the exact predicate still decides membership, as before.)
     bucketed(left, lStart, lEnd, "__bl")
       .join(bucketed(right, rStart, rEnd, "__br"),
-        col("__bl") === col("__br") && extraCond)
-      .drop("__bl", "__br").distinct()
-      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+        col("__bl") === col("__br") && extraCond &&
+          col("__bl") === greatest(bucket(col(lStart)), bucket(col(rStart))) &&
+          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("__bl", "__br")
   }
 
   /** Per-session candidate budget for [[topKOverlapsPerSession]]: each
@@ -196,32 +207,53 @@ object AnalyticOps {
   def topKOverlapsPerSession(sessions: DataFrame, user: String,
       start: String, end: String, k: Int, bucketSec: Long,
       candM: Int = TopOverlapCandidates): DataFrame = {
+    def bucket(c: Column) =
+      floor(unix_timestamp(c) / bucketSec).cast("long")
     def bucketed(df: DataFrame, s: String, e: String, b: String) =
-      df.withColumn(b, explode(sequence(
-        floor(unix_timestamp(col(s)) / bucketSec).cast("long"),
-        floor(unix_timestamp(col(e)) / bucketSec).cast("long"))))
+      df.withColumn(b, explode(sequence(bucket(col(s)), bucket(col(e)))))
     val all = bucketed(sessions.select(
       col(user).as("user_a"), col(start).as("start_a"), col(end).as("end_a")),
       "start_a", "end_a", "__bl")
     val partnersAll = bucketed(sessions.select(
       col(user).as("user_b"), col(start).as("start_b"), col(end).as("end_b")),
       "start_b", "end_b", "__br")
+    val overlapCond =
+      col("start_a") <= col("end_b") && col("start_b") <= col("end_a")
     // candM = Int.MaxValue (the exact side of session_topk_recall) makes
     // the longest-first pruning a tautology — skip the per-bucket
     // row_number window (a full shuffle+sort of the bucketed rows)
-    // structurally; the kept row set is identical by construction.
-    val partners = if (candM == Int.MaxValue) partnersAll
-      else partnersAll
+    // structurally, and (r22) emit each pair exactly once at the FIRST
+    // shared bucket (see intervalOverlapJoin), so the cross-bucket
+    // distinct() vanishes too: the exact side's plan has neither the
+    // pruning window nor the dedup exchange, only the bucket join.
+    val verified = if (candM == Int.MaxValue)
+      all.join(partnersAll,
+          col("__bl") === col("__br") && col("user_a") =!= col("user_b") &&
+            col("__bl") === greatest(bucket(col("start_a")),
+              bucket(col("start_b"))) &&
+            overlapCond)
+        .drop("__bl", "__br")
+    else {
+      val partners = partnersAll
         .withColumn("__len",
           unix_timestamp(col("end_b")) - unix_timestamp(col("start_b")))
         .withColumn("__r", row_number().over(Window.partitionBy(col("__br"))
           .orderBy(col("__len").desc, col("user_b"), col("start_b"))))
         .filter(col("__r") <= candM).drop("__len", "__r")
-    all.join(partners,
-        col("__bl") === col("__br") && col("user_a") =!= col("user_b"))
-      .drop("__bl", "__br")
-      .distinct() // a pair met in several buckets is one pair
-      .filter(col("start_a") <= col("end_b") && col("start_b") <= col("end_a"))
+      // A pair admitted in ANY shared bucket is one pair — the dedup
+      // must stay (first-bucket emission would change the committed
+      // pruning semantics: the partner may be top-M in a later shared
+      // bucket only). But the exact overlap verify is a pure per-row
+      // predicate, so it rides the join condition (filter∘distinct ≡
+      // distinct∘filter) and the distinct's exchange carries only true
+      // overlapping pairs (r22; the r21 hamming-before-distinct move).
+      all.join(partners,
+          col("__bl") === col("__br") && col("user_a") =!= col("user_b") &&
+            overlapCond)
+        .drop("__bl", "__br")
+        .distinct()
+    }
+    verified
       .withColumn("overlap_sec",
         unix_timestamp(least(col("end_a"), col("end_b"))) -
           unix_timestamp(greatest(col("start_a"), col("start_b"))))
