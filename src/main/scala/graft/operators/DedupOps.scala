@@ -1246,7 +1246,7 @@ object DedupOps {
     lazy val vkn = {
       val w = vk.withColumn("__vn", count(lit(1)).over(
         Window.partitionBy(col("c"), col("chunk"), col("c2"), col("vkey"))))
-      if (escalateBudget > 0) w.localCheckpoint(true) else w
+      w.localCheckpoint(true)
     }
     // Budgeted auto-escalation (the r20 default): lift the effective
     // cap to the largest bucket SIZE whose cumulative over-cap clique
